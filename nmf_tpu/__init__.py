@@ -1,0 +1,47 @@
+"""nmf_tpu — a TPU-native non-negative matrix factorization framework.
+
+A from-scratch JAX/XLA/Pallas rebuild with the capabilities of the reference
+CUDA library (``recoord/nmf-gpu``): KL-divergence Lee-Seung multiplicative
+updates, byte-compatible ``.bin`` I/O, fixed-iteration determinism — plus the
+things the reference lacked: convergence checking, batched (vmap) and
+mesh-sharded (shard_map) execution, checkpoint/resume, metrics, a CLI, and a
+beta-divergence model family.
+
+Quick start::
+
+    import nmf_tpu as nt
+    res = nt.solve(X, W0, H0, nt.SolveConfig(max_iter=200))
+    nt.write_matrix(np.asarray(res.w), "Wout.bin")
+"""
+
+from .io.binio import read_matrix, write_matrix
+from .io import fixtures
+from .ops.elementwise import EPS, eps_clamp
+from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_divergence
+from .ops.mu import mu_step, mu_step_beta, update_h, update_w
+from .models.solver import SolveResult, solve
+from .utils.config import Precision, SolveConfig, reference_preset
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "read_matrix",
+    "write_matrix",
+    "fixtures",
+    "EPS",
+    "eps_clamp",
+    "kl_divergence",
+    "euclidean_cost",
+    "itakura_saito",
+    "beta_divergence",
+    "mu_step",
+    "mu_step_beta",
+    "update_h",
+    "update_w",
+    "solve",
+    "SolveResult",
+    "SolveConfig",
+    "Precision",
+    "reference_preset",
+    "__version__",
+]

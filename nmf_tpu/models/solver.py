@@ -1,0 +1,200 @@
+"""The NMF solve loop: jit-compiled, convergence-checked, host-sync-free.
+
+Reference mapping:
+  * The reference captures one full iteration into a CUDA graph and replays it
+    ``max_iter`` times (nmf.cu:100-115).  Here the whole run — including the
+    convergence predicate — is ONE ``jax.jit`` program built from
+    ``lax.while_loop`` over check-blocks with an inner ``lax.fori_loop`` of
+    ``check_every`` MU steps: XLA gives whole-iteration fusion and zero
+    relaunch overhead by construction, and the device never syncs with the
+    host until results are fetched.
+  * The reference's documented-but-lost convergence behaviour (README.md:51:
+    stop when |cost_prev - cost| / cost < thresh, checked every ITER_CHECK
+    iterations) is restored here as a first-class feature.  ``thresh == 0``
+    reproduces the reference binary exactly: precisely ``max_iter`` iterations
+    (nmf.cu:11 "set to zero to guarantee MAX_ITER iterations").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.divergence import beta_divergence, kl_divergence
+from ..ops.mu import mu_step, mu_step_beta
+from ..utils.config import SolveConfig
+
+__all__ = ["SolveResult", "solve", "solve_jit", "resolve_step_fn", "run_checked_loop"]
+
+_F32 = jnp.float32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolveResult:
+    """Factorization result.
+
+    ``cost_history`` has one float32 slot per potential check point
+    (``ceil(max_iter / check_every)``); entries past ``num_checks`` are NaN.
+    ``cost`` is the last computed divergence (NaN when cost tracking is
+    disabled and thresh == 0).
+    """
+
+    w: jnp.ndarray
+    h: jnp.ndarray
+    iterations: jnp.ndarray     # i32 scalar: MU iterations actually run
+    cost: jnp.ndarray           # f32 scalar: final divergence
+    cost_history: jnp.ndarray   # f32 [num_check_slots]
+    num_checks: jnp.ndarray     # i32 scalar: populated history entries
+    converged: jnp.ndarray      # bool scalar: stopped via threshold
+
+
+StepFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+CostFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _default_platform(x) -> str:
+    try:
+        return list(x.devices())[0].platform  # jax.Array
+    except AttributeError:
+        return jax.default_backend()
+
+
+def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> StepFn:
+    """Pick the per-iteration kernel implementation for this config/platform.
+
+    ``auto`` uses the fused Pallas path on TPU for the KL (beta=1) family and
+    the jnp/XLA path elsewhere (CPU tests, GPU, odd shapes).  Every Pallas
+    kernel has this jnp fallback by design (SURVEY.md section 7 step 5).
+    """
+    config.validate()
+    eps, prec = config.eps, config.precision
+
+    if config.beta != 1.0:
+        return functools.partial(mu_step_beta, beta=config.beta, eps=eps, precision=prec)
+
+    backend = config.backend
+    if backend == "auto":
+        plat = platform if platform is not None else jax.default_backend()
+        backend = "pallas" if plat == "tpu" else "jnp"
+    if backend == "pallas":
+        from ..ops.pallas import fused_mu  # deferred: keeps CPU import light
+
+        if fused_mu.supported():
+            return functools.partial(fused_mu.mu_step_fused, eps=eps, precision=prec)
+        backend = "jnp"
+    return functools.partial(mu_step, eps=eps, precision=prec)
+
+
+def _cost_fn(config: SolveConfig) -> CostFn:
+    if config.beta == 1.0:
+        return functools.partial(kl_divergence, eps=config.eps)
+    return functools.partial(beta_divergence, beta=config.beta, eps=config.eps)
+
+
+def run_checked_loop(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    config: SolveConfig,
+    step_fn: StepFn,
+    cost_fn: CostFn,
+    all_reduce: Callable[[jnp.ndarray], jnp.ndarray] = lambda c: c,
+) -> SolveResult:
+    """Trace the check-blocked while_loop.  Shared by the single-device and
+    shard_map solvers; ``all_reduce`` sums partial costs across the mesh in
+    the sharded case (a ``psum``), keeping the convergence predicate
+    replicated so the loop stays uniform across devices.
+    """
+    max_iter = int(config.max_iter)
+    check_every = int(config.check_every)
+    thresh = float(config.thresh)
+    # Static decision: when thresh==0 and cost isn't tracked, skip the cost
+    # GEMM entirely (the reference computes no cost at all, nmf.cu:113-115).
+    need_cost = config.track_cost or thresh > 0.0
+    n_slots = max(config.num_checks, 1)
+
+    def one_step(_, wh):
+        return step_fn(wh[0], wh[1], x)
+
+    def body(carry):
+        w, h, it, prev_cost, cost, chk, hist, done = carry
+        chunk = jnp.minimum(check_every, max_iter - it)
+        w, h = jax.lax.fori_loop(0, chunk, one_step, (w, h))
+        it = it + chunk
+        if need_cost:
+            prev_cost = cost
+            cost = all_reduce(cost_fn(x, w, h)).astype(_F32)
+            hist = hist.at[chk].set(cost)
+            if thresh > 0.0:
+                rel = jnp.abs(prev_cost - cost) / jnp.abs(cost)
+                done = rel < thresh
+        chk = chk + 1
+        return (w, h, it, prev_cost, cost, chk, hist, done)
+
+    def cond(carry):
+        _, _, it, _, _, _, _, done = carry
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    init = (
+        w,
+        h,
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, _F32),
+        jnp.asarray(jnp.nan, _F32),
+        jnp.zeros((), jnp.int32),
+        jnp.full((n_slots,), jnp.nan, _F32),
+        jnp.zeros((), jnp.bool_),
+    )
+    w, h, it, _, cost, chk, hist, done = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        w=w, h=h, iterations=it, cost=cost, cost_history=hist,
+        num_checks=chk, converged=done,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def solve_jit(config: SolveConfig, platform: Optional[str] = None):
+    """Build (and cache) the jitted solver for a config."""
+    step_fn = resolve_step_fn(config, platform)
+    cost_fn = _cost_fn(config)
+
+    @jax.jit
+    def _solve(x, w, h):
+        return run_checked_loop(x, w, h, config, step_fn, cost_fn)
+
+    return _solve
+
+
+def solve(
+    x,
+    w0,
+    h0,
+    config: SolveConfig = SolveConfig(),
+    clamp_inputs: bool = True,
+) -> SolveResult:
+    """Factorize ``x ~= w @ h``: the ``run_async`` equivalent (nmf.cu:76-116).
+
+    ``clamp_inputs`` replicates the reference's load-time ``set_epsilon``
+    (nmf.cu:211) — pass already-clamped arrays and ``False`` to skip.
+    """
+    config.validate()
+    sd = jnp.dtype(config.precision.state_dtype)
+    x = jnp.asarray(x, _F32)
+    w0 = jnp.asarray(w0, sd)
+    h0 = jnp.asarray(h0, sd)
+    if x.shape != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
+        raise ValueError(
+            f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}"
+        )
+    if clamp_inputs:
+        eps = jnp.asarray(config.eps, _F32)
+        x = jnp.maximum(x, eps)
+        w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
+        h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
+    return solve_jit(config, _default_platform(x))(x, w0, h0)

@@ -1,0 +1,271 @@
+"""Fused Pallas TPU kernels for the multiplicative-update hot path.
+
+Why these exist (the HBM-traffic argument)
+------------------------------------------
+The reference materialises ``Z = X ./ clamp(W@H)`` as an M x N device buffer
+and reads it back for the second GEMM of each half-update (nmf.cu:94,
+125-145): per iteration that is ~6 full M x N HBM passes besides X itself.
+On TPU the whole half-update is instead computed *tile-wise in VMEM*:
+
+    H half-update:  numer = W^T @ (X / clamp(W @ H, eps))
+    W half-update:  numer = (X / clamp(W @ H, eps)) @ H^T
+
+Each kernel streams X exactly once, keeps the (bm x bn) reconstruction tile,
+the clamp, the divide and both MXU contractions on-chip, and writes only the
+K-sized result — Z never exists in HBM.  Per full iteration the HBM traffic
+drops to ~2 reads of X + a few K-sized streams, which together with bf16 MXU
+inputs is what buys the ">= 80% of roofline" target (BASELINE.md).
+
+Grid layout (both kernels): 2-D grid with the *contraction* axis innermost so
+the accumulator scratch is revisited across consecutive grid steps — the
+standard Pallas reduction pattern.  The final grid step applies the
+broadcast-divide (by clamped column/row sums, computed cheaply outside) and
+the elementwise multiply with the old factor, fusing the reference's
+``col_divide``/``row_divide`` + ``vec_mul`` epilogues (nmf.cu:142-145,
+172-175) into the same kernel.
+
+Numerics: accumulation is always float32; with ``Precision('bfloat16')`` the
+MXU inputs (W, H tiles and the ratio tile) are cast to bf16.  Zero padding to
+tile multiples is exact (pad regions contribute 0 to every contraction),
+replacing the reference's EPS-contaminated padding (SURVEY.md section 2.4).
+
+Every kernel has a jnp fallback (``nmf_tpu.ops.mu``) selected automatically
+off-TPU; ``interpret=True`` runs these same kernels on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.config import Precision
+from ..elementwise import EPS, eps_clamp
+
+__all__ = [
+    "supported",
+    "update_h_fused",
+    "update_w_fused",
+    "mu_step_fused",
+]
+
+_F32 = jnp.float32
+
+# Largest rank the single-level fused kernels keep resident in VMEM.  Above
+# this the jnp/XLA path (which tiles K itself) is used instead.
+MAX_FUSED_K = 2048
+
+# Default tile extents (f32 sublane/lane quanta are (8, 128)).
+_BM = 256
+_BN = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supported(k: Optional[int] = None) -> bool:
+    """Whether the fused path applies (rank small enough to keep in VMEM)."""
+    return k is None or k <= MAX_FUSED_K
+
+
+def _pad2(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    pr, pc = rows - a.shape[0], cols - a.shape[1]
+    if pr == 0 and pc == 0:
+        return a
+    return jnp.pad(a, ((0, pr), (0, pc)))
+
+
+# ---------------------------------------------------------------------------
+# H half-update: H_new = H * (W^T @ (X / clamp(W@H))) / sumW[:, None]
+# ---------------------------------------------------------------------------
+
+
+def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_m):
+    i = pl.program_id(1)  # contraction step over M tiles (innermost)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_blk = w_ref[:].astype(mm_dtype)          # (bm, K)
+    h_blk = h_ref[:].astype(mm_dtype)          # (K, bn)
+    wh = jax.lax.dot_general(
+        w_blk, h_blk, (((1,), (0,)), ((), ())), preferred_element_type=_F32,
+        precision=lax_prec,
+    )                                          # (bm, bn) f32
+    z = x_ref[:] / jnp.maximum(wh, eps)        # clamp per nmf.cu:128
+    # acc += W_blk^T @ z : contract over the bm rows
+    acc_ref[:] += jax.lax.dot_general(
+        w_blk, z.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=_F32, precision=lax_prec,
+    )
+
+    @pl.when(i == n_m - 1)
+    def _():
+        # fused col_divide + vec_mul epilogue (nmf.cu:142-145); sumw is (K, 1)
+        # and broadcasts across lanes.
+        out_ref[:] = (h_ref[:].astype(_F32) * acc_ref[:] / sumw_ref[:]).astype(
+            out_ref.dtype
+        )
+
+
+def update_h_fused(
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    x: jnp.ndarray,
+    eps: float = EPS,
+    precision: Precision = Precision(),
+    block_m: int = _BM,
+    block_n: int = _BN,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused H half-update (reference semantics of nmf.cu:118-146)."""
+    m, k = w.shape
+    _, n = h.shape
+    if k > MAX_FUSED_K:
+        from ..mu import update_h
+
+        return update_h(w, h, x, eps, precision)
+    sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
+
+    bm = min(block_m, _round_up(m, 8))
+    bn = min(block_n, _round_up(n, 128))
+    mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
+    wp = _pad2(w, mp, kp)
+    hp = _pad2(h, kp, np_)
+    xp = _pad2(x, mp, np_)
+    n_m, n_n = mp // bm, np_ // bn
+
+    mm_dtype = jnp.dtype(precision.matmul_dtype)
+    lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(
+        _h_kernel, eps=float(eps), mm_dtype=mm_dtype,
+        lax_prec=lax_prec, n_m=n_m,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_n, n_m),
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kp, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp, np_), h.dtype),
+        scratch_shapes=[pltpu.VMEM((kp, bn), _F32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * np_ * kp,
+            bytes_accessed=(mp * kp + kp * np_ + mp * np_ + 2 * kp * np_) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wp, hp, xp, sum_w)
+    return out[:k, :n] if (kp, np_) != (k, n) else out
+
+
+# ---------------------------------------------------------------------------
+# W half-update: W_new = W * ((X / clamp(W@H)) @ H^T) / sumH[None, :]
+# ---------------------------------------------------------------------------
+
+
+def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_n):
+    j = pl.program_id(1)  # contraction step over N tiles (innermost)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_blk = w_ref[:].astype(mm_dtype)          # (bm, K)
+    h_blk = h_ref[:].astype(mm_dtype)          # (K, bn)
+    wh = jax.lax.dot_general(
+        w_blk, h_blk, (((1,), (0,)), ((), ())), preferred_element_type=_F32,
+        precision=lax_prec,
+    )
+    z = x_ref[:] / jnp.maximum(wh, eps)        # clamp per nmf.cu:158
+    # acc += z @ H_blk^T : contract over the bn cols
+    acc_ref[:] += jax.lax.dot_general(
+        z.astype(mm_dtype), h_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32, precision=lax_prec,
+    )
+
+    @pl.when(j == n_n - 1)
+    def _():
+        # fused row_divide + vec_mul epilogue (nmf.cu:172-175)
+        out_ref[:] = (w_ref[:].astype(_F32) * acc_ref[:] / sumh_ref[:]).astype(
+            out_ref.dtype
+        )
+
+
+def update_w_fused(
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    x: jnp.ndarray,
+    eps: float = EPS,
+    precision: Precision = Precision(),
+    block_m: int = _BM,
+    block_n: int = _BN,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused W half-update (reference semantics of nmf.cu:148-176)."""
+    m, k = w.shape
+    _, n = h.shape
+    if k > MAX_FUSED_K:
+        from ..mu import update_w
+
+        return update_w(w, h, x, eps, precision)
+    sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
+
+    bm = min(block_m, _round_up(m, 8))
+    bn = min(block_n, _round_up(n, 128))
+    mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
+    wp = _pad2(w, mp, kp)
+    hp = _pad2(h, kp, np_)
+    xp = _pad2(x, mp, np_)
+    n_m, n_n = mp // bm, np_ // bn
+
+    mm_dtype = jnp.dtype(precision.matmul_dtype)
+    lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(
+        _w_kernel, eps=float(eps), mm_dtype=mm_dtype,
+        lax_prec=lax_prec, n_n=n_n,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_m, n_n),
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, kp), w.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, kp), _F32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * np_ * kp,
+            bytes_accessed=(mp * kp + kp * np_ + mp * np_ + 2 * mp * kp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wp, hp, xp, sum_h)
+    return out[:m, :k] if (mp, kp) != (m, k) else out
+
+
+def mu_step_fused(
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    x: jnp.ndarray,
+    eps: float = EPS,
+    precision: Precision = Precision(),
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One full fused MU iteration — drop-in for :func:`nmf_tpu.ops.mu.mu_step`."""
+    h = update_h_fused(w, h, x, eps, precision, interpret=interpret)
+    w = update_w_fused(w, h, x, eps, precision, interpret=interpret)
+    return w, h

@@ -1,0 +1,98 @@
+"""Configuration dataclasses for the framework.
+
+The reference's entire "config system" is compile-time macros
+(``ITER_CHECK 25``, ``MAX_ITER 200``, ``CONVERGE_THRESH 0`` at nmf.cu:9-11,
+``PAD_MULT 32`` at matrix.cuh:7) plus hard-coded paths (nmf.cu:37-45).  Here
+those become first-class runtime config, with the reference defaults kept as
+the compatibility preset (:func:`reference_preset`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["Precision", "SolveConfig", "reference_preset", "EPS_DEFAULT"]
+
+EPS_DEFAULT = float(np.float32(2.2204e-16))  # cuda/matrix.cu:10
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Mixed-precision policy for the update step.
+
+    * ``matmul_dtype``: dtype the GEMM *inputs* are cast to.  ``bfloat16``
+      feeds the MXU at full rate; accumulation is always float32 via
+      ``preferred_element_type`` (never bf16 — see SURVEY.md section 7 step 4).
+    * ``state_dtype``: dtype W/H are carried in between iterations.
+    * Reductions (column/row sums, KL cost) are always float32.
+    """
+
+    matmul_dtype: str = "float32"   # "float32" | "bfloat16"
+    state_dtype: str = "float32"
+
+    def validate(self) -> None:
+        if self.matmul_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported matmul_dtype {self.matmul_dtype!r}")
+        if self.state_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported state_dtype {self.state_dtype!r}")
+
+
+FP32 = Precision("float32", "float32")
+BF16 = Precision("bfloat16", "float32")
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveConfig:
+    """Full solver configuration.
+
+    Reference-compat notes:
+      * ``thresh == 0`` guarantees exactly ``max_iter`` iterations — the
+        determinism contract the reference's md5 regression test relies on
+        (nmf.cu:11, test_output.sh).
+      * ``check_every`` is the reference's ``ITER_CHECK`` (nmf.cu:9): the
+        KL cost and convergence predicate are evaluated on-device every
+        ``check_every`` iterations, with no host synchronisation.
+    """
+
+    max_iter: int = 200                  # nmf.cu:10  MAX_ITER
+    thresh: float = 0.0                  # nmf.cu:11  CONVERGE_THRESH
+    check_every: int = 25                # nmf.cu:9   ITER_CHECK
+    eps: float = EPS_DEFAULT             # matrix.cu:10
+    precision: Precision = FP32
+    backend: str = "auto"                # "auto" | "jnp" | "pallas"
+    track_cost: bool = True              # record cost history even if thresh==0
+    beta: float = 1.0                    # divergence family; 1.0 == reference KL
+
+    def validate(self) -> None:
+        if self.max_iter < 0:
+            raise ValueError("max_iter must be >= 0")
+        if self.check_every <= 0:
+            raise ValueError("check_every must be >= 1")
+        if self.thresh < 0:
+            raise ValueError("thresh must be >= 0")
+        if self.backend not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unsupported backend {self.backend!r}")
+        self.precision.validate()
+
+    @property
+    def num_checks(self) -> int:
+        """Number of cost-check points over a full-length run."""
+        return -(-self.max_iter // self.check_every) if self.max_iter else 0
+
+
+def reference_preset() -> SolveConfig:
+    """The reference binary's exact behaviour: 200 fixed iterations, fp32.
+
+    (nmf.cu:9-11: ITER_CHECK 25, MAX_ITER 200, CONVERGE_THRESH 0.)
+    """
+    return SolveConfig(
+        max_iter=200,
+        thresh=0.0,
+        check_every=25,
+        precision=FP32,
+        backend="auto",
+        track_cost=True,
+    )

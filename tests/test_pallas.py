@@ -1,0 +1,92 @@
+"""Fused Pallas kernel tests (interpret mode on CPU) vs the jnp reference.
+
+The same kernels run compiled on TPU; interpret=True executes the identical
+kernel logic on CPU so correctness is covered in CI without hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nmf_tpu.ops.mu import mu_step, update_h, update_w
+from nmf_tpu.ops.pallas import fused_mu
+from nmf_tpu.utils.config import Precision
+
+from oracle import clamp
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(7)
+    m, k, n = 96, 12, 130  # deliberately unaligned to MXU tiles
+    x = clamp(rng.rand(m, n).astype(np.float32))
+    w = clamp(rng.rand(m, k).astype(np.float32))
+    h = clamp(rng.rand(k, n).astype(np.float32))
+    return jnp.asarray(x), jnp.asarray(w), jnp.asarray(h)
+
+
+def test_update_h_fused_matches_jnp(problem):
+    x, w, h = problem
+    ours = fused_mu.update_h_fused(w, h, x, interpret=True, block_m=32, block_n=128)
+    ref = update_h(w, h, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+
+def test_update_w_fused_matches_jnp(problem):
+    x, w, h = problem
+    ours = fused_mu.update_w_fused(w, h, x, interpret=True, block_m=32, block_n=128)
+    ref = update_w(w, h, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+
+def test_mu_step_fused_multi_iter(problem):
+    x, w, h = problem
+    wf, hf = w, h
+    wr, hr = w, h
+    for _ in range(3):
+        wf, hf = fused_mu.mu_step_fused(wf, hf, x, interpret=True)
+        wr, hr = mu_step(wr, hr, x)
+    np.testing.assert_allclose(np.asarray(wf), np.asarray(wr), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hr), rtol=5e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "m,k,n,bm,bn",
+    [
+        (8, 4, 128, 8, 128),      # single tile
+        (64, 16, 256, 16, 128),   # multi-tile both grid dims
+        (100, 30, 300, 32, 128),  # ragged edges everywhere (paper K=30)
+        (256, 128, 384, 128, 128),
+    ],
+)
+def test_fused_shapes_grid(m, k, n, bm, bn):
+    rng = np.random.RandomState(m + n)
+    x = jnp.asarray(clamp(rng.rand(m, n).astype(np.float32)))
+    w = jnp.asarray(clamp(rng.rand(m, k).astype(np.float32)))
+    h = jnp.asarray(clamp(rng.rand(k, n).astype(np.float32)))
+    hf = fused_mu.update_h_fused(w, h, x, interpret=True, block_m=bm, block_n=bn)
+    hr = update_h(w, h, x)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hr), rtol=1e-5, atol=1e-7)
+    wf = fused_mu.update_w_fused(w, h, x, interpret=True, block_m=bm, block_n=bn)
+    wr = update_w(w, h, x)
+    np.testing.assert_allclose(np.asarray(wf), np.asarray(wr), rtol=1e-5, atol=1e-7)
+
+
+def test_fused_bf16_close(problem):
+    x, w, h = problem
+    bf16 = Precision("bfloat16", "float32")
+    ours = fused_mu.update_h_fused(w, h, x, precision=bf16, interpret=True)
+    ref = update_h(w, h, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=0.05)
+
+
+def test_large_k_falls_back_to_jnp(problem):
+    x, w, h = problem
+    big_k = fused_mu.MAX_FUSED_K + 8
+    rng = np.random.RandomState(0)
+    w2 = jnp.asarray(clamp(rng.rand(x.shape[0], big_k).astype(np.float32)))
+    h2 = jnp.asarray(clamp(rng.rand(big_k, x.shape[1]).astype(np.float32)))
+    out = fused_mu.update_h_fused(w2, h2, x, interpret=True)
+    ref = update_h(w2, h2, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)

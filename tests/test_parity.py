@@ -1,0 +1,131 @@
+"""THE parity gate: reference-algorithm parity at the full regression scale.
+
+What the reference ships (test_output.sh): seed-0 fixtures -> 200 fixed
+iterations -> md5 vs committed goldens ``Wtest.bin``/``Htest.bin``.
+
+**Finding (verified here, see test_goldens_inconsistent_with_generator):**
+the committed goldens are NOT reproducible from the committed generator.
+Factors obtained by 200 KL-MU iterations from the seed-0 fixtures have ~0
+correlation with the goldens, and the goldens' KL cost on the seed-0 X is
+~45x WORSE than even a single MU iteration from that init (4.38e6 vs 1.38e5).
+The goldens' reconstruction has mean ~4.57 while seed-0 X has mean 0.5: they
+were produced from different input data (plausibly real spectrograms exported
+via the ``matrix_export.m`` script mentioned in README.md:35 but absent from
+the tree).  The bundled generator (matrix_export.py) also post-dates the
+goldens' byte order (C-order quirk, SURVEY.md section 2.2).
+
+Parity is therefore defined the only meaningful way: **our TPU implementation
+vs the reference ALGORITHM** (nmf.cu:118-176 semantics, restated line-by-line
+by the NumPy oracle in oracle.py), at the reference's exact regression
+workload (4096x350, K=128, 200 iterations, seed-0 fixtures), to the
+BASELINE.md bar of 1e-4 relative KL cost.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nmf_tpu import SolveConfig, kl_divergence, reference_preset, solve
+from nmf_tpu.io import binio, fixtures
+
+from oracle import np_kl, np_solve
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def fixture_arrays():
+    arrays = fixtures.reference_fixture_arrays()
+    # What the CUDA solver would see (C-order bytes read column-major).
+    return {k: fixtures.as_seen_by_solver(v) for k, v in arrays.items()}
+
+
+@pytest.fixture(scope="module")
+def our_run(fixture_arrays):
+    """Our solver on the full reference workload (4096x350, K=128, 200 it)."""
+    a = fixture_arrays
+    return solve(a["X"], a["W"], a["H"], reference_preset())
+
+
+@pytest.fixture(scope="module")
+def oracle_run(fixture_arrays):
+    """The NumPy restatement of nmf.cu:118-176 on the same workload."""
+    a = fixture_arrays
+    return np_solve(a["X"], a["W"], a["H"], 200)
+
+
+def test_shapes_and_determinism(our_run):
+    res = our_run
+    assert res.w.shape == (4096, 128)
+    assert res.h.shape == (128, 350)
+    assert int(res.iterations) == 200  # thresh=0 contract (nmf.cu:11)
+    assert not bool(res.converged)
+
+
+def test_kl_cost_parity_1e4(fixture_arrays, our_run, oracle_run):
+    """BASELINE.md bar: within 1e-4 relative KL cost of the reference algo."""
+    x = np.maximum(fixture_arrays["X"], np.float32(2.2204e-16))
+    wn, hn = oracle_run
+    cost_ref = np_kl(x, wn, hn)
+    cost_ours = float(kl_divergence(jnp.asarray(x), our_run.w, our_run.h))
+    rel = abs(cost_ours - cost_ref) / abs(cost_ref)
+    assert rel < 1e-4, (
+        f"relative KL cost gap {rel:.3e} (ours {cost_ours}, oracle {cost_ref})"
+    )
+
+
+def test_factor_parity(our_run, oracle_run):
+    """Same init + same update order => factors themselves stay close.
+
+    MU from identical init is a deterministic map; only f32 rounding
+    (XLA vs BLAS summation order) accumulates over 200 iterations.
+    """
+    wn, hn = oracle_run
+    w_ours, h_ours = np.asarray(our_run.w), np.asarray(our_run.h)
+    assert np.median(np.abs(w_ours - wn) / (np.abs(wn) + 1e-9)) < 1e-3
+    assert np.median(np.abs(h_ours - hn) / (np.abs(hn) + 1e-9)) < 1e-3
+    rec_o = w_ours.astype(np.float64) @ h_ours.astype(np.float64)
+    rec_n = wn.astype(np.float64) @ hn.astype(np.float64)
+    rel = np.linalg.norm(rec_o - rec_n) / np.linalg.norm(rec_n)
+    assert rel < 1e-4, f"reconstruction relative error {rel:.3e}"
+
+
+def test_cost_monotone_at_scale(our_run):
+    hist = np.asarray(our_run.cost_history)[: int(our_run.num_checks)]
+    assert hist.shape == (8,)  # 200 / 25 checks (nmf.cu:9-10)
+    assert np.all(np.isfinite(hist))
+    assert np.all(np.diff(hist) < 0)
+
+
+def test_goldens_inconsistent_with_generator(fixture_arrays, our_run):
+    """Documents the reference-repo inconsistency (see module docstring).
+
+    If this test ever FAILS on the goldens' cost being close to ours, the
+    bundled fixtures/goldens became a consistent pair and the md5-style
+    golden comparison should be promoted to the primary parity gate.
+    """
+    w_gold = binio.read_matrix(os.path.join(REFERENCE_DIR, "Wtest.bin"))
+    h_gold = binio.read_matrix(os.path.join(REFERENCE_DIR, "Htest.bin"))
+    assert w_gold.shape == (4096, 128) and h_gold.shape == (128, 350)
+    x = jnp.maximum(jnp.asarray(fixture_arrays["X"]), 2.2204e-16)
+    cost_gold = float(kl_divergence(x, jnp.asarray(w_gold), jnp.asarray(h_gold)))
+    cost_ours = float(kl_divergence(x, our_run.w, our_run.h))
+    # goldens fit a different X: our fit is orders of magnitude better
+    assert cost_ours < 0.1 * cost_gold
+    # and the goldens do not correlate with a seed-0 run
+    corr = np.corrcoef(np.asarray(our_run.w).ravel(), w_gold.ravel())[0, 1]
+    assert abs(corr) < 0.1
+
+
+def test_bin_outputs_roundtrip_like_reference(tmp_path, our_run):
+    """write_matrix(Wout) produces files the reference toolchain can consume."""
+    res = our_run
+    wp, hp = tmp_path / "Wout.bin", tmp_path / "Hout.bin"
+    binio.write_matrix(np.asarray(res.w), wp)
+    binio.write_matrix(np.asarray(res.h), hp)
+    assert wp.stat().st_size == 8 + 4096 * 128 * 4  # same as Wtest.bin
+    assert hp.stat().st_size == 8 + 128 * 350 * 4
+    np.testing.assert_array_equal(binio.read_matrix(wp), np.asarray(res.w))

@@ -1,0 +1,115 @@
+"""Solver loop tests: determinism contract, convergence, cost history."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nmf_tpu import SolveConfig, kl_divergence, solve
+from nmf_tpu.utils.config import Precision
+
+from oracle import clamp, np_solve
+
+
+def test_thresh_zero_runs_exactly_max_iter(small_problem):
+    """The reference determinism contract (nmf.cu:11)."""
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=37, thresh=0.0, check_every=10))
+    assert int(res.iterations) == 37
+    assert not bool(res.converged)
+    assert int(res.num_checks) == 4  # ceil(37/10)
+
+
+def test_matches_numpy_oracle_end_to_end(small_problem):
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=30, thresh=0.0, check_every=30))
+    wn, hn = np_solve(x, w, h, 30)
+    np.testing.assert_allclose(np.asarray(res.w), wn, rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.h), hn, rtol=5e-4, atol=1e-6)
+
+
+def test_cost_history_monotone(small_problem):
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=100, check_every=10))
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    assert np.all(np.isfinite(hist))
+    assert np.all(np.diff(hist) <= np.abs(hist[:-1]) * 1e-6)
+    assert float(res.cost) == hist[-1]
+
+
+def test_convergence_stops_early(small_problem):
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=10_000, thresh=1e-3, check_every=10)
+    res = solve(x, w, h, cfg)
+    assert bool(res.converged)
+    assert int(res.iterations) < 10_000
+    # README.md:51 criterion actually held at the stop point
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    rel = abs(hist[-2] - hist[-1]) / abs(hist[-1])
+    assert rel < 1e-3
+
+
+def test_tighter_thresh_runs_longer(small_problem):
+    x, w, h = small_problem
+    loose = solve(x, w, h, SolveConfig(max_iter=100_000, thresh=1e-2, check_every=10))
+    tight = solve(x, w, h, SolveConfig(max_iter=100_000, thresh=1e-4, check_every=10))
+    assert int(tight.iterations) >= int(loose.iterations)
+
+
+def test_track_cost_false_skips_cost(small_problem):
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=20, thresh=0.0, track_cost=False))
+    assert int(res.iterations) == 20
+    assert np.isnan(float(res.cost))
+    # factors identical to the tracked run (cost eval must not perturb state)
+    res2 = solve(x, w, h, SolveConfig(max_iter=20, thresh=0.0, track_cost=True))
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(res2.w))
+
+
+def test_run_to_run_determinism(small_problem):
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=25)
+    r1 = solve(x, w, h, cfg)
+    r2 = solve(x, w, h, cfg)
+    np.testing.assert_array_equal(np.asarray(r1.w), np.asarray(r2.w))
+    np.testing.assert_array_equal(np.asarray(r1.h), np.asarray(r2.h))
+
+
+def test_input_clamping_at_load(small_problem):
+    """Zeros in inputs must not produce NaN/Inf (nmf.cu:211 semantics)."""
+    x, w, h = small_problem
+    x = x.copy()
+    x[0, :] = 0.0  # zero row in X
+    res = solve(x, w, h, SolveConfig(max_iter=10))
+    assert np.all(np.isfinite(np.asarray(res.w)))
+    assert np.all(np.isfinite(np.asarray(res.h)))
+
+
+def test_shape_mismatch_raises(small_problem):
+    x, w, h = small_problem
+    with pytest.raises(ValueError):
+        solve(x[:-1], w, h, SolveConfig(max_iter=1))
+
+
+def test_max_iter_zero(small_problem):
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=0))
+    assert int(res.iterations) == 0
+    np.testing.assert_allclose(np.asarray(res.w), clamp(w), rtol=0, atol=0)
+
+
+def test_beta_solver_paths(small_problem):
+    x, w, h = small_problem
+    for beta in (0.0, 2.0):
+        res = solve(x, w, h, SolveConfig(max_iter=20, check_every=5, beta=beta))
+        hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+        assert np.all(np.diff(hist) <= np.abs(hist[:-1]) * 1e-5)
+
+
+def test_bf16_solver_converges(small_problem):
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=50, check_every=10, precision=Precision("bfloat16"))
+    res = solve(x, w, h, cfg)
+    ref = solve(x, w, h, SolveConfig(max_iter=50, check_every=10))
+    # costs must agree to bf16-level tolerance
+    assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.02
