@@ -20,6 +20,7 @@ from .ops.elementwise import EPS, eps_clamp
 from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_divergence
 from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
+from .parallel import make_mesh, solve_batched, solve_sharded
 from .utils.config import Precision, SolveConfig, reference_preset
 
 __version__ = "0.1.0"
@@ -39,6 +40,9 @@ __all__ = [
     "update_h",
     "update_w",
     "solve",
+    "solve_sharded",
+    "solve_batched",
+    "make_mesh",
     "SolveResult",
     "SolveConfig",
     "Precision",

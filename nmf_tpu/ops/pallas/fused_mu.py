@@ -85,7 +85,7 @@ def _pad2(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_m):
+def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_m, epilogue):
     i = pl.program_id(1)  # contraction step over M tiles (innermost)
 
     @pl.when(i == 0)
@@ -107,11 +107,16 @@ def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype,
 
     @pl.when(i == n_m - 1)
     def _():
-        # fused col_divide + vec_mul epilogue (nmf.cu:142-145); sumw is (K, 1)
-        # and broadcasts across lanes.
-        out_ref[:] = (h_ref[:].astype(_F32) * acc_ref[:] / sumw_ref[:]).astype(
-            out_ref.dtype
-        )
+        if epilogue:
+            # fused col_divide + vec_mul epilogue (nmf.cu:142-145); sumw is
+            # (K, 1) and broadcasts across lanes.
+            out_ref[:] = (
+                h_ref[:].astype(_F32) * acc_ref[:] / sumw_ref[:]
+            ).astype(out_ref.dtype)
+        else:
+            # numerator only: sharded callers psum it across the mesh row
+            # axis before applying the epilogue (parallel/sharded.py).
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def update_h_fused(
@@ -123,15 +128,28 @@ def update_h_fused(
     block_m: int = _BM,
     block_n: int = _BN,
     interpret: bool = False,
+    numerator_only: bool = False,
 ) -> jnp.ndarray:
-    """Fused H half-update (reference semantics of nmf.cu:118-146)."""
+    """Fused H half-update (reference semantics of nmf.cu:118-146).
+
+    With ``numerator_only=True`` returns just ``W^T @ (X/clamp(W@H))`` in f32
+    (no divide/multiply epilogue) — the building block for the sharded solver,
+    which must psum the numerator across the mesh before the epilogue.
+    """
     m, k = w.shape
     _, n = h.shape
     if k > MAX_FUSED_K:
+        from ..mu import matmul as _mm
         from ..mu import update_h
 
+        if numerator_only:
+            z = x / eps_clamp(_mm(w, h, precision), eps)
+            return _mm(w, z, precision, transpose_a=True)
         return update_h(w, h, x, eps, precision)
-    sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
+    if numerator_only:
+        sum_w = jnp.ones((k, 1), _F32)  # unused by the no-epilogue path
+    else:
+        sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
 
     bm = min(block_m, _round_up(m, 8))
     bn = min(block_n, _round_up(n, 128))
@@ -145,7 +163,7 @@ def update_h_fused(
     lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(
         _h_kernel, eps=float(eps), mm_dtype=mm_dtype,
-        lax_prec=lax_prec, n_m=n_m,
+        lax_prec=lax_prec, n_m=n_m, epilogue=not numerator_only,
     )
     out = pl.pallas_call(
         kernel,
@@ -157,7 +175,9 @@ def update_h_fused(
             pl.BlockSpec((kp, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((kp, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((kp, np_), h.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (kp, np_), _F32 if numerator_only else h.dtype
+        ),
         scratch_shapes=[pltpu.VMEM((kp, bn), _F32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * mp * np_ * kp,
@@ -174,7 +194,7 @@ def update_h_fused(
 # ---------------------------------------------------------------------------
 
 
-def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_n):
+def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_n, epilogue):
     j = pl.program_id(1)  # contraction step over N tiles (innermost)
 
     @pl.when(j == 0)
@@ -196,10 +216,13 @@ def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype,
 
     @pl.when(j == n_n - 1)
     def _():
-        # fused row_divide + vec_mul epilogue (nmf.cu:172-175)
-        out_ref[:] = (w_ref[:].astype(_F32) * acc_ref[:] / sumh_ref[:]).astype(
-            out_ref.dtype
-        )
+        if epilogue:
+            # fused row_divide + vec_mul epilogue (nmf.cu:172-175)
+            out_ref[:] = (
+                w_ref[:].astype(_F32) * acc_ref[:] / sumh_ref[:]
+            ).astype(out_ref.dtype)
+        else:
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def update_w_fused(
@@ -211,15 +234,27 @@ def update_w_fused(
     block_m: int = _BM,
     block_n: int = _BN,
     interpret: bool = False,
+    numerator_only: bool = False,
 ) -> jnp.ndarray:
-    """Fused W half-update (reference semantics of nmf.cu:148-176)."""
+    """Fused W half-update (reference semantics of nmf.cu:148-176).
+
+    With ``numerator_only=True`` returns just ``(X/clamp(W@H)) @ H^T`` in f32
+    for the sharded solver (psum across the mesh column axis, then epilogue).
+    """
     m, k = w.shape
     _, n = h.shape
     if k > MAX_FUSED_K:
+        from ..mu import matmul as _mm
         from ..mu import update_w
 
+        if numerator_only:
+            z = x / eps_clamp(_mm(w, h, precision), eps)
+            return _mm(z, h, precision, transpose_b=True)
         return update_w(w, h, x, eps, precision)
-    sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
+    if numerator_only:
+        sum_h = jnp.ones((1, k), _F32)  # unused by the no-epilogue path
+    else:
+        sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
 
     bm = min(block_m, _round_up(m, 8))
     bn = min(block_n, _round_up(n, 128))
@@ -233,7 +268,7 @@ def update_w_fused(
     lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(
         _w_kernel, eps=float(eps), mm_dtype=mm_dtype,
-        lax_prec=lax_prec, n_n=n_n,
+        lax_prec=lax_prec, n_n=n_n, epilogue=not numerator_only,
     )
     out = pl.pallas_call(
         kernel,
@@ -245,7 +280,9 @@ def update_w_fused(
             pl.BlockSpec((1, kp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, kp), w.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (mp, kp), _F32 if numerator_only else w.dtype
+        ),
         scratch_shapes=[pltpu.VMEM((bm, kp), _F32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * mp * np_ * kp,

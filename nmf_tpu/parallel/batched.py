@@ -1,0 +1,92 @@
+"""Batched NMF: factorize many independent matrices at once.
+
+The reference has no batching; BASELINE.json config 4 (128 independent
+513x2000 spectrograms on one chip) is the target workload.  ``vmap`` gives
+this "free by construction" (SURVEY.md section 7 step 6): the batched solver
+is literally ``vmap`` of the single-problem while_loop — XLA batches every
+GEMM into one larger MXU contraction.
+
+Semantics note: a vmapped ``while_loop`` keeps iterating until EVERY batch
+member's predicate is false, masking updates for finished members — so with
+``thresh > 0`` each problem stops changing at ITS OWN convergence point, and
+``iterations``/``cost`` come back per-problem.  With ``thresh == 0`` all
+members run exactly ``max_iter`` iterations (the determinism contract).
+
+For multi-chip batched execution pass a mesh: the batch axis is sharded
+across all devices (pure data parallelism — zero per-iteration collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.solver import SolveResult, resolve_step_fn, run_checked_loop, _cost_fn
+from ..utils.config import SolveConfig
+
+__all__ = ["solve_batched"]
+
+_F32 = jnp.float32
+
+
+@functools.lru_cache(maxsize=16)
+def _batched_jit(config: SolveConfig, platform: Optional[str]):
+    step_fn = resolve_step_fn(config, platform)
+    cost_fn = _cost_fn(config)
+
+    def one(x, w, h):
+        return run_checked_loop(x, w, h, config, step_fn, cost_fn)
+
+    return jax.jit(jax.vmap(one))
+
+
+def solve_batched(
+    x,
+    w0,
+    h0,
+    config: SolveConfig = SolveConfig(),
+    mesh: Optional[Mesh] = None,
+    clamp_inputs: bool = True,
+) -> SolveResult:
+    """Solve a batch: x [B,M,N], w0 [B,M,K], h0 [B,K,N] -> batched SolveResult.
+
+    With ``mesh`` (1-D or n-D; its first axis is used) the batch dimension is
+    sharded across devices; B must divide the axis size evenly.
+    """
+    config.validate()
+    sd = jnp.dtype(config.precision.state_dtype)
+    x = jnp.asarray(x, _F32)
+    w0 = jnp.asarray(w0, sd)
+    h0 = jnp.asarray(h0, sd)
+    if x.ndim != 3 or w0.ndim != 3 or h0.ndim != 3:
+        raise ValueError("solve_batched expects 3-D [batch, rows, cols] arrays")
+    if not (x.shape[0] == w0.shape[0] == h0.shape[0]):
+        raise ValueError(
+            f"batch sizes disagree: X{x.shape[0]} W{w0.shape[0]} H{h0.shape[0]}"
+        )
+    if x.shape[1:] != (w0.shape[1], h0.shape[2]) or w0.shape[2] != h0.shape[1]:
+        raise ValueError(
+            f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}"
+        )
+    if clamp_inputs:
+        x = jnp.maximum(x, jnp.asarray(config.eps, _F32))
+        w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
+        h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
+
+    platform = None
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        if x.shape[0] % mesh.shape[axis]:
+            raise ValueError(
+                f"batch {x.shape[0]} must divide mesh axis "
+                f"{axis}={mesh.shape[axis]}"
+            )
+        batch_sharding = NamedSharding(mesh, P(axis))
+        x, w0, h0 = (jax.device_put(a, batch_sharding) for a in (x, w0, h0))
+        platform = list(mesh.devices.flat)[0].platform
+
+    return _batched_jit(config, platform)(x, w0, h0)

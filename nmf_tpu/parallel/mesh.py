@@ -1,0 +1,102 @@
+"""Device-mesh construction and sharding layouts for distributed NMF.
+
+The reference is single-process / single-GPU (SURVEY.md section 2.3: no
+NCCL/MPI anywhere) — this module is where the TPU rebuild *adds* scale-out.
+
+Layout (SURVEY.md section 7 step 7; the scaling-book recipe — pick a mesh,
+annotate shardings, let collectives ride ICI):
+
+    mesh axes:    ('mr', 'mc')  — rows/cols of the data matrix X
+    X:  P('mr', 'mc')           — 2-D blocked
+    W:  P('mr', None)           — row-sharded, replicated over 'mc'
+    H:  P(None, 'mc')           — col-sharded, replicated over 'mr'
+
+With K (the rank) replicated, the local W_loc @ H_loc is *exactly* the local
+block of W@H — the reconstruction needs no communication at all.  The only
+collectives per iteration are K-sized psums:
+
+    W^T Z  numerator  -> psum over 'mr'   (K x N/c values)
+    colsum(W)         -> psum over 'mr'   (K values)
+    Z H^T  numerator  -> psum over 'mc'   (M/r x K values)
+    rowsum(H)         -> psum over 'mc'   (K values)
+    KL cost partial   -> psum over both   (1 value, every check_every iters)
+
+The N (time-frames) axis sharding over 'mc' is the NMF analog of sequence/
+context parallelism (SURVEY.md section 5, "long-context"): an hour of audio
+at ~172 frames/s shards its ~620k-frame axis across the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "ROW_AXIS",
+    "COL_AXIS",
+    "make_mesh",
+    "factor_shapes",
+    "nmf_shardings",
+    "shard_problem",
+]
+
+ROW_AXIS = "mr"  # shards M (rows of X / rows of W)
+COL_AXIS = "mc"  # shards N (cols of X / cols of H)
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D ('mr', 'mc') mesh over the given (default: all) devices.
+
+    ``shape=None`` picks the most-square factorization of the device count,
+    biased toward more row shards (M is usually the long axis in NMF; for
+    spectrogram workloads where N dominates, pass an explicit shape).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    if shape is None:
+        r = int(np.sqrt(n))
+        while n % r != 0:
+            r -= 1
+        shape = (max(r, n // r), min(r, n // r))
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != device count {n}")
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, (ROW_AXIS, COL_AXIS))
+
+
+def nmf_shardings(mesh: Mesh):
+    """(x, w, h, replicated) NamedShardings for the canonical layout."""
+    return (
+        NamedSharding(mesh, P(ROW_AXIS, COL_AXIS)),
+        NamedSharding(mesh, P(ROW_AXIS, None)),
+        NamedSharding(mesh, P(None, COL_AXIS)),
+        NamedSharding(mesh, P()),
+    )
+
+
+def factor_shapes(m: int, k: int, n: int, mesh: Mesh) -> Tuple[Tuple[int, int], ...]:
+    """Per-device local shapes ((m_loc, n_loc), (m_loc, k), (k, n_loc))."""
+    r = mesh.shape[ROW_AXIS]
+    c = mesh.shape[COL_AXIS]
+    if m % r or n % c:
+        raise ValueError(
+            f"global dims (M={m}, N={n}) must divide the mesh {dict(mesh.shape)}; "
+            f"pad the problem or choose a different mesh shape"
+        )
+    return ((m // r, n // c), (m // r, k), (k, n // c))
+
+
+def shard_problem(x, w, h, mesh: Mesh):
+    """Place (X, W, H) onto the mesh with the canonical shardings."""
+    xs, ws, hs, _ = nmf_shardings(mesh)
+    return (
+        jax.device_put(x, xs),
+        jax.device_put(w, ws),
+        jax.device_put(h, hs),
+    )

@@ -1,0 +1,182 @@
+"""Mesh-sharded NMF solve: shard_map + explicit XLA collectives over ICI.
+
+The whole solve loop — MU steps, cost evaluation, convergence predicate —
+runs *inside* one ``shard_map`` under ``jit``: per-device local GEMMs hit the
+MXU, the K-sized numerators/sums are combined with ``psum`` over the mesh
+axes, and the convergence scalar is psum-replicated so the ``while_loop``
+predicate stays uniform across all devices with zero host synchronisation
+(SURVEY.md section 7 step 7; the hard part (c) of section 7).
+
+Communication cost per iteration (see parallel/mesh.py for the layout):
+only K x (N/c) + K x (M/r) + O(K) floats — the M x N data matrix never moves.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
+everything here is host-count agnostic (meshes over all global devices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.solver import SolveResult, run_checked_loop
+from ..ops.divergence import kl_divergence_from_recon
+from ..ops.elementwise import eps_clamp
+from ..ops.mu import matmul
+from ..utils.config import Precision, SolveConfig
+from .mesh import COL_AXIS, ROW_AXIS, make_mesh, shard_problem
+
+__all__ = [
+    "update_h_sharded",
+    "update_w_sharded",
+    "mu_step_sharded",
+    "kl_partial",
+    "solve_sharded",
+]
+
+_F32 = jnp.float32
+
+
+def _use_fused(config: SolveConfig) -> bool:
+    if config.backend == "pallas":
+        return True
+    return config.backend == "auto" and jax.default_backend() == "tpu"
+
+
+def update_h_sharded(
+    w, h, x, eps: float, precision: Precision, fused: bool = False
+):
+    """H half-update on local shards (w: M/r x K, h: K x N/c, x: M/r x N/c).
+
+    Exact distributed restatement of nmf.cu:118-146: psum over 'mr' makes the
+    numerator and colsum(W) global; clamps happen AFTER the psum to match the
+    single-device semantics.
+    """
+    if fused:
+        from ..ops.pallas import fused_mu
+
+        numer_loc = fused_mu.update_h_fused(
+            w, h, x, eps, precision, numerator_only=True
+        )
+    else:
+        z = x / eps_clamp(matmul(w, h, precision), eps)
+        numer_loc = matmul(w, z, precision, transpose_a=True)      # (K, N/c)
+    numer = jax.lax.psum(numer_loc, ROW_AXIS)
+    sum_w = eps_clamp(
+        jax.lax.psum(jnp.sum(w, axis=0, dtype=_F32), ROW_AXIS), eps
+    )
+    return (h * (numer / sum_w[:, None])).astype(h.dtype)
+
+
+def update_w_sharded(
+    w, h, x, eps: float, precision: Precision, fused: bool = False
+):
+    """W half-update on local shards; psums ride the 'mc' axis."""
+    if fused:
+        from ..ops.pallas import fused_mu
+
+        numer_loc = fused_mu.update_w_fused(
+            w, h, x, eps, precision, numerator_only=True
+        )
+    else:
+        z = x / eps_clamp(matmul(w, h, precision), eps)
+        numer_loc = matmul(z, h, precision, transpose_b=True)      # (M/r, K)
+    numer = jax.lax.psum(numer_loc, COL_AXIS)
+    sum_h = eps_clamp(
+        jax.lax.psum(jnp.sum(h, axis=1, dtype=_F32), COL_AXIS), eps
+    )
+    return (w * (numer / sum_h[None, :])).astype(w.dtype)
+
+
+def mu_step_sharded(w, h, x, eps, precision, fused=False):
+    h = update_h_sharded(w, h, x, eps, precision, fused)
+    w = update_w_sharded(w, h, x, eps, precision, fused)
+    return w, h
+
+
+def kl_partial(x, w, h, eps: float):
+    """Local-block KL partial sum; callers psum it over both mesh axes.
+
+    X blocks are disjoint across the mesh, so the psum of local partials is
+    the exact global divergence (matrix.cu:592 formula).
+    """
+    y = matmul(w, h, Precision("float32", "float32"))
+    return kl_divergence_from_recon(x, y, eps)
+
+
+def solve_sharded(
+    x,
+    w0,
+    h0,
+    config: SolveConfig = SolveConfig(),
+    mesh: Optional[Mesh] = None,
+    clamp_inputs: bool = True,
+) -> SolveResult:
+    """Distributed ``solve``: same semantics, sharded over the mesh.
+
+    Inputs may be host arrays (they are placed with the canonical shardings)
+    or already-sharded jax.Arrays.  Result W/H come back sharded; scalars and
+    cost history are fully replicated.
+    """
+    config.validate()
+    if config.beta != 1.0:
+        raise NotImplementedError(
+            "sharded solve currently implements the KL (beta=1) family"
+        )
+    mesh = mesh if mesh is not None else make_mesh()
+    eps, precision = config.eps, config.precision
+    fused = _use_fused(config)
+
+    sd = jnp.dtype(config.precision.state_dtype)
+    x = jnp.asarray(x, _F32)
+    w0 = jnp.asarray(w0, sd)
+    h0 = jnp.asarray(h0, sd)
+    if x.shape != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
+        raise ValueError(
+            f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}"
+        )
+    if clamp_inputs:
+        x = jnp.maximum(x, jnp.asarray(eps, _F32))
+        w0 = jnp.maximum(w0, jnp.asarray(eps, sd))
+        h0 = jnp.maximum(h0, jnp.asarray(eps, sd))
+    x, w0, h0 = shard_problem(x, w0, h0, mesh)
+
+    step_fn = functools.partial(
+        mu_step_sharded, eps=eps, precision=precision, fused=fused
+    )
+    cost_fn = functools.partial(kl_partial, eps=eps)
+
+    def local_solve(x_loc, w_loc, h_loc):
+        return run_checked_loop(
+            x_loc,
+            w_loc,
+            h_loc,
+            config,
+            step_fn,
+            cost_fn,
+            all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
+        )
+
+    out_specs = SolveResult(
+        w=P(ROW_AXIS, None),
+        h=P(None, COL_AXIS),
+        iterations=P(),
+        cost=P(),
+        cost_history=P(),
+        num_checks=P(),
+        converged=P(),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, None), P(None, COL_AXIS)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    return fn(x, w0, h0)

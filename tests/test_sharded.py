@@ -1,0 +1,135 @@
+"""Distributed-solver tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nmf_tpu import SolveConfig, solve
+from nmf_tpu.parallel import batched, mesh as meshmod, sharded
+
+from oracle import clamp
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(3)
+    m, k, n = 128, 16, 160  # divisible by all mesh shapes used below
+    x = rng.rand(m, n).astype(np.float32)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    return x, w, h
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_default_shape():
+    m = meshmod.make_mesh()
+    assert m.shape == {"mr": 4, "mc": 2}
+    with pytest.raises(ValueError):
+        meshmod.make_mesh(shape=(3, 2))
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2), (1, 1)])
+def test_sharded_matches_single_device(problem, shape):
+    """The collectives must not change the math: sharded == single-device."""
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=5)
+    ref = solve(x, w, h, cfg)
+    devs = jax.devices()[: shape[0] * shape[1]]
+    m = meshmod.make_mesh(shape=shape, devices=devs)
+    res = sharded.solve_sharded(x, w, h, cfg, mesh=m)
+    assert int(res.iterations) == 20
+    # fp32 summation order differs across shardings -> tight but not bitwise
+    np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+
+
+def test_sharded_convergence_predicate_uniform(problem):
+    """Early stopping works identically under sharding (replicated scalar)."""
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=100_000, thresh=1e-3, check_every=10)
+    ref = solve(x, w, h, cfg)
+    res = sharded.solve_sharded(x, w, h, cfg, mesh=meshmod.make_mesh(shape=(2, 4)))
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+
+
+def test_sharded_result_shardings(problem):
+    x, w, h = problem
+    m = meshmod.make_mesh(shape=(4, 2))
+    res = sharded.solve_sharded(x, w, h, SolveConfig(max_iter=4), mesh=m)
+    # W row-sharded: each device holds M/4 rows
+    w_shard_shapes = {s.data.shape for s in res.w.addressable_shards}
+    assert w_shard_shapes == {(128 // 4, 16)}
+    h_shard_shapes = {s.data.shape for s in res.h.addressable_shards}
+    assert h_shard_shapes == {(16, 160 // 2)}
+    # scalars replicated on every device
+    assert len(res.cost.addressable_shards) == 8
+
+
+def test_sharded_rejects_indivisible(problem):
+    x, w, h = problem
+    m = meshmod.make_mesh(shape=(8, 1))
+    bad_x = np.vstack([x, x[:4]])  # 132 rows, not divisible by 8
+    bad_w = np.vstack([w, w[:4]])
+    with pytest.raises(Exception):
+        sharded.solve_sharded(bad_x, bad_w, h, SolveConfig(max_iter=1), mesh=m)
+
+
+def test_batched_matches_loop(problem):
+    x, w, h = problem
+    rng = np.random.RandomState(11)
+    B = 4
+    xs = np.stack([clamp(rng.rand(*x.shape).astype(np.float32)) for _ in range(B)])
+    ws = np.stack([clamp(rng.rand(*w.shape).astype(np.float32)) for _ in range(B)])
+    hs = np.stack([clamp(rng.rand(*h.shape).astype(np.float32)) for _ in range(B)])
+    cfg = SolveConfig(max_iter=10, check_every=5)
+    res = batched.solve_batched(xs, ws, hs, cfg)
+    assert res.w.shape == (B, *w.shape)
+    for b in range(B):
+        ref = solve(xs[b], ws[b], hs[b], cfg)
+        np.testing.assert_allclose(
+            np.asarray(res.w[b]), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+        )
+        assert float(res.cost[b]) == pytest.approx(float(ref.cost), rel=1e-5)
+
+
+def test_batched_data_parallel_mesh(problem):
+    x, w, h = problem
+    rng = np.random.RandomState(12)
+    B = 8
+    xs = clamp(rng.rand(B, *x.shape).astype(np.float32))
+    ws = clamp(rng.rand(B, *w.shape).astype(np.float32))
+    hs = clamp(rng.rand(B, *h.shape).astype(np.float32))
+    mesh = Mesh(np.asarray(jax.devices()), ("batch",))
+    cfg = SolveConfig(max_iter=5, check_every=5)
+    res = batched.solve_batched(xs, ws, hs, cfg, mesh=mesh)
+    ref = batched.solve_batched(xs, ws, hs, cfg)
+    np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7)
+    # batch really is sharded: one problem per device
+    assert {s.data.shape[0] for s in res.w.addressable_shards} == {1}
+
+
+def test_batched_early_stop_per_member(problem):
+    """Converged members freeze while others keep iterating."""
+    x, w, h = problem
+    rng = np.random.RandomState(13)
+    # member 0: rank-1-ish easy problem (converges fast); member 1: random
+    easy = np.outer(rng.rand(x.shape[0]), rng.rand(x.shape[1])).astype(np.float32)
+    xs = np.stack([clamp(easy), clamp(rng.rand(*x.shape).astype(np.float32))])
+    ws = clamp(rng.rand(2, *w.shape).astype(np.float32))
+    hs = clamp(rng.rand(2, *h.shape).astype(np.float32))
+    cfg = SolveConfig(max_iter=100_000, thresh=1e-4, check_every=10)
+    res = batched.solve_batched(xs, ws, hs, cfg)
+    assert bool(res.converged[0]) and bool(res.converged[1])
+    its = np.asarray(res.iterations)
+    ref0 = solve(xs[0], ws[0], hs[0], cfg)
+    assert int(its[0]) == int(ref0.iterations)  # per-member stopping point
