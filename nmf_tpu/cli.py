@@ -1,0 +1,197 @@
+"""Command-line interface.
+
+The reference binary hard-codes everything: paths ``../X.bin ../H.bin
+../W.bin`` -> ``../Wout.bin ../Hout.bin`` and compile-time iteration macros
+(nmf.cu:9-11, 37-45).  This CLI exposes the same pipeline with real flags,
+the reference values as defaults, plus the subsystems the reference lacked
+(convergence, checkpointing, metrics, mesh sharding, init strategies).
+
+    python -m nmf_tpu run X.bin W.bin H.bin -o Wout.bin Hout.bin
+    python -m nmf_tpu run X.bin --rank 128 --init nndsvda --thresh 1e-4
+    python -m nmf_tpu gen ./fixtures          # seed-0 reference fixtures
+    python -m nmf_tpu info X.bin              # header/stats of a .bin file
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .io import binio, fixtures
+from .models import init as init_mod
+from .utils.config import Precision, SolveConfig
+from .utils.metrics import MetricsLogger
+
+
+def _add_solver_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--max-iter", type=int, default=200, help="MAX_ITER (nmf.cu:10)")
+    p.add_argument(
+        "--thresh",
+        type=float,
+        default=0.0,
+        help="relative cost-change convergence threshold; 0 = exactly max-iter "
+        "iterations (CONVERGE_THRESH, nmf.cu:11)",
+    )
+    p.add_argument(
+        "--check-every", type=int, default=25, help="ITER_CHECK (nmf.cu:9)"
+    )
+    p.add_argument("--beta", type=float, default=1.0, help="beta-divergence (1=KL)")
+    p.add_argument(
+        "--dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="matmul input dtype (accumulation is always float32)",
+    )
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument("--no-cost", action="store_true", help="skip cost tracking")
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument("--jsonl", help="append run metrics to this JSONL file")
+    p.add_argument(
+        "--mesh",
+        help="shard over a ROWSxCOLS device mesh, e.g. --mesh 4x2",
+    )
+    p.add_argument("--checkpoint-dir", help="checkpoint/resume directory")
+    p.add_argument(
+        "--checkpoint-every", type=int, default=100, help="iterations per checkpoint"
+    )
+
+
+def _config_from(args) -> SolveConfig:
+    return SolveConfig(
+        max_iter=args.max_iter,
+        thresh=args.thresh,
+        check_every=args.check_every,
+        precision=Precision(matmul_dtype=args.dtype),
+        backend=args.backend,
+        track_cost=not args.no_cost,
+        beta=args.beta,
+    )
+
+
+def cmd_run(args) -> int:
+    x = binio.read_matrix(args.X)
+    if args.W and args.H:
+        w0 = binio.read_matrix(args.W)
+        h0 = binio.read_matrix(args.H)
+    elif args.rank:
+        m, n = x.shape
+        if args.init == "random":
+            w0, h0 = init_mod.random_init(m, args.rank, n, seed=args.seed)
+        elif args.init == "scaled":
+            w0, h0 = init_mod.scaled_random_init(x, args.rank, seed=args.seed)
+        else:
+            w0, h0 = init_mod.nndsvd_init(x, args.rank, variant=args.init, seed=args.seed)
+    else:
+        print("error: provide W and H files, or --rank for generated init", file=sys.stderr)
+        return 2
+
+    config = _config_from(args)
+    logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
+
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        r, c = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(shape=(r, c))
+
+    if args.checkpoint_dir:
+        from .utils.checkpoint import solve_with_checkpoints
+
+        with logger.timed() as t:
+            state = solve_with_checkpoints(
+                x, w0, h0, config, args.checkpoint_dir,
+                every=args.checkpoint_every, mesh=mesh,
+            )
+        w_out, h_out = state.w, state.h
+        if not args.quiet:
+            print(
+                f"[nmf] checkpointed run: {state.iteration} iters, "
+                f"converged={state.converged}, {t.seconds:.2f}s",
+                file=sys.stderr,
+            )
+    else:
+        if mesh is not None:
+            from .parallel.sharded import solve_sharded
+
+            with logger.timed() as t:
+                res = solve_sharded(x, w0, h0, config, mesh=mesh)
+        else:
+            from .models.solver import solve
+
+            with logger.timed() as t:
+                res = solve(x, w0, h0, config)
+        logger.report(res, x.shape, t.seconds)
+        w_out, h_out = np.asarray(res.w), np.asarray(res.h)
+
+    w_path, h_path = args.output
+    binio.write_matrix(w_out, w_path)
+    binio.write_matrix(h_out, h_path)
+    if not args.quiet:
+        print(f"[nmf] wrote {w_path} {w_out.shape}, {h_path} {h_out.shape}", file=sys.stderr)
+    return 0
+
+
+def cmd_gen(args) -> int:
+    paths = fixtures.write_reference_fixtures(args.directory)
+    for name, path in paths.items():
+        print(f"wrote {path}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    for path in args.files:
+        a = binio.read_matrix(path)
+        print(
+            f"{path}: {a.shape[0]}x{a.shape[1]} f32, "
+            f"min {a.min():.6g} max {a.max():.6g} mean {a.mean():.6g}"
+        )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="nmf_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="factorize X ~= W @ H")
+    run.add_argument("X", help="input matrix .bin")
+    run.add_argument("W", nargs="?", help="initial W .bin (optional with --rank)")
+    run.add_argument("H", nargs="?", help="initial H .bin (optional with --rank)")
+    run.add_argument(
+        "-o",
+        "--output",
+        nargs=2,
+        metavar=("WOUT", "HOUT"),
+        default=("Wout.bin", "Hout.bin"),
+        help="output paths (default: Wout.bin Hout.bin, as the reference)",
+    )
+    run.add_argument("--rank", "-k", type=int, help="rank for generated init")
+    run.add_argument(
+        "--init",
+        choices=["random", "scaled", "nndsvd", "nndsvda", "nndsvdar"],
+        default="nndsvda",
+        help="init strategy when --rank is used",
+    )
+    run.add_argument("--seed", type=int, default=0)
+    _add_solver_flags(run)
+    run.set_defaults(fn=cmd_run)
+
+    gen = sub.add_parser("gen", help="write the seed-0 reference fixtures")
+    gen.add_argument("directory")
+    gen.set_defaults(fn=cmd_gen)
+
+    info = sub.add_parser("info", help="describe .bin files")
+    info.add_argument("files", nargs="+")
+    info.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

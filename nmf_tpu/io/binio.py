@@ -48,6 +48,15 @@ def read_header(f: BinaryIO) -> Tuple[int, int]:
     return rows, cols
 
 
+def _native():
+    """The native C++ fast path, or None (env NMF_TPU_NO_NATIVE=1 disables)."""
+    if os.environ.get("NMF_TPU_NO_NATIVE") == "1":
+        return None
+    from . import native
+
+    return native if native.available() else None
+
+
 def read_matrix(path: Union[str, os.PathLike]) -> np.ndarray:
     """Read a ``.bin`` matrix exactly as the reference reader does.
 
@@ -56,8 +65,12 @@ def read_matrix(path: Union[str, os.PathLike]) -> np.ndarray:
     ``cuda/nmf.cu:189`` ("store in column-major order").
 
     The returned array is C-contiguous (we copy out of the Fortran view) so
-    that downstream jnp conversion is layout-predictable.
+    that downstream jnp conversion is layout-predictable.  Delegates to the
+    native C++ reader (nmf_tpu.io.native) when the library is built.
     """
+    nat = _native()
+    if nat is not None:
+        return nat.read_matrix_native(os.fspath(path))
     with open(path, "rb") as f:
         rows, cols = read_header(f)
         count = rows * cols
@@ -79,6 +92,10 @@ def write_matrix(arr: np.ndarray, path: Union[str, os.PathLike]) -> None:
     if arr.ndim != 2:
         raise ValueError(f".bin format is 2-D only, got shape {arr.shape}")
     arr = arr.astype("<f4", copy=False)
+    nat = _native()
+    if nat is not None:
+        nat.write_matrix_native(arr, os.fspath(path))
+        return
     rows, cols = arr.shape
     with open(path, "wb") as f:
         f.write(_HEADER.pack(rows, cols))

