@@ -39,6 +39,8 @@ __all__ = [
     "load_checkpoint",
     "latest_checkpoint",
     "solve_with_checkpoints",
+    "save_checkpoint_sharded",
+    "load_checkpoint_sharded",
 ]
 
 _META = "meta.json"
@@ -124,6 +126,69 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         and os.path.exists(os.path.join(directory, d, _META))
     )
     return os.path.join(directory, steps[-1]) if steps else None
+
+
+def save_checkpoint_sharded(directory: str, state: CheckpointState) -> str:
+    """Pod-scale checkpoint: factors stay sharded (orbax/tensorstore).
+
+    Unlike :func:`save_checkpoint` this never gathers W/H to one host — each
+    host writes its addressable shards, so it scales to factors larger than
+    host memory (BASELINE.json config 5).  ``state.w``/``state.h`` may be
+    sharded ``jax.Array``s.
+    """
+    import orbax.checkpoint as ocp
+
+    os.makedirs(directory, exist_ok=True)
+    step_dir = os.path.abspath(
+        os.path.join(directory, f"step_{state.iteration:08d}")
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            step_dir + ".arrays",
+            {"w": state.w, "h": state.h},
+            force=True,
+        )
+    meta = {
+        "iteration": int(state.iteration),
+        "cost_history": [float(c) for c in state.cost_history],
+        "converged": bool(state.converged),
+        "format": "nmf_tpu.sharded.v1",
+    }
+    os.makedirs(step_dir, exist_ok=True)
+    with open(os.path.join(step_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return step_dir
+
+
+def load_checkpoint_sharded(step_dir: str, w_like, h_like) -> CheckpointState:
+    """Restore a sharded checkpoint.
+
+    ``w_like``/``h_like`` carry the target shape/dtype/sharding — pass either
+    sharded ``jax.Array``s or ``jax.ShapeDtypeStruct``s with ``.sharding``
+    set, so each host restores only its shards.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    step_dir = os.path.abspath(step_dir)
+    with open(os.path.join(step_dir, _META)) as f:
+        meta = json.load(f)
+
+    def _abstract(a):
+        return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            step_dir + ".arrays",
+            {"w": _abstract(w_like), "h": _abstract(h_like)},
+        )
+    return CheckpointState(
+        w=restored["w"],
+        h=restored["h"],
+        iteration=int(meta["iteration"]),
+        cost_history=list(meta.get("cost_history", [])),
+        converged=bool(meta.get("converged", False)),
+    )
 
 
 def solve_with_checkpoints(

@@ -90,3 +90,23 @@ def test_large_k_falls_back_to_jnp(problem):
     out = fused_mu.update_h_fused(w2, h2, x, interpret=True)
     ref = update_h(w2, h2, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+
+def test_numerator_only_matches_jnp(problem):
+    """The sharded solver's building block: raw numerators, no epilogue."""
+    import jax
+
+    from nmf_tpu.ops.mu import matmul
+    from nmf_tpu.ops.elementwise import eps_clamp
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    prec = Precision()
+    z = x / eps_clamp(matmul(w, h, prec), 2.2204e-16)
+    ref_h = matmul(w, z, prec, transpose_a=True)
+    ours_h = fused_mu.update_h_fused(w, h, x, numerator_only=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours_h), np.asarray(ref_h), rtol=1e-5, atol=1e-6)
+    assert ours_h.dtype == jnp.float32
+    ref_w = matmul(z, h, prec, transpose_b=True)
+    ours_w = fused_mu.update_w_fused(w, h, x, numerator_only=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours_w), np.asarray(ref_w), rtol=1e-5, atol=1e-6)
