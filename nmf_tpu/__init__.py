@@ -20,6 +20,7 @@ from .ops.elementwise import EPS, eps_clamp
 from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_divergence
 from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
+from .models.nmf import NMF, solve_h_only
 from .parallel import make_mesh, solve_batched, solve_sharded
 from .utils.config import Precision, SolveConfig, reference_preset
 
@@ -40,6 +41,8 @@ __all__ = [
     "update_h",
     "update_w",
     "solve",
+    "solve_h_only",
+    "NMF",
     "solve_sharded",
     "solve_batched",
     "make_mesh",

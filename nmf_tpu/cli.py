@@ -47,6 +47,11 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
     p.add_argument("--no-cost", action="store_true", help="skip cost tracking")
     p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument(
+        "--validate",
+        action="store_true",
+        help="check inputs (finite, non-negative) and results (finite)",
+    )
     p.add_argument("--jsonl", help="append run metrics to this JSONL file")
     p.add_argument(
         "--mesh",
@@ -90,6 +95,13 @@ def cmd_run(args) -> int:
     config = _config_from(args)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
 
+    if args.validate:
+        from .utils.guards import validate_input
+
+        validate_input("X", x)
+        validate_input("W0", w0)
+        validate_input("H0", h0)
+
     mesh = None
     if args.mesh:
         from .parallel.mesh import make_mesh
@@ -124,6 +136,10 @@ def cmd_run(args) -> int:
             with logger.timed() as t:
                 res = solve(x, w0, h0, config)
         logger.report(res, x.shape, t.seconds)
+        if args.validate:
+            from .utils.guards import validate_result
+
+            validate_result(res)
         w_out, h_out = np.asarray(res.w), np.asarray(res.h)
 
     w_path, h_path = args.output

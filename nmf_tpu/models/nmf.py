@@ -1,0 +1,192 @@
+"""High-level NMF model API: fit / transform / inverse_transform.
+
+The reference exposes only the one-shot ``main`` pipeline.  Real NMF usage
+(the paper's own application — drum-source separation — refits H for new
+audio against a fixed learned dictionary W) needs:
+
+  * ``fit(X)``        — learn W (and H) from data
+  * ``transform(X)``  — solve for H with W FIXED (the inference path: only
+                        the H half-update iterates; cf. nmf.cu:118-146)
+  * ``inverse_transform(H)`` — reconstruct W @ H
+
+API shape follows scikit-learn's ``sklearn.decomposition.NMF`` so users can
+swap it in; the compute runs through this framework's jitted solvers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.divergence import beta_divergence, kl_divergence
+from ..ops.mu import update_h
+from ..utils.config import Precision, SolveConfig
+from .init import nndsvd_init, random_init, scaled_random_init
+from .solver import SolveResult, run_checked_loop, solve
+
+__all__ = ["NMF", "solve_h_only"]
+
+_F32 = jnp.float32
+
+
+@functools.lru_cache(maxsize=16)
+def _h_only_jit(config: SolveConfig):
+    """Jitted H-only solve: W fixed, H iterates (transform/inference path)."""
+    eps, prec = config.eps, config.precision
+    if config.beta == 1.0:
+        def step(w, h, x):
+            return w, update_h(w, h, x, eps, prec)
+
+        cost = functools.partial(kl_divergence, eps=eps)
+    else:
+        from ..ops import mu
+
+        def step(w, h, x):
+            # the H half of the beta-MU step only (see ops.mu.mu_step_beta)
+            num, den = mu._beta_ratios(w, h, x, config.beta, eps, prec)
+            h_num = mu.matmul(w, num, prec, transpose_a=True)
+            h_den = jnp.maximum(mu.matmul(w, den, prec, transpose_a=True), eps)
+            return w, (h * (h_num / h_den)).astype(h.dtype)
+
+        cost = functools.partial(beta_divergence, beta=config.beta, eps=eps)
+
+    @jax.jit
+    def _solve(x, w, h):
+        return run_checked_loop(x, w, h, config, step, cost)
+
+    return _solve
+
+
+def solve_h_only(x, w, h0, config: SolveConfig = SolveConfig()) -> SolveResult:
+    """Iterate only the H half-update with W fixed (NMF inference).
+
+    Same loop/convergence machinery as :func:`nmf_tpu.solve`; per iteration
+    this is exactly the reference's ``update_h`` (nmf.cu:118-146) without the
+    subsequent ``update_w``.
+    """
+    config.validate()
+    sd = jnp.dtype(config.precision.state_dtype)
+    x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
+    w = jnp.maximum(jnp.asarray(w, sd), config.eps)
+    h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
+    if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
+        raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
+    return _h_only_jit(config)(x, w, h0)
+
+
+class NMF:
+    """scikit-learn-style NMF estimator running on the TPU solver.
+
+    Parameters mirror ``sklearn.decomposition.NMF`` where they overlap:
+    ``n_components`` (the rank K), ``init`` ('random' | 'scaled' | 'nndsvd' |
+    'nndsvda' | 'nndsvdar'), ``beta_loss`` (2=Frobenius, 1=KL — the reference
+    algorithm — 0=Itakura-Saito, or any float), ``max_iter``, ``tol``
+    (relative cost-change threshold; 0 = exactly max_iter iterations),
+    ``random_state`` (seed).
+
+    Extra knobs: ``precision`` (fp32 / bf16 MXU policy), ``backend``,
+    ``check_every``.
+
+    Attributes after ``fit``: ``components_`` (H, K x N in sklearn's
+    convention of components-by-features when fitting X as samples x
+    features... here we keep the reference's X = W @ H orientation:
+    ``components_`` is H), ``reconstruction_err_`` (final divergence),
+    ``n_iter_``.
+    """
+
+    def __init__(
+        self,
+        n_components: int,
+        init: str = "nndsvda",
+        beta_loss: float = 1.0,
+        max_iter: int = 200,
+        tol: float = 0.0,
+        check_every: int = 25,
+        random_state: int = 0,
+        precision: Precision = Precision(),
+        backend: str = "auto",
+    ):
+        self.n_components = int(n_components)
+        self.init = init
+        self.beta_loss = float(beta_loss)
+        self.max_iter = int(max_iter)
+        self.tol = float(tol)
+        self.check_every = int(check_every)
+        self.random_state = int(random_state)
+        self.precision = precision
+        self.backend = backend
+        self.components_: Optional[np.ndarray] = None
+        self.w_: Optional[np.ndarray] = None
+        self.reconstruction_err_: Optional[float] = None
+        self.n_iter_: Optional[int] = None
+
+    def _config(self, max_iter: Optional[int] = None) -> SolveConfig:
+        return SolveConfig(
+            max_iter=self.max_iter if max_iter is None else max_iter,
+            thresh=self.tol,
+            check_every=self.check_every,
+            precision=self.precision,
+            backend=self.backend,
+            beta=self.beta_loss,
+        )
+
+    def _init_factors(self, x: np.ndarray):
+        m, n = x.shape
+        k = self.n_components
+        if self.init == "random":
+            return random_init(m, k, n, seed=self.random_state)
+        if self.init == "scaled":
+            return scaled_random_init(x, k, seed=self.random_state)
+        return nndsvd_init(x, k, variant=self.init, seed=self.random_state)
+
+    def fit(self, x, w0=None, h0=None) -> "NMF":
+        self.fit_transform(x, w0=w0, h0=h0)
+        return self
+
+    def fit_transform(self, x, w0=None, h0=None) -> np.ndarray:
+        """Learn W and H for ``x``; returns W (the sample representation)."""
+        x = np.asarray(x, np.float32)
+        if w0 is None or h0 is None:
+            wi, hi = self._init_factors(x)
+            w0 = wi if w0 is None else w0
+            h0 = hi if h0 is None else h0
+        res = solve(x, w0, h0, self._config())
+        self.w_ = np.asarray(res.w)
+        self.components_ = np.asarray(res.h)
+        self.reconstruction_err_ = float(res.cost)
+        self.n_iter_ = int(res.iterations)
+        return self.w_
+
+    def transform(self, x, h0=None, max_iter: Optional[int] = None) -> np.ndarray:
+        """Solve for H against the learned W... for NEW columns of data.
+
+        In the X = W @ H orientation, new data are new columns (time frames):
+        ``x`` is (M, N_new) and the result is H_new (K, N_new).
+        """
+        if self.components_ is None and self.w_ is None:
+            raise RuntimeError("transform() before fit()")
+        x = np.asarray(x, np.float32)
+        k = self.n_components
+        if h0 is None:
+            rng = np.random.RandomState(self.random_state)
+            h0 = rng.rand(k, x.shape[1]).astype(np.float32)
+        res = solve_h_only(x, self.w_, h0, self._config(max_iter))
+        return np.asarray(res.h)
+
+    def inverse_transform(self, h) -> np.ndarray:
+        if self.w_ is None:
+            raise RuntimeError("inverse_transform() before fit()")
+        return np.asarray(self.w_ @ np.asarray(h, np.float32))
+
+    def score(self, x) -> float:
+        """Negative divergence of the fit (higher is better, sklearn-style)."""
+        import jax.numpy as jnp
+
+        x = jnp.maximum(jnp.asarray(x, _F32), 2.2204e-16)
+        d = beta_divergence(x, jnp.asarray(self.w_), jnp.asarray(self.components_), self.beta_loss)
+        return -float(d)

@@ -91,10 +91,20 @@ def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> Step
     return functools.partial(mu_step, eps=eps, precision=prec)
 
 
-def _cost_fn(config: SolveConfig) -> CostFn:
-    if config.beta == 1.0:
-        return functools.partial(kl_divergence, eps=config.eps)
-    return functools.partial(beta_divergence, beta=config.beta, eps=config.eps)
+def _cost_fn(config: SolveConfig, platform: Optional[str] = None) -> CostFn:
+    if config.beta != 1.0:
+        return functools.partial(beta_divergence, beta=config.beta, eps=config.eps)
+    backend = config.backend
+    if backend == "auto":
+        plat = platform if platform is not None else jax.default_backend()
+        backend = "pallas" if plat == "tpu" else "jnp"
+    if backend == "pallas":
+        from ..ops.pallas import fused_mu
+
+        return functools.partial(
+            fused_mu.kl_cost_fused, eps=config.eps, precision=config.precision
+        )
+    return functools.partial(kl_divergence, eps=config.eps)
 
 
 def run_checked_loop(
@@ -162,7 +172,7 @@ def run_checked_loop(
 def solve_jit(config: SolveConfig, platform: Optional[str] = None):
     """Build (and cache) the jitted solver for a config."""
     step_fn = resolve_step_fn(config, platform)
-    cost_fn = _cost_fn(config)
+    cost_fn = _cost_fn(config, platform)
 
     @jax.jit
     def _solve(x, w, h):

@@ -318,3 +318,94 @@ def mu_step_fused(
     h = update_h_fused(w, h, x, eps, precision, interpret=interpret)
     w = update_w_fused(w, h, x, eps, precision, interpret=interpret)
     return w, h
+
+
+# ---------------------------------------------------------------------------
+# Fused KL divergence: sum(x*(log x - log y) - x + y), y = clamp(W@H, eps)
+# ---------------------------------------------------------------------------
+
+
+def _kl_kernel(w_ref, h_ref, x_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_steps):
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[0, 0] = jnp.float32(0.0)
+
+    wh = jax.lax.dot_general(
+        w_ref[:].astype(mm_dtype), h_ref[:].astype(mm_dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=_F32,
+        precision=lax_prec,
+    )
+    y = jnp.maximum(wh, eps)
+    xb = x_ref[:]
+    # matrix.cu:592 formula; zero-padded entries are masked to contribute 0
+    # (0 * log(0) would be NaN, and padding must not perturb the sum).
+    term = jnp.where(xb > 0, xb * (jnp.log(xb) - jnp.log(y)) - xb + y, 0.0)
+    acc_ref[0, 0] += jnp.sum(term)
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        out_ref[0, 0] = acc_ref[0, 0]
+
+
+def kl_cost_fused(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    eps: float = EPS,
+    precision: Precision = Precision(),
+    block_m: int = _BM,
+    block_n: int = _BN,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """KL divergence D(X || clamp(W@H)) with the reconstruction kept in VMEM.
+
+    The jnp path (ops.divergence.kl_divergence) materialises the M x N
+    reconstruction in HBM and re-reads it for the reduction; this kernel
+    streams X once and reduces tile-wise — the per-check analog of the fused
+    update kernels.  Cost GEMM precision follows the same policy as the
+    updates.
+    """
+    m, k = w.shape
+    _, n = h.shape
+    if k > MAX_FUSED_K:
+        from ..divergence import kl_divergence
+
+        return kl_divergence(x, w, h, eps)
+
+    bm = min(block_m, _round_up(m, 8))
+    bn = min(_auto_bn(k, block_n), _round_up(n, 128))
+    mp, np_ = _round_up(m, bm), _round_up(n, bn)
+    wp = _pad2(w, mp, k)
+    hp = _pad2(h, k, np_)
+    xp = _pad2(x.astype(_F32), mp, np_)
+    n_m, n_n = mp // bm, np_ // bn
+
+    mm_dtype = jnp.dtype(precision.matmul_dtype)
+    lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(
+        _kl_kernel, eps=float(eps), mm_dtype=mm_dtype, lax_prec=lax_prec,
+        n_steps=n_m * n_n,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_m, n_n),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), _F32),
+        scratch_shapes=[pltpu.SMEM((1, 1), _F32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=(mp * k + k * np_ + mp * np_) * 4,
+            transcendentals=2 * mp * np_,
+        ),
+        interpret=interpret,
+    )(wp, hp, xp)
+    return out[0, 0]

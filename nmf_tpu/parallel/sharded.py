@@ -98,6 +98,30 @@ def mu_step_sharded(w, h, x, eps, precision, fused=False):
     return w, h
 
 
+def mu_step_sharded_beta(w, h, x, beta, eps, precision):
+    """Sharded beta-divergence MU step (beta=1 should use mu_step_sharded).
+
+    Numerator AND denominator are K-sized psums here (the beta != 1
+    denominators are data-dependent GEMMs, unlike KL's factor sums).
+    """
+    from ..ops.mu import _beta_ratios
+
+    num, den = _beta_ratios(w, h, x, beta, eps, precision)
+    h_num = jax.lax.psum(matmul(w, num, precision, transpose_a=True), ROW_AXIS)
+    h_den = eps_clamp(
+        jax.lax.psum(matmul(w, den, precision, transpose_a=True), ROW_AXIS), eps
+    )
+    h = (h * (h_num / h_den)).astype(h.dtype)
+
+    num, den = _beta_ratios(w, h, x, beta, eps, precision)
+    w_num = jax.lax.psum(matmul(num, h, precision, transpose_b=True), COL_AXIS)
+    w_den = eps_clamp(
+        jax.lax.psum(matmul(den, h, precision, transpose_b=True), COL_AXIS), eps
+    )
+    w = (w * (w_num / w_den)).astype(w.dtype)
+    return w, h
+
+
 def kl_partial(x, w, h, eps: float):
     """Local-block KL partial sum; callers psum it over both mesh axes.
 
@@ -106,6 +130,25 @@ def kl_partial(x, w, h, eps: float):
     """
     y = matmul(w, h, Precision("float32", "float32"))
     return kl_divergence_from_recon(x, y, eps)
+
+
+def beta_partial(x, w, h, beta: float, eps: float):
+    """Local-block beta-divergence partial sum (elementwise in (x, y))."""
+    b = float(beta)
+    if b == 1.0:
+        return kl_partial(x, w, h, eps)
+    y = eps_clamp(matmul(w, h, Precision("float32", "float32")), eps)
+    xf = x.astype(jnp.float32)
+    if b == 2.0:
+        d = xf - y
+        return 0.5 * jnp.sum(d * d)
+    if b == 0.0:
+        r = eps_clamp(xf, eps) / y
+        return jnp.sum(r - jnp.log(r) - 1.0)
+    xc = eps_clamp(xf, eps)
+    return jnp.sum(
+        (xc ** b + (b - 1.0) * y ** b - b * xc * y ** (b - 1.0)) / (b * (b - 1.0))
+    )
 
 
 def solve_sharded(
@@ -123,10 +166,6 @@ def solve_sharded(
     cost history are fully replicated.
     """
     config.validate()
-    if config.beta != 1.0:
-        raise NotImplementedError(
-            "sharded solve currently implements the KL (beta=1) family"
-        )
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
     fused = _use_fused(config)
@@ -145,10 +184,16 @@ def solve_sharded(
         h0 = jnp.maximum(h0, jnp.asarray(eps, sd))
     x, w0, h0 = shard_problem(x, w0, h0, mesh)
 
-    step_fn = functools.partial(
-        mu_step_sharded, eps=eps, precision=precision, fused=fused
-    )
-    cost_fn = functools.partial(kl_partial, eps=eps)
+    if config.beta == 1.0:
+        step_fn = functools.partial(
+            mu_step_sharded, eps=eps, precision=precision, fused=fused
+        )
+        cost_fn = functools.partial(kl_partial, eps=eps)
+    else:
+        step_fn = functools.partial(
+            mu_step_sharded_beta, beta=config.beta, eps=eps, precision=precision
+        )
+        cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
     def local_solve(x_loc, w_loc, h_loc):
         return run_checked_loop(

@@ -1,0 +1,95 @@
+"""Tests for the high-level NMF estimator API and H-only (transform) solve."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nmf_tpu import SolveConfig, kl_divergence, solve
+from nmf_tpu.models.nmf import NMF, solve_h_only
+from nmf_tpu.parallel import make_mesh, sharded
+
+from oracle import clamp, np_update_h
+
+
+def test_solve_h_only_matches_oracle(small_problem):
+    x, w, h = (clamp(a) for a in small_problem)
+    res = solve_h_only(x, w, h, SolveConfig(max_iter=3, check_every=3))
+    hn = h
+    for _ in range(3):
+        hn = np_update_h(w, hn, x)
+    np.testing.assert_allclose(np.asarray(res.h), hn, rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res.w), w)  # W untouched
+
+
+def test_solve_h_only_decreases_cost(small_problem):
+    x, w, h = (clamp(a) for a in small_problem)
+    c0 = float(kl_divergence(jnp.asarray(x), jnp.asarray(w), jnp.asarray(h)))
+    res = solve_h_only(x, w, h, SolveConfig(max_iter=50, check_every=10))
+    assert float(res.cost) < c0
+
+
+def test_nmf_fit_transform(small_problem):
+    x, _, _ = small_problem
+    model = NMF(n_components=8, max_iter=50, tol=0, random_state=1)
+    w = model.fit_transform(x)
+    assert w.shape == (x.shape[0], 8)
+    assert model.components_.shape == (8, x.shape[1])
+    assert model.n_iter_ == 50
+    assert np.isfinite(model.reconstruction_err_)
+    # fit decreased the cost vs init
+    recon = model.inverse_transform(model.components_)
+    assert recon.shape == x.shape
+
+
+def test_nmf_transform_new_data(small_problem):
+    x, _, _ = small_problem
+    model = NMF(n_components=8, max_iter=40, random_state=1)
+    model.fit(x)
+    x_new = clamp(np.random.RandomState(9).rand(x.shape[0], 17).astype(np.float32))
+    h_new = model.transform(x_new, max_iter=100)
+    assert h_new.shape == (8, 17)
+    # the transform fit is meaningful: better than a random H
+    xj = jnp.asarray(clamp(x_new))
+    wj = jnp.asarray(model.w_)
+    rng_h = jnp.asarray(
+        np.random.RandomState(1).rand(8, 17).astype(np.float32)
+    )
+    c_fit = float(kl_divergence(xj, wj, jnp.asarray(h_new)))
+    c_rand = float(kl_divergence(xj, wj, rng_h))
+    assert c_fit < c_rand
+
+
+def test_nmf_requires_fit_before_transform(small_problem):
+    x, _, _ = small_problem
+    with pytest.raises(RuntimeError):
+        NMF(n_components=4).transform(x)
+
+
+def test_nmf_beta_loss_frobenius(small_problem):
+    x, _, _ = small_problem
+    model = NMF(n_components=6, beta_loss=2.0, max_iter=30, init="nndsvda")
+    model.fit(x)
+    assert model.score(x) < 0  # negative divergence
+    # euclidean model improves euclidean fit over iterations
+    m2 = NMF(n_components=6, beta_loss=2.0, max_iter=5, init="nndsvda")
+    m2.fit(x)
+    assert model.score(x) >= m2.score(x)
+
+
+def test_sharded_beta_matches_single_device(small_problem):
+    rng = np.random.RandomState(4)
+    m, k, n = 128, 8, 160
+    x = rng.rand(m, n).astype(np.float32)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    for beta in (0.0, 2.0, 1.5):
+        cfg = SolveConfig(max_iter=10, check_every=5, beta=beta)
+        ref = solve(x, w, h, cfg)
+        res = sharded.solve_sharded(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+        np.testing.assert_allclose(
+            np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+        )

@@ -110,3 +110,26 @@ def test_numerator_only_matches_jnp(problem):
     ref_w = matmul(z, h, prec, transpose_b=True)
     ours_w = fused_mu.update_w_fused(w, h, x, numerator_only=True, interpret=True)
     np.testing.assert_allclose(np.asarray(ours_w), np.asarray(ref_w), rtol=1e-5, atol=1e-6)
+
+
+def test_kl_cost_fused_matches_jnp(problem):
+    from nmf_tpu.ops.divergence import kl_divergence
+
+    x, w, h = problem
+    ours = fused_mu.kl_cost_fused(x, w, h, interpret=True, block_m=32, block_n=128)
+    ref = kl_divergence(x, w, h)
+    assert float(ours) == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_kl_cost_fused_padding_masked():
+    """Ragged shapes: zero padding must contribute exactly nothing."""
+    from nmf_tpu.ops.divergence import kl_divergence
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(clamp(rng.rand(33, 170).astype(np.float32)))
+    w = jnp.asarray(clamp(rng.rand(33, 5).astype(np.float32)))
+    h = jnp.asarray(clamp(rng.rand(5, 170).astype(np.float32)))
+    ours = fused_mu.kl_cost_fused(x, w, h, interpret=True, block_m=16, block_n=128)
+    ref = kl_divergence(x, w, h)
+    assert float(ours) == pytest.approx(float(ref), rel=1e-5)
+    assert np.isfinite(float(ours))

@@ -229,3 +229,42 @@ def test_cli_sharded_run(cli_fixtures):
     np.testing.assert_allclose(
         binio.read_matrix(wout), np.asarray(ref.w), rtol=5e-5, atol=1e-7
     )
+
+
+# ---------------------------------------------------------------------------
+# numerical guards
+# ---------------------------------------------------------------------------
+
+
+def test_guards_accept_clean_input(small_problem):
+    from nmf_tpu.utils import guards
+
+    x, w, h = small_problem
+    guards.validate_input("X", x)
+    res = solve(x, w, h, SolveConfig(max_iter=5))
+    guards.validate_result(res)
+
+
+def test_guards_reject_negative_and_nan(small_problem):
+    from nmf_tpu.utils import guards
+
+    x, _, _ = small_problem
+    bad = x.copy()
+    bad[3, 5] = -1.0
+    with pytest.raises(guards.GuardError, match="negative"):
+        guards.validate_input("X", bad)
+    bad[3, 5] = np.nan
+    with pytest.raises(guards.GuardError, match="non-finite"):
+        guards.validate_input("X", bad)
+
+
+def test_cli_validate_flag_rejects_bad_input(cli_fixtures):
+    from nmf_tpu.utils import guards
+
+    tmp_path, p = cli_fixtures
+    x = binio.read_matrix(p["X"])
+    x[0, 0] = -5.0
+    bad = str(tmp_path / "bad.bin")
+    binio.write_matrix(x, bad)
+    with pytest.raises(guards.GuardError):
+        cli_main(["run", bad, p["W"], p["H"], "--max-iter", "1", "-q", "--validate"])
