@@ -21,6 +21,7 @@ from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_d
 from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
 from .models.nmf import NMF, solve_h_only
+from .models.separation import separate
 from .parallel import make_mesh, solve_batched, solve_sharded
 from .utils.config import Precision, SolveConfig, reference_preset
 
@@ -43,6 +44,7 @@ __all__ = [
     "solve",
     "solve_h_only",
     "NMF",
+    "separate",
     "solve_sharded",
     "solve_batched",
     "make_mesh",

@@ -44,7 +44,11 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         default="float32",
         help="matmul input dtype (accumulation is always float32)",
     )
-    p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument(
+        "--backend",
+        choices=["auto", "jnp", "pallas", "autotune"],
+        default="auto",
+    )
     p.add_argument("--no-cost", action="store_true", help="skip cost tracking")
     p.add_argument("--quiet", "-q", action="store_true")
     p.add_argument(
@@ -150,6 +154,45 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_separate(args) -> int:
+    """The paper's application: separate audio into spectral sources."""
+    from scipy.io import wavfile
+
+    from .models.separation import separate
+
+    sr, audio = wavfile.read(args.audio)
+    if audio.ndim == 2:
+        audio = audio.mean(axis=1)  # downmix to mono
+    if audio.dtype.kind == "i":
+        audio = audio.astype(np.float32) / np.iinfo(audio.dtype).max
+    audio = audio.astype(np.float32)
+
+    config = _config_from(args)
+    res = separate(
+        audio,
+        n_components=args.rank,
+        n_fft=args.n_fft,
+        hop=args.hop,
+        config=config,
+        seed=args.seed,
+    )
+    import os
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    peak = max(float(np.abs(res.sources).max()), 1e-9)
+    for k_i, src in enumerate(res.sources):
+        path = os.path.join(args.out_dir, f"source_{k_i:03d}.wav")
+        wavfile.write(path, sr, (src / peak * 32767).astype(np.int16))
+    if not args.quiet:
+        print(
+            f"[nmf] separated {args.audio} into {args.rank} sources in "
+            f"{args.out_dir} ({int(res.solve_result.iterations)} iters, "
+            f"cost {float(res.solve_result.cost):.4e})",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def cmd_gen(args) -> int:
     paths = fixtures.write_reference_fixtures(args.directory)
     for name, path in paths.items():
@@ -193,6 +236,18 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--seed", type=int, default=0)
     _add_solver_flags(run)
     run.set_defaults(fn=cmd_run)
+
+    sep = sub.add_parser(
+        "separate", help="audio source separation via spectrogram NMF"
+    )
+    sep.add_argument("audio", help="input WAV file")
+    sep.add_argument("--rank", "-k", type=int, default=32)
+    sep.add_argument("--out-dir", default="sources")
+    sep.add_argument("--n-fft", type=int, default=1024)
+    sep.add_argument("--hop", type=int, default=256)
+    sep.add_argument("--seed", type=int, default=0)
+    _add_solver_flags(sep)
+    sep.set_defaults(fn=cmd_separate, thresh=1e-5)
 
     gen = sub.add_parser("gen", help="write the seed-0 reference fixtures")
     gen.add_argument("directory")

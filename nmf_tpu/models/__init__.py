@@ -1,5 +1,20 @@
-"""Model zoo: the KL-MU solver (reference parity) and extensions."""
+"""Model zoo: the KL-MU solver (reference parity), estimator API, extensions."""
 
+from .init import nndsvd_init, random_init, scaled_random_init
+from .nmf import NMF, solve_h_only
+from .separation import SeparationResult, istft, separate, stft
 from .solver import SolveResult, solve
 
-__all__ = ["solve", "SolveResult"]
+__all__ = [
+    "solve",
+    "SolveResult",
+    "NMF",
+    "solve_h_only",
+    "random_init",
+    "scaled_random_init",
+    "nndsvd_init",
+    "separate",
+    "SeparationResult",
+    "stft",
+    "istft",
+]

@@ -79,7 +79,7 @@ def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> Step
         return functools.partial(mu_step_beta, beta=config.beta, eps=eps, precision=prec)
 
     backend = config.backend
-    if backend == "auto":
+    if backend in ("auto", "autotune"):
         plat = platform if platform is not None else jax.default_backend()
         backend = "pallas" if plat == "tpu" else "jnp"
     if backend == "pallas":
@@ -95,7 +95,7 @@ def _cost_fn(config: SolveConfig, platform: Optional[str] = None) -> CostFn:
     if config.beta != 1.0:
         return functools.partial(beta_divergence, beta=config.beta, eps=config.eps)
     backend = config.backend
-    if backend == "auto":
+    if backend in ("auto", "autotune"):
         plat = platform if platform is not None else jax.default_backend()
         backend = "pallas" if plat == "tpu" else "jnp"
     if backend == "pallas":
@@ -207,4 +207,20 @@ def solve(
         x = jnp.maximum(x, eps)
         w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
         h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
-    return solve_jit(config, _default_platform(x))(x, w0, h0)
+    platform = _default_platform(x)
+    if platform == "tpu" and config.beta == 1.0 and config.backend in (
+        "auto",
+        "autotune",
+    ):
+        from ..utils import autotune
+
+        m, k = w0.shape
+        if config.backend == "autotune":
+            # measure fused-Pallas vs XLA once per shape and pin the winner
+            choice = autotune.pick_backend(config, m, k, h0.shape[1])
+        else:
+            choice = autotune.rule_pick(
+                m, k, h0.shape[1], config.precision.matmul_dtype
+            )
+        config = dataclasses.replace(config, backend=choice)
+    return solve_jit(config, platform)(x, w0, h0)

@@ -74,10 +74,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _auto_bn(k: int, block_n: int) -> int:
-    """Largest lane-tile <= block_n keeping the (K, bn) buffers in budget."""
-    cap = max(128, (_KBN_BUDGET // max(k, 1)) // 128 * 128)
-    return min(block_n, cap)
+def _fit_blocks(k: int, block_m: int, block_n: int, mm_dtype) -> tuple:
+    """Shrink (bm, bn) until the kernel's VMEM working set fits.
+
+    Word model per grid step: double-buffered inputs 2*(bm*k + k*bn + bm*bn)
+    plus the accumulator and output (~k*bn + bm*k).  fp32-HIGHEST dots use
+    multi-pass Mosaic scratch proportional to the tile product, so the fp32
+    budget is half the bf16 one — measured: (512, 1024) f32 tiles at K=256
+    exceed the 16 MiB scoped-vmem limit while bf16 fits comfortably.
+    """
+    budget = 1_500_000 if jnp.dtype(mm_dtype) == _F32 else 3_000_000
+    bm, bn = block_m, block_n
+    while True:
+        words = 2 * (bm * k + k * bn + bm * bn) + k * bn + bm * k
+        if words <= budget or (bm <= 64 and bn <= 128):
+            return bm, bn
+        if bn >= bm and bn > 128:
+            bn //= 2
+        elif bm > 64:
+            bm //= 2
+        else:
+            bn //= 2
+
+
+def _balanced(extent: int, quantum: int, block: int) -> int:
+    """Largest block <= ``block`` that divides the padded extent evenly.
+
+    Avoids ragged-tail waste: e.g. 1025 rows with block 512 would pad to
+    1536 (+50%); the balanced block 344 pads to 1032 (+0.7%).
+    """
+    padded = _round_up(extent, quantum)
+    n_blk = -(-padded // block)
+    return _round_up(-(-padded // n_blk), quantum)
 
 
 def supported(k: Optional[int] = None) -> bool:
@@ -163,8 +191,10 @@ def update_h_fused(
     else:
         sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
 
-    bm = min(block_m, _round_up(m, 8))
-    bn = min(_auto_bn(k, block_n), _round_up(n, 128))
+    mm_dt = jnp.dtype(precision.matmul_dtype)
+    bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
+    bm = _balanced(m, 8, bm_cap)
+    bn = _balanced(n, 128, bn_cap)
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
     wp = _pad2(w, mp, kp)
     hp = _pad2(h, kp, np_)
@@ -268,8 +298,10 @@ def update_w_fused(
     else:
         sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
 
-    bm = min(block_m, _round_up(m, 8))
-    bn = min(_auto_bn(k, block_n), _round_up(n, 128))
+    mm_dt = jnp.dtype(precision.matmul_dtype)
+    bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
+    bm = _balanced(m, 8, bm_cap)
+    bn = _balanced(n, 128, bn_cap)
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
     wp = _pad2(w, mp, kp)
     hp = _pad2(h, kp, np_)
@@ -374,8 +406,10 @@ def kl_cost_fused(
 
         return kl_divergence(x, w, h, eps)
 
-    bm = min(block_m, _round_up(m, 8))
-    bn = min(_auto_bn(k, block_n), _round_up(n, 128))
+    mm_dt = jnp.dtype(precision.matmul_dtype)
+    bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
+    bm = _balanced(m, 8, bm_cap)
+    bn = _balanced(n, 128, bn_cap)
     mp, np_ = _round_up(m, bm), _round_up(n, bn)
     wp = _pad2(w, mp, k)
     hp = _pad2(h, k, np_)

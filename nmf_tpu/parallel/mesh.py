@@ -101,3 +101,21 @@ def shard_problem(x, w, h, mesh: Mesh):
         jax.device_put(w, ws),
         jax.device_put(h, hs),
     )
+
+
+def init_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (pod slices / multi-slice DCN).
+
+    Thin wrapper over ``jax.distributed.initialize`` so multi-host entry is
+    one call before :func:`make_mesh` (which then spans all global devices).
+    Safe to call when already initialized or single-host (no-op on errors
+    that indicate single-process use).
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower():
+            return
+        raise

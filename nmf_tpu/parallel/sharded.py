@@ -184,6 +184,18 @@ def solve_sharded(
         h0 = jnp.maximum(h0, jnp.asarray(eps, sd))
     x, w0, h0 = shard_problem(x, w0, h0, mesh)
 
+    fn = build_sharded_solver(config, mesh, fused=fused)
+    return fn(x, w0, h0)
+
+
+def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
+    """The jitted shard_map solve program for a config + mesh.
+
+    Exposed separately so callers can AOT-lower/compile it (e.g. validating
+    the SPMD partitioning of pod-scale shapes with abstract inputs before any
+    memory is allocated — see tests/test_podscale.py).
+    """
+    eps, precision = config.eps, config.precision
     if config.beta == 1.0:
         step_fn = functools.partial(
             mu_step_sharded, eps=eps, precision=precision, fused=fused
@@ -215,7 +227,7 @@ def solve_sharded(
         num_checks=P(),
         converged=P(),
     )
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
@@ -224,4 +236,3 @@ def solve_sharded(
             check_vma=False,
         )
     )
-    return fn(x, w0, h0)

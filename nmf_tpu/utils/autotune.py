@@ -1,0 +1,112 @@
+"""Per-shape backend selection: a measured rule table plus opt-in tuning.
+
+Whether the fused Pallas step or the XLA-fused jnp step is faster depends on
+the problem shape.  Measured on TPU v5e (bf16):
+
+    512x3445  k=30   pallas +30%     (small-k, HBM-bound: fusion wins)
+    1025x4000 k=32   tie within noise
+    4096x350  k=128  jnp    +25%     (mid-k, small-n: XLA schedules better)
+    10240^2   k=256  pallas +5% bf16, +26% f32 (compute-bound)
+
+``backend="auto"`` applies :func:`rule_pick`, derived from those numbers —
+measurement-free, so no extra compiles.  ``backend="autotune"`` measures both
+implementations once per (shape, dtype) via :func:`pick_backend` and caches
+the winner for the process; on environments with slow (remote) compilation
+this costs minutes up front, so it is opt-in for long production solves.
+
+Timing uses the same long/short differencing as bench.py because this
+platform's ``block_until_ready`` does not reliably block.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Tuple
+
+import numpy as np
+
+__all__ = ["rule_pick", "pick_backend", "clear_cache"]
+
+_cache: Dict[Tuple, str] = {}
+
+# Below this many X elements the run is dispatch-bound; don't spend compiles.
+MIN_AUTOTUNE_ELEMENTS = 1 << 21  # ~2M (8 MB f32)
+_SHORT, _LONG = 4, 20
+
+
+def clear_cache() -> None:
+    _cache.clear()
+
+
+def _measure(step_fn, w, h, x) -> float:
+    import jax
+
+    @jax.jit
+    def run(w, h, x, n):
+        return jax.lax.fori_loop(0, n, lambda _, wh: step_fn(wh[0], wh[1], x), (w, h))
+
+    def sync(out):
+        for a in out:
+            np.asarray(jax.device_get(a[:1, :1]))
+
+    sync(run(w, h, x, 2))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sync(run(w, h, x, _SHORT))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(run(w, h, x, _LONG))
+        tl = time.perf_counter() - t0
+        best = min(best, (tl - ts) / (_LONG - _SHORT))
+    return best
+
+
+def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
+    """Measurement-free backend rule for TPU (see module docstring).
+
+    fp32 note: XLA's HIGHEST-precision f32 dot uses a cheaper multi-pass
+    structure than Mosaic's in-kernel f32 matmul at large sizes, so the f32
+    policy prefers the jnp path except in the small-rank fusion regime.
+    """
+    from ..ops.pallas import fused_mu
+
+    if not fused_mu.supported(k):
+        return "jnp"
+    if k <= 64:
+        return "pallas"          # small-rank, bandwidth-bound: fusion wins
+    if m * n >= (1 << 26) and matmul_dtype == "bfloat16":
+        return "pallas"          # large compute-bound problems (bf16 MXU)
+    return "jnp"                 # mid-rank or fp32 at scale: XLA wins
+
+
+def pick_backend(config, m: int, k: int, n: int) -> str:
+    """Measured pick: 'pallas' or 'jnp' for this shape (TPU callers only)."""
+    from ..ops.pallas import fused_mu
+
+    if not fused_mu.supported(k) or m * n < MIN_AUTOTUNE_ELEMENTS:
+        return rule_pick(m, k, n)
+    key = (config.precision.matmul_dtype, m, k, n)
+    if key in _cache:
+        return _cache[key]
+
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..ops.mu import mu_step
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(np.maximum(rng.rand(m, n).astype(np.float32), config.eps))
+    w = jnp.asarray(rng.rand(m, k).astype(np.float32))
+    h = jnp.asarray(rng.rand(k, n).astype(np.float32))
+    eps, prec = config.eps, config.precision
+    t_pallas = _measure(
+        functools.partial(fused_mu.mu_step_fused, eps=eps, precision=prec), w, h, x
+    )
+    t_jnp = _measure(functools.partial(mu_step, eps=eps, precision=prec), w, h, x)
+    choice = "pallas" if t_pallas <= t_jnp else "jnp"
+    _cache[key] = choice
+    return choice
+
+

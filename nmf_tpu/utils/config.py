@@ -62,7 +62,7 @@ class SolveConfig:
     check_every: int = 25                # nmf.cu:9   ITER_CHECK
     eps: float = EPS_DEFAULT             # matrix.cu:10
     precision: Precision = FP32
-    backend: str = "auto"                # "auto" | "jnp" | "pallas"
+    backend: str = "auto"                # "auto" | "jnp" | "pallas" | "autotune"
     track_cost: bool = True              # record cost history even if thresh==0
     beta: float = 1.0                    # divergence family; 1.0 == reference KL
 
@@ -73,7 +73,7 @@ class SolveConfig:
             raise ValueError("check_every must be >= 1")
         if self.thresh < 0:
             raise ValueError("thresh must be >= 0")
-        if self.backend not in ("auto", "jnp", "pallas"):
+        if self.backend not in ("auto", "jnp", "pallas", "autotune"):
             raise ValueError(f"unsupported backend {self.backend!r}")
         self.precision.validate()
 

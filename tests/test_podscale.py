@@ -1,0 +1,64 @@
+"""Pod-scale validation: the BASELINE.json config-5 program partitions cleanly.
+
+Config 5: X of 1M x 131k, rank 512, sharded over a pod mesh.  No pod here, so
+we validate what can be validated without one:
+
+  * the sharded solve program LOWERS with abstract (no-memory) inputs at the
+    full pod-scale shapes over an 8-device mesh — proving the shardings are
+    consistent, every collective partitions, and the while_loop stays uniform;
+  * the per-device memory arithmetic stays within a v5p HBM budget at the
+    mesh the config names (v5p-64).
+
+An actual numeric run at a scaled-down shape is covered by test_sharded.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nmf_tpu import SolveConfig
+from nmf_tpu.parallel.mesh import COL_AXIS, ROW_AXIS, make_mesh, nmf_shardings
+from nmf_tpu.parallel.sharded import build_sharded_solver
+
+M, N, K = 1_048_576, 131_072, 512  # BASELINE.json config 5
+
+
+def test_podscale_program_lowers():
+    mesh = make_mesh(shape=(4, 2))
+    xs, ws, hs, _ = nmf_shardings(mesh)
+    cfg = SolveConfig(max_iter=200, thresh=1e-5, check_every=25)
+    fn = build_sharded_solver(cfg, mesh)
+    abstract = (
+        jax.ShapeDtypeStruct((M, N), np.float32, sharding=xs),
+        jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws),
+        jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs),
+    )
+    lowered = fn.lower(*abstract)  # raises if any sharding is inconsistent
+    text = lowered.as_text()
+    # the program contains the psum collectives over both axes
+    assert "all-reduce" in text or "all_reduce" in text
+    # outputs keep the canonical shardings
+    out_info = jax.tree_util.tree_leaves(lowered.out_info)
+    shapes = {tuple(o.shape) for o in out_info}
+    assert (M, K) in shapes and (K, N) in shapes
+
+
+def test_podscale_memory_budget():
+    """Config 5 fits v5p-64: per-device arrays under HBM (95 GB/chip)."""
+    r, c = 16, 4  # a v5p-64 mesh layout
+    bytes_x = M // r * (N // c) * 4
+    bytes_w = M // r * K * 4       # replicated over 'mc'
+    bytes_h = K * (N // c) * 4     # replicated over 'mr'
+    # solver peak: X + W + H + Z-free fused path temporaries (~W + H + K-sums)
+    peak = bytes_x + 2 * (bytes_w + bytes_h)
+    assert peak < 95e9, f"per-device peak {peak/1e9:.1f} GB exceeds v5p HBM"
+
+
+def test_podscale_collective_volume():
+    """Per-iteration comm is K-sized, not X-sized (the design invariant)."""
+    r, c = 16, 4
+    per_iter_floats = K * (N // c) + K * (M // r) + 2 * K + 1
+    x_local_floats = (M // r) * (N // c)
+    assert per_iter_floats < 0.03 * x_local_floats  # ~2.3% at config 5

@@ -113,3 +113,21 @@ def test_bf16_solver_converges(small_problem):
     ref = solve(x, w, h, SolveConfig(max_iter=50, check_every=10))
     # costs must agree to bf16-level tolerance
     assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.02
+
+
+def test_backend_rule_pick():
+    from nmf_tpu.utils.autotune import rule_pick
+    from nmf_tpu.ops.pallas.fused_mu import MAX_FUSED_K
+
+    assert rule_pick(512, 30, 3445) == "pallas"      # paper regime
+    assert rule_pick(4096, 128, 350) == "jnp"        # regression regime
+    assert rule_pick(10240, 256, 10240) == "pallas"  # flagship regime (bf16)
+    assert rule_pick(10240, 256, 10240, "float32") == "jnp"  # fp32 at scale
+    assert rule_pick(100, MAX_FUSED_K + 1, 100) == "jnp"  # no fused kernel
+
+
+def test_autotune_backend_config_accepted(small_problem):
+    """backend='autotune' runs (falls back to rule for small problems)."""
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=5, backend="autotune"))
+    assert int(res.iterations) == 5
