@@ -70,7 +70,7 @@ def _sync(arrays) -> None:
         np.asarray(jax.device_get(a[:1, :1]))
 
 
-def run_single(m, k, n, short, long, dtype, backend) -> dict:
+def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -78,14 +78,16 @@ def run_single(m, k, n, short, long, dtype, backend) -> dict:
     from nmf_tpu.utils.config import Precision, SolveConfig
 
     cfg = SolveConfig(
-        precision=Precision(matmul_dtype=dtype),
+        precision=Precision(matmul_dtype=dtype, x_dtype=x_dtype),
         backend=backend,
         track_cost=False,
     )
     step = resolve_step_fn(cfg)
     eps = np.float32(2.2204e-16)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(np.maximum(rng.rand(m, n).astype(np.float32), eps))
+    x = jnp.asarray(np.maximum(rng.rand(m, n).astype(np.float32), eps)).astype(
+        jnp.dtype(x_dtype)
+    )
     w = jnp.asarray(rng.rand(m, k).astype(np.float32))
     h = jnp.asarray(rng.rand(k, n).astype(np.float32))
 
@@ -120,13 +122,19 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workload", choices=WORKLOADS, default="flagship")
     ap.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    ap.add_argument(
+        "--x-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="storage dtype of X",
+    )
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
     args = ap.parse_args(argv)
 
     import jax
 
     m, k, n, short, long = WORKLOADS[args.workload]
-    stats = run_single(m, k, n, short, long, args.dtype, args.backend)
+    stats = run_single(
+        m, k, n, short, long, args.dtype, args.backend, args.x_dtype
+    )
 
     if args.workload == "paper":
         baseline_ips = REFERENCE_PAPER_IPS

@@ -45,6 +45,12 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         help="matmul input dtype (accumulation is always float32)",
     )
     p.add_argument(
+        "--x-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="storage dtype of X (bfloat16 halves its HBM stream)",
+    )
+    p.add_argument(
         "--backend",
         choices=["auto", "jnp", "pallas", "autotune"],
         default="auto",
@@ -72,7 +78,7 @@ def _config_from(args) -> SolveConfig:
         max_iter=args.max_iter,
         thresh=args.thresh,
         check_every=args.check_every,
-        precision=Precision(matmul_dtype=args.dtype),
+        precision=Precision(matmul_dtype=args.dtype, x_dtype=args.x_dtype),
         backend=args.backend,
         track_cost=not args.no_cost,
         beta=args.beta,

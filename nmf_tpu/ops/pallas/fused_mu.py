@@ -193,7 +193,8 @@ def update_h_fused(
 
     mm_dt = jnp.dtype(precision.matmul_dtype)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    bm = _balanced(m, 8, bm_cap)
+    m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
+    bm = _balanced(m, m_quantum, bm_cap)
     bn = _balanced(n, 128, bn_cap)
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
     wp = _pad2(w, mp, kp)
@@ -300,7 +301,8 @@ def update_w_fused(
 
     mm_dt = jnp.dtype(precision.matmul_dtype)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    bm = _balanced(m, 8, bm_cap)
+    m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
+    bm = _balanced(m, m_quantum, bm_cap)
     bn = _balanced(n, 128, bn_cap)
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
     wp = _pad2(w, mp, kp)
@@ -370,7 +372,7 @@ def _kl_kernel(w_ref, h_ref, x_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec
         precision=lax_prec,
     )
     y = jnp.maximum(wh, eps)
-    xb = x_ref[:]
+    xb = x_ref[:].astype(_F32)
     # matrix.cu:592 formula; zero-padded entries are masked to contribute 0
     # (0 * log(0) would be NaN, and padding must not perturb the sum).
     term = jnp.where(xb > 0, xb * (jnp.log(xb) - jnp.log(y)) - xb + y, 0.0)
@@ -408,12 +410,13 @@ def kl_cost_fused(
 
     mm_dt = jnp.dtype(precision.matmul_dtype)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    bm = _balanced(m, 8, bm_cap)
+    m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
+    bm = _balanced(m, m_quantum, bm_cap)
     bn = _balanced(n, 128, bn_cap)
     mp, np_ = _round_up(m, bm), _round_up(n, bn)
     wp = _pad2(w, mp, k)
     hp = _pad2(h, k, np_)
-    xp = _pad2(x.astype(_F32), mp, np_)
+    xp = _pad2(x, mp, np_)
     n_m, n_n = mp // bm, np_ // bn
 
     mm_dtype = jnp.dtype(precision.matmul_dtype)

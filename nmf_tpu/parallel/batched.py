@@ -76,6 +76,7 @@ def solve_batched(
         x = jnp.maximum(x, jnp.asarray(config.eps, _F32))
         w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
         h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
+    x = x.astype(jnp.dtype(config.precision.x_dtype))
 
     platform = None
     if mesh is not None:

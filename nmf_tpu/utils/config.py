@@ -27,21 +27,29 @@ class Precision:
       feeds the MXU at full rate; accumulation is always float32 via
       ``preferred_element_type`` (never bf16 — see SURVEY.md section 7 step 4).
     * ``state_dtype``: dtype W/H are carried in between iterations.
+    * ``x_dtype``: storage dtype of the data matrix X.  ``bfloat16`` halves
+      the dominant HBM stream (X is read twice per iteration) for
+      bandwidth-bound shapes at a one-time ~2^-8 relative rounding of the
+      data; the divide and all accumulation still happen in float32.
     * Reductions (column/row sums, KL cost) are always float32.
     """
 
     matmul_dtype: str = "float32"   # "float32" | "bfloat16"
     state_dtype: str = "float32"
+    x_dtype: str = "float32"        # "float32" | "bfloat16"
 
     def validate(self) -> None:
         if self.matmul_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported matmul_dtype {self.matmul_dtype!r}")
         if self.state_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported state_dtype {self.state_dtype!r}")
+        if self.x_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported x_dtype {self.x_dtype!r}")
 
 
 FP32 = Precision("float32", "float32")
 BF16 = Precision("bfloat16", "float32")
+BF16_FULL = Precision("bfloat16", "float32", "bfloat16")  # bf16 X storage too
 
 
 @dataclasses.dataclass(frozen=True)

@@ -131,3 +131,19 @@ def test_autotune_backend_config_accepted(small_problem):
     x, w, h = small_problem
     res = solve(x, w, h, SolveConfig(max_iter=5, backend="autotune"))
     assert int(res.iterations) == 5
+
+
+def test_bf16_x_storage_close_to_f32(small_problem):
+    """x_dtype=bfloat16 halves X's HBM stream at ~1e-3 cost accuracy."""
+    x, w, h = small_problem
+    ref = solve(x, w, h, SolveConfig(max_iter=50, check_every=10))
+    res = solve(
+        x, w, h,
+        SolveConfig(
+            max_iter=50, check_every=10,
+            precision=Precision("bfloat16", "float32", "bfloat16"),
+        ),
+    )
+    assert int(res.iterations) == 50
+    assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.02
+    np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=0.1, atol=1e-5)
