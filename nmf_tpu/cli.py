@@ -167,10 +167,13 @@ def cmd_separate(args) -> int:
     from .models.separation import separate
 
     sr, audio = wavfile.read(args.audio)
-    if audio.ndim == 2:
-        audio = audio.mean(axis=1)  # downmix to mono
     if audio.dtype.kind == "i":
         audio = audio.astype(np.float32) / np.iinfo(audio.dtype).max
+    elif audio.dtype.kind == "u":  # 8-bit WAV is unsigned with a 128 offset
+        info = np.iinfo(audio.dtype)
+        audio = (audio.astype(np.float32) - (info.max + 1) / 2) / ((info.max + 1) / 2)
+    if audio.ndim == 2:
+        audio = audio.mean(axis=1)  # downmix to mono
     audio = audio.astype(np.float32)
 
     config = _config_from(args)

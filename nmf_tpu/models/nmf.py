@@ -35,12 +35,25 @@ _F32 = jnp.float32
 
 
 @functools.lru_cache(maxsize=16)
-def _h_only_jit(config: SolveConfig):
+def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
     """Jitted H-only solve: W fixed, H iterates (transform/inference path)."""
     eps, prec = config.eps, config.precision
     if config.beta == 1.0:
-        def step(w, h, x):
-            return w, update_h(w, h, x, eps, prec)
+        backend = config.backend
+        if backend in ("auto", "autotune"):
+            import jax as _jax
+
+            plat = platform if platform is not None else _jax.default_backend()
+            backend = "pallas" if plat == "tpu" else "jnp"
+        if backend == "pallas":
+            from ..ops.pallas import fused_mu
+
+            def step(w, h, x):
+                return w, fused_mu.update_h_fused(w, h, x, eps, prec)
+
+        else:
+            def step(w, h, x):
+                return w, update_h(w, h, x, eps, prec)
 
         cost = functools.partial(kl_divergence, eps=eps)
     else:
@@ -76,7 +89,14 @@ def solve_h_only(x, w, h0, config: SolveConfig = SolveConfig()) -> SolveResult:
     h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
     if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
         raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
-    return _h_only_jit(config)(x, w, h0)
+    x = x.astype(jnp.dtype(config.precision.x_dtype))
+    import jax as _jax
+
+    try:
+        platform = list(x.devices())[0].platform
+    except AttributeError:
+        platform = _jax.default_backend()
+    return _h_only_jit(config, platform)(x, w, h0)
 
 
 class NMF:
@@ -168,7 +188,7 @@ class NMF:
         In the X = W @ H orientation, new data are new columns (time frames):
         ``x`` is (M, N_new) and the result is H_new (K, N_new).
         """
-        if self.components_ is None and self.w_ is None:
+        if self.w_ is None:
             raise RuntimeError("transform() before fit()")
         x = np.asarray(x, np.float32)
         k = self.n_components

@@ -18,7 +18,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.config import SolveConfig
+from ..ops.mu import matmul
+from ..utils.config import Precision, SolveConfig
 from .init import scaled_random_init
 from .solver import SolveResult, solve
 
@@ -107,11 +108,14 @@ def separate(
 
     w = jnp.asarray(res.w)
     h = jnp.asarray(res.h)
-    recon = jnp.maximum(w @ h, 1e-12)         # (bins, frames)
+    prec = Precision()  # true-f32 GEMMs for the masks (CLAUDE.md convention)
+    recon = jnp.maximum(matmul(w, h, prec), 1e-12)    # (bins, frames)
     sources = []
     for k_i in range(n_components):
-        mask = (w[:, k_i : k_i + 1] @ h[k_i : k_i + 1, :]) / recon
-        sources.append(istft(spec * mask, n_fft, hop, length=audio.shape[0]))
+        comp = matmul(w[:, k_i : k_i + 1], h[k_i : k_i + 1, :], prec)
+        sources.append(
+            istft(spec * (comp / recon), n_fft, hop, length=audio.shape[0])
+        )
     return SeparationResult(
         sources=np.stack([np.asarray(s) for s in sources]),
         w=np.asarray(w),

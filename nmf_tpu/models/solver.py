@@ -115,11 +115,17 @@ def run_checked_loop(
     step_fn: StepFn,
     cost_fn: CostFn,
     all_reduce: Callable[[jnp.ndarray], jnp.ndarray] = lambda c: c,
+    initial_cost: Optional[jnp.ndarray] = None,
 ) -> SolveResult:
     """Trace the check-blocked while_loop.  Shared by the single-device and
     shard_map solvers; ``all_reduce`` sums partial costs across the mesh in
     the sharded case (a ``psum``), keeping the convergence predicate
     replicated so the loop stays uniform across devices.
+
+    ``initial_cost`` seeds the convergence baseline: the first check compares
+    against it (NaN/None = no baseline, first check never converges).  The
+    checkpointed solver passes the previous segment's final cost here so
+    thresholded convergence works identically across segment boundaries.
     """
     max_iter = int(config.max_iter)
     check_every = int(config.check_every)
@@ -151,12 +157,17 @@ def run_checked_loop(
         _, _, it, _, _, _, _, done = carry
         return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
+    c0 = (
+        jnp.asarray(jnp.nan, _F32)
+        if initial_cost is None
+        else jnp.asarray(initial_cost, _F32)
+    )
     init = (
         w,
         h,
         jnp.zeros((), jnp.int32),
         jnp.asarray(jnp.inf, _F32),
-        jnp.asarray(jnp.nan, _F32),
+        c0,
         jnp.zeros((), jnp.int32),
         jnp.full((n_slots,), jnp.nan, _F32),
         jnp.zeros((), jnp.bool_),
@@ -175,8 +186,10 @@ def solve_jit(config: SolveConfig, platform: Optional[str] = None):
     cost_fn = _cost_fn(config, platform)
 
     @jax.jit
-    def _solve(x, w, h):
-        return run_checked_loop(x, w, h, config, step_fn, cost_fn)
+    def _solve(x, w, h, initial_cost):
+        return run_checked_loop(
+            x, w, h, config, step_fn, cost_fn, initial_cost=initial_cost
+        )
 
     return _solve
 
@@ -187,11 +200,13 @@ def solve(
     h0,
     config: SolveConfig = SolveConfig(),
     clamp_inputs: bool = True,
+    initial_cost: float = float("nan"),
 ) -> SolveResult:
     """Factorize ``x ~= w @ h``: the ``run_async`` equivalent (nmf.cu:76-116).
 
     ``clamp_inputs`` replicates the reference's load-time ``set_epsilon``
     (nmf.cu:211) — pass already-clamped arrays and ``False`` to skip.
+    ``initial_cost`` seeds the convergence baseline for resumed runs.
     """
     config.validate()
     sd = jnp.dtype(config.precision.state_dtype)
@@ -225,4 +240,6 @@ def solve(
                 m, k, h0.shape[1], config.precision.matmul_dtype
             )
         config = dataclasses.replace(config, backend=choice)
-    return solve_jit(config, platform)(x, w0, h0)
+    return solve_jit(config, platform)(
+        x, w0, h0, jnp.asarray(initial_cost, _F32)
+    )

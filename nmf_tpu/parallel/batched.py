@@ -36,7 +36,7 @@ _F32 = jnp.float32
 @functools.lru_cache(maxsize=16)
 def _batched_jit(config: SolveConfig, platform: Optional[str]):
     step_fn = resolve_step_fn(config, platform)
-    cost_fn = _cost_fn(config)
+    cost_fn = _cost_fn(config, platform)
 
     def one(x, w, h):
         return run_checked_loop(x, w, h, config, step_fn, cost_fn)

@@ -44,7 +44,7 @@ _F32 = jnp.float32
 def _use_fused(config: SolveConfig) -> bool:
     if config.backend == "pallas":
         return True
-    return config.backend == "auto" and jax.default_backend() == "tpu"
+    return config.backend in ("auto", "autotune") and jax.default_backend() == "tpu"
 
 
 def update_h_sharded(
@@ -158,6 +158,7 @@ def solve_sharded(
     config: SolveConfig = SolveConfig(),
     mesh: Optional[Mesh] = None,
     clamp_inputs: bool = True,
+    initial_cost: float = float("nan"),
 ) -> SolveResult:
     """Distributed ``solve``: same semantics, sharded over the mesh.
 
@@ -182,10 +183,11 @@ def solve_sharded(
         x = jnp.maximum(x, jnp.asarray(eps, _F32))
         w0 = jnp.maximum(w0, jnp.asarray(eps, sd))
         h0 = jnp.maximum(h0, jnp.asarray(eps, sd))
+    x = x.astype(jnp.dtype(config.precision.x_dtype))
     x, w0, h0 = shard_problem(x, w0, h0, mesh)
 
     fn = build_sharded_solver(config, mesh, fused=fused)
-    return fn(x, w0, h0)
+    return fn(x, w0, h0, jnp.asarray(initial_cost, _F32))
 
 
 def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
@@ -207,7 +209,7 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
         )
         cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
-    def local_solve(x_loc, w_loc, h_loc):
+    def local_solve(x_loc, w_loc, h_loc, initial_cost):
         return run_checked_loop(
             x_loc,
             w_loc,
@@ -216,6 +218,7 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
             step_fn,
             cost_fn,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
+            initial_cost=initial_cost,
         )
 
     out_specs = SolveResult(
@@ -231,7 +234,7 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
         jax.shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, None), P(None, COL_AXIS)),
+            in_specs=(P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, None), P(None, COL_AXIS), P()),
             out_specs=out_specs,
             check_vma=False,
         )

@@ -16,8 +16,9 @@ final ``write_matrix`` (nmf.cu:44-45).  Because NMF state is exactly
 
 Sharded arrays are gathered to the host before writing (.bin is a
 single-host interchange format).  For pod-scale runs whose factors exceed
-host memory, pass ``use_orbax=True`` to write sharded orbax/tensorstore
-checkpoints instead.
+host memory, use :func:`save_checkpoint_sharded` /
+:func:`load_checkpoint_sharded` (orbax/tensorstore; each host writes only its
+addressable shards).
 """
 
 from __future__ import annotations
@@ -103,9 +104,22 @@ def save_checkpoint(
     return step_dir
 
 
-def load_checkpoint(step_dir: str) -> CheckpointState:
+def load_checkpoint(step_dir: str, config: Optional[SolveConfig] = None) -> CheckpointState:
+    """Load a checkpoint; with ``config`` given, verify its fingerprint.
+
+    Resuming under a different objective (beta), epsilon, or matmul dtype
+    would silently mix two optimisation problems — refuse instead.
+    """
     with open(os.path.join(step_dir, _META)) as f:
         meta = json.load(f)
+    if config is not None and meta.get("config") is not None:
+        want = _config_fingerprint(config)
+        have = meta["config"]
+        if have != want:
+            raise ValueError(
+                f"checkpoint {step_dir} was written with config {have}, "
+                f"resume requested with {want}; refusing to mix objectives"
+            )
     return CheckpointState(
         w=binio.read_matrix(os.path.join(step_dir, "W.bin")),
         h=binio.read_matrix(os.path.join(step_dir, "H.bin")),
@@ -225,7 +239,7 @@ def solve_with_checkpoints(
     if resume:
         latest = latest_checkpoint(directory)
         if latest is not None:
-            state = load_checkpoint(latest)
+            state = load_checkpoint(latest, config)
             if state.w.shape != tuple(np.shape(w0)) or state.h.shape != tuple(
                 np.shape(h0)
             ):
@@ -238,19 +252,28 @@ def solve_with_checkpoints(
             converged = state.converged
 
     it = start_iter
+    # convergence baseline carried across segment boundaries so thresh > 0
+    # behaves exactly like an uninterrupted solve()
+    last_cost = cost_history[-1] if cost_history else float("nan")
     while it < config.max_iter and not converged:
         seg = min(every, config.max_iter - it)
         seg_cfg = dataclasses.replace(config, max_iter=seg)
         if mesh is not None:
-            res = solve_sharded(w0=w, h0=h, x=x, config=seg_cfg, mesh=mesh)
+            res = solve_sharded(
+                w0=w, h0=h, x=x, config=seg_cfg, mesh=mesh,
+                initial_cost=last_cost,
+            )
         else:
-            res = solve(x, w, h, seg_cfg)
+            res = solve(x, w, h, seg_cfg, initial_cost=last_cost)
         w = np.asarray(res.w)
         h = np.asarray(res.h)
         it += int(res.iterations)
-        cost_history.extend(
+        seg_hist = [
             float(c) for c in np.asarray(res.cost_history)[: int(res.num_checks)]
-        )
+        ]
+        cost_history.extend(seg_hist)
+        if seg_hist:
+            last_cost = seg_hist[-1]
         converged = bool(res.converged)
         save_checkpoint(
             directory,

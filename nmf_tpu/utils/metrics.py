@@ -45,7 +45,19 @@ class RunReport:
     checks: List[CheckRecord] = dataclasses.field(default_factory=list)
 
     def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self))
+        """RFC-8259-clean JSON: non-finite floats become null (inf rel_change
+        at the first check, NaN timing when none was recorded)."""
+
+        def clean(v):
+            if isinstance(v, float) and not np.isfinite(v):
+                return None
+            if isinstance(v, dict):
+                return {k: clean(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [clean(x) for x in v]
+            return v
+
+        return json.dumps(clean(dataclasses.asdict(self)))
 
 
 def flops_per_iter(m: int, k: int, n: int) -> float:

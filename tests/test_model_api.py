@@ -93,3 +93,12 @@ def test_sharded_beta_matches_single_device(small_problem):
         np.testing.assert_allclose(
             np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
         )
+
+
+def test_transform_before_fit_half_initialized(small_problem):
+    """Review fix: estimator with components_ but no w_ still errors cleanly."""
+    x, _, _ = small_problem
+    model = NMF(n_components=4)
+    model.components_ = np.ones((4, x.shape[1]), np.float32)
+    with pytest.raises(RuntimeError, match="before fit"):
+        model.transform(x)

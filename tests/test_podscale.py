@@ -30,10 +30,14 @@ def test_podscale_program_lowers():
     xs, ws, hs, _ = nmf_shardings(mesh)
     cfg = SolveConfig(max_iter=200, thresh=1e-5, check_every=25)
     fn = build_sharded_solver(cfg, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
     abstract = (
         jax.ShapeDtypeStruct((M, N), np.float32, sharding=xs),
         jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws),
         jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs),
+        jax.ShapeDtypeStruct((), np.float32, sharding=rep),
     )
     lowered = fn.lower(*abstract)  # raises if any sharding is inconsistent
     text = lowered.as_text()

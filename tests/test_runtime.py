@@ -268,3 +268,37 @@ def test_cli_validate_flag_rejects_bad_input(cli_fixtures):
     binio.write_matrix(x, bad)
     with pytest.raises(guards.GuardError):
         cli_main(["run", bad, p["W"], p["H"], "--max-iter", "1", "-q", "--validate"])
+
+
+def test_checkpointed_thresh_matches_plain_solve(tmp_path, small_problem):
+    """Review fix: convergence baseline carries across segment boundaries."""
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=100_000, thresh=1e-3, check_every=10)
+    plain = solve(x, w, h, cfg)
+    state = ckpt.solve_with_checkpoints(x, w, h, cfg, str(tmp_path / "c"), every=10)
+    assert state.converged
+    assert state.iteration == int(plain.iterations)
+    np.testing.assert_array_equal(state.w, np.asarray(plain.w))
+
+
+def test_checkpoint_config_mismatch_refused(tmp_path, small_problem):
+    """Review fix: resuming under a different objective is an error."""
+    x, w, h = small_problem
+    d = str(tmp_path / "c")
+    ckpt.solve_with_checkpoints(x, w, h, SolveConfig(max_iter=10, beta=1.0), d, every=10)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        ckpt.solve_with_checkpoints(
+            x, w, h, SolveConfig(max_iter=20, beta=2.0), d, every=10
+        )
+
+
+def test_metrics_jsonl_is_strict_json(tmp_path, small_problem):
+    """Review fix: JSONL must be RFC 8259 (no Infinity/NaN literals)."""
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=20, check_every=10))
+    jsonl = tmp_path / "m.jsonl"
+    MetricsLogger(verbose=False, jsonl_path=str(jsonl)).report(res, x.shape)
+    line = jsonl.read_text().strip()
+    assert "Infinity" not in line and "NaN" not in line
+    rec = json.loads(line)
+    assert rec["checks"][0]["rel_change"] is None  # first check: no baseline
