@@ -22,6 +22,7 @@ from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
 from .models.nmf import NMF, solve_h_only
 from .models.separation import separate
+from .models.masked import solve_masked
 from .parallel import make_mesh, solve_batched, solve_sharded
 from .utils.config import Precision, SolveConfig, reference_preset
 
@@ -45,6 +46,7 @@ __all__ = [
     "solve_h_only",
     "NMF",
     "separate",
+    "solve_masked",
     "solve_sharded",
     "solve_batched",
     "make_mesh",

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.divergence import beta_divergence, kl_divergence
-from ..ops.mu import mu_step, mu_step_beta
+from ..ops.mu import mu_step, mu_step_beta, mu_step_kl_reg
 from ..utils.config import SolveConfig
 
 __all__ = ["SolveResult", "solve", "solve_jit", "resolve_step_fn", "run_checked_loop"]
@@ -77,6 +77,12 @@ def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> Step
 
     if config.beta != 1.0:
         return functools.partial(mu_step_beta, beta=config.beta, eps=eps, precision=prec)
+    if config.regularized:
+        return functools.partial(
+            mu_step_kl_reg, eps=eps, precision=prec,
+            l1_w=config.l1_w, l1_h=config.l1_h,
+            l2_w=config.l2_w, l2_h=config.l2_h,
+        )
 
     backend = config.backend
     if backend in ("auto", "autotune"):
@@ -94,6 +100,18 @@ def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> Step
 def _cost_fn(config: SolveConfig, platform: Optional[str] = None) -> CostFn:
     if config.beta != 1.0:
         return functools.partial(beta_divergence, beta=config.beta, eps=config.eps)
+    if config.regularized:
+        def penalized(x, w, h):
+            wf, hf = w.astype(_F32), h.astype(_F32)
+            pen = (
+                config.l1_w * jnp.sum(jnp.abs(wf))
+                + config.l1_h * jnp.sum(jnp.abs(hf))
+                + 0.5 * config.l2_w * jnp.sum(wf * wf)
+                + 0.5 * config.l2_h * jnp.sum(hf * hf)
+            )
+            return kl_divergence(x, w, h, config.eps) + pen
+
+        return penalized
     backend = config.backend
     if backend in ("auto", "autotune"):
         plat = platform if platform is not None else jax.default_backend()
@@ -225,9 +243,11 @@ def solve(
         h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
     x = x.astype(xd)  # bf16 X storage halves the dominant HBM stream
     platform = _default_platform(x)
-    if platform == "tpu" and config.beta == 1.0 and config.backend in (
-        "auto",
-        "autotune",
+    if (
+        platform == "tpu"
+        and config.beta == 1.0
+        and not config.regularized
+        and config.backend in ("auto", "autotune")
     ):
         from ..utils import autotune
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from ..utils.config import Precision
 from .elementwise import EPS, eps_clamp
 
-__all__ = ["matmul", "update_h", "update_w", "mu_step", "mu_step_beta"]
+__all__ = ["matmul", "update_h", "update_w", "mu_step", "mu_step_beta", "mu_step_kl_reg"]
 
 _F32 = jnp.float32
 
@@ -188,4 +188,40 @@ def mu_step_beta(
     else:
         w_den = eps_clamp(matmul(den, h, precision, transpose_b=True), eps)
     w = (w * (w_num / w_den)).astype(w.dtype)
+    return w, h
+
+
+def mu_step_kl_reg(
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    x: jnp.ndarray,
+    eps: float = EPS,
+    precision: Precision = Precision(),
+    l1_w: float = 0.0,
+    l1_h: float = 0.0,
+    l2_w: float = 0.0,
+    l2_h: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KL MU iteration with L1/L2 factor penalties.
+
+    Standard penalized MU: the penalty gradients join the denominators,
+
+        H <- H * (W^T Z) / (colsum(W)[:,None] + l1_h + l2_h * H)
+        W <- W * (Z H^T) / (rowsum(H)[None,:] + l1_w + l2_w * W)
+
+    which keeps nonnegativity and monotone descent of
+    KL + l1*||.||_1 + (l2/2)*||.||_F^2.  Zero penalties reduce exactly to
+    :func:`mu_step`.
+    """
+    z = _recon_ratio(w, h, x, eps, precision)
+    sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps)
+    numer = matmul(w, z, precision, transpose_a=True)
+    denom = sum_w[:, None] + l1_h + l2_h * h.astype(_F32)
+    h = (h * (numer / denom)).astype(h.dtype)
+
+    z = _recon_ratio(w, h, x, eps, precision)
+    sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps)
+    numer = matmul(z, h, precision, transpose_b=True)
+    denom = sum_h[None, :] + l1_w + l2_w * w.astype(_F32)
+    w = (w * (numer / denom)).astype(w.dtype)
     return w, h

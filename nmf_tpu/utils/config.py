@@ -73,6 +73,13 @@ class SolveConfig:
     backend: str = "auto"                # "auto" | "jnp" | "pallas" | "autotune"
     track_cost: bool = True              # record cost history even if thresh==0
     beta: float = 1.0                    # divergence family; 1.0 == reference KL
+    # L1/L2 penalties on the factors (0 = reference behaviour).  The MU
+    # denominators gain the penalty gradients; the reported cost includes
+    # the penalty terms so thresholded convergence is on the full objective.
+    l1_w: float = 0.0
+    l1_h: float = 0.0
+    l2_w: float = 0.0
+    l2_h: float = 0.0
 
     def validate(self) -> None:
         if self.max_iter < 0:
@@ -83,7 +90,15 @@ class SolveConfig:
             raise ValueError("thresh must be >= 0")
         if self.backend not in ("auto", "jnp", "pallas", "autotune"):
             raise ValueError(f"unsupported backend {self.backend!r}")
+        if min(self.l1_w, self.l1_h, self.l2_w, self.l2_h) < 0:
+            raise ValueError("regularization strengths must be >= 0")
+        if self.regularized and self.beta != 1.0:
+            raise ValueError("regularization is implemented for the KL (beta=1) family")
         self.precision.validate()
+
+    @property
+    def regularized(self) -> bool:
+        return (self.l1_w + self.l1_h + self.l2_w + self.l2_h) > 0.0
 
     @property
     def num_checks(self) -> int:
