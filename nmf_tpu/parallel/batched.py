@@ -79,6 +79,20 @@ def solve_batched(
     x = x.astype(jnp.dtype(config.precision.x_dtype))
 
     platform = None
+    if config.backend in ("auto", "autotune") and config.beta == 1.0 and (
+        jax.default_backend() == "tpu"
+    ):
+        import dataclasses
+
+        from ..utils.autotune import rule_pick
+
+        config = dataclasses.replace(
+            config,
+            backend=rule_pick(
+                x.shape[1], w0.shape[2], x.shape[2],
+                config.precision.matmul_dtype,
+            ),
+        )
     if mesh is not None:
         axis = mesh.axis_names[0]
         if x.shape[0] % mesh.shape[axis]:
