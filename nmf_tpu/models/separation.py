@@ -6,24 +6,31 @@ vectors (columns of W) with activations (rows of H) -> per-component Wiener
 masking -> ISTFT back to audio sources.  The paper's workload is a 20 s clip
 at 44.1 kHz, 1024-point FFT, hop 256 -> X of 513 x ~3445 (paper section 3.4).
 
-Everything here is jnp (STFT/ISTFT included) so the whole pipeline runs on
-TPU; the NMF step uses this framework's solver.
+The NMF step runs on the accelerator via this framework's solver; the
+STFT/ISTFT and Wiener masking are host-side pre/post-processing in NumPy
+(they are a rounding error of the total compute, and complex-array device
+transfers are not supported on all TPU transports).  jnp ``stft``/``istft``
+equivalents are exported for fully on-device pipelines.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.mu import matmul
-from ..utils.config import Precision, SolveConfig
+from ..utils.config import SolveConfig
 from .init import scaled_random_init
 from .solver import SolveResult, solve
 
 __all__ = ["stft", "istft", "SeparationResult", "separate"]
+
+
+# ---------------------------------------------------------------------------
+# jnp STFT/ISTFT (on-device variants; used by tests and device pipelines)
+# ---------------------------------------------------------------------------
 
 
 def _hann(n: int) -> jnp.ndarray:
@@ -31,9 +38,7 @@ def _hann(n: int) -> jnp.ndarray:
     return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / n)
 
 
-def stft(
-    audio: jnp.ndarray, n_fft: int = 1024, hop: int = 256
-) -> jnp.ndarray:
+def stft(audio: jnp.ndarray, n_fft: int = 1024, hop: int = 256) -> jnp.ndarray:
     """Complex STFT: frames of ``n_fft`` samples every ``hop``; Hann window.
 
     Returns (n_fft//2 + 1, n_frames) — paper dims: 513 x frames for 1024/256.
@@ -59,18 +64,75 @@ def istft(
     frames = frames * win[None, :]
     n_frames = frames.shape[0]
     total = n_fft + hop * (n_frames - 1)
-    # overlap-add via scatter-add
     out = jnp.zeros((total,), jnp.float32)
     norm = jnp.zeros((total,), jnp.float32)
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     out = out.at[idx.reshape(-1)].add(frames.reshape(-1))
-    norm = norm.at[idx.reshape(-1)].add((win * win)[None, :].repeat(n_frames, 0).reshape(-1))
+    norm = norm.at[idx.reshape(-1)].add(
+        (win * win)[None, :].repeat(n_frames, 0).reshape(-1)
+    )
     out = out / jnp.maximum(norm, 1e-8)
-    pad = n_fft // 2
-    out = out[pad:]
+    out = out[n_fft // 2 :]
     if length is not None:
         out = out[:length]
     return out
+
+
+# ---------------------------------------------------------------------------
+# NumPy STFT/ISTFT (host-side pre/post-processing used by separate())
+# ---------------------------------------------------------------------------
+
+
+def _stft_np(audio: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Host-side STFT, numerically equivalent to :func:`stft`."""
+    pad = n_fft // 2
+    x = np.pad(audio.astype(np.float32), (pad, pad))
+    n_frames = 1 + (x.shape[0] - n_fft) // hop
+    win = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)).astype(
+        np.float32
+    )
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[idx] * win[None, :]
+    return np.fft.rfft(frames, axis=1).astype(np.complex64).T  # (bins, frames)
+
+
+def _istft_np(
+    spec: np.ndarray, n_fft: int, hop: int, length: Optional[int] = None
+) -> np.ndarray:
+    """Host-side ISTFT (windowed overlap-add), equivalent to :func:`istft`."""
+    frames = np.fft.irfft(spec.T, n=n_fft, axis=1).astype(np.float32)
+    win = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)).astype(
+        np.float32
+    )
+    frames *= win[None, :]
+    n_frames = frames.shape[0]
+    total = n_fft + hop * (n_frames - 1)
+    out = np.zeros((total,), np.float32)
+    norm = np.zeros((total,), np.float32)
+    w2 = win * win
+    for f in range(n_frames):  # frames count is small; host loop is fine
+        out[f * hop : f * hop + n_fft] += frames[f]
+        norm[f * hop : f * hop + n_fft] += w2
+    out /= np.maximum(norm, 1e-8)
+    out = out[n_fft // 2 :]
+    return out[:length] if length is not None else out
+
+
+def _masked_sources(
+    w: np.ndarray, h: np.ndarray, spec: np.ndarray, n_fft: int, hop: int, length: int
+) -> np.ndarray:
+    """All K Wiener-masked sources (host-side post-processing, float64 masks)."""
+    w = np.asarray(w, np.float64)
+    h = np.asarray(h, np.float64)
+    recon = np.maximum(w @ h, 1e-12)                      # (bins, frames)
+    comps = np.einsum("mk,kn->kmn", w, h)                 # (K, bins, frames)
+    masked = spec[None, :, :] * (comps / recon[None, :, :])
+    return np.stack(
+        [
+            _istft_np(masked[i].astype(np.complex64), n_fft, hop, length)
+            for i in range(masked.shape[0])
+        ]
+    )
 
 
 @dataclasses.dataclass
@@ -96,29 +158,22 @@ def separate(
     magnitude STFT -> KL-NMF -> per-component Wiener mask
     ``(w_k h_k) / (W H)`` applied to the complex STFT -> ISTFT.
     """
-    audio = jnp.asarray(audio, jnp.float32)
+    audio = np.asarray(audio, np.float32)
     if audio.ndim != 1:
         raise ValueError("separate() expects mono audio (1-D)")
     config = config or SolveConfig(max_iter=200, thresh=1e-5, check_every=25)
 
-    spec = stft(audio, n_fft, hop)            # complex (bins, frames)
-    mag = jnp.abs(spec)
-    w0, h0 = scaled_random_init(np.asarray(mag), n_components, seed=seed)
-    res = solve(mag, w0, h0, config)
+    spec = _stft_np(audio, n_fft, hop)        # complex (bins, frames), host
+    mag = np.abs(spec).astype(np.float32)
+    w0, h0 = scaled_random_init(mag, n_components, seed=seed)
+    res = solve(mag, w0, h0, config)          # the accelerator does the NMF
 
-    w = jnp.asarray(res.w)
-    h = jnp.asarray(res.h)
-    prec = Precision()  # true-f32 GEMMs for the masks (CLAUDE.md convention)
-    recon = jnp.maximum(matmul(w, h, prec), 1e-12)    # (bins, frames)
-    sources = []
-    for k_i in range(n_components):
-        comp = matmul(w[:, k_i : k_i + 1], h[k_i : k_i + 1, :], prec)
-        sources.append(
-            istft(spec * (comp / recon), n_fft, hop, length=audio.shape[0])
-        )
+    sources = _masked_sources(
+        np.asarray(res.w), np.asarray(res.h), spec, n_fft, hop, int(audio.shape[0])
+    )
     return SeparationResult(
-        sources=np.stack([np.asarray(s) for s in sources]),
-        w=np.asarray(w),
-        h=np.asarray(h),
+        sources=sources,
+        w=np.asarray(res.w),
+        h=np.asarray(res.h),
         solve_result=res,
     )

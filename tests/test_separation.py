@@ -90,3 +90,17 @@ def test_cli_separate(tmp_path, two_tone_audio):
     assert files == ["source_000.wav", "source_001.wav"]
     sr2, s0 = wavfile.read(os.path.join(out, files[0]))
     assert sr2 == sr and s0.shape[0] == audio.shape[0]
+
+
+def test_np_and_jnp_stft_agree():
+    """The host-side STFT/ISTFT must match the on-device jnp versions."""
+    from nmf_tpu.models.separation import _istft_np, _stft_np
+
+    rng = np.random.RandomState(4)
+    audio = rng.randn(8192).astype(np.float32)
+    s_np = _stft_np(audio, 512, 128)
+    s_j = np.asarray(stft(jnp.asarray(audio), 512, 128))
+    np.testing.assert_allclose(s_np, s_j, rtol=1e-4, atol=1e-4)
+    a_np = _istft_np(s_np, 512, 128, length=audio.shape[0])
+    a_j = np.asarray(istft(jnp.asarray(s_j), 512, 128, length=audio.shape[0]))
+    np.testing.assert_allclose(a_np, a_j, rtol=1e-3, atol=1e-4)
