@@ -38,6 +38,13 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         "--check-every", type=int, default=25, help="ITER_CHECK (nmf.cu:9)"
     )
     p.add_argument("--beta", type=float, default=1.0, help="beta-divergence (1=KL)")
+    p.add_argument(
+        "--algorithm",
+        choices=["mu", "hals"],
+        default="mu",
+        help="mu = multiplicative updates (reference); hals = Frobenius "
+        "coordinate descent (requires --beta 2)",
+    )
     p.add_argument("--l1-w", type=float, default=0.0, help="L1 penalty on W")
     p.add_argument("--l1-h", type=float, default=0.0, help="L1 penalty on H")
     p.add_argument("--l2-w", type=float, default=0.0, help="L2 penalty on W")
@@ -86,6 +93,7 @@ def _config_from(args) -> SolveConfig:
         backend=args.backend,
         track_cost=not args.no_cost,
         beta=args.beta,
+        algorithm=args.algorithm,
         l1_w=args.l1_w,
         l1_h=args.l1_h,
         l2_w=args.l2_w,

@@ -18,12 +18,10 @@ XLA fuses the mask multiplies into the dots).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.divergence import kl_divergence_from_recon
 from ..ops.elementwise import EPS, eps_clamp
 from ..ops.mu import matmul
 from ..utils.config import Precision, SolveConfig

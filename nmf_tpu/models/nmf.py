@@ -15,7 +15,6 @@ swap it in; the compute runs through this framework's jitted solvers.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional
 
@@ -38,7 +37,14 @@ _F32 = jnp.float32
 def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
     """Jitted H-only solve: W fixed, H iterates (transform/inference path)."""
     eps, prec = config.eps, config.precision
-    if config.beta == 1.0:
+    if config.algorithm == "hals":
+        from ..ops.hals import _update_h_hals
+
+        def step(w, h, x):
+            return w, _update_h_hals(w, h, x, eps, prec)
+
+        cost = functools.partial(beta_divergence, beta=2.0, eps=eps)
+    elif config.beta == 1.0:
         backend = config.backend
         if backend in ("auto", "autotune"):
             import jax as _jax
@@ -107,7 +113,9 @@ class NMF:
     'nndsvda' | 'nndsvdar'), ``beta_loss`` (2=Frobenius, 1=KL — the reference
     algorithm — 0=Itakura-Saito, or any float), ``max_iter``, ``tol``
     (relative cost-change threshold; 0 = exactly max_iter iterations),
-    ``random_state`` (seed).
+    ``random_state`` (seed), ``solver`` ('mu' = multiplicative updates, the
+    reference algorithm; 'cd'/'hals' = HALS coordinate descent, Frobenius
+    only — sklearn's default).
 
     Extra knobs: ``precision`` (fp32 / bf16 MXU policy), ``backend``,
     ``check_every``.
@@ -130,6 +138,7 @@ class NMF:
         random_state: int = 0,
         precision: Precision = Precision(),
         backend: str = "auto",
+        solver: str = "mu",
     ):
         self.n_components = int(n_components)
         self.init = init
@@ -140,6 +149,7 @@ class NMF:
         self.random_state = int(random_state)
         self.precision = precision
         self.backend = backend
+        self.solver = {"cd": "hals"}.get(solver, solver)  # sklearn alias
         self.components_: Optional[np.ndarray] = None
         self.w_: Optional[np.ndarray] = None
         self.reconstruction_err_: Optional[float] = None
@@ -153,6 +163,7 @@ class NMF:
             precision=self.precision,
             backend=self.backend,
             beta=self.beta_loss,
+            algorithm=self.solver,
         )
 
     def _init_factors(self, x: np.ndarray):

@@ -23,7 +23,6 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.divergence import beta_divergence, kl_divergence
 from ..ops.mu import mu_step, mu_step_beta, mu_step_kl_reg
@@ -75,6 +74,10 @@ def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> Step
     config.validate()
     eps, prec = config.eps, config.precision
 
+    if config.algorithm == "hals":
+        from ..ops.hals import hals_step
+
+        return functools.partial(hals_step, eps=eps, precision=prec)
     if config.beta != 1.0:
         return functools.partial(mu_step_beta, beta=config.beta, eps=eps, precision=prec)
     if config.regularized:

@@ -1,0 +1,72 @@
+"""HALS (Hierarchical Alternating Least Squares) for Frobenius NMF.
+
+A second solver family beyond the reference's multiplicative updates:
+coordinate descent over rank-1 factors (Cichocki & Phan 2009), the same
+algorithm class as scikit-learn's default ``solver='cd'``.  Per outer
+iteration it costs the same 4-GEMM order as MU (the K x K Gram matrices plus
+K sequential row/column refinements) but typically needs several times fewer
+iterations to reach a given Frobenius cost, and unlike MU it can introduce
+exact zeros (and escape them).
+
+TPU mapping: the Gram/cross products W^T W, W^T X, H H^T, X H^T hit the MXU;
+the K sequential rank-1 refinements are a ``lax.fori_loop`` of VPU
+row/column updates (K is small, so this tail is cheap).  Only beta=2
+(Frobenius) — for KL, MU is the standard and remains the default.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import Precision
+from .mu import matmul
+
+__all__ = ["hals_step"]
+
+_F32 = jnp.float32
+
+
+def _update_h_hals(w, h, x, eps: float, precision: Precision) -> jnp.ndarray:
+    wtx = matmul(w, x, precision, transpose_a=True)     # (K, N)
+    wtw = matmul(w, w, precision, transpose_a=True)     # (K, K)
+    k_rank = h.shape[0]
+
+    def body(k, h):
+        # residual gradient row against the CURRENT h (already-updated rows
+        # of this sweep included — that's what makes it coordinate descent)
+        grad = wtx[k] - wtw[k] @ h                       # (N,)
+        denom = jnp.maximum(wtw[k, k], eps)
+        row = jnp.maximum(h[k] + grad / denom, 0.0)
+        return h.at[k].set(row)
+
+    return jax.lax.fori_loop(0, k_rank, body, h.astype(_F32)).astype(h.dtype)
+
+
+def _update_w_hals(w, h, x, eps: float, precision: Precision) -> jnp.ndarray:
+    xht = matmul(x, h, precision, transpose_b=True)     # (M, K)
+    hht = matmul(h, h, precision, transpose_b=True)     # (K, K)
+    k_rank = w.shape[1]
+
+    def body(k, w):
+        grad = xht[:, k] - w @ hht[:, k]                 # (M,)
+        denom = jnp.maximum(hht[k, k], eps)
+        col = jnp.maximum(w[:, k] + grad / denom, 0.0)
+        return w.at[:, k].set(col)
+
+    return jax.lax.fori_loop(0, k_rank, body, w.astype(_F32)).astype(w.dtype)
+
+
+def hals_step(
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    x: jnp.ndarray,
+    eps: float,
+    precision: Precision = Precision(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One HALS outer iteration: sweep H's rows, then W's columns."""
+    h = _update_h_hals(w, h, x, eps, precision)
+    w = _update_w_hals(w, h, x, eps, precision)
+    return w, h

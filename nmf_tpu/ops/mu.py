@@ -32,7 +32,6 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -27,7 +27,7 @@ import dataclasses
 import json
 import os
 import tempfile
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ the compatibility preset (:func:`reference_preset`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import numpy as np
 
@@ -73,6 +72,7 @@ class SolveConfig:
     backend: str = "auto"                # "auto" | "jnp" | "pallas" | "autotune"
     track_cost: bool = True              # record cost history even if thresh==0
     beta: float = 1.0                    # divergence family; 1.0 == reference KL
+    algorithm: str = "mu"                # "mu" (reference) | "hals" (beta=2 only)
     # L1/L2 penalties on the factors (0 = reference behaviour).  The MU
     # denominators gain the penalty gradients; the reported cost includes
     # the penalty terms so thresholded convergence is on the full objective.
@@ -90,6 +90,12 @@ class SolveConfig:
             raise ValueError("thresh must be >= 0")
         if self.backend not in ("auto", "jnp", "pallas", "autotune"):
             raise ValueError(f"unsupported backend {self.backend!r}")
+        if self.algorithm not in ("mu", "hals"):
+            raise ValueError(f"unsupported algorithm {self.algorithm!r}")
+        if self.algorithm == "hals" and self.beta != 2.0:
+            raise ValueError("HALS minimizes the Frobenius cost: use beta=2.0")
+        if self.algorithm == "hals" and self.regularized:
+            raise ValueError("regularization is implemented for the MU algorithm")
         if min(self.l1_w, self.l1_h, self.l2_w, self.l2_h) < 0:
             raise ValueError("regularization strengths must be >= 0")
         if self.regularized and self.beta != 1.0:

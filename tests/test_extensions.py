@@ -109,3 +109,52 @@ def test_reg_validation():
         SolveConfig(l1_w=-1.0).validate()
     with pytest.raises(ValueError):
         SolveConfig(l1_w=0.1, beta=2.0).validate()
+
+
+# ---------------------------------------------------------------------------
+# HALS (Frobenius coordinate descent)
+# ---------------------------------------------------------------------------
+
+
+def test_hals_monotone_and_beats_mu_per_iteration(small_problem):
+    from nmf_tpu.ops.divergence import euclidean_cost
+
+    x, w, h = small_problem
+    cfg_h = SolveConfig(max_iter=50, check_every=10, beta=2.0, algorithm="hals")
+    cfg_m = SolveConfig(max_iter=50, check_every=10, beta=2.0)
+    hals = solve(x, w, h, cfg_h)
+    mu = solve(x, w, h, cfg_m)
+    hist = np.asarray(hals.cost_history)[: int(hals.num_checks)]
+    assert np.all(np.diff(hist) <= np.abs(hist[:-1]) * 1e-6)
+    # HALS converges faster per iteration on the Frobenius objective
+    assert float(hals.cost) <= float(mu.cost)
+    # factors stay non-negative (HALS projects onto the constraint)
+    assert float(jnp.min(hals.w)) >= 0.0 and float(jnp.min(hals.h)) >= 0.0
+
+
+def test_hals_matches_sklearn_quality(small_problem):
+    """Reach at least sklearn's coordinate-descent quality from the same init."""
+    sklearn = pytest.importorskip("sklearn.decomposition")
+    from nmf_tpu.ops.divergence import euclidean_cost
+
+    x, w, h = small_problem
+    x = clamp(x)
+    cfg = SolveConfig(max_iter=200, check_every=200, beta=2.0, algorithm="hals")
+    ours = solve(x, w, h, cfg)
+    sk = sklearn.NMF(
+        n_components=w.shape[1], init="custom", solver="cd", max_iter=200, tol=0.0,
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w_sk = sk.fit_transform(x, W=w.copy(), H=h.copy())
+    sk_cost = 0.5 * np.linalg.norm(x - w_sk @ sk.components_) ** 2
+    assert float(ours.cost) <= sk_cost * 1.05
+
+
+def test_hals_config_validation():
+    with pytest.raises(ValueError, match="Frobenius"):
+        SolveConfig(algorithm="hals", beta=1.0).validate()
+    with pytest.raises(ValueError, match="unsupported algorithm"):
+        SolveConfig(algorithm="als").validate()

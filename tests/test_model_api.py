@@ -102,3 +102,20 @@ def test_transform_before_fit_half_initialized(small_problem):
     model.components_ = np.ones((4, x.shape[1]), np.float32)
     with pytest.raises(RuntimeError, match="before fit"):
         model.transform(x)
+
+
+def test_nmf_cd_solver_alias(small_problem):
+    x, _, _ = small_problem
+    model = NMF(n_components=6, beta_loss=2.0, solver="cd", max_iter=30)
+    model.fit(x)
+    assert model.n_iter_ == 30
+    assert np.isfinite(model.reconstruction_err_)
+
+
+def test_transform_with_hals(small_problem):
+    x, _, _ = small_problem
+    model = NMF(n_components=6, beta_loss=2.0, solver="hals", max_iter=30)
+    model.fit(x)
+    h_new = model.transform(x[:, :20], max_iter=50)
+    assert h_new.shape == (6, 20)
+    assert h_new.min() >= 0
