@@ -147,3 +147,30 @@ def test_bf16_x_storage_close_to_f32(small_problem):
     assert int(res.iterations) == 50
     assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.02
     np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=0.1, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [
+        (1, 1, 1),        # degenerate scalar
+        (1, 1, 64),       # single row
+        (64, 1, 1),       # single column
+        (2000, 2, 3),     # tall and skinny
+        (3, 2, 2000),     # short and wide
+        (17, 16, 19),     # nothing aligned
+    ],
+)
+def test_edge_shapes(m, k, n):
+    """Shapes the reference would reject or corrupt (row_divide M<=1024 limit,
+    padded reductions) must just work here."""
+    rng = np.random.RandomState(m * 7 + n)
+    x = rng.rand(m, n).astype(np.float32)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    res = solve(x, w, h, SolveConfig(max_iter=10, check_every=5))
+    assert int(res.iterations) == 10
+    assert np.all(np.isfinite(np.asarray(res.w)))
+    assert np.all(np.isfinite(np.asarray(res.h)))
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    # absolute term: perfect fits sit at cost ~0 with f32 rounding noise
+    assert np.all(np.diff(hist) <= np.abs(hist[:-1]) * 1e-5 + 1e-6)
