@@ -3,10 +3,10 @@
 Whether the fused Pallas step or the XLA-fused jnp step is faster depends on
 the problem shape.  Measured on TPU v5e (bf16):
 
-    512x3445  k=30   pallas +30%     (small-k, HBM-bound: fusion wins)
+    512x3445  k=30   pallas +25-30%  (small-k, HBM-bound: fusion wins)
     1025x4000 k=32   tie within noise
-    4096x350  k=128  jnp    +25%     (mid-k, small-n: XLA schedules better)
-    10240^2   k=256  pallas +5% bf16, +26% f32 (compute-bound)
+    4096x350  k=128  jnp    +25-40%  (mid-k, small-n: XLA schedules better)
+    10240^2   k=256  no stable winner (both fluctuate +-20% across sessions)
 
 ``backend="auto"`` applies :func:`rule_pick`, derived from those numbers —
 measurement-free, so no extra compiles.  ``backend="autotune"`` measures both
@@ -73,11 +73,13 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
 
     if not fused_mu.supported(k):
         return "jnp"
-    if k <= 64:
+    if k <= 64 and matmul_dtype == "bfloat16":
         return "pallas"          # small-rank, bandwidth-bound: fusion wins
-    if m * n >= (1 << 26) and matmul_dtype == "bfloat16":
-        return "pallas"          # large compute-bound problems (bf16 MXU)
-    return "jnp"                 # mid-rank or fp32 at scale: XLA wins
+    # everywhere else XLA wins or ties within measurement noise (flagship
+    # bf16 fluctuates +-20% between sessions with no stable winner); prefer
+    # the jnp path for stability and use backend='pallas'/'autotune' to
+    # override per deployment
+    return "jnp"
 
 
 def pick_backend(config, m: int, k: int, n: int) -> str:
