@@ -82,8 +82,12 @@ def solve_masked(
     load-time clamp, which requires finite input).
     """
     config.validate()
-    if config.beta != 1.0:
-        raise NotImplementedError("masked solve implements the KL (beta=1) family")
+    if config.beta != 1.0 or config.algorithm != "mu":
+        raise NotImplementedError("masked solve implements the KL (beta=1) MU family")
+    if config.regularized:
+        raise NotImplementedError(
+            "masked solve does not support L1/L2 penalties yet"
+        )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
     w0 = jnp.maximum(jnp.asarray(w0, sd), config.eps)

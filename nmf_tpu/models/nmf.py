@@ -44,14 +44,24 @@ def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
             return w, _update_h_hals(w, h, x, eps, prec)
 
         cost = functools.partial(beta_divergence, beta=2.0, eps=eps)
-    elif config.beta == 1.0:
-        backend = config.backend
-        if backend in ("auto", "autotune"):
-            import jax as _jax
+    elif config.beta == 1.0 and config.regularized:
+        from ..ops.mu import matmul as _mm
 
-            plat = platform if platform is not None else _jax.default_backend()
-            backend = "pallas" if plat == "tpu" else "jnp"
-        if backend == "pallas":
+        def step(w, h, x):
+            # the H half of mu_step_kl_reg: penalty gradient in the denominator
+            z = x / jnp.maximum(_mm(w, h, prec), eps)
+            sum_w = jnp.maximum(jnp.sum(w, axis=0, dtype=_F32), eps)
+            numer = _mm(w, z, prec, transpose_a=True)
+            denom = sum_w[:, None] + config.l1_h + config.l2_h * h.astype(_F32)
+            return w, (h * (numer / denom)).astype(h.dtype)
+
+        def cost(x, w, h):
+            hf = h.astype(_F32)
+            pen = config.l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * config.l2_h * jnp.sum(hf * hf)
+            return kl_divergence(x, w, h, eps) + pen
+
+    elif config.beta == 1.0:
+        if config.backend == "pallas":
             from ..ops.pallas import fused_mu
 
             def step(w, h, x):
@@ -96,12 +106,26 @@ def solve_h_only(x, w, h0, config: SolveConfig = SolveConfig()) -> SolveResult:
     if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
         raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
     x = x.astype(jnp.dtype(config.precision.x_dtype))
+    import dataclasses as _dc
+
     import jax as _jax
 
     try:
         platform = list(x.devices())[0].platform
     except AttributeError:
         platform = _jax.default_backend()
+    if config.beta == 1.0 and config.backend in ("auto", "autotune"):
+        # same measured per-shape policy as solve() (utils/autotune.py)
+        if platform == "tpu" and not config.regularized:
+            from ..utils.autotune import rule_pick
+
+            choice = rule_pick(
+                w.shape[0], w.shape[1], h0.shape[1],
+                config.precision.matmul_dtype,
+            )
+        else:
+            choice = "jnp"
+        config = _dc.replace(config, backend=choice)
     return _h_only_jit(config, platform)(x, w, h0)
 
 

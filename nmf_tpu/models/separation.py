@@ -121,18 +121,20 @@ def _istft_np(
 def _masked_sources(
     w: np.ndarray, h: np.ndarray, spec: np.ndarray, n_fft: int, hop: int, length: int
 ) -> np.ndarray:
-    """All K Wiener-masked sources (host-side post-processing, float64 masks)."""
-    w = np.asarray(w, np.float64)
-    h = np.asarray(h, np.float64)
+    """All K Wiener-masked sources (host-side post-processing).
+
+    One (bins, frames) mask at a time: materialising all K masked complex
+    spectrograms at once would cost K x the clip's spectrogram in RAM.
+    """
+    w = np.asarray(w, np.float32)
+    h = np.asarray(h, np.float32)
     recon = np.maximum(w @ h, 1e-12)                      # (bins, frames)
-    comps = np.einsum("mk,kn->kmn", w, h)                 # (K, bins, frames)
-    masked = spec[None, :, :] * (comps / recon[None, :, :])
-    return np.stack(
-        [
-            _istft_np(masked[i].astype(np.complex64), n_fft, hop, length)
-            for i in range(masked.shape[0])
-        ]
-    )
+    out = []
+    for k_i in range(w.shape[1]):
+        comp = w[:, k_i : k_i + 1] @ h[k_i : k_i + 1, :]
+        masked = (spec * (comp / recon)).astype(np.complex64)
+        out.append(_istft_np(masked, n_fft, hop, length))
+    return np.stack(out)
 
 
 @dataclasses.dataclass

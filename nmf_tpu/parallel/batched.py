@@ -84,15 +84,16 @@ def solve_batched(
     ):
         import dataclasses
 
-        from ..utils.autotune import rule_pick
+        from ..utils import autotune
 
-        config = dataclasses.replace(
-            config,
-            backend=rule_pick(
-                x.shape[1], w0.shape[2], x.shape[2],
-                config.precision.matmul_dtype,
-            ),
-        )
+        m_p, k_p, n_p = x.shape[1], w0.shape[2], x.shape[2]
+        if config.backend == "autotune":
+            choice = autotune.pick_backend(config, m_p, k_p, n_p)
+        else:
+            choice = autotune.rule_pick(
+                m_p, k_p, n_p, config.precision.matmul_dtype
+            )
+        config = dataclasses.replace(config, backend=choice)
     if mesh is not None:
         axis = mesh.axis_names[0]
         if x.shape[0] % mesh.shape[axis]:

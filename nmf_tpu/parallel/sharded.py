@@ -41,10 +41,18 @@ __all__ = [
 _F32 = jnp.float32
 
 
-def _use_fused(config: SolveConfig) -> bool:
+def _use_fused(config: SolveConfig, local_m: int, k: int, local_n: int) -> bool:
+    """Same per-shape policy as solve(), applied to the per-device shapes."""
     if config.backend == "pallas":
         return True
-    return config.backend in ("auto", "autotune") and jax.default_backend() == "tpu"
+    if config.backend == "jnp" or jax.default_backend() != "tpu":
+        return False
+    from ..utils.autotune import rule_pick
+
+    return (
+        rule_pick(local_m, k, local_n, config.precision.matmul_dtype)
+        == "pallas"
+    )
 
 
 def update_h_sharded(
@@ -169,7 +177,6 @@ def solve_sharded(
     config.validate()
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
-    fused = _use_fused(config)
 
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.asarray(x, _F32)
@@ -184,6 +191,12 @@ def solve_sharded(
         w0 = jnp.maximum(w0, jnp.asarray(eps, sd))
         h0 = jnp.maximum(h0, jnp.asarray(eps, sd))
     x = x.astype(jnp.dtype(config.precision.x_dtype))
+    fused = _use_fused(
+        config,
+        x.shape[0] // mesh.shape[ROW_AXIS],
+        w0.shape[1],
+        x.shape[1] // mesh.shape[COL_AXIS],
+    )
     x, w0, h0 = shard_problem(x, w0, h0, mesh)
 
     fn = build_sharded_solver(config, mesh, fused=fused)

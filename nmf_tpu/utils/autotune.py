@@ -87,7 +87,7 @@ def pick_backend(config, m: int, k: int, n: int) -> str:
     from ..ops.pallas import fused_mu
 
     if not fused_mu.supported(k) or m * n < MIN_AUTOTUNE_ELEMENTS:
-        return rule_pick(m, k, n)
+        return rule_pick(m, k, n, config.precision.matmul_dtype)
     key = (config.precision.matmul_dtype, m, k, n)
     if key in _cache:
         return _cache[key]

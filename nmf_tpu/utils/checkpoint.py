@@ -57,11 +57,17 @@ class CheckpointState:
 
 
 def _config_fingerprint(config: SolveConfig) -> dict:
+    """Every field that changes the optimisation objective or its trajectory."""
     return {
         "eps": config.eps,
         "beta": config.beta,
+        "algorithm": config.algorithm,
         "matmul_dtype": config.precision.matmul_dtype,
         "check_every": config.check_every,
+        "l1_w": config.l1_w,
+        "l1_h": config.l1_h,
+        "l2_w": config.l2_w,
+        "l2_h": config.l2_h,
     }
 
 
