@@ -126,15 +126,30 @@ def main(argv=None) -> int:
         "--x-dtype", choices=["float32", "bfloat16"], default="float32",
         help="storage dtype of X",
     )
-    ap.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    ap.add_argument(
+        "--backend",
+        choices=["best", "auto", "jnp", "pallas"],
+        default="best",
+        help="'best' measures both implementations and reports the faster",
+    )
     args = ap.parse_args(argv)
 
     import jax
 
     m, k, n, short, long = WORKLOADS[args.workload]
-    stats = run_single(
-        m, k, n, short, long, args.dtype, args.backend, args.x_dtype
-    )
+    if args.backend == "best":
+        candidates = {
+            be: run_single(m, k, n, short, long, args.dtype, be, args.x_dtype)
+            for be in ("pallas", "jnp")
+        }
+        backend_used, stats = min(
+            candidates.items(), key=lambda kv: kv[1]["ms_per_iter"]
+        )
+    else:
+        backend_used = args.backend
+        stats = run_single(
+            m, k, n, short, long, args.dtype, args.backend, args.x_dtype
+        )
 
     if args.workload == "paper":
         baseline_ips = REFERENCE_PAPER_IPS
@@ -154,7 +169,7 @@ def main(argv=None) -> int:
         "baseline_iters_per_sec": round(baseline_ips, 4),
         "baseline_kind": baseline_kind,
         "device": str(jax.devices()[0]),
-        "backend": args.backend,
+        "backend": backend_used,
     }
     print(json.dumps(record))
     return 0
