@@ -218,6 +218,40 @@ def cmd_separate(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Factorize every .bin matrix in a directory as one batched solve."""
+    import os
+
+    from .io.dataset import BinDataset
+    from .parallel.batched import solve_batched
+
+    ds = BinDataset(args.directory)
+    xs = ds.load_batch()
+    b, m, n = xs.shape
+    rng = np.random.RandomState(args.seed)
+    ws = rng.rand(b, m, args.rank).astype(np.float32)
+    hs = rng.rand(b, args.rank, n).astype(np.float32)
+
+    config = _config_from(args)
+    logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
+    with logger.timed() as t:
+        res = solve_batched(xs, ws, hs, config)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, path in enumerate(ds.paths):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        binio.write_matrix(np.asarray(res.w[i]), os.path.join(args.out_dir, f"{stem}.W.bin"))
+        binio.write_matrix(np.asarray(res.h[i]), os.path.join(args.out_dir, f"{stem}.H.bin"))
+    if not args.quiet:
+        costs = np.asarray(res.cost)
+        print(
+            f"[nmf] batch of {b} ({m}x{n}, rank {args.rank}): "
+            f"{t.seconds:.2f}s, median cost {np.median(costs):.4e}, "
+            f"outputs in {args.out_dir}",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def cmd_gen(args) -> int:
     paths = fixtures.write_reference_fixtures(args.directory)
     for name, path in paths.items():
@@ -273,6 +307,16 @@ def build_parser() -> argparse.ArgumentParser:
     sep.add_argument("--seed", type=int, default=0)
     _add_solver_flags(sep)
     sep.set_defaults(fn=cmd_separate, thresh=1e-5)
+
+    batch = sub.add_parser(
+        "batch", help="factorize a directory of .bin matrices in one batched solve"
+    )
+    batch.add_argument("directory", help="directory of same-shaped .bin files")
+    batch.add_argument("--rank", "-k", type=int, required=True)
+    batch.add_argument("--out-dir", default="batch_out")
+    batch.add_argument("--seed", type=int, default=0)
+    _add_solver_flags(batch)
+    batch.set_defaults(fn=cmd_batch)
 
     gen = sub.add_parser("gen", help="write the seed-0 reference fixtures")
     gen.add_argument("directory")

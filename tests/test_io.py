@@ -83,3 +83,54 @@ def test_truncated_file_raises(tmp_path):
     p.write_bytes(struct.pack("<II", 4, 4) + b"\x00" * 8)  # too short
     with pytest.raises(ValueError):
         binio.read_matrix(p)
+
+
+# ---------------------------------------------------------------------------
+# BinDataset (parallel batch loading)
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_load_batch(tmp_path, rng):
+    from nmf_tpu.io.dataset import BinDataset
+
+    mats = [rng.rand(33, 45).astype(np.float32) for _ in range(7)]
+    for i, m in enumerate(mats):
+        binio.write_matrix(m, tmp_path / f"spec_{i:03d}.bin")
+    ds = BinDataset(tmp_path)
+    assert len(ds) == 7 and ds.shape == (33, 45)
+    batch = ds.load_batch()
+    assert batch.shape == (7, 33, 45)
+    for i, m in enumerate(mats):
+        np.testing.assert_array_equal(batch[i], m)
+    sub = ds.load_batch([5, 1])
+    np.testing.assert_array_equal(sub[0], mats[5])
+    np.testing.assert_array_equal(sub[1], mats[1])
+
+
+def test_dataset_iter_batches(tmp_path, rng):
+    from nmf_tpu.io.dataset import BinDataset
+
+    for i in range(5):
+        binio.write_matrix(rng.rand(8, 8).astype(np.float32), tmp_path / f"{i}.bin")
+    ds = BinDataset(tmp_path)
+    sizes = [b.shape[0] for b in ds.iter_batches(2)]
+    assert sizes == [2, 2, 1]
+    sizes = [b.shape[0] for b in ds.iter_batches(2, drop_remainder=True)]
+    assert sizes == [2, 2]
+
+
+def test_dataset_shape_mismatch(tmp_path, rng):
+    from nmf_tpu.io.dataset import BinDataset
+
+    binio.write_matrix(rng.rand(8, 8).astype(np.float32), tmp_path / "a.bin")
+    binio.write_matrix(rng.rand(9, 8).astype(np.float32), tmp_path / "b.bin")
+    ds = BinDataset(tmp_path)
+    with pytest.raises(ValueError, match="shape"):
+        ds.load_batch()
+
+
+def test_dataset_empty_dir(tmp_path):
+    from nmf_tpu.io.dataset import BinDataset
+
+    with pytest.raises(ValueError, match="no .bin files"):
+        BinDataset(tmp_path)

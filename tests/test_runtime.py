@@ -302,3 +302,23 @@ def test_metrics_jsonl_is_strict_json(tmp_path, small_problem):
     assert "Infinity" not in line and "NaN" not in line
     rec = json.loads(line)
     assert rec["checks"][0]["rel_change"] is None  # first check: no baseline
+
+
+def test_cli_batch_directory(tmp_path, rng):
+    d = tmp_path / "specs"
+    d.mkdir()
+    for i in range(3):
+        binio.write_matrix(rng.rand(40, 50).astype(np.float32), d / f"s{i}.bin")
+    out = str(tmp_path / "out")
+    rc = cli_main(
+        ["batch", str(d), "--rank", "4", "--out-dir", out, "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    w0 = binio.read_matrix(os.path.join(out, "s0.W.bin"))
+    h0 = binio.read_matrix(os.path.join(out, "s0.H.bin"))
+    assert w0.shape == (40, 4) and h0.shape == (4, 50)
+    assert np.all(np.isfinite(w0)) and w0.min() >= 0
+    # factorization is meaningful: reconstruction correlates with the input
+    x0 = binio.read_matrix(str(d / "s0.bin"))
+    corr = np.corrcoef((w0 @ h0).ravel(), x0.ravel())[0, 1]
+    assert corr > 0.5
