@@ -129,3 +129,14 @@ def test_bin_outputs_roundtrip_like_reference(tmp_path, our_run):
     assert wp.stat().st_size == 8 + 4096 * 128 * 4  # same as Wtest.bin
     assert hp.stat().st_size == 8 + 128 * 350 * 4
     np.testing.assert_array_equal(binio.read_matrix(wp), np.asarray(res.w))
+
+
+def test_golden_cost_pinned(fixture_arrays, our_run):
+    """Regression anchor: the final KL cost at the reference workload.
+
+    Pinned from the first verified implementation (CPU f32, 200 iterations,
+    seed-0 fixtures). Any future change to op order, clamp sites, or
+    precision policy that shifts this by more than f32 reduction noise is a
+    semantics regression, not an optimization.
+    """
+    assert float(our_run.cost) == pytest.approx(96689.73, rel=2e-5)
