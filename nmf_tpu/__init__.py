@@ -16,6 +16,7 @@ Quick start::
 
 from .io.binio import read_matrix, write_matrix
 from .io import fixtures
+from .io.dataset import BinDataset
 from .ops.elementwise import EPS, eps_clamp
 from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_divergence
 from .ops.mu import mu_step, mu_step_beta, update_h, update_w
@@ -32,6 +33,7 @@ __all__ = [
     "read_matrix",
     "write_matrix",
     "fixtures",
+    "BinDataset",
     "EPS",
     "eps_clamp",
     "kl_divergence",

@@ -10,6 +10,9 @@ import pytest
 from nmf_tpu.io import binio, fixtures
 
 REFERENCE_DIR = "/root/reference"
+requires_reference = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
+)
 
 
 def test_roundtrip_bitexact(tmp_path, rng):
@@ -37,6 +40,7 @@ def test_header_layout(tmp_path):
     np.testing.assert_array_equal(payload, [0.0, 3.0, 1.0, 4.0, 2.0, 5.0])
 
 
+@requires_reference
 def test_reads_reference_goldens():
     """Golden Wtest/Htest files parse to the documented shapes (SURVEY.md 0)."""
     w = binio.read_matrix(os.path.join(REFERENCE_DIR, "Wtest.bin"))

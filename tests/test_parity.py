@@ -34,6 +34,9 @@ from nmf_tpu.io import binio, fixtures
 from oracle import np_kl, np_solve
 
 REFERENCE_DIR = "/root/reference"
+requires_reference = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
+)
 
 
 @pytest.fixture(scope="module")
@@ -100,6 +103,7 @@ def test_cost_monotone_at_scale(our_run):
     assert np.all(np.diff(hist) < 0)
 
 
+@requires_reference
 def test_goldens_inconsistent_with_generator(fixture_arrays, our_run):
     """Documents the reference-repo inconsistency (see module docstring).
 
