@@ -138,9 +138,11 @@ def main(argv=None) -> int:
 
     m, k, n, short, long = WORKLOADS[args.workload]
     if args.backend == "best":
+        # the fused Pallas kernels are TPU-only; off-TPU measure just jnp
+        backends = ("pallas", "jnp") if jax.default_backend() == "tpu" else ("jnp",)
         candidates = {
             be: run_single(m, k, n, short, long, args.dtype, be, args.x_dtype)
-            for be in ("pallas", "jnp")
+            for be in backends
         }
         backend_used, stats = min(
             candidates.items(), key=lambda kv: kv[1]["ms_per_iter"]

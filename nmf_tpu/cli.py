@@ -225,24 +225,59 @@ def cmd_batch(args) -> int:
     from .io.dataset import BinDataset
     from .parallel.batched import solve_batched
 
+    if args.checkpoint_dir:
+        print("error: --checkpoint-dir is not supported for batch runs", file=sys.stderr)
+        return 2
     ds = BinDataset(args.directory)
     xs = ds.load_batch()
     b, m, n = xs.shape
+    if args.validate:
+        from .utils.guards import validate_input
+
+        validate_input("X batch", xs)
     rng = np.random.RandomState(args.seed)
     ws = rng.rand(b, m, args.rank).astype(np.float32)
     hs = rng.rand(b, args.rank, n).astype(np.float32)
 
+    mesh = None
+    if args.mesh:
+        from jax.sharding import Mesh as _Mesh
+
+        import jax as _jax
+        import numpy as _np
+
+        n_dev = int(args.mesh.lower().split("x")[0])
+        mesh = _Mesh(_np.asarray(_jax.devices()[:n_dev]), ("batch",))
+
     config = _config_from(args)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
     with logger.timed() as t:
-        res = solve_batched(xs, ws, hs, config)
+        res = solve_batched(xs, ws, hs, config, mesh=mesh)
     os.makedirs(args.out_dir, exist_ok=True)
     for i, path in enumerate(ds.paths):
         stem = os.path.splitext(os.path.basename(path))[0]
         binio.write_matrix(np.asarray(res.w[i]), os.path.join(args.out_dir, f"{stem}.W.bin"))
         binio.write_matrix(np.asarray(res.h[i]), os.path.join(args.out_dir, f"{stem}.H.bin"))
+    costs = np.asarray(res.cost)
+    if args.jsonl:
+        import json as _json
+
+        with open(args.jsonl, "a") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "kind": "batch",
+                        "batch": int(b),
+                        "shape": [int(m), int(n)],
+                        "rank": int(args.rank),
+                        "seconds": t.seconds,
+                        "median_cost": float(np.median(costs)),
+                        "iterations": np.asarray(res.iterations).tolist(),
+                    }
+                )
+                + "\n"
+            )
     if not args.quiet:
-        costs = np.asarray(res.cost)
         print(
             f"[nmf] batch of {b} ({m}x{n}, rank {args.rank}): "
             f"{t.seconds:.2f}s, median cost {np.median(costs):.4e}, "
@@ -315,7 +350,7 @@ def build_parser() -> argparse.ArgumentParser:
     batch.add_argument("--rank", "-k", type=int, required=True)
     batch.add_argument("--out-dir", default="batch_out")
     batch.add_argument("--seed", type=int, default=0)
-    _add_solver_flags(batch)
+    _add_solver_flags(batch)  # --mesh here means a 1-D batch-axis mesh (Nx1)
     batch.set_defaults(fn=cmd_batch)
 
     gen = sub.add_parser("gen", help="write the seed-0 reference fixtures")

@@ -38,9 +38,11 @@ class BinDataset:
         if isinstance(source, (str, os.PathLike)):
             directory = os.fspath(source)
             self.paths: List[str] = sorted(
-                os.path.join(directory, f)
-                for f in os.listdir(directory)
-                if f.endswith(pattern)
+                p
+                for p in (
+                    os.path.join(directory, f) for f in os.listdir(directory)
+                )
+                if p.endswith(pattern) and os.path.isfile(p)
             )
         else:
             self.paths = [os.fspath(p) for p in source]
@@ -67,6 +69,8 @@ class BinDataset:
         paths = (
             self.paths if indices is None else [self.paths[i] for i in indices]
         )
+        if not paths:
+            raise ValueError("load_batch: empty index selection")
         workers = min(self.max_workers, len(paths))
         if workers <= 1:
             mats = [self._read_checked(p) for p in paths]

@@ -25,6 +25,11 @@ import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
 
+# tests that read the mounted reference repo (goldens etc.) skip when absent
+requires_reference = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
+)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -9,10 +9,9 @@ import pytest
 
 from nmf_tpu.io import binio, fixtures
 
+from conftest import requires_reference
+
 REFERENCE_DIR = "/root/reference"
-requires_reference = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
-)
 
 
 def test_roundtrip_bitexact(tmp_path, rng):

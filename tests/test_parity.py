@@ -31,12 +31,10 @@ import jax.numpy as jnp
 from nmf_tpu import SolveConfig, kl_divergence, reference_preset, solve
 from nmf_tpu.io import binio, fixtures
 
+from conftest import requires_reference
 from oracle import np_kl, np_solve
 
 REFERENCE_DIR = "/root/reference"
-requires_reference = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
-)
 
 
 @pytest.fixture(scope="module")
