@@ -36,10 +36,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Compiles on this platform go through a remote service (10-60 s each);
+# a persistent cache makes repeat bench runs start in seconds.
+try:
+    os.makedirs(os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"), exist_ok=True)
+except OSError:
+    pass
 
 
 WORKLOADS = {
