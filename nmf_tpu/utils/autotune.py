@@ -5,7 +5,8 @@ the problem shape.  Measured on TPU v5e (bf16):
 
     512x3445  k=30   pallas +25-30%  (small-k, HBM-bound: fusion wins)
     1025x4000 k=32   tie within noise
-    4096x350  k=128  jnp    +25-40%  (mid-k, small-n: XLA schedules better)
+    4096x350  k=128  pallas +17% after the deep-contraction-tile change
+                     (single lane-tile N); jnp wins the f32 variant
     10240^2   k=256  no stable winner (both fluctuate +-20% across sessions)
 
 ``backend="auto"`` applies :func:`rule_pick`, derived from those numbers —
@@ -73,8 +74,12 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
 
     if not fused_mu.supported(k):
         return "jnp"
-    if k <= 64 and matmul_dtype == "bfloat16":
-        return "pallas"          # small-rank, bandwidth-bound: fusion wins
+    single_n_tile = -(-n // 128) * 128 <= 1024
+    if matmul_dtype == "bfloat16" and (k <= 64 or single_n_tile):
+        # fusion's decisive regimes: small rank (paper dims +25-30%) and
+        # single-lane-tile N where the deepened contraction tile wins
+        # (4096x350 k=128: +17%)
+        return "pallas"
     # everywhere else XLA wins or ties within measurement noise (flagship
     # bf16 fluctuates +-20% between sessions with no stable winner); prefer
     # the jnp path for stability and use backend='pallas'/'autotune' to
