@@ -220,6 +220,7 @@ def solve_with_checkpoints(
     every: int = 100,
     resume: bool = True,
     mesh=None,
+    sharded_checkpoints: bool = False,
 ):
     """Checkpointed (and resumable) solve.
 
@@ -227,6 +228,13 @@ def solve_with_checkpoints(
     checkpointing after each segment.  If ``resume`` and a checkpoint exists
     in ``directory``, continues from it (inputs ``w0``/``h0`` are ignored for
     the factors but shapes must match).
+
+    With ``mesh`` the segments run via :func:`solve_sharded`.  By default the
+    factors are gathered to the host and written in the interoperable
+    ``.bin`` format; ``sharded_checkpoints=True`` keeps them as sharded
+    jax.Arrays end-to-end and writes orbax/tensorstore checkpoints instead —
+    required at pod scale where W/H exceed host memory (BASELINE.json
+    config 5).
 
     Returns the final :class:`~nmf_tpu.models.solver.SolveResult` equivalent
     (with the stitched cost history) as a CheckpointState.
@@ -237,6 +245,8 @@ def solve_with_checkpoints(
     config.validate()
     if every <= 0:
         raise ValueError("every must be >= 1")
+    if sharded_checkpoints and mesh is None:
+        raise ValueError("sharded_checkpoints=True requires a mesh")
 
     start_iter = 0
     cost_history: List[float] = []
@@ -245,13 +255,23 @@ def solve_with_checkpoints(
     if resume:
         latest = latest_checkpoint(directory)
         if latest is not None:
-            state = load_checkpoint(latest, config)
-            if state.w.shape != tuple(np.shape(w0)) or state.h.shape != tuple(
-                np.shape(h0)
-            ):
+            if sharded_checkpoints:
+                import jax
+
+                from ..parallel.mesh import nmf_shardings
+
+                _, ws, hs, _ = nmf_shardings(mesh)
+                w_like = jax.ShapeDtypeStruct(np.shape(w0), np.float32, sharding=ws)
+                h_like = jax.ShapeDtypeStruct(np.shape(h0), np.float32, sharding=hs)
+                state = load_checkpoint_sharded(latest, w_like, h_like)
+            else:
+                state = load_checkpoint(latest, config)
+            if tuple(np.shape(state.w)) != tuple(np.shape(w0)) or tuple(
+                np.shape(state.h)
+            ) != tuple(np.shape(h0)):
                 raise ValueError(
-                    f"checkpoint shapes {state.w.shape}/{state.h.shape} do not "
-                    f"match inputs {np.shape(w0)}/{np.shape(h0)}"
+                    f"checkpoint shapes {np.shape(state.w)}/{np.shape(state.h)} "
+                    f"do not match inputs {np.shape(w0)}/{np.shape(h0)}"
                 )
             w, h, start_iter = state.w, state.h, state.iteration
             cost_history = state.cost_history
@@ -271,8 +291,11 @@ def solve_with_checkpoints(
             )
         else:
             res = solve(x, w, h, seg_cfg, initial_cost=last_cost)
-        w = np.asarray(res.w)
-        h = np.asarray(res.h)
+        if sharded_checkpoints:
+            w, h = res.w, res.h  # stay sharded; never gathered to host
+        else:
+            w = np.asarray(res.w)
+            h = np.asarray(res.h)
         it += int(res.iterations)
         seg_hist = [
             float(c) for c in np.asarray(res.cost_history)[: int(res.num_checks)]
@@ -281,9 +304,9 @@ def solve_with_checkpoints(
         if seg_hist:
             last_cost = seg_hist[-1]
         converged = bool(res.converged)
-        save_checkpoint(
-            directory,
-            CheckpointState(w, h, it, cost_history, converged),
-            config,
-        )
+        state = CheckpointState(w, h, it, cost_history, converged)
+        if sharded_checkpoints:
+            save_checkpoint_sharded(directory, state)
+        else:
+            save_checkpoint(directory, state, config)
     return CheckpointState(w, h, it, cost_history, converged)

@@ -62,3 +62,38 @@ def test_sharded_checkpoint_roundtrip(tmp_path, small_problem):
     np.testing.assert_array_equal(np.asarray(back.h), np.asarray(res.h))
     # restored arrays keep their sharding
     assert back.w.sharding == res.w.sharding
+
+
+def test_sharded_checkpointed_solve_resume(tmp_path):
+    """Pod-scale checkpointing: factors stay sharded across segments/resume."""
+    import dataclasses
+
+    from nmf_tpu import solve
+
+    rng = np.random.RandomState(6)
+    m, k, n = 128, 16, 160
+    x = rng.rand(m, n).astype(np.float32)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    mesh = make_mesh(shape=(4, 2))
+    cfg = SolveConfig(max_iter=30, check_every=10)
+    d = str(tmp_path / "ck")
+    # interrupted after 10, resumed to 30, all orbax-sharded
+    ckpt.solve_with_checkpoints(
+        x, w, h, dataclasses.replace(cfg, max_iter=10), d, every=10,
+        mesh=mesh, sharded_checkpoints=True,
+    )
+    state = ckpt.solve_with_checkpoints(
+        x, w, h, cfg, d, every=10, mesh=mesh, sharded_checkpoints=True,
+    )
+    assert state.iteration == 30
+    # result factors are still sharded jax arrays
+    assert hasattr(state.w, "sharding")
+    ref = solve(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(state.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+    with pytest.raises(ValueError, match="requires a mesh"):
+        ckpt.solve_with_checkpoints(
+            x, w, h, cfg, d, every=10, sharded_checkpoints=True
+        )
