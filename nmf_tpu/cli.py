@@ -101,6 +101,24 @@ def _config_from(args) -> SolveConfig:
     )
 
 
+def _state_as_result(state, w_out, h_out):
+    """Adapt a CheckpointState to the SolveResult shape that the metrics
+    logger and result guards consume (the checkpointed path's stitched cost
+    history plays the role of the solver's on-device history)."""
+    from .models.solver import SolveResult
+
+    hist = np.asarray(state.cost_history, dtype=np.float32)
+    return SolveResult(
+        w=w_out,
+        h=h_out,
+        iterations=np.int32(state.iteration),
+        cost=hist[-1] if hist.size else np.float32("nan"),
+        cost_history=hist,
+        num_checks=np.int32(hist.size),
+        converged=np.bool_(state.converged),
+    )
+
+
 def cmd_run(args) -> int:
     x = binio.read_matrix(args.X)
     if args.W and args.H:
@@ -143,7 +161,18 @@ def cmd_run(args) -> int:
                 x, w0, h0, config, args.checkpoint_dir,
                 every=args.checkpoint_every, mesh=mesh,
             )
-        w_out, h_out = state.w, state.h
+        w_out, h_out = np.asarray(state.w), np.asarray(state.h)
+        # mirror the non-checkpointed branch: metrics/JSONL report + guards
+        res_like = _state_as_result(state, w_out, h_out)
+        logger.report(
+            res_like, x.shape, t.seconds,
+            check_every=config.check_every,
+            check_iterations=state.check_iterations,
+        )
+        if args.validate:
+            from .utils.guards import validate_result
+
+            validate_result(res_like)
         if not args.quiet:
             print(
                 f"[nmf] checkpointed run: {state.iteration} iters, "
@@ -161,7 +190,7 @@ def cmd_run(args) -> int:
 
             with logger.timed() as t:
                 res = solve(x, w0, h0, config)
-        logger.report(res, x.shape, t.seconds)
+        logger.report(res, x.shape, t.seconds, check_every=config.check_every)
         if args.validate:
             from .utils.guards import validate_result
 

@@ -202,11 +202,19 @@ def run_checked_loop(
 
 @functools.lru_cache(maxsize=32)
 def solve_jit(config: SolveConfig, platform: Optional[str] = None):
-    """Build (and cache) the jitted solver for a config."""
+    """Build (and cache) the jitted solver for a config.
+
+    ``w``/``h`` are donated: XLA aliases them to the result factors, so the
+    solver never holds two copies of the state across the call boundary
+    (matters at pod scale, and lets the checkpointed driver chain segments
+    with zero buffer growth).  ``solve`` always passes internally-created
+    clamped copies unless the caller opted out of clamping — see its
+    docstring.
+    """
     step_fn = resolve_step_fn(config, platform)
     cost_fn = _cost_fn(config, platform)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def _solve(x, w, h, initial_cost):
         return run_checked_loop(
             x, w, h, config, step_fn, cost_fn, initial_cost=initial_cost
@@ -228,23 +236,35 @@ def solve(
     ``clamp_inputs`` replicates the reference's load-time ``set_epsilon``
     (nmf.cu:211) — pass already-clamped arrays and ``False`` to skip.
     ``initial_cost`` seeds the convergence baseline for resumed runs.
+
+    Buffer ownership: the W/H state buffers are DONATED to the solve program
+    (aliased to the result factors).  With ``clamp_inputs=True`` (default)
+    the donated buffers are internal clamped copies, so caller arrays stay
+    valid; with ``clamp_inputs=False`` and already-placed jax arrays of the
+    target dtype, the caller's ``w0``/``h0`` buffers are consumed — which is
+    exactly what the checkpointed segment driver wants (zero copy growth
+    across segments).
     """
     config.validate()
     sd = jnp.dtype(config.precision.state_dtype)
     xd = jnp.dtype(config.precision.x_dtype)
-    x = jnp.asarray(x, _F32)
-    w0 = jnp.asarray(w0, sd)
-    h0 = jnp.asarray(h0, sd)
-    if x.shape != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
+    shape_x = jnp.shape(x)
+    shape_w, shape_h = jnp.shape(w0), jnp.shape(h0)
+    if shape_x != (shape_w[0], shape_h[1]) or shape_w[1] != shape_h[0]:
         raise ValueError(
-            f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}"
+            f"shape mismatch: X{shape_x} vs W{shape_w} @ H{shape_h}"
         )
     if clamp_inputs:
-        eps = jnp.asarray(config.eps, _F32)
-        x = jnp.maximum(x, eps)
-        w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
-        h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
-    x = x.astype(xd)  # bf16 X storage halves the dominant HBM stream
+        x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(config.eps, _F32))
+        w0 = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(config.eps, sd))
+        h0 = jnp.maximum(jnp.asarray(h0, sd), jnp.asarray(config.eps, sd))
+        x = x.astype(xd)  # bf16 X storage halves the dominant HBM stream
+    else:
+        # pre-clamped inputs: direct to target dtypes, no intermediate f32
+        # copy of X (segment drivers pass device-resident arrays here)
+        x = jnp.asarray(x, xd)
+        w0 = jnp.asarray(w0, sd)
+        h0 = jnp.asarray(h0, sd)
     platform = _default_platform(x)
     if (
         platform == "tpu"

@@ -49,11 +49,15 @@ def kl_divergence_from_recon(x: jnp.ndarray, y: jnp.ndarray, eps: float = EPS) -
     """Generalized KL divergence given a precomputed reconstruction ``y``.
 
     Formula per cuda/matrix.cu:592: sum(x*(log x - log y) - x + y), with y
-    clamped to eps (x is assumed already clamped at load, nmf.cu:211).
+    clamped to eps (x is assumed already clamped at load, nmf.cu:211).  For
+    callers that skip the load-time clamp, genuine x == 0 entries use the
+    x->0 limit of x*log(x/y) (zero, not NaN) and still contribute their +y
+    mass — matching the fused Pallas cost kernel.
     """
     x = _f32(x)
     y = eps_clamp(_f32(y), eps)
-    return jnp.sum(x * (jnp.log(x) - jnp.log(y)) - x + y)
+    xlog = jnp.where(x > 0, x * (jnp.log(x) - jnp.log(y)), 0.0)
+    return jnp.sum(xlog - x + y)
 
 
 def kl_divergence(x: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:

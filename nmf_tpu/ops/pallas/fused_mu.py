@@ -187,7 +187,9 @@ def update_h_fused(
             return _mm(w, z, precision, transpose_a=True)
         return update_h(w, h, x, eps, precision)
     if numerator_only:
-        sum_w = jnp.ones((k, 1), _F32)  # unused by the no-epilogue path
+        # the no-epilogue path never reads sumw_ref (static branch): ship a
+        # single-element placeholder instead of a needless (K,1) VMEM stream
+        sum_w = jnp.zeros((1, 1), _F32)
     else:
         sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
 
@@ -219,7 +221,7 @@ def update_h_fused(
             pl.BlockSpec((bm, kp), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sum_w.shape, lambda j, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((kp, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
@@ -299,7 +301,8 @@ def update_w_fused(
             return _mm(z, h, precision, transpose_b=True)
         return update_w(w, h, x, eps, precision)
     if numerator_only:
-        sum_h = jnp.ones((1, k), _F32)  # unused by the no-epilogue path
+        # no-epilogue path never reads sumh_ref: single-element placeholder
+        sum_h = jnp.zeros((1, 1), _F32)
     else:
         sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
 
@@ -331,7 +334,7 @@ def update_w_fused(
             pl.BlockSpec((bm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sum_h.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
@@ -367,8 +370,9 @@ def mu_step_fused(
 # ---------------------------------------------------------------------------
 
 
-def _kl_kernel(w_ref, h_ref, x_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_steps):
-    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+def _kl_kernel(w_ref, h_ref, x_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_steps, bm, bn, m, n):
+    i, j = pl.program_id(0), pl.program_id(1)
+    step = i * pl.num_programs(1) + j
 
     @pl.when(step == 0)
     def _():
@@ -381,10 +385,16 @@ def _kl_kernel(w_ref, h_ref, x_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec
     )
     y = jnp.maximum(wh, eps)
     xb = x_ref[:].astype(_F32)
-    # matrix.cu:592 formula; zero-padded entries are masked to contribute 0
-    # (0 * log(0) would be NaN, and padding must not perturb the sum).
-    term = jnp.where(xb > 0, xb * (jnp.log(xb) - jnp.log(y)) - xb + y, 0.0)
-    acc_ref[0, 0] += jnp.sum(term)
+    # matrix.cu:592 formula.  The x*log(x/y) part uses the x->0 limit (0, not
+    # NaN) so genuine zero entries still contribute their '+y' mass — same as
+    # the jnp path (kl_divergence_from_recon).  Zero-padded entries beyond
+    # the logical (m, n) extents are excluded via an iota bounds mask (they
+    # would otherwise add a spurious +y each).
+    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + i * bm
+    cols = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 1) + j * bn
+    in_bounds = (rows < m) & (cols < n)
+    xlog = jnp.where(xb > 0, xb * (jnp.log(xb) - jnp.log(y)), 0.0)
+    acc_ref[0, 0] += jnp.sum(jnp.where(in_bounds, xlog - xb + y, 0.0))
 
     @pl.when(step == n_steps - 1)
     def _():
@@ -435,7 +445,7 @@ def kl_cost_fused(
     lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(
         _kl_kernel, eps=float(eps), mm_dtype=mm_dtype, lax_prec=lax_prec,
-        n_steps=n_m * n_n,
+        n_steps=n_m * n_n, bm=bm, bn=bn, m=m, n=n,
     )
     out = pl.pallas_call(
         kernel,

@@ -41,7 +41,8 @@ def _batched_jit(config: SolveConfig, platform: Optional[str]):
     def one(x, w, h):
         return run_checked_loop(x, w, h, config, step_fn, cost_fn)
 
-    return jax.jit(jax.vmap(one))
+    # donated state: result factors alias the input W/H buffers per batch
+    return jax.jit(jax.vmap(one), donate_argnums=(1, 2))
 
 
 def solve_batched(

@@ -179,18 +179,22 @@ def solve_sharded(
     eps, precision = config.eps, config.precision
 
     sd = jnp.dtype(config.precision.state_dtype)
-    x = jnp.asarray(x, _F32)
-    w0 = jnp.asarray(w0, sd)
-    h0 = jnp.asarray(h0, sd)
-    if x.shape != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
+    xd = jnp.dtype(config.precision.x_dtype)
+    shape_x, shape_w, shape_h = jnp.shape(x), jnp.shape(w0), jnp.shape(h0)
+    if shape_x != (shape_w[0], shape_h[1]) or shape_w[1] != shape_h[0]:
         raise ValueError(
-            f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}"
+            f"shape mismatch: X{shape_x} vs W{shape_w} @ H{shape_h}"
         )
     if clamp_inputs:
-        x = jnp.maximum(x, jnp.asarray(eps, _F32))
-        w0 = jnp.maximum(w0, jnp.asarray(eps, sd))
-        h0 = jnp.maximum(h0, jnp.asarray(eps, sd))
-    x = x.astype(jnp.dtype(config.precision.x_dtype))
+        x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32)).astype(xd)
+        w0 = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
+        h0 = jnp.maximum(jnp.asarray(h0, sd), jnp.asarray(eps, sd))
+    else:
+        # pre-clamped device-resident inputs (checkpoint segments): no extra
+        # passes over X, and already-sharded buffers flow through untouched
+        x = jnp.asarray(x, xd)
+        w0 = jnp.asarray(w0, sd)
+        h0 = jnp.asarray(h0, sd)
     fused = _use_fused(
         config,
         x.shape[0] // mesh.shape[ROW_AXIS],
@@ -243,6 +247,8 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
         num_checks=P(),
         converged=P(),
     )
+    # w/h donated: the result factors alias the input state buffers, so a
+    # chained (segmented) solve never holds two copies of W/H per device.
     return jax.jit(
         jax.shard_map(
             local_solve,
@@ -250,5 +256,6 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
             in_specs=(P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, None), P(None, COL_AXIS), P()),
             out_specs=out_specs,
             check_vma=False,
-        )
+        ),
+        donate_argnums=(1, 2),
     )

@@ -54,6 +54,11 @@ class CheckpointState:
     iteration: int
     cost_history: List[float]
     converged: bool = False
+    # global iteration number of each cost_history entry (segments make the
+    # check grid irregular: each segment checks every ``check_every`` iters
+    # *within itself*, so labels cannot be reconstructed from check_every
+    # alone).  None for checkpoints written before this field existed.
+    check_iterations: Optional[List[int]] = None
 
 
 def _config_fingerprint(config: SolveConfig) -> dict:
@@ -87,6 +92,11 @@ def save_checkpoint(
             "iteration": int(state.iteration),
             "cost_history": [float(c) for c in state.cost_history],
             "converged": bool(state.converged),
+            "check_iterations": (
+                [int(i) for i in state.check_iterations]
+                if state.check_iterations is not None
+                else None
+            ),
             "config": _config_fingerprint(config) if config else None,
             "format": "nmf_tpu.v1",
         }
@@ -132,6 +142,7 @@ def load_checkpoint(step_dir: str, config: Optional[SolveConfig] = None) -> Chec
         iteration=int(meta["iteration"]),
         cost_history=list(meta.get("cost_history", [])),
         converged=bool(meta.get("converged", False)),
+        check_iterations=meta.get("check_iterations"),
     )
 
 
@@ -148,7 +159,11 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     return os.path.join(directory, steps[-1]) if steps else None
 
 
-def save_checkpoint_sharded(directory: str, state: CheckpointState) -> str:
+def save_checkpoint_sharded(
+    directory: str,
+    state: CheckpointState,
+    config: Optional[SolveConfig] = None,
+) -> str:
     """Pod-scale checkpoint: factors stay sharded (orbax/tensorstore).
 
     Unlike :func:`save_checkpoint` this never gathers W/H to one host — each
@@ -172,6 +187,12 @@ def save_checkpoint_sharded(directory: str, state: CheckpointState) -> str:
         "iteration": int(state.iteration),
         "cost_history": [float(c) for c in state.cost_history],
         "converged": bool(state.converged),
+        "check_iterations": (
+            [int(i) for i in state.check_iterations]
+            if state.check_iterations is not None
+            else None
+        ),
+        "config": _config_fingerprint(config) if config else None,
         "format": "nmf_tpu.sharded.v1",
     }
     os.makedirs(step_dir, exist_ok=True)
@@ -180,12 +201,16 @@ def save_checkpoint_sharded(directory: str, state: CheckpointState) -> str:
     return step_dir
 
 
-def load_checkpoint_sharded(step_dir: str, w_like, h_like) -> CheckpointState:
+def load_checkpoint_sharded(
+    step_dir: str, w_like, h_like, config: Optional[SolveConfig] = None
+) -> CheckpointState:
     """Restore a sharded checkpoint.
 
     ``w_like``/``h_like`` carry the target shape/dtype/sharding — pass either
     sharded ``jax.Array``s or ``jax.ShapeDtypeStruct``s with ``.sharding``
-    set, so each host restores only its shards.
+    set, so each host restores only its shards.  With ``config`` given, the
+    stored fingerprint is verified (same refusal semantics as
+    :func:`load_checkpoint`).
     """
     import jax
     import orbax.checkpoint as ocp
@@ -193,6 +218,14 @@ def load_checkpoint_sharded(step_dir: str, w_like, h_like) -> CheckpointState:
     step_dir = os.path.abspath(step_dir)
     with open(os.path.join(step_dir, _META)) as f:
         meta = json.load(f)
+    if config is not None and meta.get("config") is not None:
+        want = _config_fingerprint(config)
+        if meta["config"] != want:
+            raise ValueError(
+                f"checkpoint {step_dir} was written with config "
+                f"{meta['config']}, resume requested with {want}; refusing "
+                f"to mix objectives"
+            )
 
     def _abstract(a):
         return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
@@ -208,6 +241,7 @@ def load_checkpoint_sharded(step_dir: str, w_like, h_like) -> CheckpointState:
         iteration=int(meta["iteration"]),
         cost_history=list(meta.get("cost_history", [])),
         converged=bool(meta.get("converged", False)),
+        check_iterations=meta.get("check_iterations"),
     )
 
 
@@ -238,7 +272,18 @@ def solve_with_checkpoints(
 
     Returns the final :class:`~nmf_tpu.models.solver.SolveResult` equivalent
     (with the stitched cost history) as a CheckpointState.
+
+    Device residency: X is placed (and clamped) on device exactly ONCE per
+    process regardless of segment count, and W/H stay device-resident across
+    segments — each segment donates the previous segment's factor buffers to
+    the next (the reference crosses the device boundary exactly 3x for the
+    whole run, nmf.cu:227-232 / SURVEY.md section 3.1; here the only extra
+    crossings are the D2H factor reads that checkpoint files inherently
+    need).
     """
+    import jax
+    import jax.numpy as jnp
+
     from ..models.solver import solve
     from ..parallel.sharded import solve_sharded
 
@@ -248,22 +293,25 @@ def solve_with_checkpoints(
     if sharded_checkpoints and mesh is None:
         raise ValueError("sharded_checkpoints=True requires a mesh")
 
+    sd = jnp.dtype(config.precision.state_dtype)
+    xd = jnp.dtype(config.precision.x_dtype)
+    _f32 = jnp.float32
+
     start_iter = 0
     cost_history: List[float] = []
+    check_iterations: List[int] = []
     w, h = w0, h0
     converged = False
     if resume:
         latest = latest_checkpoint(directory)
         if latest is not None:
             if sharded_checkpoints:
-                import jax
-
                 from ..parallel.mesh import nmf_shardings
 
                 _, ws, hs, _ = nmf_shardings(mesh)
-                w_like = jax.ShapeDtypeStruct(np.shape(w0), np.float32, sharding=ws)
-                h_like = jax.ShapeDtypeStruct(np.shape(h0), np.float32, sharding=hs)
-                state = load_checkpoint_sharded(latest, w_like, h_like)
+                w_like = jax.ShapeDtypeStruct(np.shape(w0), sd, sharding=ws)
+                h_like = jax.ShapeDtypeStruct(np.shape(h0), sd, sharding=hs)
+                state = load_checkpoint_sharded(latest, w_like, h_like, config)
             else:
                 state = load_checkpoint(latest, config)
             if tuple(np.shape(state.w)) != tuple(np.shape(w0)) or tuple(
@@ -276,37 +324,71 @@ def solve_with_checkpoints(
             w, h, start_iter = state.w, state.h, state.iteration
             cost_history = state.cost_history
             converged = state.converged
+            check_iterations = list(state.check_iterations or [])
+
+    # ---- one-time placement + clamp (the single H2D of X for this run) ----
+    if mesh is not None:
+        from ..parallel.mesh import shard_problem
+
+        x_dev, w_dev, h_dev = shard_problem(x, w, h, mesh)
+    else:
+        x_dev, w_dev, h_dev = jnp.asarray(x), jnp.asarray(w), jnp.asarray(h)
+    eps32 = jnp.asarray(config.eps, _f32)
+    x_dev = jnp.maximum(x_dev.astype(_f32), eps32).astype(xd)
+    w_dev = jnp.maximum(w_dev.astype(sd), jnp.asarray(config.eps, sd))
+    h_dev = jnp.maximum(h_dev.astype(sd), jnp.asarray(config.eps, sd))
+    del w, h
 
     it = start_iter
     # convergence baseline carried across segment boundaries so thresh > 0
     # behaves exactly like an uninterrupted solve()
     last_cost = cost_history[-1] if cost_history else float("nan")
+    state = None
     while it < config.max_iter and not converged:
         seg = min(every, config.max_iter - it)
         seg_cfg = dataclasses.replace(config, max_iter=seg)
         if mesh is not None:
             res = solve_sharded(
-                w0=w, h0=h, x=x, config=seg_cfg, mesh=mesh,
-                initial_cost=last_cost,
+                w0=w_dev, h0=h_dev, x=x_dev, config=seg_cfg, mesh=mesh,
+                initial_cost=last_cost, clamp_inputs=False,
             )
         else:
-            res = solve(x, w, h, seg_cfg, initial_cost=last_cost)
-        if sharded_checkpoints:
-            w, h = res.w, res.h  # stay sharded; never gathered to host
-        else:
-            w = np.asarray(res.w)
-            h = np.asarray(res.h)
-        it += int(res.iterations)
-        seg_hist = [
-            float(c) for c in np.asarray(res.cost_history)[: int(res.num_checks)]
-        ]
+            res = solve(
+                x_dev, w_dev, h_dev, seg_cfg,
+                initial_cost=last_cost, clamp_inputs=False,
+            )
+        # device-resident carry: these buffers are donated to the next
+        # segment (w_dev/h_dev above were consumed by this one)
+        w_dev, h_dev = res.w, res.h
+        seg_iters = int(res.iterations)
+        n_checks = int(res.num_checks)
+        seg_hist = [float(c) for c in np.asarray(res.cost_history)[:n_checks]]
+        check_iterations.extend(
+            it + min((i + 1) * config.check_every, seg_iters)
+            for i in range(n_checks)
+        )
+        it += seg_iters
         cost_history.extend(seg_hist)
         if seg_hist:
             last_cost = seg_hist[-1]
         converged = bool(res.converged)
-        state = CheckpointState(w, h, it, cost_history, converged)
         if sharded_checkpoints:
-            save_checkpoint_sharded(directory, state)
+            # factors stay sharded; each host writes only its shards
+            state = CheckpointState(
+                w_dev, h_dev, it, cost_history, converged, check_iterations
+            )
+            save_checkpoint_sharded(directory, state, config)
         else:
+            state = CheckpointState(
+                np.asarray(res.w), np.asarray(res.h), it, cost_history,
+                converged, check_iterations,
+            )
             save_checkpoint(directory, state, config)
-    return CheckpointState(w, h, it, cost_history, converged)
+    if state is None:
+        # resumed run that was already complete: no segment executed
+        w_out = w_dev if sharded_checkpoints else np.asarray(w_dev)
+        h_out = h_dev if sharded_checkpoints else np.asarray(h_dev)
+        state = CheckpointState(
+            w_out, h_out, it, cost_history, converged, check_iterations
+        )
+    return state

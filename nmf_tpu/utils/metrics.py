@@ -64,20 +64,37 @@ def flops_per_iter(m: int, k: int, n: int) -> float:
     return 8.0 * m * n * k
 
 
-def summarize_result(result, x_shape, seconds: Optional[float] = None) -> RunReport:
-    """Build a RunReport from a SolveResult (host-syncs the scalars)."""
+def summarize_result(
+    result,
+    x_shape,
+    seconds: Optional[float] = None,
+    check_every: Optional[int] = None,
+    check_iterations: Optional[List[int]] = None,
+) -> RunReport:
+    """Build a RunReport from a SolveResult (host-syncs the scalars).
+
+    ``check_every`` is the solve's actual check interval (SolveConfig
+    .check_every): check ``i`` happened at iteration
+    ``min((i+1)*check_every, iterations)`` — the exact chunk boundaries of
+    the solver loop.  Without it, labels fall back to an even split (which
+    mislabels runs whose final chunk was partial).  ``check_iterations``
+    overrides both with an explicit label list (checkpointed runs stitch
+    segments whose check grid restarts per segment).
+    """
     m, n = x_shape
     k = result.w.shape[1]
     iterations = int(result.iterations)
     hist = np.asarray(result.cost_history)[: int(result.num_checks)]
     checks = []
     prev = float("inf")
-    # reconstruct per-check iteration numbers (full chunks then remainder)
     n_checks = len(hist)
-    if n_checks:
-        per = max(1, iterations // n_checks)
+    if check_every is None and n_checks:
+        check_every = max(1, iterations // n_checks)
     for i, c in enumerate(hist):
-        it = min((i + 1) * per, iterations) if n_checks else 0
+        if check_iterations is not None and i < len(check_iterations):
+            it = int(check_iterations[i])
+        else:
+            it = min((i + 1) * check_every, iterations) if n_checks else 0
         rel = abs(prev - float(c)) / abs(float(c)) if np.isfinite(prev) else float("inf")
         checks.append(CheckRecord(iteration=it, cost=float(c), rel_change=rel))
         prev = float(c)
@@ -131,8 +148,17 @@ class MetricsLogger:
     def timed(self) -> "_Timer":
         return self._Timer()
 
-    def report(self, result, x_shape, seconds: Optional[float] = None) -> RunReport:
-        rep = summarize_result(result, x_shape, seconds)
+    def report(
+        self,
+        result,
+        x_shape,
+        seconds: Optional[float] = None,
+        check_every: Optional[int] = None,
+        check_iterations: Optional[List[int]] = None,
+    ) -> RunReport:
+        rep = summarize_result(
+            result, x_shape, seconds, check_every, check_iterations
+        )
         if self.verbose:
             for c in rep.checks:
                 self.stream.write(

@@ -133,3 +133,21 @@ def test_kl_cost_fused_padding_masked():
     ref = kl_divergence(x, w, h)
     assert float(ours) == pytest.approx(float(ref), rel=1e-5)
     assert np.isfinite(float(ours))
+
+
+def test_kl_cost_fused_unclamped_zeros_match_jnp():
+    """Genuine x == 0 entries (clamp skipped): both backends use the x->0
+    limit of x*log(x/y) and keep the '+y' mass, and they agree — while
+    zero padding beyond the logical extents still contributes nothing."""
+    from nmf_tpu.ops.divergence import kl_divergence
+
+    rng = np.random.RandomState(3)
+    x_np = rng.rand(33, 170).astype(np.float32)
+    x_np[x_np < 0.3] = 0.0  # real zeros, NOT eps-clamped
+    x = jnp.asarray(x_np)
+    w = jnp.asarray(clamp(rng.rand(33, 5).astype(np.float32)))
+    h = jnp.asarray(clamp(rng.rand(5, 170).astype(np.float32)))
+    ours = fused_mu.kl_cost_fused(x, w, h, interpret=True, block_m=16, block_n=128)
+    ref = kl_divergence(x, w, h)
+    assert np.isfinite(float(ref))
+    assert float(ours) == pytest.approx(float(ref), rel=1e-5)

@@ -64,6 +64,25 @@ def test_sharded_checkpoint_roundtrip(tmp_path, small_problem):
     assert back.w.sharding == res.w.sharding
 
 
+def test_sharded_checkpoint_fingerprint_refusal(tmp_path, small_problem):
+    """Sharded meta carries the config fingerprint; resuming under a
+    different objective is refused (same contract as load_checkpoint)."""
+    import dataclasses
+
+    x, w, h = small_problem
+    mesh = make_mesh(shape=(4, 2))
+    cfg = SolveConfig(max_iter=2)
+    res = sharded.solve_sharded(x, w, h, cfg, mesh=mesh)
+    state = ckpt.CheckpointState(w=res.w, h=res.h, iteration=2, cost_history=[])
+    step_dir = ckpt.save_checkpoint_sharded(str(tmp_path / "ck"), state, cfg)
+    # same config loads fine
+    ckpt.load_checkpoint_sharded(step_dir, res.w, res.h, cfg)
+    with pytest.raises(ValueError, match="refusing to mix objectives"):
+        ckpt.load_checkpoint_sharded(
+            step_dir, res.w, res.h, dataclasses.replace(cfg, beta=2.0)
+        )
+
+
 def test_sharded_checkpointed_solve_resume(tmp_path):
     """Pod-scale checkpointing: factors stay sharded across segments/resume."""
     import dataclasses

@@ -82,6 +82,77 @@ def test_resume_shape_mismatch_raises(tmp_path, small_problem):
 # ---------------------------------------------------------------------------
 
 
+def test_checkpointed_solve_is_device_resident(tmp_path, small_problem, monkeypatch):
+    """X is placed once and the SAME device buffer feeds every segment; each
+    segment's W/H inputs are the previous segment's outputs (no host round
+    trip of the carry)."""
+    import jax
+
+    import nmf_tpu.models.solver as solver_mod
+
+    x, w, h = small_problem
+    seen = []
+    real_solve = solver_mod.solve
+
+    def spy(x, w0, h0, *a, **k):
+        seen.append((x, w0, h0, k))
+        return real_solve(x, w0, h0, *a, **k)
+
+    monkeypatch.setattr(solver_mod, "solve", spy)
+    ckpt.solve_with_checkpoints(
+        x, w, h, SolveConfig(max_iter=30), str(tmp_path / "ck"), every=10
+    )
+    assert len(seen) == 3
+    x0 = seen[0][0]
+    assert isinstance(x0, jax.Array)
+    # one placement of X, reused by identity in every segment
+    assert all(s[0] is x0 for s in seen)
+    # segments run with clamping disabled (it happened once, up front)
+    assert all(s[3].get("clamp_inputs") is False for s in seen)
+
+
+def test_checkpointed_check_iterations_exact(tmp_path, small_problem):
+    """Segments of 10 with check_every=25: one check per segment, labelled at
+    the true global iterations 10/20/30 (not multiples of 25)."""
+    x, w, h = small_problem
+    state = ckpt.solve_with_checkpoints(
+        x, w, h, SolveConfig(max_iter=30, check_every=25),
+        str(tmp_path / "ck"), every=10,
+    )
+    assert state.check_iterations == [10, 20, 30]
+    assert len(state.cost_history) == 3
+    # labels survive the meta.json roundtrip
+    loaded = ckpt.load_checkpoint(ckpt.latest_checkpoint(str(tmp_path / "ck")))
+    assert loaded.check_iterations == [10, 20, 30]
+
+
+def test_solve_donates_state_buffers_when_unclamped(small_problem):
+    """clamp_inputs=False hands ownership of W/H to the solver (the segment
+    driver's contract); the default path leaves caller arrays untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=3)
+    ref = solve(x, w, h, cfg)
+
+    eps = np.float32(cfg.eps)
+    x_d = jnp.maximum(jnp.asarray(x), eps)
+    w_d = jnp.maximum(jnp.asarray(w), eps)
+    h_d = jnp.maximum(jnp.asarray(h), eps)
+    res = solve(x_d, w_d, h_d, cfg, clamp_inputs=False)
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+    # the state buffers were donated (consumed); X was not
+    assert w_d.is_deleted() and h_d.is_deleted()
+    assert not x_d.is_deleted()
+
+    # default clamp path: caller's device arrays stay valid
+    w_d2 = jnp.asarray(w)
+    h_d2 = jnp.asarray(h)
+    solve(x, w_d2, h_d2, cfg)
+    assert not w_d2.is_deleted() and not h_d2.is_deleted()
+
+
 def test_metrics_report(tmp_path, small_problem, capsys):
     x, w, h = small_problem
     res = solve(x, w, h, SolveConfig(max_iter=30, check_every=10))
@@ -96,6 +167,14 @@ def test_metrics_report(tmp_path, small_problem, capsys):
     rec = json.loads(jsonl.read_text().strip())
     assert rec["iterations"] == 30
     assert rec["iters_per_sec"] == pytest.approx(20.0)
+
+
+def test_metrics_check_labels_partial_final_chunk(small_problem):
+    """80 iters at check_every=25 -> checks at 25/50/75/80, not 20/40/60/80."""
+    x, w, h = small_problem
+    res = solve(x, w, h, SolveConfig(max_iter=80, check_every=25))
+    rep = summarize_result(res, x.shape, check_every=25)
+    assert [c.iteration for c in rep.checks] == [25, 50, 75, 80]
 
 
 # ---------------------------------------------------------------------------
