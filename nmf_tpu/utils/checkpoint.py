@@ -170,7 +170,19 @@ def save_checkpoint_sharded(
     host writes its addressable shards, so it scales to factors larger than
     host memory (BASELINE.json config 5).  ``state.w``/``state.h`` may be
     sharded ``jax.Array``s.
+
+    Pod safety (multi-process on a shared filesystem):
+      * meta.json is written by process 0 ONLY, via fsync + atomic rename —
+        no cross-process write race on the same path.
+      * meta.json is written strictly AFTER the orbax array save completes,
+        and :func:`latest_checkpoint` recognizes a step only once its meta
+        exists — a reader can never observe a meta-complete-but-arrays-
+        pending checkpoint.
+      * all processes barrier before returning, so no process can start
+        reading (or deleting/overwriting) a checkpoint that another process
+        has not finished writing.
     """
+    import jax
     import orbax.checkpoint as ocp
 
     os.makedirs(directory, exist_ok=True)
@@ -178,26 +190,44 @@ def save_checkpoint_sharded(
         os.path.join(directory, f"step_{state.iteration:08d}")
     )
     with ocp.StandardCheckpointer() as ckptr:
+        # multihost-coordinated collective save; blocks until all hosts'
+        # shards are durable (the checkpointer context also waits on exit)
         ckptr.save(
             step_dir + ".arrays",
             {"w": state.w, "h": state.h},
             force=True,
         )
-    meta = {
-        "iteration": int(state.iteration),
-        "cost_history": [float(c) for c in state.cost_history],
-        "converged": bool(state.converged),
-        "check_iterations": (
-            [int(i) for i in state.check_iterations]
-            if state.check_iterations is not None
-            else None
-        ),
-        "config": _config_fingerprint(config) if config else None,
-        "format": "nmf_tpu.sharded.v1",
-    }
-    os.makedirs(step_dir, exist_ok=True)
-    with open(os.path.join(step_dir, _META), "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:
+        meta = {
+            "iteration": int(state.iteration),
+            "cost_history": [float(c) for c in state.cost_history],
+            "converged": bool(state.converged),
+            "check_iterations": (
+                [int(i) for i in state.check_iterations]
+                if state.check_iterations is not None
+                else None
+            ),
+            "config": _config_fingerprint(config) if config else None,
+            "format": "nmf_tpu.sharded.v1",
+        }
+        os.makedirs(step_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=directory, prefix=".tmp_meta_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(meta, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(step_dir, _META))
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(
+            f"nmf_tpu_ckpt_save_{state.iteration}"
+        )
     return step_dir
 
 
