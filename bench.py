@@ -61,9 +61,17 @@ WORKLOADS = {
 # Reference CUDA sustained throughput derived from the paper (see docstring).
 REFERENCE_GFLOPS = 141.0
 REFERENCE_PAPER_IPS = 200 / 0.6  # measured: 200 iters in 0.6 s
-# TPU v5e peak matmul throughput; fp32 entry is the effective peak of the
-# HIGHEST-precision (multi-pass) f32 matmul path.
-PEAK_TFLOPS = {"bfloat16": 197.0, "float32": 33.0}
+
+
+def peak_tflops(dtype: str):
+    """Roofline peak for the current device generation, or None if unknown.
+
+    Per-generation values (and the v5e-measured effective f32-HIGHEST peak)
+    live in nmf_tpu/utils/device.py.
+    """
+    from nmf_tpu.utils.device import chip_spec
+
+    return chip_spec().peak_tflops(dtype)
 
 
 def flops_per_iter(m: int, k: int, n: int) -> float:
@@ -118,11 +126,12 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
 
     iters_per_sec = 1.0 / best
     tflops = flops_per_iter(m, k, n) * iters_per_sec / 1e12
+    peak = peak_tflops(dtype)
     return {
         "ms_per_iter": best * 1e3,
         "iters_per_sec": iters_per_sec,
         "achieved_tflops": tflops,
-        "fraction_of_peak": tflops / PEAK_TFLOPS[dtype],
+        "fraction_of_peak": (tflops / peak) if peak else None,
     }
 
 
@@ -175,7 +184,11 @@ def main(argv=None) -> int:
         "vs_baseline": round(stats["iters_per_sec"] / baseline_ips, 2),
         "ms_per_iter": round(stats["ms_per_iter"], 4),
         "achieved_tflops": round(stats["achieved_tflops"], 3),
-        "fraction_of_peak": round(stats["fraction_of_peak"], 4),
+        "fraction_of_peak": (
+            round(stats["fraction_of_peak"], 4)
+            if stats["fraction_of_peak"] is not None
+            else None
+        ),
         "baseline_iters_per_sec": round(baseline_ips, 4),
         "baseline_kind": baseline_kind,
         "device": str(jax.devices()[0]),

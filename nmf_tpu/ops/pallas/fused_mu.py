@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.config import Precision
+from ...utils.device import chip_spec
 from ..elementwise import EPS, eps_clamp
 
 __all__ = [
@@ -55,19 +56,11 @@ __all__ = [
 
 _F32 = jnp.float32
 
-# Largest rank the single-level fused kernels keep resident in VMEM.  Above
-# this the jnp/XLA path (which tiles K itself) is used instead.
+# Conservative (v5e-measured) defaults; the per-generation values live in
+# utils/device.py and are resolved via chip_spec() at call time.  This
+# constant is kept as the module-level fallback ceiling (tests reference it;
+# the GENERIC spec row equals it).
 MAX_FUSED_K = 2048
-
-# Default tile extents (f32 sublane/lane quanta are (8, 128)).  Tuned on
-# TPU v5e at the flagship 10240x10240 rank-256 workload: (512, 1024) reaches
-# ~97% of bf16 peak vs ~60% for (256, 512).
-_BM = 512
-_BN = 1024
-
-# VMEM budget for the K-major buffers (accumulator / H tile), in f32 words.
-# The lane-dim tile extent shrinks as K grows so K x bn stays within budget.
-_KBN_BUDGET = 512 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,10 +73,15 @@ def _fit_blocks(k: int, block_m: int, block_n: int, mm_dtype) -> tuple:
     Word model per grid step: double-buffered inputs 2*(bm*k + k*bn + bm*bn)
     plus the accumulator and output (~k*bn + bm*k).  fp32-HIGHEST dots use
     multi-pass Mosaic scratch proportional to the tile product, so the fp32
-    budget is half the bf16 one — measured: (512, 1024) f32 tiles at K=256
-    exceed the 16 MiB scoped-vmem limit while bf16 fits comfortably.
+    budget is half the bf16 one — measured on v5e: (512, 1024) f32 tiles at
+    K=256 exceed the 16 MiB scoped-vmem limit while bf16 fits comfortably.
+    Budgets are per-generation (utils/device.py).
     """
-    budget = 1_500_000 if jnp.dtype(mm_dtype) == _F32 else 3_000_000
+    spec = chip_spec()
+    budget = (
+        spec.vmem_words_f32 if jnp.dtype(mm_dtype) == _F32
+        else spec.vmem_words_bf16
+    )
     bm, bn = block_m, block_n
     while True:
         words = 2 * (bm * k + k * bn + bm * bn) + k * bn + bm * k
@@ -109,8 +107,26 @@ def _balanced(extent: int, quantum: int, block: int) -> int:
 
 
 def supported(k: Optional[int] = None) -> bool:
-    """Whether the fused path applies (rank small enough to keep in VMEM)."""
-    return k is None or k <= MAX_FUSED_K
+    """Whether the fused path applies (rank small enough to keep in VMEM).
+
+    The ceiling is per device generation (utils/device.py); above it the
+    jnp/XLA path — which tiles K itself — is used instead.
+    """
+    return k is None or k <= chip_spec().max_fused_k
+
+
+def _default_blocks(block_m: Optional[int], block_n: Optional[int]) -> Tuple[int, int]:
+    """Fill unspecified tile extents from the device-generation table.
+
+    The v5e-measured (512, 1024) reaches ~97% of bf16 peak at the flagship
+    10240x10240 rank-256 workload vs ~60% for (256, 512); other generations
+    carry their own row (f32 sublane/lane quanta are (8, 128)).
+    """
+    spec = chip_spec()
+    return (
+        spec.block_m if block_m is None else block_m,
+        spec.block_n if block_n is None else block_n,
+    )
 
 
 def _pad2(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
@@ -165,8 +181,8 @@ def update_h_fused(
     x: jnp.ndarray,
     eps: float = EPS,
     precision: Precision = Precision(),
-    block_m: int = _BM,
-    block_n: int = _BN,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
     interpret: bool = False,
     numerator_only: bool = False,
 ) -> jnp.ndarray:
@@ -178,7 +194,7 @@ def update_h_fused(
     """
     m, k = w.shape
     _, n = h.shape
-    if k > MAX_FUSED_K:
+    if not supported(k):
         from ..mu import matmul as _mm
         from ..mu import update_h
 
@@ -193,6 +209,7 @@ def update_h_fused(
     else:
         sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
 
+    block_m, block_n = _default_blocks(block_m, block_n)
     mm_dt = jnp.dtype(precision.matmul_dtype)
     if _round_up(n, 128) <= block_n:
         # single lane-tile along N: deepen the contraction tile instead
@@ -280,8 +297,8 @@ def update_w_fused(
     x: jnp.ndarray,
     eps: float = EPS,
     precision: Precision = Precision(),
-    block_m: int = _BM,
-    block_n: int = _BN,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
     interpret: bool = False,
     numerator_only: bool = False,
 ) -> jnp.ndarray:
@@ -292,7 +309,7 @@ def update_w_fused(
     """
     m, k = w.shape
     _, n = h.shape
-    if k > MAX_FUSED_K:
+    if not supported(k):
         from ..mu import matmul as _mm
         from ..mu import update_w
 
@@ -306,6 +323,7 @@ def update_w_fused(
     else:
         sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
 
+    block_m, block_n = _default_blocks(block_m, block_n)
     mm_dt = jnp.dtype(precision.matmul_dtype)
     if _round_up(n, 128) <= block_n:
         # single lane-tile along N: deepen the contraction tile instead
@@ -407,8 +425,8 @@ def kl_cost_fused(
     h: jnp.ndarray,
     eps: float = EPS,
     precision: Precision = Precision(),
-    block_m: int = _BM,
-    block_n: int = _BN,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """KL divergence D(X || clamp(W@H)) with the reconstruction kept in VMEM.
@@ -421,11 +439,12 @@ def kl_cost_fused(
     """
     m, k = w.shape
     _, n = h.shape
-    if k > MAX_FUSED_K:
+    if not supported(k):
         from ..divergence import kl_divergence
 
         return kl_divergence(x, w, h, eps)
 
+    block_m, block_n = _default_blocks(block_m, block_n)
     mm_dt = jnp.dtype(precision.matmul_dtype)
     if _round_up(n, 128) <= block_n:
         # single lane-tile along N: deepen the contraction tile instead

@@ -10,10 +10,14 @@ the problem shape.  Measured on TPU v5e (bf16):
     10240^2   k=256  no stable winner (both fluctuate +-20% across sessions)
 
 ``backend="auto"`` applies :func:`rule_pick`, derived from those numbers —
-measurement-free, so no extra compiles.  ``backend="autotune"`` measures both
-implementations once per (shape, dtype) via :func:`pick_backend` and caches
-the winner for the process; on environments with slow (remote) compilation
-this costs minutes up front, so it is opt-in for long production solves.
+measurement-free, so no extra compiles.  The thresholds live in the
+device-generation table (utils/device.py): they are v5e-measured and serve
+as the architectural default elsewhere.  ``backend="autotune"`` measures
+both implementations once per (device kind, shape, dtype) via
+:func:`pick_backend` and caches the winner BOTH in-process and on disk
+(``~/.cache/nmf_tpu/autotune.json``, override with ``NMF_TPU_AUTOTUNE_CACHE``)
+— on environments with slow remote compilation a measurement costs minutes,
+so it must be paid at most once per machine, not once per process.
 
 Timing uses the same long/short differencing as bench.py because this
 platform's ``block_until_ready`` does not reliably block.
@@ -21,10 +25,15 @@ platform's ``block_until_ready`` does not reliably block.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 import time
 from typing import Dict, Tuple
 
 import numpy as np
+
+from .device import chip_spec
 
 __all__ = ["rule_pick", "pick_backend", "clear_cache"]
 
@@ -34,9 +43,51 @@ _cache: Dict[Tuple, str] = {}
 MIN_AUTOTUNE_ELEMENTS = 1 << 21  # ~2M (8 MB f32)
 _SHORT, _LONG = 4, 20
 
+_CACHE_ENV = "NMF_TPU_AUTOTUNE_CACHE"
 
-def clear_cache() -> None:
+
+def _disk_path() -> str:
+    return os.environ.get(_CACHE_ENV) or os.path.join(
+        os.path.expanduser("~"), ".cache", "nmf_tpu", "autotune.json"
+    )
+
+
+def _disk_load() -> dict:
+    try:
+        with open(_disk_path()) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _disk_store(key: str, choice: str) -> None:
+    """Best-effort persistent record (atomic replace; concurrent writers may
+    drop each other's newest entry, never corrupt the file)."""
+    path = _disk_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = _disk_load()
+        data[key] = choice
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp_at_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f, indent=0, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimisation; never fail the solve over it
+
+
+def _disk_key(kind: str, dtype: str, m: int, k: int, n: int) -> str:
+    return f"{kind}|{dtype}|{m}x{k}x{n}"
+
+
+def clear_cache(disk: bool = False) -> None:
     _cache.clear()
+    if disk:
+        try:
+            os.unlink(_disk_path())
+        except OSError:
+            pass
 
 
 def _measure(step_fn, w, h, x) -> float:
@@ -69,13 +120,17 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
     fp32 note: XLA's HIGHEST-precision f32 dot uses a cheaper multi-pass
     structure than Mosaic's in-kernel f32 matmul at large sizes, so the f32
     policy prefers the jnp path except in the small-rank fusion regime.
+    Thresholds come from the device-generation table (utils/device.py).
     """
     from ..ops.pallas import fused_mu
 
     if not fused_mu.supported(k):
         return "jnp"
-    single_n_tile = -(-n // 128) * 128 <= 1024
-    if matmul_dtype == "bfloat16" and (k <= 64 or single_n_tile):
+    spec = chip_spec()
+    single_n_tile = -(-n // 128) * 128 <= spec.block_n
+    if matmul_dtype == "bfloat16" and (
+        k <= spec.fused_small_k or (single_n_tile and spec.fused_single_tile_n)
+    ):
         # fusion's decisive regimes: small rank (paper dims +25-30%) and
         # single-lane-tile N where the deepened contraction tile wins
         # (4096x350 k=128: +17%)
@@ -88,14 +143,27 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
 
 
 def pick_backend(config, m: int, k: int, n: int) -> str:
-    """Measured pick: 'pallas' or 'jnp' for this shape (TPU callers only)."""
+    """Measured pick: 'pallas' or 'jnp' for this shape (TPU callers only).
+
+    The winner is cached per (device kind, dtype, shape) in-process AND on
+    disk, so the measurement's compile cost is paid once per machine.
+    """
+    import jax
+
     from ..ops.pallas import fused_mu
 
     if not fused_mu.supported(k) or m * n < MIN_AUTOTUNE_ELEMENTS:
         return rule_pick(m, k, n, config.precision.matmul_dtype)
-    key = (config.precision.matmul_dtype, m, k, n)
+    devices = jax.devices()
+    kind = (getattr(devices[0], "device_kind", "") or "unknown") if devices else "unknown"
+    key = (kind, config.precision.matmul_dtype, m, k, n)
     if key in _cache:
         return _cache[key]
+    dkey = _disk_key(kind, config.precision.matmul_dtype, m, k, n)
+    disk = _disk_load()
+    if disk.get(dkey) in ("pallas", "jnp"):
+        _cache[key] = disk[dkey]
+        return disk[dkey]
 
     import functools
 
@@ -114,6 +182,7 @@ def pick_backend(config, m: int, k: int, n: int) -> str:
     t_jnp = _measure(functools.partial(mu_step, eps=eps, precision=prec), w, h, x)
     choice = "pallas" if t_pallas <= t_jnp else "jnp"
     _cache[key] = choice
+    _disk_store(dkey, choice)
     return choice
 
 

@@ -1,0 +1,150 @@
+"""Device-generation tuning table and persistent autotune cache."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nmf_tpu.utils import autotune
+from nmf_tpu.utils.device import GENERIC, ChipSpec, chip_spec, chip_spec_for
+
+
+def test_known_device_kinds_resolve():
+    v5e = chip_spec_for("TPU v5 lite")
+    assert v5e.family == "v5e" and v5e.measured
+    assert v5e.bf16_tflops == 197.0 and v5e.f32_tflops == 33.0
+    assert v5e.block_m == 512 and v5e.block_n == 1024
+    assert v5e.max_fused_k == 2048
+
+    v5p = chip_spec_for("TPU v5p")
+    assert v5p.family == "v5p" and not v5p.measured
+    assert v5p.bf16_tflops == 459.0
+
+    v6e = chip_spec_for("TPU v6 lite")
+    assert v6e.family == "v6e" and v6e.bf16_tflops == 918.0
+
+    v4 = chip_spec_for("TPU v4")
+    assert v4.family == "v4"
+    # conservative v3 row shrinks the VMEM/tile budgets
+    v3 = chip_spec_for("TPU v3")
+    assert v3.max_fused_k < v5e.max_fused_k
+    assert v3.vmem_words_bf16 < v5e.vmem_words_bf16
+
+
+def test_unknown_device_falls_back_to_generic():
+    spec = chip_spec_for("SomeFutureAccelerator 9000")
+    assert spec is GENERIC
+    assert spec.bf16_tflops is None and spec.f32_tflops is None
+    assert spec.peak_tflops("bfloat16") is None
+    # but tiling/budget defaults are the conservative measured ones
+    assert spec.block_m == 512 and spec.max_fused_k == 2048
+
+
+def test_chip_spec_on_cpu_backend_is_generic():
+    # tests run on the CPU backend (conftest): device_kind is not a TPU
+    spec = chip_spec()
+    assert isinstance(spec, ChipSpec)
+    assert spec.family == "generic"
+
+
+def test_supported_uses_device_ceiling(monkeypatch):
+    from nmf_tpu.ops.pallas import fused_mu
+    from nmf_tpu.utils import device as device_mod
+
+    assert fused_mu.supported(2048)
+    assert not fused_mu.supported(2049)
+    small = ChipSpec(
+        family="tiny", measured=False, bf16_tflops=None, f32_tflops=None,
+        vmem_words_f32=100_000, vmem_words_bf16=200_000,
+        block_m=128, block_n=256, max_fused_k=64,
+    )
+    monkeypatch.setattr(device_mod, "chip_spec", lambda device=None: small)
+    monkeypatch.setattr("nmf_tpu.ops.pallas.fused_mu.chip_spec", lambda device=None: small)
+    assert fused_mu.supported(64)
+    assert not fused_mu.supported(65)
+
+
+def test_rule_pick_uses_spec_thresholds(monkeypatch):
+    from nmf_tpu.utils import device as device_mod
+
+    # default thresholds: small rank -> pallas (bf16), big square -> jnp
+    assert autotune.rule_pick(512, 30, 3445, "bfloat16") == "pallas"
+    assert autotune.rule_pick(8192, 512, 8192, "bfloat16") == "jnp"
+    # a spec that disables both fusion regimes must pick jnp for small k
+    off = ChipSpec(
+        family="off", measured=False, bf16_tflops=None, f32_tflops=None,
+        vmem_words_f32=1_500_000, vmem_words_bf16=3_000_000,
+        block_m=512, block_n=1024, max_fused_k=2048,
+        fused_small_k=0, fused_single_tile_n=False,
+    )
+    monkeypatch.setattr("nmf_tpu.utils.autotune.chip_spec", lambda device=None: off)
+    assert autotune.rule_pick(512, 30, 3445, "bfloat16") == "jnp"
+
+
+@pytest.fixture
+def disk_cache(tmp_path, monkeypatch):
+    path = str(tmp_path / "autotune.json")
+    monkeypatch.setenv(autotune._CACHE_ENV, path)
+    autotune.clear_cache()
+    yield path
+    autotune.clear_cache()
+
+
+def _big_cfg():
+    from nmf_tpu.utils.config import SolveConfig
+
+    return SolveConfig(backend="autotune")
+
+
+def test_autotune_disk_cache_hit_skips_measurement(disk_cache, monkeypatch):
+    """A prepopulated disk cache must answer without measuring (measuring
+    costs minutes on remote-compile platforms)."""
+    import jax
+
+    m, k, n = 2048, 128, 1100  # above MIN_AUTOTUNE_ELEMENTS
+    kind = jax.devices()[0].device_kind or "unknown"
+    key = autotune._disk_key(kind, "float32", m, k, n)
+    with open(disk_cache, "w") as f:
+        json.dump({key: "pallas"}, f)
+
+    def boom(*a, **k):
+        raise AssertionError("measured despite disk cache hit")
+
+    monkeypatch.setattr(autotune, "_measure", boom)
+    assert autotune.pick_backend(_big_cfg(), m, k, n) == "pallas"
+    # and it is now memoized in-process too
+    assert autotune.pick_backend(_big_cfg(), m, k, n) == "pallas"
+
+
+def test_autotune_measurement_persists_to_disk(disk_cache, monkeypatch):
+    m, k, n = 2048, 128, 1100
+    times = iter([1.0, 2.0])  # pallas faster than jnp
+    monkeypatch.setattr(autotune, "_measure", lambda *a, **k: next(times))
+    assert autotune.pick_backend(_big_cfg(), m, k, n) == "pallas"
+    data = json.load(open(disk_cache))
+    assert list(data.values()) == ["pallas"]
+
+    # a fresh process (cleared memory cache) reuses the stored winner
+    autotune.clear_cache()
+    monkeypatch.setattr(
+        autotune, "_measure",
+        lambda *a, **k: pytest.fail("re-measured despite disk cache"),
+    )
+    assert autotune.pick_backend(_big_cfg(), m, k, n) == "pallas"
+
+
+def test_autotune_corrupt_cache_is_ignored(disk_cache, monkeypatch):
+    with open(disk_cache, "w") as f:
+        f.write("{not json")
+    m, k, n = 2048, 128, 1100
+    times = iter([2.0, 1.0])  # jnp faster
+    monkeypatch.setattr(autotune, "_measure", lambda *a, **k: next(times))
+    assert autotune.pick_backend(_big_cfg(), m, k, n) == "jnp"
+    assert json.load(open(disk_cache))  # rewritten clean
+
+
+def test_bench_fraction_of_peak_none_off_tpu():
+    import bench
+
+    assert bench.peak_tflops("bfloat16") is None  # CPU backend -> unknown
