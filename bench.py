@@ -138,7 +138,11 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workload", choices=WORKLOADS, default="flagship")
-    ap.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    ap.add_argument(
+        "--dtype",
+        choices=["bfloat16", "float32", "float32_fast"],
+        default="bfloat16",
+    )
     ap.add_argument(
         "--x-dtype", choices=["float32", "bfloat16"], default="float32",
         help="storage dtype of X",

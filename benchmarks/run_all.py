@@ -150,13 +150,14 @@ def precision_study(m, k, n, iters=100):
     w = rng.rand(m, k).astype(np.float32)
     h = rng.rand(k, n).astype(np.float32)
     out = {}
-    for dtype in ("float32", "bfloat16"):
+    for dtype in ("float32", "float32_fast", "bfloat16"):
         cfg = nt.SolveConfig(
             max_iter=iters, check_every=iters, precision=nt.Precision(dtype)
         )
         res = nt.solve(x, w, h, cfg)
         out[dtype] = float(res.cost)
     out["rel_cost_gap"] = abs(out["bfloat16"] - out["float32"]) / out["float32"]
+    out["rel_cost_gap_fast"] = abs(out["float32_fast"] - out["float32"]) / out["float32"]
     return out
 
 
@@ -180,7 +181,7 @@ def main(argv=None) -> int:
         "flagship_10240x10240_k256": (10240, 256, 10240, *flag_iters),
     }.items():
         rows = []
-        for dtype in ("bfloat16", "float32"):
+        for dtype in ("bfloat16", "float32", "float32_fast"):
             for backend in ("pallas", "jnp"):
                 r = bench_shape(m, k, n, dtype, backend, s, l)
                 rows.append(r)

@@ -51,9 +51,12 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--l2-h", type=float, default=0.0, help="L2 penalty on H")
     p.add_argument(
         "--dtype",
-        choices=["float32", "bfloat16"],
+        choices=["float32", "float32_fast", "bfloat16"],
         default="float32",
-        help="matmul input dtype (accumulation is always float32)",
+        help="update-GEMM precision: float32 = exact (reference parity), "
+        "float32_fast = 3-pass bf16 split-float (~1e-7 accuracy, ~2-3x "
+        "faster on TPU), bfloat16 = full-rate MXU (accumulation is always "
+        "float32)",
     )
     p.add_argument(
         "--x-dtype",
@@ -67,6 +70,12 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         default="auto",
     )
     p.add_argument("--no-cost", action="store_true", help="skip cost tracking")
+    p.add_argument(
+        "--live",
+        action="store_true",
+        help="stream per-check cost lines DURING the solve (async callback; "
+        "restores the reference-era ITER_CHECK reporting)",
+    )
     p.add_argument("--quiet", "-q", action="store_true")
     p.add_argument(
         "--validate",
@@ -92,6 +101,7 @@ def _config_from(args) -> SolveConfig:
         precision=Precision(matmul_dtype=args.dtype, x_dtype=args.x_dtype),
         backend=args.backend,
         track_cost=not args.no_cost,
+        live_metrics=args.live,
         beta=args.beta,
         algorithm=args.algorithm,
         l1_w=args.l1_w,

@@ -128,6 +128,91 @@ def _cost_fn(config: SolveConfig, platform: Optional[str] = None) -> CostFn:
     return functools.partial(kl_divergence, eps=config.eps)
 
 
+def _emit_live_single(it, cost, rel):
+    """Default live emitter: async host callback to utils.metrics.emit_live."""
+    from ..utils.metrics import emit_live
+
+    jax.debug.callback(emit_live, it, cost, rel)
+
+
+@functools.lru_cache(maxsize=4)
+def host_callbacks_supported(platform: Optional[str] = None) -> bool:
+    """Whether the backend can run jax.debug.callback inside jit.
+
+    Some PJRT plugins (e.g. tunneled devices) reject host send/recv
+    callbacks at execute time; live metrics then fall back to the chunked
+    host-driven loop (:func:`run_live_chunked`).  The probe compiles one
+    trivial program; the result is cached per process.
+    """
+    import numpy as _np
+
+    try:
+        @jax.jit
+        def _probe(v):
+            jax.debug.callback(lambda _: None, v)
+            return v + 1
+
+        out = _probe(jnp.zeros((), jnp.int32))
+        _np.asarray(jax.device_get(out))  # force execution (block may no-op)
+        jax.effects_barrier()
+        return True
+    except Exception:
+        return False
+
+
+def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost):
+    """Live metrics WITHOUT host callbacks: drive the solve in
+    ``check_every``-sized device segments and emit each check from the host.
+
+    Used when the platform rejects jax.debug.callback (see
+    :func:`host_callbacks_supported`).  Unlike the callback path this one
+    synchronizes with the host once per check — exactly the per-check fetch
+    the reference-era API performed (README.md:51-54) — so the zero-sync
+    contract is traded for liveness only when live metrics were requested on
+    such a platform.
+
+    ``make_segment_fn(seg_config)`` returns the jitted segment solver
+    ``fn(x, w, h, initial_cost) -> SolveResult`` (the single-device and
+    sharded solvers both qualify); W/H buffers chain through donation.
+    """
+    import numpy as np
+
+    from ..utils.metrics import emit_live
+
+    max_iter = int(config.max_iter)
+    check_every = int(config.check_every)
+    thresh = float(config.thresh)
+    n_slots = max(config.num_checks, 1)
+    hist = np.full((n_slots,), np.nan, np.float32)
+    it, chk = 0, 0
+    prev = float(jnp.asarray(initial_cost)) if initial_cost is not None else float("nan")
+    converged = False
+    base = dataclasses.replace(config, live_metrics=False)
+    while it < max_iter and not converged:
+        chunk = min(check_every, max_iter - it)
+        seg_fn = make_segment_fn(dataclasses.replace(base, max_iter=chunk))
+        res = seg_fn(x, w, h, jnp.asarray(jnp.nan, _F32))
+        w, h = res.w, res.h
+        it += int(res.iterations)
+        cost = float(res.cost)
+        rel = abs(prev - cost) / abs(cost) if cost else float("nan")
+        hist[chk] = cost
+        chk += 1
+        emit_live(it, cost, rel)
+        if thresh > 0.0 and rel < thresh:
+            converged = True
+        prev = cost
+    return SolveResult(
+        w=w,
+        h=h,
+        iterations=jnp.asarray(it, jnp.int32),
+        cost=jnp.asarray(prev, _F32),
+        cost_history=jnp.asarray(hist),
+        num_checks=jnp.asarray(chk, jnp.int32),
+        converged=jnp.asarray(converged, jnp.bool_),
+    )
+
+
 def run_checked_loop(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -137,6 +222,7 @@ def run_checked_loop(
     cost_fn: CostFn,
     all_reduce: Callable[[jnp.ndarray], jnp.ndarray] = lambda c: c,
     initial_cost: Optional[jnp.ndarray] = None,
+    live_emit: Optional[Callable] = None,
 ) -> SolveResult:
     """Trace the check-blocked while_loop.  Shared by the single-device and
     shard_map solvers; ``all_reduce`` sums partial costs across the mesh in
@@ -147,6 +233,11 @@ def run_checked_loop(
     against it (NaN/None = no baseline, first check never converges).  The
     checkpointed solver passes the previous segment's final cost here so
     thresholded convergence works identically across segment boundaries.
+
+    With ``config.live_metrics`` each check also streams (iter, cost,
+    rel_change) to the host through an async debug callback; ``live_emit``
+    overrides the emitter (the sharded solver gates it to mesh coordinate
+    (0,0) so a pod prints once per check, not once per device).
     """
     max_iter = int(config.max_iter)
     check_every = int(config.check_every)
@@ -155,6 +246,12 @@ def run_checked_loop(
     # GEMM entirely (the reference computes no cost at all, nmf.cu:113-115).
     need_cost = config.track_cost or thresh > 0.0
     n_slots = max(config.num_checks, 1)
+    if config.live_metrics and not need_cost:
+        raise ValueError(
+            "live_metrics streams the per-check cost; enable track_cost "
+            "(or a nonzero thresh)"
+        )
+    emit = live_emit if live_emit is not None else _emit_live_single
 
     def one_step(_, wh):
         return step_fn(wh[0], wh[1], x)
@@ -168,9 +265,11 @@ def run_checked_loop(
             prev_cost = cost
             cost = all_reduce(cost_fn(x, w, h)).astype(_F32)
             hist = hist.at[chk].set(cost)
+            rel = jnp.abs(prev_cost - cost) / jnp.abs(cost)
             if thresh > 0.0:
-                rel = jnp.abs(prev_cost - cost) / jnp.abs(cost)
                 done = rel < thresh
+            if config.live_metrics:
+                emit(it, cost, rel)
         chk = chk + 1
         return (w, h, it, prev_cost, cost, chk, hist, done)
 
@@ -283,6 +382,12 @@ def solve(
                 m, k, h0.shape[1], config.precision.matmul_dtype
             )
         config = dataclasses.replace(config, backend=choice)
+    if config.live_metrics and not host_callbacks_supported(platform):
+        # platform rejects in-jit host callbacks: chunked host-driven live loop
+        return run_live_chunked(
+            lambda c: solve_jit(c, platform), x, w0, h0, config,
+            jnp.asarray(initial_cost, _F32),
+        )
     return solve_jit(config, platform)(
         x, w0, h0, jnp.asarray(initial_cost, _F32)
     )

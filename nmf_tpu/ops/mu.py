@@ -58,17 +58,16 @@ def matmul(
     transpose flags select N/N, T/N, N/T — on TPU these are free layout
     choices inside ``dot_general`` rather than separate kernels.
     """
-    mm = jnp.dtype(precision.matmul_dtype)
+    mm = jnp.dtype(precision.mm_input_dtype)
     a = a.astype(mm) if a.dtype != mm else a
     b = b.astype(mm) if b.dtype != mm else b
     ca = 0 if transpose_a else a.ndim - 1
     cb = 1 if transpose_b else b.ndim - 2
-    # fp32 policy => true fp32 GEMM (reference-parity: cuBLAS SGEMM).  JAX's
-    # DEFAULT lowers f32 matmuls to faster low-precision passes, which breaks
-    # the 1e-4 parity bar; bf16 policy uses the fast path deliberately.
-    lax_prec = (
-        jax.lax.Precision.HIGHEST if mm == _F32 else jax.lax.Precision.DEFAULT
-    )
+    # fp32 policy => true fp32 GEMM via HIGHEST (reference-parity: cuBLAS
+    # SGEMM; JAX's DEFAULT lowers f32 matmuls to faster low-precision passes,
+    # which breaks the 1e-4 parity bar).  float32_fast => HIGH (3-pass bf16
+    # split-float); bf16 policy uses the full-rate path deliberately.
+    lax_prec = precision.lax_matmul_precision()
     return jax.lax.dot_general(
         a,
         b,

@@ -137,28 +137,62 @@ def _pad2(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# In-kernel GEMM operand preparation.  Mosaic does not lower
+# lax.Precision.HIGH, so the float32_fast policy's 3-pass bf16 split-float
+# dot is implemented manually: a = hi + lo with hi = bf16(a),
+# lo = bf16(a - hi); a@b ~= hi@bh + hi@bl + lo@bh (the lo*lo term, of
+# relative order 2^-16, is dropped).  Each pass runs the MXU at full bf16
+# rate, so the ceiling is bf16_peak/3 vs ~bf16_peak/6 for HIGHEST.
+# ---------------------------------------------------------------------------
+
+
+def _prep_operand(a, mm_dtype, split3):
+    """Cast a kernel tile for the MXU: bf16/f32 array, or (hi, lo) pair."""
+    if not split3:
+        return a.astype(mm_dtype)
+    a32 = a.astype(_F32)
+    hi = a32.astype(jnp.bfloat16)
+    lo = (a32 - hi.astype(_F32)).astype(jnp.bfloat16)
+    return (hi, lo)
+
+
+def _kdot(pa, pb, dims, lax_prec, split3):
+    """dot_general over prepared operands (3-pass decomposition if split3)."""
+
+    def d(u, v, prec):
+        return jax.lax.dot_general(
+            u, v, dims, preferred_element_type=_F32, precision=prec
+        )
+
+    if not split3:
+        return d(pa, pb, lax_prec)
+    (ah, al), (bh, bl) = pa, pb
+    fast = jax.lax.Precision.DEFAULT
+    return d(ah, bh, fast) + d(ah, bl, fast) + d(al, bh, fast)
+
+
+# ---------------------------------------------------------------------------
 # H half-update: H_new = H * (W^T @ (X / clamp(W@H))) / sumW[:, None]
 # ---------------------------------------------------------------------------
 
 
-def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_m, epilogue):
+def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_m, epilogue, split3=False):
     i = pl.program_id(1)  # contraction step over M tiles (innermost)
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w_blk = w_ref[:].astype(mm_dtype)          # (bm, K)
-    h_blk = h_ref[:].astype(mm_dtype)          # (K, bn)
-    wh = jax.lax.dot_general(
-        w_blk, h_blk, (((1,), (0,)), ((), ())), preferred_element_type=_F32,
-        precision=lax_prec,
+    w_blk = _prep_operand(w_ref[:], mm_dtype, split3)   # (bm, K)
+    h_blk = _prep_operand(h_ref[:], mm_dtype, split3)   # (K, bn)
+    wh = _kdot(
+        w_blk, h_blk, (((1,), (0,)), ((), ())), lax_prec, split3
     )                                          # (bm, bn) f32
     z = x_ref[:] / jnp.maximum(wh, eps)        # clamp per nmf.cu:128
     # acc += W_blk^T @ z : contract over the bm rows
-    acc_ref[:] += jax.lax.dot_general(
-        w_blk, z.astype(mm_dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=_F32, precision=lax_prec,
+    acc_ref[:] += _kdot(
+        w_blk, _prep_operand(z, mm_dtype, split3),
+        (((0,), (0,)), ((), ())), lax_prec, split3,
     )
 
     @pl.when(i == n_m - 1)
@@ -210,7 +244,7 @@ def update_h_fused(
         sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
 
     block_m, block_n = _default_blocks(block_m, block_n)
-    mm_dt = jnp.dtype(precision.matmul_dtype)
+    mm_dt = jnp.dtype(precision.mm_input_dtype)
     if _round_up(n, 128) <= block_n:
         # single lane-tile along N: deepen the contraction tile instead
         # (measured at 4096x350 k=128: 86 -> 119 TF/s)
@@ -225,11 +259,17 @@ def update_h_fused(
     xp = _pad2(x, mp, np_)
     n_m, n_n = mp // bm, np_ // bn
 
-    mm_dtype = jnp.dtype(precision.matmul_dtype)
-    lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.dtype(precision.mm_input_dtype)
+    # float32_fast: Mosaic cannot lower Precision.HIGH, so the kernel does
+    # the 3-pass bf16 decomposition itself (split3); lax_prec is then unused.
+    split3 = precision.matmul_dtype == "float32_fast"
+    lax_prec = (
+        jax.lax.Precision.DEFAULT if split3 else precision.lax_matmul_precision()
+    )
     kernel = functools.partial(
         _h_kernel, eps=float(eps), mm_dtype=mm_dtype,
         lax_prec=lax_prec, n_m=n_m, epilogue=not numerator_only,
+        split3=split3,
     )
     out = pl.pallas_call(
         kernel,
@@ -260,24 +300,21 @@ def update_h_fused(
 # ---------------------------------------------------------------------------
 
 
-def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_n, epilogue):
+def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_n, epilogue, split3=False):
     j = pl.program_id(1)  # contraction step over N tiles (innermost)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w_blk = w_ref[:].astype(mm_dtype)          # (bm, K)
-    h_blk = h_ref[:].astype(mm_dtype)          # (K, bn)
-    wh = jax.lax.dot_general(
-        w_blk, h_blk, (((1,), (0,)), ((), ())), preferred_element_type=_F32,
-        precision=lax_prec,
-    )
+    w_blk = _prep_operand(w_ref[:], mm_dtype, split3)   # (bm, K)
+    h_blk = _prep_operand(h_ref[:], mm_dtype, split3)   # (K, bn)
+    wh = _kdot(w_blk, h_blk, (((1,), (0,)), ((), ())), lax_prec, split3)
     z = x_ref[:] / jnp.maximum(wh, eps)        # clamp per nmf.cu:158
     # acc += z @ H_blk^T : contract over the bn cols
-    acc_ref[:] += jax.lax.dot_general(
-        z.astype(mm_dtype), h_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=_F32, precision=lax_prec,
+    acc_ref[:] += _kdot(
+        _prep_operand(z, mm_dtype, split3), h_blk,
+        (((1,), (1,)), ((), ())), lax_prec, split3,
     )
 
     @pl.when(j == n_n - 1)
@@ -324,7 +361,7 @@ def update_w_fused(
         sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
 
     block_m, block_n = _default_blocks(block_m, block_n)
-    mm_dt = jnp.dtype(precision.matmul_dtype)
+    mm_dt = jnp.dtype(precision.mm_input_dtype)
     if _round_up(n, 128) <= block_n:
         # single lane-tile along N: deepen the contraction tile instead
         # (measured at 4096x350 k=128: 86 -> 119 TF/s)
@@ -339,11 +376,17 @@ def update_w_fused(
     xp = _pad2(x, mp, np_)
     n_m, n_n = mp // bm, np_ // bn
 
-    mm_dtype = jnp.dtype(precision.matmul_dtype)
-    lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.dtype(precision.mm_input_dtype)
+    # float32_fast: Mosaic cannot lower Precision.HIGH, so the kernel does
+    # the 3-pass bf16 decomposition itself (split3); lax_prec is then unused.
+    split3 = precision.matmul_dtype == "float32_fast"
+    lax_prec = (
+        jax.lax.Precision.DEFAULT if split3 else precision.lax_matmul_precision()
+    )
     kernel = functools.partial(
         _w_kernel, eps=float(eps), mm_dtype=mm_dtype,
         lax_prec=lax_prec, n_n=n_n, epilogue=not numerator_only,
+        split3=split3,
     )
     out = pl.pallas_call(
         kernel,
@@ -445,7 +488,7 @@ def kl_cost_fused(
         return kl_divergence(x, w, h, eps)
 
     block_m, block_n = _default_blocks(block_m, block_n)
-    mm_dt = jnp.dtype(precision.matmul_dtype)
+    mm_dt = jnp.dtype(precision.mm_input_dtype)
     if _round_up(n, 128) <= block_n:
         # single lane-tile along N: deepen the contraction tile instead
         # (measured at 4096x350 k=128: 86 -> 119 TF/s)
@@ -460,8 +503,13 @@ def kl_cost_fused(
     xp = _pad2(x, mp, np_)
     n_m, n_n = mp // bm, np_ // bn
 
-    mm_dtype = jnp.dtype(precision.matmul_dtype)
-    lax_prec = jax.lax.Precision.HIGHEST if mm_dtype == _F32 else jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.dtype(precision.mm_input_dtype)
+    # cost GEMM precision: HIGHEST for BOTH f32 policies (float32_fast speeds
+    # up the update GEMMs only; the reported divergence must not drift)
+    lax_prec = (
+        jax.lax.Precision.HIGHEST if mm_dtype == _F32
+        else jax.lax.Precision.DEFAULT
+    )
     kernel = functools.partial(
         _kl_kernel, eps=float(eps), mm_dtype=mm_dtype, lax_prec=lax_prec,
         n_steps=n_m * n_n, bm=bm, bn=bn, m=m, n=n,

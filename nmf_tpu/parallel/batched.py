@@ -35,6 +35,12 @@ _F32 = jnp.float32
 
 @functools.lru_cache(maxsize=16)
 def _batched_jit(config: SolveConfig, platform: Optional[str]):
+    if config.live_metrics:
+        # a vmapped debug callback would fire once per batch member per
+        # check; per-member live streaming is not meaningful here
+        import dataclasses
+
+        config = dataclasses.replace(config, live_metrics=False)
     step_fn = resolve_step_fn(config, platform)
     cost_fn = _cost_fn(config, platform)
 

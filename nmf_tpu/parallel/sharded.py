@@ -203,6 +203,15 @@ def solve_sharded(
     )
     x, w0, h0 = shard_problem(x, w0, h0, mesh)
 
+    if config.live_metrics:
+        from ..models.solver import host_callbacks_supported, run_live_chunked
+
+        platform = list(mesh.devices.flat)[0].platform
+        if not host_callbacks_supported(platform):
+            return run_live_chunked(
+                lambda c: build_sharded_solver(c, mesh, fused=fused),
+                x, w0, h0, config, jnp.asarray(initial_cost, _F32),
+            )
     fn = build_sharded_solver(config, mesh, fused=fused)
     return fn(x, w0, h0, jnp.asarray(initial_cost, _F32))
 
@@ -226,6 +235,21 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
         )
         cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
+    def _emit_live_once(it, cost, rel):
+        """Live-metrics emitter gated to mesh coordinate (0, 0): a pod prints
+        one line per check, not one per device (callbacks in the untaken
+        lax.cond branch do not fire)."""
+        from ..utils.metrics import emit_live
+
+        is_origin = jnp.logical_and(
+            jax.lax.axis_index(ROW_AXIS) == 0, jax.lax.axis_index(COL_AXIS) == 0
+        )
+        jax.lax.cond(
+            is_origin,
+            lambda: jax.debug.callback(emit_live, it, cost, rel),
+            lambda: None,
+        )
+
     def local_solve(x_loc, w_loc, h_loc, initial_cost):
         return run_checked_loop(
             x_loc,
@@ -236,6 +260,7 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
             cost_fn,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
+            live_emit=_emit_live_once,
         )
 
     out_specs = SolveResult(

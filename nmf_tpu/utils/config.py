@@ -22,9 +22,18 @@ EPS_DEFAULT = float(np.float32(2.2204e-16))  # cuda/matrix.cu:10
 class Precision:
     """Mixed-precision policy for the update step.
 
-    * ``matmul_dtype``: dtype the GEMM *inputs* are cast to.  ``bfloat16``
-      feeds the MXU at full rate; accumulation is always float32 via
-      ``preferred_element_type`` (never bf16 — see SURVEY.md section 7 step 4).
+    * ``matmul_dtype``: GEMM input precision for the update step.
+        - ``"float32"``: true f32 GEMMs (reference-parity; on TPU this
+          lowers to XLA's HIGHEST multi-pass path, ~6x the bf16 cost).
+        - ``"float32_fast"``: f32 inputs with the 3-pass bf16 split-float
+          GEMM (``lax.Precision.HIGH``): each operand is decomposed into
+          bf16 high+low parts and the lo*lo term is dropped, giving
+          ~1e-7-grade f32 accuracy at roughly half the HIGHEST cost — the
+          middle ground between slow-exact and bf16.  Cost/convergence
+          GEMMs still run HIGHEST (the divergence must not drift).
+        - ``"bfloat16"``: bf16 inputs, full-rate MXU.
+      Accumulation is always float32 via ``preferred_element_type`` (never
+      bf16 — see SURVEY.md section 7 step 4).
     * ``state_dtype``: dtype W/H are carried in between iterations.
     * ``x_dtype``: storage dtype of the data matrix X.  ``bfloat16`` halves
       the dominant HBM stream (X is read twice per iteration) for
@@ -33,17 +42,33 @@ class Precision:
     * Reductions (column/row sums, KL cost) are always float32.
     """
 
-    matmul_dtype: str = "float32"   # "float32" | "bfloat16"
+    matmul_dtype: str = "float32"   # "float32" | "float32_fast" | "bfloat16"
     state_dtype: str = "float32"
     x_dtype: str = "float32"        # "float32" | "bfloat16"
 
     def validate(self) -> None:
-        if self.matmul_dtype not in ("float32", "bfloat16"):
+        if self.matmul_dtype not in ("float32", "float32_fast", "bfloat16"):
             raise ValueError(f"unsupported matmul_dtype {self.matmul_dtype!r}")
         if self.state_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported state_dtype {self.state_dtype!r}")
         if self.x_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported x_dtype {self.x_dtype!r}")
+
+    @property
+    def mm_input_dtype(self) -> str:
+        """Array dtype GEMM inputs are cast to (f32 for both f32 variants —
+        the split-float decomposition happens inside the XLA dot, not here)."""
+        return "bfloat16" if self.matmul_dtype == "bfloat16" else "float32"
+
+    def lax_matmul_precision(self):
+        """The ``jax.lax.Precision`` for update-step GEMMs under this policy."""
+        import jax
+
+        return {
+            "float32": jax.lax.Precision.HIGHEST,
+            "float32_fast": jax.lax.Precision.HIGH,
+            "bfloat16": jax.lax.Precision.DEFAULT,
+        }[self.matmul_dtype]
 
 
 FP32 = Precision("float32", "float32")
@@ -71,6 +96,11 @@ class SolveConfig:
     precision: Precision = FP32
     backend: str = "auto"                # "auto" | "jnp" | "pallas" | "autotune"
     track_cost: bool = True              # record cost history even if thresh==0
+    # stream (iter, cost, rel_change) to the host DURING the solve, once per
+    # check (restores the reference-era ITER_CHECK reporting, README.md:51-54).
+    # Off by default: the zero-host-sync contract stays intact; the stream
+    # uses an async jax.debug.callback, sunk via utils.metrics.set_live_handler.
+    live_metrics: bool = False
     beta: float = 1.0                    # divergence family; 1.0 == reference KL
     algorithm: str = "mu"                # "mu" (reference) | "hals" (beta=2 only)
     # L1/L2 penalties on the factors (0 = reference behaviour).  The MU
@@ -100,6 +130,11 @@ class SolveConfig:
             raise ValueError("regularization strengths must be >= 0")
         if self.regularized and self.beta != 1.0:
             raise ValueError("regularization is implemented for the KL (beta=1) family")
+        if self.live_metrics and not (self.track_cost or self.thresh > 0):
+            raise ValueError(
+                "live_metrics streams the per-check cost; enable track_cost "
+                "(or a nonzero thresh)"
+            )
         self.precision.validate()
 
     @property

@@ -57,7 +57,12 @@ class ChipSpec:
     fused_single_tile_n: bool = True
 
     def peak_tflops(self, matmul_dtype: str) -> Optional[float]:
-        return self.f32_tflops if matmul_dtype == "float32" else self.bf16_tflops
+        if matmul_dtype == "float32":
+            return self.f32_tflops
+        if matmul_dtype == "float32_fast":
+            # 3-pass bf16 split-float: ceiling is a third of the bf16 peak
+            return self.bf16_tflops / 3.0 if self.bf16_tflops else None
+        return self.bf16_tflops
 
 
 _V5E = ChipSpec(

@@ -17,7 +17,47 @@ from typing import IO, List, Optional
 
 import numpy as np
 
-__all__ = ["CheckRecord", "RunReport", "MetricsLogger", "summarize_result"]
+__all__ = [
+    "CheckRecord",
+    "RunReport",
+    "MetricsLogger",
+    "summarize_result",
+    "emit_live",
+    "set_live_handler",
+]
+
+
+# ---------------------------------------------------------------------------
+# Live per-check streaming (SolveConfig.live_metrics).
+#
+# The solver's while_loop emits (iteration, cost, rel_change) through a
+# jax.debug.callback every check_every iterations — the restoration of the
+# reference-era ITER_CHECK status reporting (README.md:51-54) — WITHOUT
+# breaking the zero-host-sync default: the callback is asynchronous and the
+# feature is opt-in.  The host-side sink is this module-level handler.
+# ---------------------------------------------------------------------------
+
+
+def _default_live_handler(iteration: int, cost: float, rel_change: float) -> None:
+    sys.stderr.write(
+        f"[nmf] iter {iteration:>6d}  cost {cost:.6e}  "
+        f"rel_change {rel_change:.3e}  (live)\n"
+    )
+    sys.stderr.flush()
+
+
+_live_handler = _default_live_handler
+
+
+def set_live_handler(handler) -> None:
+    """Replace the live-metrics sink (None restores the stderr default)."""
+    global _live_handler
+    _live_handler = handler if handler is not None else _default_live_handler
+
+
+def emit_live(iteration, cost, rel_change) -> None:
+    """Host-side entry invoked by the solver's debug callback."""
+    _live_handler(int(iteration), float(cost), float(rel_change))
 
 
 @dataclasses.dataclass

@@ -135,6 +135,28 @@ def test_kl_cost_fused_padding_masked():
     assert np.isfinite(float(ours))
 
 
+def test_fused_split3_float32_fast_close_to_f32(problem):
+    """The in-kernel 3-pass bf16 split-float dot (float32_fast policy) tracks
+    the exact-f32 fused result to ~1e-6 per half-update."""
+    x, w, h = problem
+    fast = Precision("float32_fast")
+    assert fast.mm_input_dtype == "float32"
+    ref_h = fused_mu.update_h_fused(w, h, x, interpret=True, block_m=32, block_n=128)
+    our_h = fused_mu.update_h_fused(
+        w, h, x, precision=fast, interpret=True, block_m=32, block_n=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_h), np.asarray(ref_h), rtol=5e-6, atol=1e-7
+    )
+    ref_w = fused_mu.update_w_fused(w, h, x, interpret=True, block_m=32, block_n=128)
+    our_w = fused_mu.update_w_fused(
+        w, h, x, precision=fast, interpret=True, block_m=32, block_n=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_w), np.asarray(ref_w), rtol=5e-6, atol=1e-7
+    )
+
+
 def test_kl_cost_fused_unclamped_zeros_match_jnp():
     """Genuine x == 0 entries (clamp skipped): both backends use the x->0
     limit of x*log(x/y) and keep the '+y' mass, and they agree — while

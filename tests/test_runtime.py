@@ -169,6 +169,108 @@ def test_metrics_report(tmp_path, small_problem, capsys):
     assert rec["iters_per_sec"] == pytest.approx(20.0)
 
 
+def test_live_metrics_stream_during_solve(small_problem):
+    """live_metrics streams one (iter, cost, rel) event per check, matching
+    the recorded cost history."""
+    import jax
+
+    from nmf_tpu.utils import metrics as m
+
+    x, w, h = small_problem
+    events = []
+    m.set_live_handler(lambda it, c, r: events.append((it, c, r)))
+    try:
+        res = solve(
+            x, w, h, SolveConfig(max_iter=30, check_every=10, live_metrics=True)
+        )
+        jax.effects_barrier()  # flush async callbacks
+    finally:
+        m.set_live_handler(None)
+    assert [e[0] for e in events] == [10, 20, 30]
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    np.testing.assert_allclose([e[1] for e in events], hist, rtol=1e-6)
+    assert not np.isfinite(events[0][2])  # no baseline at the first check
+    assert events[1][2] > 0
+
+
+def test_live_metrics_sharded_emits_once_per_check(small_problem):
+    """On a mesh the live stream is gated to device (0,0): one line per
+    check, not one per device."""
+    import jax
+
+    from nmf_tpu.parallel import make_mesh, solve_sharded
+    from nmf_tpu.utils import metrics as m
+
+    x, w, h = small_problem
+    events = []
+    m.set_live_handler(lambda it, c, r: events.append(it))
+    try:
+        solve_sharded(
+            x, w, h,
+            SolveConfig(max_iter=20, check_every=10, live_metrics=True),
+            mesh=make_mesh(shape=(4, 2)),
+        )
+        jax.effects_barrier()
+    finally:
+        m.set_live_handler(None)
+    assert events == [10, 20]
+
+
+def test_live_metrics_chunked_fallback(small_problem, monkeypatch):
+    """Platforms that reject in-jit host callbacks (some PJRT plugins) get
+    the chunked host-driven live loop with identical results/metrics."""
+    import nmf_tpu.models.solver as solver_mod
+    from nmf_tpu.utils import metrics as m
+
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=30, check_every=10, live_metrics=True)
+    ref = solve(x, w, h, SolveConfig(max_iter=30, check_every=10))
+
+    monkeypatch.setattr(
+        solver_mod, "host_callbacks_supported", lambda p=None: False
+    )
+    events = []
+    m.set_live_handler(lambda it, c, r: events.append((it, c)))
+    try:
+        res = solve(x, w, h, cfg)
+    finally:
+        m.set_live_handler(None)
+    assert [e[0] for e in events] == [10, 20, 30]
+    assert int(res.iterations) == 30
+    # chunked path produces the SAME factors and history as the fused loop
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-6
+    )
+    # early stop via thresh works host-side too
+    events.clear()
+    m.set_live_handler(lambda it, c, r: events.append(it))
+    try:
+        res2 = solve(
+            x, w, h,
+            SolveConfig(max_iter=2000, check_every=10, thresh=1e-3,
+                        live_metrics=True),
+        )
+    finally:
+        m.set_live_handler(None)
+    assert bool(res2.converged)
+    assert int(res2.iterations) < 2000
+    assert len(events) == int(res2.num_checks)
+
+
+def test_live_metrics_requires_cost():
+    from nmf_tpu.models.solver import solve as _solve
+
+    x = np.random.RandomState(0).rand(16, 16).astype(np.float32)
+    w = np.random.RandomState(1).rand(16, 4).astype(np.float32)
+    h = np.random.RandomState(2).rand(4, 16).astype(np.float32)
+    with pytest.raises(ValueError, match="live_metrics"):
+        _solve(
+            x, w, h,
+            SolveConfig(max_iter=5, track_cost=False, live_metrics=True),
+        )
+
+
 def test_metrics_check_labels_partial_final_chunk(small_problem):
     """80 iters at check_every=25 -> checks at 25/50/75/80, not 20/40/60/80."""
     x, w, h = small_problem

@@ -115,6 +115,27 @@ def test_bf16_solver_converges(small_problem):
     assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.02
 
 
+def test_float32_fast_matches_f32_closely(small_problem):
+    """The 3-pass bf16 split-float policy tracks exact f32 tightly.
+
+    On the CPU backend Precision.HIGH lowers to a true f32 dot, so this test
+    pins wiring + exact equality there; the quantitative ~1e-6 factor-
+    deviation gate on hardware is part of bench.py --check (HWPARITY)."""
+    x, w, h = small_problem
+    cfg = SolveConfig(
+        max_iter=50, check_every=10, precision=Precision("float32_fast")
+    )
+    cfg.validate()
+    assert cfg.precision.mm_input_dtype == "float32"
+    res = solve(x, w, h, cfg)
+    ref = solve(x, w, h, SolveConfig(max_iter=50, check_every=10))
+    assert int(res.iterations) == 50
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-5, atol=1e-7
+    )
+    assert abs(float(res.cost) - float(ref.cost)) <= abs(float(ref.cost)) * 1e-5
+
+
 def test_backend_rule_pick():
     from nmf_tpu.utils.autotune import rule_pick
     from nmf_tpu.ops.pallas.fused_mu import MAX_FUSED_K
