@@ -73,6 +73,7 @@ def solve_masked(
     h0,
     mask,
     config: SolveConfig = SolveConfig(),
+    mesh=None,
 ) -> SolveResult:
     """Factorize the observed entries of ``x`` (mask 1 = observed, 0 = missing).
 
@@ -80,6 +81,10 @@ def solve_masked(
     Masked entries of X are ignored entirely (their values may be garbage —
     they are multiplied by 0 before anything else reads them... after the
     load-time clamp, which requires finite input).
+
+    With ``mesh`` the solve runs distributed: the mask shards exactly like X
+    over the ('mr', 'mc') mesh and the denominator mask-GEMMs psum with the
+    numerators (parallel.sharded.build_sharded_masked_solver).
     """
     config.validate()
     if config.beta != 1.0 or config.algorithm != "mu":
@@ -97,4 +102,22 @@ def solve_masked(
         raise ValueError(f"mask shape {mask.shape} != X shape {x.shape}")
     if x.shape != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
         raise ValueError(f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}")
+    if mesh is not None:
+        from ..parallel.mesh import nmf_shardings
+        from ..parallel.sharded import build_sharded_masked_solver
+
+        xs, ws, hs, rep = nmf_shardings(mesh)
+        x = jax.device_put(x, xs)
+        w0 = jax.device_put(w0, ws)
+        h0 = jax.device_put(h0, hs)
+        mask = jax.device_put(mask, xs)
+        fn = _sharded_masked_jit(config, mesh)
+        return fn(x, w0, h0, mask, jnp.asarray(jnp.nan, _F32))
     return _masked_jit(config)(x, w0, h0, mask)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_masked_jit(config: SolveConfig, mesh):
+    from ..parallel.sharded import build_sharded_masked_solver
+
+    return build_sharded_masked_solver(config, mesh)

@@ -91,14 +91,33 @@ def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
     return _solve
 
 
-def solve_h_only(x, w, h0, config: SolveConfig = SolveConfig()) -> SolveResult:
+@functools.lru_cache(maxsize=8)
+def _h_only_sharded_jit(config: SolveConfig, mesh):
+    from ..parallel.sharded import build_sharded_h_solver
+
+    return build_sharded_h_solver(config, mesh)
+
+
+def solve_h_only(
+    x, w, h0, config: SolveConfig = SolveConfig(), mesh=None
+) -> SolveResult:
     """Iterate only the H half-update with W fixed (NMF inference).
 
     Same loop/convergence machinery as :func:`nmf_tpu.solve`; per iteration
     this is exactly the reference's ``update_h`` (nmf.cu:118-146) without the
     subsequent ``update_w``.
+
+    With ``mesh`` the solve runs distributed over the canonical ('mr', 'mc')
+    layout — the pod-scale inference path (W fixed/replicated over 'mc',
+    only H's K-sized numerator psums per iteration).  HALS h-only is
+    column-sequential and stays single-device.
     """
     config.validate()
+    if mesh is not None and config.algorithm == "hals":
+        raise NotImplementedError(
+            "HALS h-only updates columns sequentially; use the MU families "
+            "on a mesh"
+        )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
     w = jnp.maximum(jnp.asarray(w, sd), config.eps)
@@ -106,6 +125,13 @@ def solve_h_only(x, w, h0, config: SolveConfig = SolveConfig()) -> SolveResult:
     if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
         raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
     x = x.astype(jnp.dtype(config.precision.x_dtype))
+    if mesh is not None:
+        from ..parallel.mesh import shard_problem
+
+        x, w, h0 = shard_problem(x, w, h0, mesh)
+        return _h_only_sharded_jit(config, mesh)(
+            x, w, h0, jnp.asarray(jnp.nan, _F32)
+        )
     import dataclasses as _dc
 
     import jax as _jax

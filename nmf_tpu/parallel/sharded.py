@@ -34,8 +34,13 @@ __all__ = [
     "update_h_sharded",
     "update_w_sharded",
     "mu_step_sharded",
+    "mu_step_sharded_reg",
+    "mu_step_sharded_masked",
     "kl_partial",
     "solve_sharded",
+    "build_sharded_solver",
+    "build_sharded_masked_solver",
+    "build_sharded_h_solver",
 ]
 
 _F32 = jnp.float32
@@ -128,6 +133,80 @@ def mu_step_sharded_beta(w, h, x, beta, eps, precision):
     )
     w = (w * (w_num / w_den)).astype(w.dtype)
     return w, h
+
+
+def mu_step_sharded_reg(
+    w, h, x, eps, precision, l1_w=0.0, l1_h=0.0, l2_w=0.0, l2_h=0.0
+):
+    """Sharded L1/L2-penalized KL MU step (distributed ops.mu.mu_step_kl_reg).
+
+    The penalty gradients are purely local (they read only the factor shard
+    being updated), so the communication pattern is identical to the plain
+    KL step: K-sized psums of the numerator and factor sums.
+    """
+    z = x / eps_clamp(matmul(w, h, precision), eps)
+    numer = jax.lax.psum(matmul(w, z, precision, transpose_a=True), ROW_AXIS)
+    sum_w = eps_clamp(
+        jax.lax.psum(jnp.sum(w, axis=0, dtype=_F32), ROW_AXIS), eps
+    )
+    denom = sum_w[:, None] + l1_h + l2_h * h.astype(_F32)
+    h = (h * (numer / denom)).astype(h.dtype)
+
+    z = x / eps_clamp(matmul(w, h, precision), eps)
+    numer = jax.lax.psum(matmul(z, h, precision, transpose_b=True), COL_AXIS)
+    sum_h = eps_clamp(
+        jax.lax.psum(jnp.sum(h, axis=1, dtype=_F32), COL_AXIS), eps
+    )
+    denom = sum_h[None, :] + l1_w + l2_w * w.astype(_F32)
+    w = (w * (numer / denom)).astype(w.dtype)
+    return w, h
+
+
+def reg_cost_partial(x, w, h, eps, l1_w, l1_h, l2_w, l2_h, n_row, n_col):
+    """Local partial of the penalized KL objective.
+
+    W is replicated over the 'mc' axis (n_col copies) and H over 'mr'
+    (n_row copies), so each local penalty term is divided by its replication
+    count — the psum over both axes then reproduces the global penalty
+    exactly once.
+    """
+    wf, hf = w.astype(_F32), h.astype(_F32)
+    pen_w = (l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)) / n_col
+    pen_h = (l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)) / n_row
+    return kl_partial(x, w, h, eps) + pen_w + pen_h
+
+
+def mu_step_sharded_masked(w, h, x, mask, eps, precision):
+    """Sharded masked/weighted KL MU step (distributed models.masked).
+
+    The mask shards exactly like X — P('mr', 'mc') — and both denominators
+    are mask GEMMs, so they psum over the same axes as the numerators
+    (the clamp happens AFTER the psum, matching the single-device order).
+    """
+    z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
+    numer = jax.lax.psum(matmul(w, z, precision, transpose_a=True), ROW_AXIS)
+    denom = eps_clamp(
+        jax.lax.psum(matmul(w, mask, precision, transpose_a=True), ROW_AXIS),
+        eps,
+    )
+    h = (h * (numer / denom)).astype(h.dtype)
+
+    z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
+    numer = jax.lax.psum(matmul(z, h, precision, transpose_b=True), COL_AXIS)
+    denom = eps_clamp(
+        jax.lax.psum(matmul(mask, h, precision, transpose_b=True), COL_AXIS),
+        eps,
+    )
+    w = (w * (numer / denom)).astype(w.dtype)
+    return w, h
+
+
+def masked_kl_partial(x, w, h, mask, eps: float):
+    """Local-block masked KL partial (X/mask blocks are disjoint: psum both)."""
+    y = eps_clamp(matmul(w, h, Precision("float32", "float32")), eps)
+    xf = x.astype(_F32)
+    term = xf * (jnp.log(xf) - jnp.log(y)) - xf + y
+    return jnp.sum(mask * term)
 
 
 def kl_partial(x, w, h, eps: float):
@@ -224,7 +303,19 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
     memory is allocated — see tests/test_podscale.py).
     """
     eps, precision = config.eps, config.precision
-    if config.beta == 1.0:
+    if config.beta == 1.0 and config.regularized:
+        step_fn = functools.partial(
+            mu_step_sharded_reg, eps=eps, precision=precision,
+            l1_w=config.l1_w, l1_h=config.l1_h,
+            l2_w=config.l2_w, l2_h=config.l2_h,
+        )
+        cost_fn = functools.partial(
+            reg_cost_partial, eps=eps,
+            l1_w=config.l1_w, l1_h=config.l1_h,
+            l2_w=config.l2_w, l2_h=config.l2_h,
+            n_row=mesh.shape[ROW_AXIS], n_col=mesh.shape[COL_AXIS],
+        )
+    elif config.beta == 1.0:
         step_fn = functools.partial(
             mu_step_sharded, eps=eps, precision=precision, fused=fused
         )
@@ -283,4 +374,144 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
             check_vma=False,
         ),
         donate_argnums=(1, 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Masked NMF on a mesh (the distributed models.masked solver): the mask
+# shards exactly like X, everything else follows the canonical layout.
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
+    """Jitted shard_map solver for masked KL-MU (see models.masked)."""
+    eps, precision = config.eps, config.precision
+
+    def local_solve(x_loc, w_loc, h_loc, mask_loc, initial_cost):
+        step = lambda w, h, xx: mu_step_sharded_masked(
+            w, h, xx, mask_loc, eps, precision
+        )
+        cost = lambda xx, w, h: masked_kl_partial(xx, w, h, mask_loc, eps)
+        return run_checked_loop(
+            x_loc, w_loc, h_loc, config, step, cost,
+            all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
+            initial_cost=initial_cost,
+        )
+
+    out_specs = SolveResult(
+        w=P(ROW_AXIS, None),
+        h=P(None, COL_AXIS),
+        iterations=P(),
+        cost=P(),
+        cost_history=P(),
+        num_checks=P(),
+        converged=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(
+                P(ROW_AXIS, COL_AXIS),
+                P(ROW_AXIS, None),
+                P(None, COL_AXIS),
+                P(ROW_AXIS, COL_AXIS),
+                P(),
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(1, 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H-only solve on a mesh (the inference/transform path at pod scale): W is
+# fixed and replicated over 'mc'; only H's K-sized numerator psums per step.
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
+    """Jitted shard_map H-only solver (distributed models.nmf.solve_h_only).
+
+    Supports the MU families (any beta, and the KL+penalty variant); HALS
+    h-only is column-sequential and stays single-device.
+    """
+    eps, precision = config.eps, config.precision
+    r = mesh.shape[ROW_AXIS]
+
+    if config.beta == 1.0 and config.regularized:
+
+        def step(w, h, x):
+            z = x / eps_clamp(matmul(w, h, precision), eps)
+            numer = jax.lax.psum(
+                matmul(w, z, precision, transpose_a=True), ROW_AXIS
+            )
+            sum_w = eps_clamp(
+                jax.lax.psum(jnp.sum(w, axis=0, dtype=_F32), ROW_AXIS), eps
+            )
+            denom = sum_w[:, None] + config.l1_h + config.l2_h * h.astype(_F32)
+            return w, (h * (numer / denom)).astype(h.dtype)
+
+        def cost(x, w, h):
+            # matches models.nmf._h_only_jit: H-penalty terms only; H is
+            # replicated over 'mr' so divide by r before the global psum
+            hf = h.astype(_F32)
+            pen = (
+                config.l1_h * jnp.sum(jnp.abs(hf))
+                + 0.5 * config.l2_h * jnp.sum(hf * hf)
+            ) / r
+            return kl_partial(x, w, h, eps) + pen
+
+    elif config.beta == 1.0:
+
+        def step(w, h, x):
+            return w, update_h_sharded(w, h, x, eps, precision)
+
+        cost = functools.partial(kl_partial, eps=eps)
+    else:
+        from ..ops.mu import _beta_ratios
+
+        def step(w, h, x):
+            num, den = _beta_ratios(w, h, x, config.beta, eps, precision)
+            h_num = jax.lax.psum(
+                matmul(w, num, precision, transpose_a=True), ROW_AXIS
+            )
+            h_den = eps_clamp(
+                jax.lax.psum(
+                    matmul(w, den, precision, transpose_a=True), ROW_AXIS
+                ),
+                eps,
+            )
+            return w, (h * (h_num / h_den)).astype(h.dtype)
+
+        cost = functools.partial(beta_partial, beta=config.beta, eps=eps)
+
+    def local_solve(x_loc, w_loc, h_loc, initial_cost):
+        return run_checked_loop(
+            x_loc, w_loc, h_loc, config, step, cost,
+            all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
+            initial_cost=initial_cost,
+        )
+
+    out_specs = SolveResult(
+        w=P(ROW_AXIS, None),
+        h=P(None, COL_AXIS),
+        iterations=P(),
+        cost=P(),
+        cost_history=P(),
+        num_checks=P(),
+        converged=P(),
+    )
+    # only H is donated: W is fixed and callers commonly reuse it across
+    # transform() calls
+    return jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, None), P(None, COL_AXIS), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(2,),
     )

@@ -135,3 +135,79 @@ def test_batched_early_stop_per_member(problem):
     its = np.asarray(res.iterations)
     ref0 = solve(xs[0], ws[0], hs[0], cfg)
     assert int(its[0]) == int(ref0.iterations)  # per-member stopping point
+
+
+# ---------------------------------------------------------------------------
+# Extensions x parallelism: sharded == single-device for the regularized,
+# masked, and h-only solvers (the extension matrix is orthogonal to the
+# parallelism matrix).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4), (8, 1)])
+def test_sharded_regularized_matches_single_device(problem, shape):
+    x, w, h = problem
+    cfg = SolveConfig(
+        max_iter=20, check_every=5, l1_w=0.01, l1_h=0.02, l2_w=0.05, l2_h=0.03
+    )
+    ref = solve(x, w, h, cfg)
+    m = meshmod.make_mesh(shape=shape)
+    res = sharded.solve_sharded(x, w, h, cfg, mesh=m)
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7)
+    # the penalized objective (incl. replication-normalized penalty partials)
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_masked_matches_single_device(problem, shape):
+    from nmf_tpu.models.masked import solve_masked
+
+    x, w, h = problem
+    rng = np.random.RandomState(9)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    cfg = SolveConfig(max_iter=20, check_every=5)
+    ref = solve_masked(x, w, h, mask, cfg)
+    m = meshmod.make_mesh(shape=shape)
+    res = solve_masked(x, w, h, mask, cfg, mesh=m)
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7)
+    assert float(res.cost) == pytest.approx(float(ref.cost), rel=1e-5)
+    # result factors keep the canonical shardings
+    assert len(res.w.sharding.device_set) == shape[0] * shape[1]
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("kind", ["kl", "reg", "beta2"])
+def test_sharded_h_only_matches_single_device(problem, shape, kind):
+    from nmf_tpu.models.nmf import solve_h_only
+
+    x, w, h = problem
+    cfg = {
+        "kl": SolveConfig(max_iter=20, check_every=5),
+        "reg": SolveConfig(max_iter=20, check_every=5, l1_h=0.02, l2_h=0.04),
+        "beta2": SolveConfig(max_iter=20, check_every=5, beta=2.0),
+    }[kind]
+    ref = solve_h_only(x, w, h, cfg)
+    m = meshmod.make_mesh(shape=shape)
+    res = solve_h_only(x, w, h, cfg, mesh=m)
+    assert int(res.iterations) == 20
+    # W untouched in both
+    np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+
+
+def test_sharded_h_only_rejects_hals(problem):
+    from nmf_tpu.models.nmf import solve_h_only
+
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=5, beta=2.0, algorithm="hals")
+    with pytest.raises(NotImplementedError, match="HALS"):
+        solve_h_only(x, w, h, cfg, mesh=meshmod.make_mesh(shape=(4, 2)))
