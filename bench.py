@@ -135,9 +135,70 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
     }
 
 
+def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
+    """Out-of-core streaming bench: iteration rate vs the H2D roofline.
+
+    Out-of-core iteration time is lower-bounded by bytes(X)/H2D_bandwidth
+    (X crosses the host link once per iteration); the quality metric is the
+    fraction of that roofline achieved, i.e. how completely double-buffered
+    compute hides behind the transfer.
+    """
+    import time as _time
+
+    import jax
+
+    from nmf_tpu.models.streaming import pick_block_n, solve_out_of_core
+    from nmf_tpu.utils.config import Precision, SolveConfig
+
+    rng = np.random.RandomState(0)
+    x = np.maximum(rng.rand(m, n).astype(np.float32), np.float32(2.2204e-16))
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    cfg = SolveConfig(
+        precision=Precision(matmul_dtype=dtype, x_dtype=x_dtype),
+        track_cost=False,
+        max_iter=1,
+    )
+    bn = pick_block_n(m, n)
+    # measure the raw H2D roofline with the exact wire payload
+    blk = x[:, :bn]
+    if x_dtype == "bfloat16":
+        import ml_dtypes
+
+        blk = blk.astype(ml_dtypes.bfloat16)
+    dev = jax.devices()[0]
+    a = jax.device_put(blk, dev)
+    np.asarray(jax.device_get(a[:1, :1]))
+    t0 = _time.perf_counter()
+    a = jax.device_put(blk, dev)
+    np.asarray(jax.device_get(a[:1, :1]))
+    h2d_bw = blk.nbytes / (_time.perf_counter() - t0)
+
+    solve_out_of_core(x, w, h, cfg, block_n=bn)  # compile + warm
+    t0 = _time.perf_counter()
+    iters_cfg = SolveConfig(
+        precision=cfg.precision, track_cost=False, max_iter=iters
+    )
+    res = solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
+    np.asarray(jax.device_get(res.w[:1, :1]))
+    per_iter = (_time.perf_counter() - t0) / iters
+    wire_bytes = x.nbytes // (2 if x_dtype == "bfloat16" else 1)
+    roofline = wire_bytes / h2d_bw  # seconds/iteration at pure-transfer speed
+    return {
+        "ms_per_iter": per_iter * 1e3,
+        "iters_per_sec": 1.0 / per_iter,
+        "achieved_tflops": flops_per_iter(m, k, n) / per_iter / 1e12,
+        "fraction_of_peak": roofline / per_iter,  # of the H2D roofline
+        "h2d_gbps": h2d_bw / 1e9,
+        "streamed_gb_per_iter": wire_bytes / 1e9,
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--workload", choices=WORKLOADS, default="flagship")
+    ap.add_argument(
+        "--workload", choices=list(WORKLOADS) + ["oocore"], default="flagship"
+    )
     ap.add_argument(
         "--dtype",
         choices=["bfloat16", "float32", "float32_fast"],
@@ -156,6 +217,26 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.workload == "oocore":
+        m, k, n = 2048, 128, 8192  # 64 MB X streamed per iteration
+        stats = run_oocore(m, k, n, iters=3, dtype=args.dtype, x_dtype=args.x_dtype)
+        record = {
+            "metric": f"oocore_iters_per_sec[{m}x{n} rank {k} {args.dtype}]",
+            "value": round(stats["iters_per_sec"], 4),
+            "unit": "iters/s",
+            # baseline: the H2D roofline (1.0 == transfer-bound speed of light)
+            "vs_baseline": round(stats["fraction_of_peak"], 4),
+            "ms_per_iter": round(stats["ms_per_iter"], 2),
+            "achieved_tflops": round(stats["achieved_tflops"], 3),
+            "h2d_gbps": round(stats["h2d_gbps"], 4),
+            "streamed_gb_per_iter": round(stats["streamed_gb_per_iter"], 3),
+            "baseline_kind": "H2D roofline (bytes(X) / measured link bandwidth)",
+            "device": str(jax.devices()[0]),
+            "backend": "stream",
+        }
+        print(json.dumps(record))
+        return 0
 
     m, k, n, short, long = WORKLOADS[args.workload]
     if args.backend == "best":

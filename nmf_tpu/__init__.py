@@ -24,6 +24,7 @@ from .models.solver import SolveResult, solve
 from .models.nmf import NMF, solve_h_only
 from .models.separation import separate
 from .models.masked import solve_masked
+from .models.streaming import solve_out_of_core
 from .parallel import make_mesh, solve_batched, solve_sharded
 from .utils.config import Precision, SolveConfig, reference_preset
 
@@ -49,6 +50,7 @@ __all__ = [
     "NMF",
     "separate",
     "solve_masked",
+    "solve_out_of_core",
     "solve_sharded",
     "solve_batched",
     "make_mesh",

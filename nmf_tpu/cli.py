@@ -91,6 +91,17 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--checkpoint-every", type=int, default=100, help="iterations per checkpoint"
     )
+    p.add_argument(
+        "--out-of-core",
+        action="store_true",
+        help="stream X from its .bin file in column blocks (X may exceed "
+        "device AND host memory); KL MU family only",
+    )
+    p.add_argument(
+        "--block-n",
+        type=int,
+        help="columns per streamed block (default: ~256 MiB of f32)",
+    )
 
 
 def _config_from(args) -> SolveConfig:
@@ -129,7 +140,58 @@ def _state_as_result(state, w_out, h_out):
     )
 
 
+def _cmd_run_out_of_core(args) -> int:
+    """run with --out-of-core: X streamed from its .bin, never fully loaded."""
+    from .models.streaming import BinColumnSource, solve_out_of_core
+
+    if args.mesh or args.checkpoint_dir:
+        print(
+            "error: --out-of-core is a single-device streaming mode "
+            "(no --mesh / --checkpoint-dir)",
+            file=sys.stderr,
+        )
+        return 2
+    source = BinColumnSource(args.X)
+    m, n = source.shape
+    if args.W and args.H:
+        w0 = binio.read_matrix(args.W)
+        h0 = binio.read_matrix(args.H)
+    elif args.rank:
+        if args.init != "random":
+            print(
+                "error: --out-of-core init must be 'random' or explicit W/H "
+                "files (other inits read all of X)",
+                file=sys.stderr,
+            )
+            return 2
+        w0, h0 = init_mod.random_init(m, args.rank, n, seed=args.seed)
+    else:
+        print("error: provide W and H files, or --rank", file=sys.stderr)
+        return 2
+    config = _config_from(args)
+    logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
+    with logger.timed() as t:
+        res = solve_out_of_core(source, w0, h0, config, block_n=args.block_n)
+    logger.report(res, (m, n), t.seconds, check_every=config.check_every)
+    if args.validate:
+        from .utils.guards import validate_result
+
+        validate_result(res)
+    w_path, h_path = args.output
+    binio.write_matrix(np.asarray(res.w), w_path)
+    binio.write_matrix(np.asarray(res.h), h_path)
+    if not args.quiet:
+        print(
+            f"[nmf] out-of-core: streamed {m}x{n} X "
+            f"({m * n * 4 / 1e9:.2f} GB) per iteration; wrote {w_path}, {h_path}",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def cmd_run(args) -> int:
+    if args.out_of_core:
+        return _cmd_run_out_of_core(args)
     x = binio.read_matrix(args.X)
     if args.W and args.H:
         w0 = binio.read_matrix(args.W)

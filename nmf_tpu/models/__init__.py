@@ -2,6 +2,7 @@
 
 from .init import nndsvd_init, random_init, scaled_random_init
 from .nmf import NMF, solve_h_only
+from .streaming import solve_out_of_core
 from .separation import SeparationResult, istft, separate, stft
 from .solver import SolveResult, solve
 
@@ -10,6 +11,7 @@ __all__ = [
     "SolveResult",
     "NMF",
     "solve_h_only",
+    "solve_out_of_core",
     "random_init",
     "scaled_random_init",
     "nndsvd_init",

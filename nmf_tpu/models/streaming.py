@@ -1,0 +1,320 @@
+"""Out-of-core NMF: factorize an X that does not fit one chip's HBM.
+
+The reference's stated motivation is whole-song factorization on a single
+device (paper p.1 abstract; ~60 MB/min of audio, SURVEY.md section 6) with an
+allocate-once / stream-once discipline (nmf.cu:76-116).  This module
+generalizes that discipline to X beyond HBM capacity: X lives on the host (a
+NumPy array, a memmap, or directly a ``.bin`` file — whose column-major
+payload makes column blocks contiguous reads, nmf.cu:189) and is streamed to
+the device in N-axis column blocks, double-buffered so the next block's H2D
+transfer overlaps the current block's compute.
+
+Why ONE stream of X per iteration suffices (the key restatement)
+----------------------------------------------------------------
+The reference iteration is update_h then update_w with the NEW H
+(nmf.cu:108-109).  Both half-updates decompose over column blocks:
+
+  * H's update for block j reads only X_j and the global colsum(W):
+        H_j <- H_j * (W^T (X_j / clamp(W @ H_j))) / colsum(W)
+  * W's numerator is a sum of independent block contributions that use the
+    NEW H_j — available immediately after block j's H update:
+        numer_W = sum_j (X_j / clamp(W @ H_j_new)) @ H_j_new^T
+    and its denominator rowsum(H_new) likewise accumulates per block.
+
+So each iteration visits every block once: update H_j, then immediately fold
+block j's W-numerator contribution into an (M, K) accumulator while X_j is
+still in HBM.  After the sweep, one K-sized epilogue updates W.  This is
+bit-faithful to the reference ordering (H first, then W with new H); only the
+f32 summation order of W's numerator differs from the single-GEMM in-memory
+path (blockwise partial sums), bounded by the usual 1e-7-grade fp drift.
+
+Performance model: per iteration the device receives X once over the
+host link, so the ceiling is the H2D bandwidth — iteration_time >=
+bytes(X) / H2D_bw.  Double buffering hides compute behind the transfer;
+the quality metric is the achieved fraction of that H2D roofline (reported
+by ``bench.py --workload oocore``).  The cost/convergence check streams X
+one extra time on check iterations only (amortized by ``check_every``).
+
+Device memory high-water mark: W + H + accumulator (M x K) + 2 column
+blocks — independent of N.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..utils.config import SolveConfig
+
+__all__ = [
+    "ArrayColumnSource",
+    "BinColumnSource",
+    "solve_out_of_core",
+    "pick_block_n",
+]
+
+# Default device-side budget for one streamed X block.  Big blocks amortize
+# per-transfer latency (which dominates on slow links); two are in flight.
+_DEFAULT_BLOCK_BYTES = 256 * 1024 * 1024
+
+
+class ArrayColumnSource:
+    """Column-block reader over an in-host-memory array (or np.memmap)."""
+
+    def __init__(self, a):
+        if a.ndim != 2:
+            raise ValueError(f"X must be 2-D, got shape {a.shape}")
+        self._a = a
+        self.shape = tuple(a.shape)
+
+    def columns(self, j0: int, j1: int) -> np.ndarray:
+        return np.ascontiguousarray(self._a[:, j0:j1], dtype=np.float32)
+
+
+class BinColumnSource:
+    """Column-block reader over a reference-format ``.bin`` file.
+
+    The payload is column-major (nmf.cu:189), so columns [j0, j1) are one
+    contiguous span at byte offset ``8 + j0*rows*4`` — X never needs to fit
+    in host memory either.
+    """
+
+    def __init__(self, path: Union[str, os.PathLike]):
+        from ..io import binio
+
+        self._path = os.fspath(path)
+        with open(self._path, "rb") as f:
+            rows, cols = binio.read_header(f)
+        expected = 8 + rows * cols * 4
+        actual = os.path.getsize(self._path)
+        if actual < expected:
+            raise ValueError(
+                f"truncated .bin payload in {self._path}: expected "
+                f"{expected} bytes, got {actual}"
+            )
+        self.shape = (rows, cols)
+
+    def columns(self, j0: int, j1: int) -> np.ndarray:
+        rows = self.shape[0]
+        count = (j1 - j0) * rows
+        with open(self._path, "rb") as f:
+            f.seek(8 + j0 * rows * 4)
+            payload = np.fromfile(f, dtype="<f4", count=count)
+        if payload.size != count:
+            raise ValueError(
+                f"short read in {self._path}: wanted {count} words at column "
+                f"{j0}, got {payload.size}"
+            )
+        return np.ascontiguousarray(
+            payload.reshape((rows, j1 - j0), order="F")
+        )
+
+
+def _as_source(x):
+    if isinstance(x, (ArrayColumnSource, BinColumnSource)):
+        return x
+    if isinstance(x, (str, os.PathLike)):
+        return BinColumnSource(x)
+    return ArrayColumnSource(np.asarray(x))
+
+
+def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int:
+    """Columns per streamed block: ~block_bytes of f32, lane-aligned (128)."""
+    bn = max(1, block_bytes // (4 * m))
+    bn = max(128, (bn // 128) * 128)
+    return min(n, bn)
+
+
+@functools.lru_cache(maxsize=32)
+def _block_fns(config: SolveConfig, platform: str):
+    """Jitted per-block kernels: (step, accumulate, w_epilogue, cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.divergence import kl_divergence_from_recon
+    from ..ops.elementwise import eps_clamp
+    from ..ops.mu import matmul, update_h
+
+    eps, prec = config.eps, config.precision
+    _f32 = jnp.float32
+
+    use_fused = platform == "tpu" and config.backend in ("auto", "pallas")
+    if use_fused:
+        from ..ops.pallas import fused_mu
+
+    def step(w, h_j, x_j):
+        """H_j full update + block-j W-numerator/rowsum contributions.
+
+        ``x_j`` arrives already load-clamped (host side).  colsum(W) is
+        computed from the full (device-resident) W inside update_h — global,
+        hence identical to the in-memory solver's value.
+        """
+        if use_fused and fused_mu.supported(w.shape[1]):
+            h_new = fused_mu.update_h_fused(w, h_j, x_j, eps, prec)
+            wnum = fused_mu.update_w_fused(
+                w, h_new, x_j, eps, prec, numerator_only=True
+            )
+        else:
+            h_new = update_h(w, h_j, x_j, eps, prec)
+            z = x_j / eps_clamp(matmul(w, h_new, prec), eps)
+            wnum = matmul(z, h_new, prec, transpose_b=True)
+        return h_new, wnum, jnp.sum(h_new, axis=1, dtype=_f32)
+
+    def accumulate(acc, sumh, wnum, sh):
+        return acc + wnum, sumh + sh
+
+    def w_epilogue(w, acc, sumh):
+        sumh = eps_clamp(sumh, eps)
+        return (w * (acc / sumh[None, :])).astype(w.dtype)
+
+    def cost_block(w, h_j, x_j):
+        y = matmul(
+            w.astype(_f32), h_j.astype(_f32),
+            dataclasses.replace(prec, matmul_dtype="float32"),
+        )
+        return kl_divergence_from_recon(x_j, y, eps)
+
+    return (
+        jax.jit(step, donate_argnums=(1,)),
+        jax.jit(accumulate, donate_argnums=(0, 1)),
+        jax.jit(w_epilogue, donate_argnums=(0,)),
+        jax.jit(cost_block),
+    )
+
+
+def _host_prep(blk: np.ndarray, eps: float, xd) -> np.ndarray:
+    """Load-time clamp (nmf.cu:211) + storage-dtype cast, on the host so the
+    wire carries the final (possibly bf16, i.e. halved) bytes."""
+    blk = np.maximum(blk, np.float32(eps))
+    if str(xd) == "bfloat16":
+        import ml_dtypes
+
+        blk = blk.astype(ml_dtypes.bfloat16)
+    return blk
+
+
+def solve_out_of_core(
+    x,
+    w0,
+    h0,
+    config: SolveConfig = SolveConfig(),
+    block_n: Optional[int] = None,
+) -> "SolveResult":
+    """Factorize ``x ~= w @ h`` with X streamed from the host per iteration.
+
+    ``x`` may be a NumPy array / memmap, a path to a reference-format
+    ``.bin`` file, or a column source object.  W, H, and the (M, K)
+    accumulator live on device; X blocks are double-buffered.  Semantics
+    match :func:`nmf_tpu.solve` (same update ordering, clamp sites,
+    convergence rule); the cost check streams X once more on check
+    iterations only.
+
+    Currently implements the reference KL (beta=1, unregularized) MU family —
+    the families whose W-numerator accumulates blockwise with a global
+    denominator.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .solver import SolveResult
+
+    config.validate()
+    if config.beta != 1.0 or config.regularized or config.algorithm != "mu":
+        raise NotImplementedError(
+            "out-of-core solve implements the reference KL (beta=1) MU family"
+        )
+
+    source = _as_source(x)
+    m, n = source.shape
+    sd = jnp.dtype(config.precision.state_dtype)
+    xd = jnp.dtype(config.precision.x_dtype)
+    w0 = np.asarray(w0, np.float32)
+    h0 = np.asarray(h0, np.float32)
+    if (m, n) != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
+        raise ValueError(
+            f"shape mismatch: X{(m, n)} vs W{w0.shape} @ H{h0.shape}"
+        )
+    k = w0.shape[1]
+    bn = block_n if block_n is not None else pick_block_n(m, n)
+    blocks: List[Tuple[int, int]] = [
+        (j, min(j + bn, n)) for j in range(0, n, bn)
+    ]
+
+    platform = jax.default_backend()
+    step, accumulate, w_epilogue, cost_block = _block_fns(config, platform)
+    eps = config.eps
+    device = jax.devices()[0]
+
+    # factors resident on device for the whole run (clamped once, nmf.cu:211)
+    w = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
+    h_blocks = [
+        jnp.maximum(
+            jnp.asarray(h0[:, j0:j1], sd), jnp.asarray(eps, sd)
+        )
+        for j0, j1 in blocks
+    ]
+
+    def put(idx: int):
+        j0, j1 = blocks[idx]
+        return jax.device_put(
+            _host_prep(source.columns(j0, j1), eps, xd), device
+        )
+
+    max_iter = int(config.max_iter)
+    check_every = int(config.check_every)
+    thresh = float(config.thresh)
+    need_cost = config.track_cost or thresh > 0.0
+    n_slots = max(config.num_checks, 1)
+    hist = np.full((n_slots,), np.nan, np.float32)
+    it = chk = 0
+    prev_cost = float("nan")
+    converged = False
+
+    from ..utils.metrics import emit_live
+
+    while it < max_iter and not converged:
+        # ---- one full MU iteration: a single double-buffered sweep ----
+        acc = jnp.zeros((m, k), jnp.float32)
+        sumh = jnp.zeros((k,), jnp.float32)
+        inflight = put(0)
+        for idx in range(len(blocks)):
+            x_dev = inflight
+            if idx + 1 < len(blocks):
+                inflight = put(idx + 1)  # prefetch overlaps this block's math
+            h_blocks[idx], wnum, sh = step(w, h_blocks[idx], x_dev)
+            acc, sumh = accumulate(acc, sumh, wnum, sh)
+        w = w_epilogue(w, acc, sumh)
+        it += 1
+
+        if need_cost and (it % check_every == 0 or it == max_iter):
+            # cost pass: stream X once more (check iterations only)
+            total = 0.0
+            inflight = put(0)
+            for idx in range(len(blocks)):
+                x_dev = inflight
+                if idx + 1 < len(blocks):
+                    inflight = put(idx + 1)
+                total += float(cost_block(w, h_blocks[idx], x_dev))
+            hist[chk] = total
+            chk += 1
+            rel = abs(prev_cost - total) / abs(total) if total else float("nan")
+            if config.live_metrics:
+                emit_live(it, total, rel)
+            if thresh > 0.0 and rel < thresh:
+                converged = True
+            prev_cost = total
+
+    return SolveResult(
+        w=w,
+        h=jnp.concatenate(h_blocks, axis=1),
+        iterations=jnp.asarray(it, jnp.int32),
+        cost=jnp.asarray(prev_cost, jnp.float32),
+        cost_history=jnp.asarray(hist),
+        num_checks=jnp.asarray(chk, jnp.int32),
+        converged=jnp.asarray(converged, jnp.bool_),
+    )
