@@ -194,10 +194,125 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
     }
 
 
+def _np_oracle_mu(x, w, h, iters):
+    """Independent NumPy restatement of nmf.cu:118-176 (clean, zero-pad-free
+    semantics — the same oracle as tests/oracle.py)."""
+    eps = np.float32(2.2204e-16)
+    x = np.maximum(x, eps)
+    w = np.maximum(w, eps).copy()
+    h = np.maximum(h, eps).copy()
+    for _ in range(iters):
+        z = x / np.maximum(w @ h, eps)
+        h = h * (w.T @ z) / np.maximum(w.sum(axis=0), eps)[:, None]
+        z = x / np.maximum(w @ h, eps)
+        w = w * (z @ h.T) / np.maximum(h.sum(axis=1), eps)[None, :]
+    y = np.maximum(w @ h, eps)
+    cost = float(np.sum(x * (np.log(x) - np.log(y)) - x + y, dtype=np.float64))
+    return w, h, cost
+
+
+def run_check(quick: bool = False) -> dict:
+    """Hardware numerics gate: compiled-Pallas == jnp == NumPy oracle ON THE
+    ACTUAL DEVICE at the reference regression dims, across precision
+    policies.  Emits the HWPARITY artifact (driver-committed each round).
+
+    Gates (booleans in the artifact):
+      * f32:  each backend's final cost within 1e-4 of the oracle (the
+        BASELINE parity bar) and pallas-vs-jnp cost within 1e-5.
+      * float32_fast: cost within 1e-4 of the exact-f32 jnp run.
+      * bf16: cost within 1e-3 of the oracle.
+    Factor deviations are reported unthresholded (200 multiplicative
+    iterations amplify rounding-order differences; cost is the meaningful
+    parity metric for a non-identifiable factorization).
+    """
+    import jax
+
+    from nmf_tpu.models.solver import solve
+    from nmf_tpu.utils.config import Precision, SolveConfig
+
+    if quick:
+        m, k, n, iters = 256, 16, 130, 20
+    else:
+        m, k, n, iters = 4096, 128, 350, 200
+    rng = np.random.RandomState(0)
+    x = np.maximum(rng.rand(m, n).astype(np.float32), np.float32(2.2204e-16))
+    w0 = rng.rand(m, k).astype(np.float32)
+    h0 = rng.rand(k, n).astype(np.float32)
+    _, _, oracle_cost = _np_oracle_mu(x, w0, h0, iters)
+
+    on_tpu = jax.default_backend() == "tpu"
+    backends = ("jnp", "pallas") if on_tpu else ("jnp",)
+
+    def _run(policy, backend):
+        cfg = SolveConfig(
+            max_iter=iters, check_every=iters,
+            precision=Precision(policy), backend=backend,
+        )
+        res = solve(x, w0, h0, cfg)
+        return float(res.cost), np.asarray(res.w)
+
+    def _maxrel(a, b):
+        return float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-30)))
+
+    out = {
+        "artifact": "hwparity",
+        "device": str(jax.devices()[0]),
+        "device_kind": jax.devices()[0].device_kind,
+        "workload": f"{m}x{n} rank {k}, {iters} iterations (seed 0)",
+        "oracle_cost": oracle_cost,
+        "policies": {},
+    }
+    f32_jnp_cost = None
+    for policy in ("float32", "float32_fast", "bfloat16"):
+        entry = {}
+        costs = {}
+        ws = {}
+        for backend in backends:
+            c, wres = _run(policy, backend)
+            costs[backend], ws[backend] = c, wres
+            entry[f"{backend}_cost"] = c
+            entry[f"{backend}_cost_vs_oracle_rel"] = abs(c - oracle_cost) / abs(
+                oracle_cost
+            )
+        if policy == "float32":
+            f32_jnp_cost = costs["jnp"]
+        if len(backends) == 2:
+            entry["pallas_vs_jnp_cost_rel"] = abs(
+                costs["pallas"] - costs["jnp"]
+            ) / abs(costs["jnp"])
+            entry["pallas_vs_jnp_w_maxrel"] = _maxrel(ws["pallas"], ws["jnp"])
+        # gates
+        if policy == "float32":
+            entry["ok"] = all(
+                entry[f"{b}_cost_vs_oracle_rel"] <= 1e-4 for b in backends
+            ) and entry.get("pallas_vs_jnp_cost_rel", 0.0) <= 1e-5
+        elif policy == "float32_fast":
+            entry["ok"] = all(
+                abs(costs[b] - f32_jnp_cost) / abs(f32_jnp_cost) <= 1e-4
+                for b in backends
+            )
+        else:
+            entry["ok"] = all(
+                entry[f"{b}_cost_vs_oracle_rel"] <= 1e-3 for b in backends
+            )
+        out["policies"][policy] = entry
+    out["ok"] = all(e["ok"] for e in out["policies"].values())
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--workload", choices=list(WORKLOADS) + ["oocore"], default="flagship"
+    )
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="run the hardware numerics gate (HWPARITY artifact) instead of "
+        "a speed benchmark",
+    )
+    ap.add_argument(
+        "--quick", action="store_true", help="small dims for --check smoke runs"
     )
     ap.add_argument(
         "--dtype",
@@ -217,6 +332,10 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.check:
+        print(json.dumps(run_check(quick=args.quick)))
+        return 0
 
     if args.workload == "oocore":
         m, k, n = 2048, 128, 8192  # 64 MB X streamed per iteration

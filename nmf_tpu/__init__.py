@@ -25,6 +25,8 @@ from .models.nmf import NMF, solve_h_only
 from .models.separation import separate
 from .models.masked import solve_masked
 from .models.streaming import solve_out_of_core
+from .models.strict import solve_strict
+from .models.sparse import SparseX, solve_sparse, sparse_from_dense
 from .parallel import make_mesh, solve_batched, solve_sharded
 from .utils.config import Precision, SolveConfig, reference_preset
 
@@ -51,6 +53,10 @@ __all__ = [
     "separate",
     "solve_masked",
     "solve_out_of_core",
+    "solve_strict",
+    "solve_sparse",
+    "SparseX",
+    "sparse_from_dense",
     "solve_sharded",
     "solve_batched",
     "make_mesh",

@@ -102,6 +102,13 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         type=int,
         help="columns per streamed block (default: ~256 MiB of f32)",
     )
+    p.add_argument(
+        "--strict-compat",
+        action="store_true",
+        help="replicate the reference's exact padded-EPS numerics (PAD_MULT "
+        "32 buffers, clamps and sums over padded extents) for md5-grade "
+        "algorithm replication; forces f32 jnp path",
+    )
 
 
 def _config_from(args) -> SolveConfig:
@@ -225,7 +232,25 @@ def cmd_run(args) -> int:
         r, c = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=(r, c))
 
-    if args.checkpoint_dir:
+    if args.strict_compat:
+        if mesh is not None or args.checkpoint_dir:
+            print(
+                "error: --strict-compat is a single-device exact-replication "
+                "mode (no --mesh / --checkpoint-dir)",
+                file=sys.stderr,
+            )
+            return 2
+        from .models.strict import solve_strict
+
+        with logger.timed() as t:
+            res = solve_strict(x, w0, h0, config)
+        logger.report(res, x.shape, t.seconds, check_every=config.check_every)
+        if args.validate:
+            from .utils.guards import validate_result
+
+            validate_result(res)
+        w_out, h_out = np.asarray(res.w), np.asarray(res.h)
+    elif args.checkpoint_dir:
         from .utils.checkpoint import solve_with_checkpoints
 
         with logger.timed() as t:

@@ -3,6 +3,8 @@
 from .init import nndsvd_init, random_init, scaled_random_init
 from .nmf import NMF, solve_h_only
 from .streaming import solve_out_of_core
+from .strict import solve_strict
+from .sparse import SparseX, solve_sparse, sparse_from_dense
 from .separation import SeparationResult, istft, separate, stft
 from .solver import SolveResult, solve
 
@@ -12,6 +14,10 @@ __all__ = [
     "NMF",
     "solve_h_only",
     "solve_out_of_core",
+    "solve_strict",
+    "solve_sparse",
+    "SparseX",
+    "sparse_from_dense",
     "random_init",
     "scaled_random_init",
     "nndsvd_init",
