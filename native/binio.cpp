@@ -152,6 +152,52 @@ int nmf_read_matrix(const char* path, float* out, uint32_t rows, uint32_t cols,
     return rc;
 }
 
+// Read columns [j0, j1) of the payload into `out` (caller-allocated,
+// rows*(j1-j0) floats).  Column blocks are CONTIGUOUS in the column-major
+// on-disk layout, so this is one bulk pread at offset 8 + j0*rows*4 — the
+// host-side read stage of the out-of-core streaming solver
+// (nmf_tpu/models/streaming.py).  c_order semantics as nmf_read_matrix.
+int nmf_read_columns(const char* path, float* out, uint32_t rows, uint32_t cols,
+                     uint32_t j0, uint32_t j1, int c_order) {
+    if (j1 < j0 || j1 > cols) return kErrSize;
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return kErrOpen;
+
+    const uint64_t bn = static_cast<uint64_t>(j1) - j0;
+    const uint64_t count = bn * rows;
+    const uint64_t offset = 8 + static_cast<uint64_t>(j0) * rows * sizeof(float);
+    struct stat st;
+    if (fstat(fd, &st) != 0 ||
+        static_cast<uint64_t>(st.st_size) < offset + count * sizeof(float)) {
+        close(fd);
+        return kErrSize;
+    }
+#ifdef POSIX_FADV_SEQUENTIAL
+    posix_fadvise(fd, static_cast<off_t>(offset),
+                  static_cast<off_t>(count * sizeof(float)),
+                  POSIX_FADV_SEQUENTIAL);
+#endif
+
+    int rc = kOk;
+    if (!c_order || rows == 1 || bn == 1) {
+        if (!read_exact(fd, out, count * sizeof(float), offset)) rc = kErrShortRead;
+    } else {
+        float* tmp = new (std::nothrow) float[count];
+        if (tmp == nullptr) {
+            close(fd);
+            return kErrSize;
+        }
+        if (!read_exact(fd, tmp, count * sizeof(float), offset)) {
+            rc = kErrShortRead;
+        } else {
+            transpose_to_c_order(tmp, out, rows, bn);
+        }
+        delete[] tmp;
+    }
+    close(fd);
+    return rc;
+}
+
 // Write rows x cols floats from `data` to `path` in the reference format.
 // c_order != 0 means `data` is C-order (the usual NumPy layout) and is
 // transposed to the on-disk column-major order.

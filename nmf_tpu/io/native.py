@@ -24,6 +24,8 @@ __all__ = [
     "load",
     "read_matrix_native",
     "write_matrix_native",
+    "has_read_columns",
+    "read_columns_native",
 ]
 
 _lock = threading.Lock()
@@ -84,6 +86,19 @@ def load() -> Optional[ctypes.CDLL]:
                     ctypes.c_int,
                 ]
                 lib.nmf_write_matrix.restype = ctypes.c_int
+                # column-block reader: present in builds newer than round 1
+                # (older libraries still load; callers probe has_read_columns)
+                if hasattr(lib, "nmf_read_columns"):
+                    lib.nmf_read_columns.argtypes = [
+                        ctypes.c_char_p,
+                        ctypes.POINTER(ctypes.c_float),
+                        ctypes.c_uint32,
+                        ctypes.c_uint32,
+                        ctypes.c_uint32,
+                        ctypes.c_uint32,
+                        ctypes.c_int,
+                    ]
+                    lib.nmf_read_columns.restype = ctypes.c_int
                 _lib = lib
                 break
             except OSError:
@@ -125,6 +140,39 @@ def read_matrix_native(path: str) -> np.ndarray:
         ),
         path,
         "read",
+    )
+    return out
+
+
+def has_read_columns() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "nmf_read_columns")
+
+
+def read_columns_native(
+    path: str, rows: int, cols: int, j0: int, j1: int
+) -> np.ndarray:
+    """Native column-block read: (rows, j1-j0) float32, C-contiguous.
+
+    One bulk pread of the contiguous column span — the out-of-core streaming
+    solver's host read stage (models/streaming.py).
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "nmf_read_columns"):
+        raise RuntimeError("native column reader not available")
+    out = np.empty((rows, j1 - j0), dtype=np.float32)
+    _check(
+        lib.nmf_read_columns(
+            os.fspath(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rows,
+            cols,
+            j0,
+            j1,
+            1,
+        ),
+        path,
+        "column read",
     )
     return out
 

@@ -100,7 +100,13 @@ class BinColumnSource:
         self.shape = (rows, cols)
 
     def columns(self, j0: int, j1: int) -> np.ndarray:
-        rows = self.shape[0]
+        rows, cols = self.shape
+        # native C++ fast path: one bulk pread + cache-blocked transpose
+        # (native/binio.cpp nmf_read_columns); NumPy fallback below
+        from ..io import native
+
+        if os.environ.get("NMF_TPU_NO_NATIVE") != "1" and native.has_read_columns():
+            return native.read_columns_native(self._path, rows, cols, j0, j1)
         count = (j1 - j0) * rows
         with open(self._path, "rb") as f:
             f.seek(8 + j0 * rows * 4)

@@ -86,3 +86,45 @@ def test_binio_delegates_to_native(native_mod, tmp_path, rng, monkeypatch):
     # and the kill switch works
     monkeypatch.setenv("NMF_TPU_NO_NATIVE", "1")
     np.testing.assert_array_equal(binio.read_matrix(p), a)
+
+
+def test_native_read_columns_matches_python(native_mod, tmp_path, rng):
+    """The streaming loader's native fast path: exact column-block reads."""
+    if not native_mod.has_read_columns():
+        pytest.skip("library built without nmf_read_columns")
+    a = rng.rand(123, 500).astype(np.float32)
+    p = str(tmp_path / "cols.bin")
+    _py_write(a, p)
+    np.testing.assert_array_equal(
+        native_mod.read_columns_native(p, 123, 500, 0, 128), a[:, :128]
+    )
+    np.testing.assert_array_equal(
+        native_mod.read_columns_native(p, 123, 500, 437, 500), a[:, 437:500]
+    )
+    np.testing.assert_array_equal(
+        native_mod.read_columns_native(p, 123, 500, 7, 8), a[:, 7:8]
+    )
+    # out-of-range block is refused
+    with pytest.raises(ValueError):
+        native_mod.read_columns_native(p, 123, 500, 400, 501)
+
+
+def test_streaming_source_uses_native_reader(native_mod, tmp_path, rng):
+    """BinColumnSource delegates to the native reader and agrees with the
+    NumPy fallback bit-for-bit."""
+    from nmf_tpu.models.streaming import BinColumnSource
+
+    if not native_mod.has_read_columns():
+        pytest.skip("library built without nmf_read_columns")
+    a = rng.rand(96, 300).astype(np.float32)
+    p = str(tmp_path / "src.bin")
+    _py_write(a, p)
+    src = BinColumnSource(p)
+    via_native = src.columns(100, 260)
+    os.environ["NMF_TPU_NO_NATIVE"] = "1"
+    try:
+        via_python = src.columns(100, 260)
+    finally:
+        del os.environ["NMF_TPU_NO_NATIVE"]
+    np.testing.assert_array_equal(via_native, via_python)
+    np.testing.assert_array_equal(via_native, a[:, 100:260])
