@@ -151,10 +151,9 @@ def _cmd_run_out_of_core(args) -> int:
     """run with --out-of-core: X streamed from its .bin, never fully loaded."""
     from .models.streaming import BinColumnSource, solve_out_of_core
 
-    if args.mesh or args.checkpoint_dir:
+    if args.mesh:
         print(
-            "error: --out-of-core is a single-device streaming mode "
-            "(no --mesh / --checkpoint-dir)",
+            "error: --out-of-core is a single-device streaming mode (no --mesh)",
             file=sys.stderr,
         )
         return 2
@@ -178,7 +177,11 @@ def _cmd_run_out_of_core(args) -> int:
     config = _config_from(args)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
     with logger.timed() as t:
-        res = solve_out_of_core(source, w0, h0, config, block_n=args.block_n)
+        res = solve_out_of_core(
+            source, w0, h0, config, block_n=args.block_n,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+        )
     logger.report(res, (m, n), t.seconds, check_every=config.check_every)
     if args.validate:
         from .utils.guards import validate_result

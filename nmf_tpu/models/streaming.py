@@ -210,6 +210,9 @@ def solve_out_of_core(
     h0,
     config: SolveConfig = SolveConfig(),
     block_n: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
+    resume: bool = True,
 ) -> "SolveResult":
     """Factorize ``x ~= w @ h`` with X streamed from the host per iteration.
 
@@ -219,6 +222,12 @@ def solve_out_of_core(
     match :func:`nmf_tpu.solve` (same update ordering, clamp sites,
     convergence rule); the cost check streams X once more on check
     iterations only.
+
+    With ``checkpoint_dir`` the run writes an interoperable ``.bin``
+    checkpoint every ``checkpoint_every`` iterations (and at the end) and,
+    with ``resume``, continues from the newest one — the natural companion
+    of multi-hour link-bound streaming runs.  X is NOT checkpointed (it is
+    the immutable input); only (W, H, iteration, cost history) is state.
 
     Currently implements the reference KL (beta=1, unregularized) MU family —
     the families whose W-numerator accumulates blockwise with a global
@@ -234,6 +243,8 @@ def solve_out_of_core(
         raise NotImplementedError(
             "out-of-core solve implements the reference KL (beta=1) MU family"
         )
+    if checkpoint_every <= 0:
+        raise ValueError("checkpoint_every must be >= 1")
 
     source = _as_source(x)
     m, n = source.shape
@@ -251,6 +262,26 @@ def solve_out_of_core(
         (j, min(j + bn, n)) for j in range(0, n, bn)
     ]
 
+    it = 0
+    hist_list: List[float] = []
+    labels: List[int] = []
+    converged = False
+    if checkpoint_dir and resume:
+        from ..utils import checkpoint as ckpt
+
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            state = ckpt.load_checkpoint(latest, config)
+            if np.shape(state.w) != w0.shape or np.shape(state.h) != h0.shape:
+                raise ValueError(
+                    f"checkpoint shapes {np.shape(state.w)}/{np.shape(state.h)}"
+                    f" do not match inputs {w0.shape}/{h0.shape}"
+                )
+            w0, h0, it = state.w, state.h, state.iteration
+            hist_list = list(state.cost_history)
+            labels = list(state.check_iterations or [])
+            converged = state.converged
+
     platform = jax.default_backend()
     step, accumulate, w_epilogue, cost_block = _block_fns(config, platform)
     eps = config.eps
@@ -260,7 +291,8 @@ def solve_out_of_core(
     w = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
     h_blocks = [
         jnp.maximum(
-            jnp.asarray(h0[:, j0:j1], sd), jnp.asarray(eps, sd)
+            jnp.asarray(np.ascontiguousarray(h0[:, j0:j1]), sd),
+            jnp.asarray(eps, sd),
         )
         for j0, j1 in blocks
     ]
@@ -271,18 +303,28 @@ def solve_out_of_core(
             _host_prep(source.columns(j0, j1), eps, xd), device
         )
 
+    def _save():
+        from ..utils import checkpoint as ckpt
+
+        state = ckpt.CheckpointState(
+            w=np.asarray(w),
+            h=np.concatenate([np.asarray(hb) for hb in h_blocks], axis=1),
+            iteration=it,
+            cost_history=hist_list,
+            converged=converged,
+            check_iterations=labels,
+        )
+        ckpt.save_checkpoint(checkpoint_dir, state, config)
+
     max_iter = int(config.max_iter)
     check_every = int(config.check_every)
     thresh = float(config.thresh)
     need_cost = config.track_cost or thresh > 0.0
-    n_slots = max(config.num_checks, 1)
-    hist = np.full((n_slots,), np.nan, np.float32)
-    it = chk = 0
-    prev_cost = float("nan")
-    converged = False
+    prev_cost = hist_list[-1] if hist_list else float("nan")
 
     from ..utils.metrics import emit_live
 
+    start_iter = it
     while it < max_iter and not converged:
         # ---- one full MU iteration: a single double-buffered sweep ----
         acc = jnp.zeros((m, k), jnp.float32)
@@ -306,21 +348,28 @@ def solve_out_of_core(
                 if idx + 1 < len(blocks):
                     inflight = put(idx + 1)
                 total += float(cost_block(w, h_blocks[idx], x_dev))
-            hist[chk] = total
-            chk += 1
+            hist_list.append(total)
+            labels.append(it)
             rel = abs(prev_cost - total) / abs(total) if total else float("nan")
             if config.live_metrics:
                 emit_live(it, total, rel)
             if thresh > 0.0 and rel < thresh:
                 converged = True
             prev_cost = total
+        if checkpoint_dir and (
+            (it - start_iter) % checkpoint_every == 0 or it == max_iter or converged
+        ):
+            _save()
 
+    n_slots = max(len(hist_list), 1)
+    hist = np.full((n_slots,), np.nan, np.float32)
+    hist[: len(hist_list)] = hist_list
     return SolveResult(
         w=w,
         h=jnp.concatenate(h_blocks, axis=1),
         iterations=jnp.asarray(it, jnp.int32),
         cost=jnp.asarray(prev_cost, jnp.float32),
         cost_history=jnp.asarray(hist),
-        num_checks=jnp.asarray(chk, jnp.int32),
+        num_checks=jnp.asarray(len(hist_list), jnp.int32),
         converged=jnp.asarray(converged, jnp.bool_),
     )

@@ -148,3 +148,15 @@ def test_bench_fraction_of_peak_none_off_tpu():
     import bench
 
     assert bench.peak_tflops("bfloat16") is None  # CPU backend -> unknown
+
+
+def test_hwparity_gate_quick_cpu():
+    """The numerics gate itself: on CPU (jnp only) the oracle comparison
+    must pass at quick dims for every precision policy."""
+    import bench
+
+    out = bench.run_check(quick=True)
+    assert out["ok"], out
+    assert set(out["policies"]) == {"float32", "float32_fast", "bfloat16"}
+    for entry in out["policies"].values():
+        assert entry["jnp_cost_vs_oracle_rel"] < 1e-3

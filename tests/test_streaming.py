@@ -100,6 +100,44 @@ def test_streamed_bf16_x_storage(problem):
     assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.02
 
 
+def test_streamed_checkpoint_resume(problem, tmp_path):
+    """Interrupted streaming run resumes from its .bin checkpoint and ends
+    identical to an uninterrupted one (same check labels, same factors)."""
+    x, w, h = problem
+    cfg30 = SolveConfig(max_iter=30, check_every=10)
+    ref = streaming.solve_out_of_core(x, w, h, cfg30, block_n=256)
+    d = str(tmp_path / "ck")
+    streaming.solve_out_of_core(
+        x, w, h, SolveConfig(max_iter=10, check_every=10),
+        block_n=256, checkpoint_dir=d, checkpoint_every=10,
+    )
+    from nmf_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.latest_checkpoint(d) is not None
+    res = streaming.solve_out_of_core(
+        x, w, h, cfg30, block_n=256, checkpoint_dir=d, checkpoint_every=10
+    )
+    assert int(res.iterations) == 30
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+    np.testing.assert_array_equal(np.asarray(res.h), np.asarray(ref.h))
+    loaded = ckpt.load_checkpoint(ckpt.latest_checkpoint(d), cfg30)
+    assert loaded.iteration == 30
+    assert loaded.check_iterations == [10, 20, 30]
+    # config fingerprint is enforced on resume
+    import dataclasses
+
+    from nmf_tpu.utils.config import Precision
+
+    with pytest.raises(ValueError, match="refusing to mix objectives"):
+        streaming.solve_out_of_core(
+            x, w, h,
+            dataclasses.replace(
+                cfg30, max_iter=40, precision=Precision("bfloat16")
+            ),
+            block_n=256, checkpoint_dir=d,
+        )
+
+
 def test_streamed_rejects_unsupported_families(problem):
     x, w, h = problem
     with pytest.raises(NotImplementedError):
