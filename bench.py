@@ -101,9 +101,13 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
     step = resolve_step_fn(cfg)
     eps = np.float32(2.2204e-16)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(np.maximum(rng.rand(m, n).astype(np.float32), eps)).astype(
-        jnp.dtype(x_dtype)
-    )
+    x = jnp.asarray(np.maximum(rng.rand(m, n).astype(np.float32), eps))
+    if x_dtype == "int8":
+        from nmf_tpu.ops.quant import quantize_columns
+
+        x = quantize_columns(x, float(eps))
+    else:
+        x = x.astype(jnp.dtype(x_dtype))
     w = jnp.asarray(rng.rand(m, k).astype(np.float32))
     h = jnp.asarray(rng.rand(k, n).astype(np.float32))
 
@@ -154,15 +158,19 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
     x = np.maximum(rng.rand(m, n).astype(np.float32), np.float32(2.2204e-16))
     w = rng.rand(m, k).astype(np.float32)
     h = rng.rand(k, n).astype(np.float32)
-    cfg = SolveConfig(
+    iters_cfg = SolveConfig(
         precision=Precision(matmul_dtype=dtype, x_dtype=x_dtype),
         track_cost=False,
-        max_iter=1,
+        max_iter=iters,
     )
     bn = pick_block_n(m, n)
     # measure the raw H2D roofline with the exact wire payload
     blk = x[:, :bn]
-    if x_dtype == "bfloat16":
+    if x_dtype == "int8":
+        from nmf_tpu.ops.quant import quantize_columns_np
+
+        blk = quantize_columns_np(blk, 2.2204e-16)[0]
+    elif x_dtype == "bfloat16":
         import ml_dtypes
 
         blk = blk.astype(ml_dtypes.bfloat16)
@@ -174,15 +182,16 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
     np.asarray(jax.device_get(a[:1, :1]))
     h2d_bw = blk.nbytes / (_time.perf_counter() - t0)
 
-    solve_out_of_core(x, w, h, cfg, block_n=bn)  # compile + warm
+    # compile + warm TWICE with the IDENTICAL config (the per-block jits are
+    # keyed by it, and this platform shows a one-off first-dispatch stall per
+    # program that must not land in the timed run)
+    solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
+    solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
     t0 = _time.perf_counter()
-    iters_cfg = SolveConfig(
-        precision=cfg.precision, track_cost=False, max_iter=iters
-    )
     res = solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
     np.asarray(jax.device_get(res.w[:1, :1]))
     per_iter = (_time.perf_counter() - t0) / iters
-    wire_bytes = x.nbytes // (2 if x_dtype == "bfloat16" else 1)
+    wire_bytes = x.nbytes // {"float32": 1, "bfloat16": 2, "int8": 4}[x_dtype]
     roofline = wire_bytes / h2d_bw  # seconds/iteration at pure-transfer speed
     return {
         "ms_per_iter": per_iter * 1e3,
@@ -320,7 +329,9 @@ def main(argv=None) -> int:
         default="bfloat16",
     )
     ap.add_argument(
-        "--x-dtype", choices=["float32", "bfloat16"], default="float32",
+        "--x-dtype",
+        choices=["float32", "bfloat16", "int8"],
+        default="float32",
         help="storage dtype of X",
     )
     ap.add_argument(

@@ -60,9 +60,11 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--x-dtype",
-        choices=["float32", "bfloat16"],
+        choices=["float32", "bfloat16", "int8"],
         default="float32",
-        help="storage dtype of X (bfloat16 halves its HBM stream)",
+        help="storage dtype of X: bfloat16 halves its HBM stream; int8 "
+        "quarters it (uint8 codes + per-column scales, dequantized "
+        "in-register; opt-in, lossy for entries far below their column peak)",
     )
     p.add_argument(
         "--backend",

@@ -113,6 +113,10 @@ def solve_h_only(
     column-sequential and stays single-device.
     """
     config.validate()
+    if config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "quantized X (x_dtype='int8') is not supported in solve_h_only"
+        )
     if mesh is not None and config.algorithm == "hals":
         raise NotImplementedError(
             "HALS h-only updates columns sequentially; use the MU families "

@@ -58,10 +58,33 @@ CostFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 def _default_platform(x) -> str:
+    if isinstance(x, tuple):  # quantized X: (codes, scales)
+        x = x[0]
     try:
         return list(x.devices())[0].platform  # jax.Array
     except AttributeError:
         return jax.default_backend()
+
+
+def _dequant_wrap_step(step_fn):
+    """Adapt an array-X step fn to quantized X (jnp path: the dequantized
+    values fuse into the consuming elementwise ops; X never re-materializes
+    at f32 in HBM)."""
+    from ..ops.quant import dequantize
+
+    def wrapped(w, h, x):
+        return step_fn(w, h, dequantize(x[0], x[1]))
+
+    return wrapped
+
+
+def _dequant_wrap_cost(cost_fn):
+    from ..ops.quant import dequantize
+
+    def wrapped(x, w, h):
+        return cost_fn(dequantize(x[0], x[1]), w, h)
+
+    return wrapped
 
 
 def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> StepFn:
@@ -73,36 +96,48 @@ def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> Step
     """
     config.validate()
     eps, prec = config.eps, config.precision
+    quant = prec.x_dtype == "int8"
 
     if config.algorithm == "hals":
         from ..ops.hals import hals_step
 
-        return functools.partial(hals_step, eps=eps, precision=prec)
+        fn = functools.partial(hals_step, eps=eps, precision=prec)
+        return _dequant_wrap_step(fn) if quant else fn
     if config.beta != 1.0:
-        return functools.partial(mu_step_beta, beta=config.beta, eps=eps, precision=prec)
+        fn = functools.partial(mu_step_beta, beta=config.beta, eps=eps, precision=prec)
+        return _dequant_wrap_step(fn) if quant else fn
     if config.regularized:
-        return functools.partial(
+        fn = functools.partial(
             mu_step_kl_reg, eps=eps, precision=prec,
             l1_w=config.l1_w, l1_h=config.l1_h,
             l2_w=config.l2_w, l2_h=config.l2_h,
         )
+        return _dequant_wrap_step(fn) if quant else fn
 
     backend = config.backend
     if backend in ("auto", "autotune"):
         plat = platform if platform is not None else jax.default_backend()
-        backend = "pallas" if plat == "tpu" else "jnp"
+        # quantized X: XLA fuses the uint8 dequant at full speed while
+        # Mosaic's uint8 conversion path is currently ~1000x slower than the
+        # math it feeds (measured), so int8-X defaults to the jnp path;
+        # backend='pallas' still forces the in-register kernels explicitly.
+        backend = "pallas" if (plat == "tpu" and not quant) else "jnp"
     if backend == "pallas":
         from ..ops.pallas import fused_mu  # deferred: keeps CPU import light
 
         if fused_mu.supported():
+            # fused kernels dequantize uint8 X in-register (no wrapper)
             return functools.partial(fused_mu.mu_step_fused, eps=eps, precision=prec)
         backend = "jnp"
-    return functools.partial(mu_step, eps=eps, precision=prec)
+    fn = functools.partial(mu_step, eps=eps, precision=prec)
+    return _dequant_wrap_step(fn) if quant else fn
 
 
 def _cost_fn(config: SolveConfig, platform: Optional[str] = None) -> CostFn:
+    quant = config.precision.x_dtype == "int8"
     if config.beta != 1.0:
-        return functools.partial(beta_divergence, beta=config.beta, eps=config.eps)
+        fn = functools.partial(beta_divergence, beta=config.beta, eps=config.eps)
+        return _dequant_wrap_cost(fn) if quant else fn
     if config.regularized:
         def penalized(x, w, h):
             wf, hf = w.astype(_F32), h.astype(_F32)
@@ -114,18 +149,20 @@ def _cost_fn(config: SolveConfig, platform: Optional[str] = None) -> CostFn:
             )
             return kl_divergence(x, w, h, config.eps) + pen
 
-        return penalized
+        return _dequant_wrap_cost(penalized) if quant else penalized
     backend = config.backend
     if backend in ("auto", "autotune"):
         plat = platform if platform is not None else jax.default_backend()
-        backend = "pallas" if plat == "tpu" else "jnp"
+        backend = "pallas" if (plat == "tpu" and not quant) else "jnp"
     if backend == "pallas":
         from ..ops.pallas import fused_mu
 
+        # the fused cost kernel dequantizes in-register itself
         return functools.partial(
             fused_mu.kl_cost_fused, eps=config.eps, precision=config.precision
         )
-    return functools.partial(kl_divergence, eps=config.eps)
+    fn = functools.partial(kl_divergence, eps=config.eps)
+    return _dequant_wrap_cost(fn) if quant else fn
 
 
 def _emit_live_single(it, cost, rel):
@@ -346,30 +383,44 @@ def solve(
     """
     config.validate()
     sd = jnp.dtype(config.precision.state_dtype)
-    xd = jnp.dtype(config.precision.x_dtype)
-    shape_x = jnp.shape(x)
+    quant = config.precision.x_dtype == "int8"
+    shape_x = jnp.shape(x[0]) if isinstance(x, tuple) else jnp.shape(x)
     shape_w, shape_h = jnp.shape(w0), jnp.shape(h0)
     if shape_x != (shape_w[0], shape_h[1]) or shape_w[1] != shape_h[0]:
         raise ValueError(
             f"shape mismatch: X{shape_x} vs W{shape_w} @ H{shape_h}"
         )
     if clamp_inputs:
-        x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(config.eps, _F32))
         w0 = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(config.eps, sd))
         h0 = jnp.maximum(jnp.asarray(h0, sd), jnp.asarray(config.eps, sd))
-        x = x.astype(xd)  # bf16 X storage halves the dominant HBM stream
+        x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(config.eps, _F32))
+        if quant:
+            # uint8 codes + per-column scales: quarters the dominant HBM
+            # stream; dequantized in-register by the consumers
+            from ..ops.quant import quantize_columns
+
+            x = quantize_columns(x, config.eps)
+        else:
+            x = x.astype(jnp.dtype(config.precision.x_dtype))
     else:
         # pre-clamped inputs: direct to target dtypes, no intermediate f32
         # copy of X (segment drivers pass device-resident arrays here)
-        x = jnp.asarray(x, xd)
         w0 = jnp.asarray(w0, sd)
         h0 = jnp.asarray(h0, sd)
+        if quant:
+            if not isinstance(x, tuple):
+                from ..ops.quant import quantize_columns
+
+                x = quantize_columns(jnp.asarray(x, _F32), config.eps)
+        else:
+            x = jnp.asarray(x, jnp.dtype(config.precision.x_dtype))
     platform = _default_platform(x)
     if (
         platform == "tpu"
         and config.beta == 1.0
         and not config.regularized
         and config.backend in ("auto", "autotune")
+        and not quant  # int8-X resolves to the jnp path (see resolve_step_fn)
     ):
         from ..utils import autotune
 

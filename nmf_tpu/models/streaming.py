@@ -149,16 +149,21 @@ def _block_fns(config: SolveConfig, platform: str):
     eps, prec = config.eps, config.precision
     _f32 = jnp.float32
 
-    use_fused = platform == "tpu" and config.backend in ("auto", "pallas")
+    use_fused = platform == "tpu" and (
+        config.backend == "pallas"
+        or (config.backend == "auto" and config.precision.x_dtype != "int8")
+    )
     if use_fused:
         from ..ops.pallas import fused_mu
 
     def step(w, h_j, x_j):
         """H_j full update + block-j W-numerator/rowsum contributions.
 
-        ``x_j`` arrives already load-clamped (host side).  colsum(W) is
-        computed from the full (device-resident) W inside update_h — global,
-        hence identical to the in-memory solver's value.
+        ``x_j`` arrives already load-clamped (host side); with quantized
+        storage it is a (uint8 codes, scales) pair — the fused kernels
+        dequantize in-register, the jnp path inside its XLA fusion.
+        colsum(W) is computed from the full (device-resident) W inside
+        update_h — global, hence identical to the in-memory solver's value.
         """
         if use_fused and fused_mu.supported(w.shape[1]):
             h_new = fused_mu.update_h_fused(w, h_j, x_j, eps, prec)
@@ -166,6 +171,10 @@ def _block_fns(config: SolveConfig, platform: str):
                 w, h_new, x_j, eps, prec, numerator_only=True
             )
         else:
+            if isinstance(x_j, tuple):
+                from ..ops.quant import dequantize
+
+                x_j = dequantize(x_j[0], x_j[1])
             h_new = update_h(w, h_j, x_j, eps, prec)
             z = x_j / eps_clamp(matmul(w, h_new, prec), eps)
             wnum = matmul(z, h_new, prec, transpose_b=True)
@@ -179,6 +188,10 @@ def _block_fns(config: SolveConfig, platform: str):
         return (w * (acc / sumh[None, :])).astype(w.dtype)
 
     def cost_block(w, h_j, x_j):
+        if isinstance(x_j, tuple):
+            from ..ops.quant import dequantize
+
+            x_j = dequantize(x_j[0], x_j[1])
         y = matmul(
             w.astype(_f32), h_j.astype(_f32),
             dataclasses.replace(prec, matmul_dtype="float32"),
@@ -193,10 +206,17 @@ def _block_fns(config: SolveConfig, platform: str):
     )
 
 
-def _host_prep(blk: np.ndarray, eps: float, xd) -> np.ndarray:
+def _host_prep(blk: np.ndarray, eps: float, xd):
     """Load-time clamp (nmf.cu:211) + storage-dtype cast, on the host so the
-    wire carries the final (possibly bf16, i.e. halved) bytes."""
+    wire carries the final bytes (bf16 halves them; int8 quarters them —
+    uint8 codes + one f32 scale per column, dequantized in-register on
+    device; columns never span blocks, so block-local scales ARE the global
+    per-column scales)."""
     blk = np.maximum(blk, np.float32(eps))
+    if str(xd) == "int8":
+        from ..ops.quant import quantize_columns_np
+
+        return quantize_columns_np(blk, eps)
     if str(xd) == "bfloat16":
         import ml_dtypes
 
@@ -297,11 +317,25 @@ def solve_out_of_core(
         for j0, j1 in blocks
     ]
 
+    quantized = str(xd) == "int8"
+    # int8 storage: quantize each block ONCE (first sweep) and keep the
+    # uint8 codes host-side — 1/4 the f32 footprint — and the tiny per-block
+    # scale vectors device-resident, so every later sweep pays exactly one
+    # uint8 transfer per block (re-quantizing per iteration would burn more
+    # host time than the thinner wire saves).
+    _qcache = {}
+
     def put(idx: int):
         j0, j1 = blocks[idx]
-        return jax.device_put(
-            _host_prep(source.columns(j0, j1), eps, xd), device
-        )
+        if not quantized:
+            return jax.device_put(
+                _host_prep(source.columns(j0, j1), eps, xd), device
+            )
+        if idx not in _qcache:
+            q_np, s_np = _host_prep(source.columns(j0, j1), eps, xd)
+            _qcache[idx] = (q_np, jax.device_put(s_np, device))
+        q_np, s_dev = _qcache[idx]
+        return (jax.device_put(q_np, device), s_dev)
 
     def _save():
         from ..utils import checkpoint as ckpt

@@ -136,6 +136,39 @@ def _pad2(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     return jnp.pad(a, ((0, pr), (0, pc)))
 
 
+def _unpack_x(x):
+    """X is either an array or a (uint8 codes, per-column f32 scales) pair
+    from ops.quant.quantize_columns (x_dtype='int8')."""
+    if isinstance(x, tuple):
+        q, scales = x
+        return q, scales, True
+    return x, None, False
+
+
+def _dense_x(x):
+    """Dequantize for the jnp fallback paths (never taken on the hot path)."""
+    if isinstance(x, tuple):
+        from ..quant import dequantize
+
+        return dequantize(x[0], x[1])
+    return x
+
+
+def _scales_operand(xs, n, np_):
+    """Padded (1, np_) scales row for the kernel, or a (1,1) placeholder."""
+    if xs is None:
+        return jnp.zeros((1, 1), _F32)
+    return jnp.pad(
+        xs.astype(_F32), (0, np_ - n), constant_values=1.0
+    ).reshape(1, np_)
+
+
+def _x_quantum(xq) -> int:
+    if xq.dtype == jnp.uint8:
+        return 32
+    return 16 if xq.dtype == jnp.bfloat16 else 8
+
+
 # ---------------------------------------------------------------------------
 # In-kernel GEMM operand preparation.  Mosaic does not lower
 # lax.Precision.HIGH, so the float32_fast policy's 3-pass bf16 split-float
@@ -176,7 +209,7 @@ def _kdot(pa, pb, dims, lax_prec, split3):
 # ---------------------------------------------------------------------------
 
 
-def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_m, epilogue, split3=False):
+def _h_kernel(w_ref, h_ref, x_ref, xs_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_m, epilogue, split3=False, quantized=False):
     i = pl.program_id(1)  # contraction step over M tiles (innermost)
 
     @pl.when(i == 0)
@@ -188,7 +221,14 @@ def _h_kernel(w_ref, h_ref, x_ref, sumw_ref, out_ref, acc_ref, *, eps, mm_dtype,
     wh = _kdot(
         w_blk, h_blk, (((1,), (0,)), ((), ())), lax_prec, split3
     )                                          # (bm, bn) f32
-    z = x_ref[:] / jnp.maximum(wh, eps)        # clamp per nmf.cu:128
+    # dequant-in-register: uint8 codes * per-column scales, never in HBM
+    # Mosaic lacks a direct uint8->f32 cast; hop through int32
+    xv = (
+        (x_ref[:].astype(jnp.int32).astype(_F32) * xs_ref[:])
+        if quantized
+        else x_ref[:]
+    )
+    z = xv / jnp.maximum(wh, eps)              # clamp per nmf.cu:128
     # acc += W_blk^T @ z : contract over the bm rows
     acc_ref[:] += _kdot(
         w_blk, _prep_operand(z, mm_dtype, split3),
@@ -228,10 +268,12 @@ def update_h_fused(
     """
     m, k = w.shape
     _, n = h.shape
+    xq, xs, quantized = _unpack_x(x)
     if not supported(k):
         from ..mu import matmul as _mm
         from ..mu import update_h
 
+        x = _dense_x(x)
         if numerator_only:
             z = x / eps_clamp(_mm(w, h, precision), eps)
             return _mm(w, z, precision, transpose_a=True)
@@ -250,13 +292,13 @@ def update_h_fused(
         # (measured at 4096x350 k=128: 86 -> 119 TF/s)
         block_m = max(block_m, 1024)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
-    bm = _balanced(m, m_quantum, bm_cap)
+    bm = _balanced(m, _x_quantum(xq), bm_cap)
     bn = _balanced(n, 128, bn_cap)
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
     wp = _pad2(w, mp, kp)
     hp = _pad2(h, kp, np_)
-    xp = _pad2(x, mp, np_)
+    xp = _pad2(xq, mp, np_)
+    xsp = _scales_operand(xs, n, np_)
     n_m, n_n = mp // bm, np_ // bn
 
     mm_dtype = jnp.dtype(precision.mm_input_dtype)
@@ -269,7 +311,12 @@ def update_h_fused(
     kernel = functools.partial(
         _h_kernel, eps=float(eps), mm_dtype=mm_dtype,
         lax_prec=lax_prec, n_m=n_m, epilogue=not numerator_only,
-        split3=split3,
+        split3=split3, quantized=quantized,
+    )
+    xs_spec = (
+        pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        if quantized
+        else pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
     )
     out = pl.pallas_call(
         kernel,
@@ -278,6 +325,7 @@ def update_h_fused(
             pl.BlockSpec((bm, kp), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            xs_spec,
             pl.BlockSpec(sum_w.shape, lambda j, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((kp, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
@@ -287,11 +335,12 @@ def update_h_fused(
         scratch_shapes=[pltpu.VMEM((kp, bn), _F32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * mp * np_ * kp,
-            bytes_accessed=(mp * kp + kp * np_ + mp * np_ + 2 * kp * np_) * 4,
+            bytes_accessed=(mp * kp + kp * np_ + 2 * kp * np_) * 4
+            + mp * np_ * xp.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wp, hp, xp, sum_w)
+    )(wp, hp, xp, xsp, sum_w)
     return out[:k, :n] if (kp, np_) != (k, n) else out
 
 
@@ -300,7 +349,7 @@ def update_h_fused(
 # ---------------------------------------------------------------------------
 
 
-def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_n, epilogue, split3=False):
+def _w_kernel(w_ref, h_ref, x_ref, xs_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_n, epilogue, split3=False, quantized=False):
     j = pl.program_id(1)  # contraction step over N tiles (innermost)
 
     @pl.when(j == 0)
@@ -310,7 +359,13 @@ def _w_kernel(w_ref, h_ref, x_ref, sumh_ref, out_ref, acc_ref, *, eps, mm_dtype,
     w_blk = _prep_operand(w_ref[:], mm_dtype, split3)   # (bm, K)
     h_blk = _prep_operand(h_ref[:], mm_dtype, split3)   # (K, bn)
     wh = _kdot(w_blk, h_blk, (((1,), (0,)), ((), ())), lax_prec, split3)
-    z = x_ref[:] / jnp.maximum(wh, eps)        # clamp per nmf.cu:158
+    # Mosaic lacks a direct uint8->f32 cast; hop through int32
+    xv = (
+        (x_ref[:].astype(jnp.int32).astype(_F32) * xs_ref[:])
+        if quantized
+        else x_ref[:]
+    )
+    z = xv / jnp.maximum(wh, eps)              # clamp per nmf.cu:158
     # acc += z @ H_blk^T : contract over the bn cols
     acc_ref[:] += _kdot(
         _prep_operand(z, mm_dtype, split3), h_blk,
@@ -346,10 +401,12 @@ def update_w_fused(
     """
     m, k = w.shape
     _, n = h.shape
+    xq, xs, quantized = _unpack_x(x)
     if not supported(k):
         from ..mu import matmul as _mm
         from ..mu import update_w
 
+        x = _dense_x(x)
         if numerator_only:
             z = x / eps_clamp(_mm(w, h, precision), eps)
             return _mm(z, h, precision, transpose_b=True)
@@ -367,13 +424,13 @@ def update_w_fused(
         # (measured at 4096x350 k=128: 86 -> 119 TF/s)
         block_m = max(block_m, 1024)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
-    bm = _balanced(m, m_quantum, bm_cap)
+    bm = _balanced(m, _x_quantum(xq), bm_cap)
     bn = _balanced(n, 128, bn_cap)
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
     wp = _pad2(w, mp, kp)
     hp = _pad2(h, kp, np_)
-    xp = _pad2(x, mp, np_)
+    xp = _pad2(xq, mp, np_)
+    xsp = _scales_operand(xs, n, np_)
     n_m, n_n = mp // bm, np_ // bn
 
     mm_dtype = jnp.dtype(precision.mm_input_dtype)
@@ -386,7 +443,12 @@ def update_w_fused(
     kernel = functools.partial(
         _w_kernel, eps=float(eps), mm_dtype=mm_dtype,
         lax_prec=lax_prec, n_n=n_n, epilogue=not numerator_only,
-        split3=split3,
+        split3=split3, quantized=quantized,
+    )
+    xs_spec = (
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        if quantized
+        else pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     )
     out = pl.pallas_call(
         kernel,
@@ -395,6 +457,7 @@ def update_w_fused(
             pl.BlockSpec((bm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            xs_spec,
             pl.BlockSpec(sum_h.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -404,11 +467,12 @@ def update_w_fused(
         scratch_shapes=[pltpu.VMEM((bm, kp), _F32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * mp * np_ * kp,
-            bytes_accessed=(mp * kp + kp * np_ + mp * np_ + 2 * mp * kp) * 4,
+            bytes_accessed=(mp * kp + kp * np_ + 2 * mp * kp) * 4
+            + mp * np_ * xp.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wp, hp, xp, sum_h)
+    )(wp, hp, xp, xsp, sum_h)
     return out[:m, :k] if (mp, kp) != (m, k) else out
 
 
@@ -431,7 +495,7 @@ def mu_step_fused(
 # ---------------------------------------------------------------------------
 
 
-def _kl_kernel(w_ref, h_ref, x_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_steps, bm, bn, m, n):
+def _kl_kernel(w_ref, h_ref, x_ref, xs_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec, n_steps, bm, bn, m, n, quantized=False):
     i, j = pl.program_id(0), pl.program_id(1)
     step = i * pl.num_programs(1) + j
 
@@ -445,7 +509,11 @@ def _kl_kernel(w_ref, h_ref, x_ref, out_ref, acc_ref, *, eps, mm_dtype, lax_prec
         precision=lax_prec,
     )
     y = jnp.maximum(wh, eps)
-    xb = x_ref[:].astype(_F32)
+    xb = (
+        x_ref[:].astype(jnp.int32).astype(_F32) * xs_ref[:]
+        if quantized
+        else x_ref[:].astype(_F32)
+    )
     # matrix.cu:592 formula.  The x*log(x/y) part uses the x->0 limit (0, not
     # NaN) so genuine zero entries still contribute their '+y' mass — same as
     # the jnp path (kl_divergence_from_recon).  Zero-padded entries beyond
@@ -482,10 +550,11 @@ def kl_cost_fused(
     """
     m, k = w.shape
     _, n = h.shape
+    xq, xs, quantized = _unpack_x(x)
     if not supported(k):
         from ..divergence import kl_divergence
 
-        return kl_divergence(x, w, h, eps)
+        return kl_divergence(_dense_x(x), w, h, eps)
 
     block_m, block_n = _default_blocks(block_m, block_n)
     mm_dt = jnp.dtype(precision.mm_input_dtype)
@@ -494,13 +563,13 @@ def kl_cost_fused(
         # (measured at 4096x350 k=128: 86 -> 119 TF/s)
         block_m = max(block_m, 1024)
     bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    m_quantum = 16 if x.dtype == jnp.bfloat16 else 8
-    bm = _balanced(m, m_quantum, bm_cap)
+    bm = _balanced(m, _x_quantum(xq), bm_cap)
     bn = _balanced(n, 128, bn_cap)
     mp, np_ = _round_up(m, bm), _round_up(n, bn)
     wp = _pad2(w, mp, k)
     hp = _pad2(h, k, np_)
-    xp = _pad2(x, mp, np_)
+    xp = _pad2(xq, mp, np_)
+    xsp = _scales_operand(xs, n, np_)
     n_m, n_n = mp // bm, np_ // bn
 
     mm_dtype = jnp.dtype(precision.mm_input_dtype)
@@ -512,7 +581,12 @@ def kl_cost_fused(
     )
     kernel = functools.partial(
         _kl_kernel, eps=float(eps), mm_dtype=mm_dtype, lax_prec=lax_prec,
-        n_steps=n_m * n_n, bm=bm, bn=bn, m=m, n=n,
+        n_steps=n_m * n_n, bm=bm, bn=bn, m=m, n=n, quantized=quantized,
+    )
+    xs_spec = (
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        if quantized
+        else pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     )
     out = pl.pallas_call(
         kernel,
@@ -521,6 +595,7 @@ def kl_cost_fused(
             pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            xs_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
@@ -529,9 +604,10 @@ def kl_cost_fused(
         scratch_shapes=[pltpu.SMEM((1, 1), _F32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,
-            bytes_accessed=(mp * k + k * np_ + mp * np_) * 4,
+            bytes_accessed=(mp * k + k * np_) * 4
+            + mp * np_ * xp.dtype.itemsize,
             transcendentals=2 * mp * np_,
         ),
         interpret=interpret,
-    )(wp, hp, xp)
+    )(wp, hp, xp, xsp)
     return out[0, 0]

@@ -65,6 +65,10 @@ def solve_batched(
     sharded across devices; B must divide the axis size evenly.
     """
     config.validate()
+    if config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "quantized X (x_dtype='int8') is not supported for batched solves"
+        )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.asarray(x, _F32)
     w0 = jnp.asarray(w0, sd)

@@ -254,6 +254,11 @@ def solve_sharded(
     cost history are fully replicated.
     """
     config.validate()
+    if config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "quantized X (x_dtype='int8') is single-device for now; use "
+            "bfloat16 X storage on meshes"
+        )
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
 

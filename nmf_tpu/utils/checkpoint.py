@@ -68,6 +68,7 @@ def _config_fingerprint(config: SolveConfig) -> dict:
         "beta": config.beta,
         "algorithm": config.algorithm,
         "matmul_dtype": config.precision.matmul_dtype,
+        "x_dtype": config.precision.x_dtype,
         "check_every": config.check_every,
         "l1_w": config.l1_w,
         "l1_h": config.l1_h,

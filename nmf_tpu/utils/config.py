@@ -38,20 +38,23 @@ class Precision:
     * ``x_dtype``: storage dtype of the data matrix X.  ``bfloat16`` halves
       the dominant HBM stream (X is read twice per iteration) for
       bandwidth-bound shapes at a one-time ~2^-8 relative rounding of the
-      data; the divide and all accumulation still happen in float32.
+      data; ``int8`` quarters it — uint8 codes with per-column f32 scales,
+      dequantized in-register (ops/quant.py; opt-in, lossy for entries far
+      below their column's peak).  The divide and all accumulation still
+      happen in float32.
     * Reductions (column/row sums, KL cost) are always float32.
     """
 
     matmul_dtype: str = "float32"   # "float32" | "float32_fast" | "bfloat16"
     state_dtype: str = "float32"
-    x_dtype: str = "float32"        # "float32" | "bfloat16"
+    x_dtype: str = "float32"        # "float32" | "bfloat16" | "int8"
 
     def validate(self) -> None:
         if self.matmul_dtype not in ("float32", "float32_fast", "bfloat16"):
             raise ValueError(f"unsupported matmul_dtype {self.matmul_dtype!r}")
         if self.state_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported state_dtype {self.state_dtype!r}")
-        if self.x_dtype not in ("float32", "bfloat16"):
+        if self.x_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported x_dtype {self.x_dtype!r}")
 
     @property

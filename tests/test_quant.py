@@ -1,0 +1,124 @@
+"""Quantized X storage (uint8 codes + per-column scales)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nmf_tpu import SolveConfig, solve
+from nmf_tpu.ops import quant
+from nmf_tpu.ops.pallas import fused_mu
+from nmf_tpu.utils.config import Precision
+
+from oracle import clamp
+
+EPS = float(np.float32(2.2204e-16))
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(41)
+    m, k, n = 96, 12, 130
+    # span a few orders of magnitude per column to exercise the scales
+    x = (rng.rand(m, n) * np.logspace(0, 2, n)[None, :]).astype(np.float32)
+    w = clamp(rng.rand(m, k).astype(np.float32))
+    h = clamp(rng.rand(k, n).astype(np.float32))
+    return clamp(x), jnp.asarray(w), jnp.asarray(h)
+
+
+def test_quantize_roundtrip_error_bound(problem):
+    x, _, _ = problem
+    q, s = quant.quantize_columns(jnp.asarray(x), EPS)
+    assert q.dtype == jnp.uint8
+    dq = np.asarray(quant.dequantize(q, s))
+    # absolute error per entry ~ half a step of its column's scale (a hair
+    # over 0.5 from f32 arithmetic in the scale/ratio themselves)
+    bound = np.broadcast_to(np.asarray(s)[None, :] * 0.51 + 1e-9, x.shape)
+    np.testing.assert_array_less(np.abs(dq - x), bound)
+    # numpy twin agrees bitwise
+    qn, sn = quant.quantize_columns_np(x, EPS)
+    np.testing.assert_array_equal(np.asarray(q), qn)
+    np.testing.assert_allclose(np.asarray(s), sn, rtol=1e-7)
+
+
+def test_fused_kernels_dequantize_in_register(problem):
+    """Fused quantized updates == jnp updates on the dequantized values
+    (the quantization is the only approximation; the kernels add none)."""
+    from nmf_tpu.ops.mu import update_h, update_w
+
+    x, w, h = problem
+    q, s = quant.quantize_columns(jnp.asarray(x), EPS)
+    dq = quant.dequantize(q, s)
+
+    ours = fused_mu.update_h_fused(
+        w, h, (q, s), interpret=True, block_m=32, block_n=128
+    )
+    ref = update_h(w, h, dq)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+    ours = fused_mu.update_w_fused(
+        w, h, (q, s), interpret=True, block_m=32, block_n=128
+    )
+    ref = update_w(w, h, dq)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+    # numerator-only (sharded building block) handles quantized X too
+    from nmf_tpu.ops.mu import matmul
+    from nmf_tpu.ops.elementwise import eps_clamp
+
+    z = dq / eps_clamp(matmul(w, h, Precision()), EPS)
+    ref_num = matmul(w, z, Precision(), transpose_a=True)
+    ours_num = fused_mu.update_h_fused(
+        w, h, (q, s), numerator_only=True, interpret=True, block_m=32, block_n=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_num), np.asarray(ref_num), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_cost_quantized(problem):
+    from nmf_tpu.ops.divergence import kl_divergence
+
+    x, w, h = problem
+    q, s = quant.quantize_columns(jnp.asarray(x), EPS)
+    ours = fused_mu.kl_cost_fused(
+        (q, s), w, h, interpret=True, block_m=32, block_n=128
+    )
+    ref = kl_divergence(quant.dequantize(q, s), w, h)
+    assert float(ours) == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_solve_with_int8_x(problem):
+    """End-to-end: x_dtype='int8' factorizes the quantized data; the result
+    tracks the f32 run to quantization-grade accuracy."""
+    x, w, h = problem
+    cfg8 = SolveConfig(
+        max_iter=40, check_every=10,
+        precision=Precision(x_dtype="int8"),
+    )
+    res = solve(x, w, h, cfg8)
+    ref = solve(x, w, h, SolveConfig(max_iter=40, check_every=10))
+    assert int(res.iterations) == 40
+    assert np.isfinite(float(res.cost))
+    # ~0.2%-grade data rounding -> sub-percent cost agreement
+    assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.01
+    # and the quantized run is itself deterministic
+    res2 = solve(x, w, h, cfg8)
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(res2.w))
+
+
+def test_int8_x_guards():
+    rng = np.random.RandomState(1)
+    x = rng.rand(32, 32).astype(np.float32)
+    w = rng.rand(32, 4).astype(np.float32)
+    h = rng.rand(4, 32).astype(np.float32)
+    cfg = SolveConfig(max_iter=2, precision=Precision(x_dtype="int8"))
+    from nmf_tpu.models.nmf import solve_h_only
+    from nmf_tpu.parallel import batched, make_mesh, sharded
+
+    with pytest.raises(NotImplementedError):
+        sharded.solve_sharded(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+    with pytest.raises(NotImplementedError):
+        batched.solve_batched(x[None], w[None], h[None], cfg)
+    with pytest.raises(NotImplementedError):
+        solve_h_only(x, w, h, cfg)

@@ -138,6 +138,27 @@ def test_streamed_checkpoint_resume(problem, tmp_path):
         )
 
 
+def test_streamed_int8_x_storage(problem):
+    """int8 X: quantized once (host cache), streamed as uint8; result tracks
+    the in-memory int8 solver (identical quantized data) and stays within
+    quantization-grade distance of f32."""
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    cfg = SolveConfig(
+        max_iter=20, check_every=10, precision=Precision(x_dtype="int8")
+    )
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256)
+    ref8 = solve(x, w, h, cfg)
+    # same quantized data, same math: tight agreement (blockwise scales ==
+    # global per-column scales because columns never span blocks)
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref8.w), rtol=1e-5, atol=1e-7
+    )
+    ref32 = solve(x, w, h, SolveConfig(max_iter=20, check_every=10))
+    assert abs(float(res.cost) - float(ref32.cost)) / float(ref32.cost) < 0.01
+
+
 def test_streamed_rejects_unsupported_families(problem):
     x, w, h = problem
     with pytest.raises(NotImplementedError):
