@@ -32,36 +32,64 @@ __all__ = ["mu_step_masked", "masked_kl", "solve_masked"]
 _F32 = jnp.float32
 
 
-def mu_step_masked(w, h, x, mask, eps: float = EPS, precision: Precision = Precision()):
-    """One masked MU iteration (H half then W half, reference ordering)."""
+def mu_step_masked(
+    w, h, x, mask, eps: float = EPS, precision: Precision = Precision(),
+    l1_w: float = 0.0, l1_h: float = 0.0, l2_w: float = 0.0, l2_h: float = 0.0,
+):
+    """One masked MU iteration (H half then W half, reference ordering).
+
+    Optional L1/L2 penalties join the denominators exactly as in
+    :func:`nmf_tpu.ops.mu.mu_step_kl_reg` (the mask-GEMM denominator is
+    clamped first, then the penalty gradients are added); zero penalties
+    reduce to the plain masked step.
+    """
     z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
     numer = matmul(w, z, precision, transpose_a=True)
-    denom = eps_clamp(matmul(w, mask, precision, transpose_a=True), eps)
+    denom = (
+        eps_clamp(matmul(w, mask, precision, transpose_a=True), eps)
+        + l1_h + l2_h * h.astype(_F32)
+    )
     h = (h * (numer / denom)).astype(h.dtype)
 
     z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
     numer = matmul(z, h, precision, transpose_b=True)
-    denom = eps_clamp(matmul(mask, h, precision, transpose_b=True), eps)
+    denom = (
+        eps_clamp(matmul(mask, h, precision, transpose_b=True), eps)
+        + l1_w + l2_w * w.astype(_F32)
+    )
     w = (w * (numer / denom)).astype(w.dtype)
     return w, h
 
 
-def masked_kl(x, w, h, mask, eps: float = EPS) -> jnp.ndarray:
-    """Masked KL divergence: sum over observed entries only."""
+def masked_kl(
+    x, w, h, mask, eps: float = EPS,
+    l1_w: float = 0.0, l1_h: float = 0.0, l2_w: float = 0.0, l2_h: float = 0.0,
+) -> jnp.ndarray:
+    """Masked KL divergence (observed entries only) + optional penalties."""
     y = eps_clamp(matmul(w, h, Precision()), eps)
     xf = x.astype(_F32)
     term = xf * (jnp.log(xf) - jnp.log(y)) - xf + y
-    return jnp.sum(mask * term)
+    total = jnp.sum(mask * term)
+    if l1_w or l1_h or l2_w or l2_h:
+        wf, hf = w.astype(_F32), h.astype(_F32)
+        total = total + (
+            l1_w * jnp.sum(jnp.abs(wf)) + l1_h * jnp.sum(jnp.abs(hf))
+            + 0.5 * l2_w * jnp.sum(wf * wf) + 0.5 * l2_h * jnp.sum(hf * hf)
+        )
+    return total
 
 
 @functools.lru_cache(maxsize=8)
 def _masked_jit(config: SolveConfig):
     eps, prec = config.eps, config.precision
+    pens = dict(
+        l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
+    )
 
     @jax.jit
     def _solve(x, w, h, mask):
-        step = lambda w, h, xx: mu_step_masked(w, h, xx, mask, eps, prec)
-        cost = lambda xx, w, h: masked_kl(xx, w, h, mask, eps)
+        step = lambda w, h, xx: mu_step_masked(w, h, xx, mask, eps, prec, **pens)
+        cost = lambda xx, w, h: masked_kl(xx, w, h, mask, eps, **pens)
         return run_checked_loop(x, w, h, config, step, cost)
 
     return _solve
@@ -89,10 +117,6 @@ def solve_masked(
     config.validate()
     if config.beta != 1.0 or config.algorithm != "mu":
         raise NotImplementedError("masked solve implements the KL (beta=1) MU family")
-    if config.regularized:
-        raise NotImplementedError(
-            "masked solve does not support L1/L2 penalties yet"
-        )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
     w0 = jnp.maximum(jnp.asarray(w0, sd), config.eps)

@@ -172,7 +172,9 @@ class NMF:
     only — sklearn's default).
 
     Extra knobs: ``precision`` (fp32 / bf16 MXU policy), ``backend``,
-    ``check_every``.
+    ``check_every``, and ``mesh`` — a ('mr','mc') device mesh that routes
+    fit through the sharded solver and transform through the sharded H-only
+    solver (the extension matrix is orthogonal to the parallelism matrix).
 
     Attributes after ``fit``: ``components_`` (H, K x N in sklearn's
     convention of components-by-features when fitting X as samples x
@@ -193,7 +195,9 @@ class NMF:
         precision: Precision = Precision(),
         backend: str = "auto",
         solver: str = "mu",
+        mesh=None,
     ):
+        self.mesh = mesh
         self.n_components = int(n_components)
         self.init = init
         self.beta_loss = float(beta_loss)
@@ -240,7 +244,12 @@ class NMF:
             wi, hi = self._init_factors(x)
             w0 = wi if w0 is None else w0
             h0 = hi if h0 is None else h0
-        res = solve(x, w0, h0, self._config())
+        if self.mesh is not None:
+            from ..parallel.sharded import solve_sharded
+
+            res = solve_sharded(x, w0, h0, self._config(), mesh=self.mesh)
+        else:
+            res = solve(x, w0, h0, self._config())
         self.w_ = np.asarray(res.w)
         self.components_ = np.asarray(res.h)
         self.reconstruction_err_ = float(res.cost)
@@ -260,7 +269,7 @@ class NMF:
         if h0 is None:
             rng = np.random.RandomState(self.random_state)
             h0 = rng.rand(k, x.shape[1]).astype(np.float32)
-        res = solve_h_only(x, self.w_, h0, self._config(max_iter))
+        res = solve_h_only(x, self.w_, h0, self._config(max_iter), mesh=self.mesh)
         return np.asarray(res.h)
 
     def inverse_transform(self, h) -> np.ndarray:

@@ -176,19 +176,24 @@ def reg_cost_partial(x, w, h, eps, l1_w, l1_h, l2_w, l2_h, n_row, n_col):
     return kl_partial(x, w, h, eps) + pen_w + pen_h
 
 
-def mu_step_sharded_masked(w, h, x, mask, eps, precision):
+def mu_step_sharded_masked(
+    w, h, x, mask, eps, precision,
+    l1_w=0.0, l1_h=0.0, l2_w=0.0, l2_h=0.0,
+):
     """Sharded masked/weighted KL MU step (distributed models.masked).
 
     The mask shards exactly like X — P('mr', 'mc') — and both denominators
     are mask GEMMs, so they psum over the same axes as the numerators
-    (the clamp happens AFTER the psum, matching the single-device order).
+    (the clamp happens AFTER the psum, matching the single-device order;
+    the optional penalty gradients are local and join after the clamp,
+    matching models.masked.mu_step_masked).
     """
     z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
     numer = jax.lax.psum(matmul(w, z, precision, transpose_a=True), ROW_AXIS)
     denom = eps_clamp(
         jax.lax.psum(matmul(w, mask, precision, transpose_a=True), ROW_AXIS),
         eps,
-    )
+    ) + l1_h + l2_h * h.astype(_F32)
     h = (h * (numer / denom)).astype(h.dtype)
 
     z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
@@ -196,17 +201,32 @@ def mu_step_sharded_masked(w, h, x, mask, eps, precision):
     denom = eps_clamp(
         jax.lax.psum(matmul(mask, h, precision, transpose_b=True), COL_AXIS),
         eps,
-    )
+    ) + l1_w + l2_w * w.astype(_F32)
     w = (w * (numer / denom)).astype(w.dtype)
     return w, h
 
 
-def masked_kl_partial(x, w, h, mask, eps: float):
-    """Local-block masked KL partial (X/mask blocks are disjoint: psum both)."""
+def masked_kl_partial(
+    x, w, h, mask, eps: float,
+    l1_w=0.0, l1_h=0.0, l2_w=0.0, l2_h=0.0, n_row=1, n_col=1,
+):
+    """Local-block masked KL partial (X/mask blocks are disjoint: psum both).
+
+    Penalty partials are normalized by the factor replication counts (W is
+    replicated n_col times, H n_row times) so the global psum counts each
+    penalty exactly once."""
     y = eps_clamp(matmul(w, h, Precision("float32", "float32")), eps)
     xf = x.astype(_F32)
     term = xf * (jnp.log(xf) - jnp.log(y)) - xf + y
-    return jnp.sum(mask * term)
+    total = jnp.sum(mask * term)
+    if l1_w or l1_h or l2_w or l2_h:
+        wf, hf = w.astype(_F32), h.astype(_F32)
+        total = total + (
+            l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)
+        ) / n_col + (
+            l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
+        ) / n_row
+    return total
 
 
 def kl_partial(x, w, h, eps: float):
@@ -254,6 +274,11 @@ def solve_sharded(
     cost history are fully replicated.
     """
     config.validate()
+    if config.algorithm == "hals":
+        raise NotImplementedError(
+            "HALS updates columns sequentially (coordinate descent); the "
+            "sharded solver implements the MU families"
+        )
     if config.precision.x_dtype == "int8":
         raise NotImplementedError(
             "quantized X (x_dtype='int8') is single-device for now; use "
@@ -391,12 +416,18 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
 def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
     """Jitted shard_map solver for masked KL-MU (see models.masked)."""
     eps, precision = config.eps, config.precision
+    pens = dict(
+        l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
+    )
+    repl = dict(n_row=mesh.shape[ROW_AXIS], n_col=mesh.shape[COL_AXIS])
 
     def local_solve(x_loc, w_loc, h_loc, mask_loc, initial_cost):
         step = lambda w, h, xx: mu_step_sharded_masked(
-            w, h, xx, mask_loc, eps, precision
+            w, h, xx, mask_loc, eps, precision, **pens
         )
-        cost = lambda xx, w, h: masked_kl_partial(xx, w, h, mask_loc, eps)
+        cost = lambda xx, w, h: masked_kl_partial(
+            xx, w, h, mask_loc, eps, **pens, **repl
+        )
         return run_checked_loop(
             x_loc, w_loc, h_loc, config, step, cost,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),

@@ -158,3 +158,29 @@ def test_hals_config_validation():
         SolveConfig(algorithm="hals", beta=1.0).validate()
     with pytest.raises(ValueError, match="unsupported algorithm"):
         SolveConfig(algorithm="als").validate()
+
+
+def test_masked_with_regularization(masked_problem):
+    """Masked + L1/L2 compose: the penalized masked objective is monotone
+    non-increasing and L1 promotes sparser factors than plain masked."""
+    from nmf_tpu.models.masked import solve_masked
+
+    x, mask, w, h = masked_problem
+    cfg = SolveConfig(max_iter=60, check_every=10, l1_h=0.05, l2_w=0.01)
+    res = solve_masked(x, w, h, mask, cfg)
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    assert np.all(np.diff(hist) <= np.abs(hist[:-1]) * 1e-6)
+    plain = solve_masked(x, w, h, mask, SolveConfig(max_iter=60, check_every=10))
+    near_zero = lambda a: float(np.mean(np.asarray(a) < 1e-4))
+    assert near_zero(res.h) >= near_zero(plain.h)
+
+
+def test_masked_reg_zero_penalties_identical(masked_problem):
+    from nmf_tpu.models.masked import solve_masked
+
+    x, mask, w, h = masked_problem
+    a = solve_masked(x, w, h, mask, SolveConfig(max_iter=10))
+    b = solve_masked(
+        x, w, h, mask, SolveConfig(max_iter=10, l1_w=0.0, l2_h=0.0)
+    )
+    np.testing.assert_array_equal(np.asarray(a.w), np.asarray(b.w))

@@ -211,3 +211,42 @@ def test_sharded_h_only_rejects_hals(problem):
     cfg = SolveConfig(max_iter=5, beta=2.0, algorithm="hals")
     with pytest.raises(NotImplementedError, match="HALS"):
         solve_h_only(x, w, h, cfg, mesh=meshmod.make_mesh(shape=(4, 2)))
+
+
+def test_sharded_masked_regularized_matches_single_device(problem):
+    from nmf_tpu.models.masked import solve_masked
+
+    x, w, h = problem
+    rng = np.random.RandomState(21)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    cfg = SolveConfig(max_iter=20, check_every=5, l1_h=0.02, l2_w=0.01)
+    ref = solve_masked(x, w, h, mask, cfg)
+    res = solve_masked(x, w, h, mask, cfg, mesh=meshmod.make_mesh(shape=(4, 2)))
+    np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+
+
+def test_estimator_mesh_fit_transform(problem):
+    """NMF(mesh=...) routes fit and transform through the sharded solvers."""
+    from nmf_tpu.models.nmf import NMF
+
+    x, _, _ = problem
+    est = NMF(n_components=8, init="random", max_iter=20, mesh=meshmod.make_mesh(shape=(4, 2)))
+    est_ref = NMF(n_components=8, init="random", max_iter=20)
+    w_m = est.fit_transform(x)
+    w_s = est_ref.fit_transform(x)
+    np.testing.assert_allclose(w_m, w_s, rtol=5e-5, atol=1e-7)
+    h_m = est.transform(x, max_iter=10)
+    h_s = est_ref.transform(x, max_iter=10)
+    np.testing.assert_allclose(h_m, h_s, rtol=5e-5, atol=1e-7)
+
+
+def test_sharded_rejects_hals(problem):
+    x, w, h = problem
+    with pytest.raises(NotImplementedError, match="HALS"):
+        sharded.solve_sharded(
+            x, w, h, SolveConfig(max_iter=2, beta=2.0, algorithm="hals"),
+            mesh=meshmod.make_mesh(shape=(4, 2)),
+        )
