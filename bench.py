@@ -370,8 +370,13 @@ def main(argv=None) -> int:
 
     m, k, n, short, long = WORKLOADS[args.workload]
     if args.backend == "best":
-        # the fused Pallas kernels are TPU-only; off-TPU measure just jnp
-        backends = ("pallas", "jnp") if jax.default_backend() == "tpu" else ("jnp",)
+        # the fused Pallas kernels are TPU-only; off-TPU measure just jnp.
+        # int8-X excludes pallas: Mosaic's uint8 cast path is ~1000x slower
+        # than the math (see benchmarks/RESULTS.md), so 'best' would stall.
+        on_tpu = jax.default_backend() == "tpu"
+        backends = (
+            ("pallas", "jnp") if on_tpu and args.x_dtype != "int8" else ("jnp",)
+        )
         candidates = {
             be: run_single(m, k, n, short, long, args.dtype, be, args.x_dtype)
             for be in backends

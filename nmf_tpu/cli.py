@@ -159,6 +159,13 @@ def _cmd_run_out_of_core(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.strict_compat:
+        print(
+            "error: --strict-compat (padded-EPS replication) requires the "
+            "in-memory solver; drop --out-of-core",
+            file=sys.stderr,
+        )
+        return 2
     source = BinColumnSource(args.X)
     m, n = source.shape
     if args.W and args.H:

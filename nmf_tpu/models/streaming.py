@@ -318,12 +318,18 @@ def solve_out_of_core(
     ]
 
     quantized = str(xd) == "int8"
-    # int8 storage: quantize each block ONCE (first sweep) and keep the
-    # uint8 codes host-side — 1/4 the f32 footprint — and the tiny per-block
-    # scale vectors device-resident, so every later sweep pays exactly one
-    # uint8 transfer per block (re-quantizing per iteration would burn more
-    # host time than the thinner wire saves).
+    # int8 storage: quantize blocks ONCE (first sweep) and keep the uint8
+    # codes host-side — 1/4 the f32 footprint — and the tiny per-block scale
+    # vectors device-resident, so every later sweep pays exactly one uint8
+    # transfer per block.  The cache is CAPPED: beyond the budget (or when X
+    # genuinely exceeds host memory) later blocks re-quantize per sweep
+    # instead of growing host RSS without bound; re-quantization is
+    # deterministic so cached and uncached blocks see identical codes.
     _qcache = {}
+    _qcache_bytes = [0]
+    _QCACHE_BUDGET = int(
+        os.environ.get("NMF_TPU_QCACHE_BYTES", 8 * 1024**3)
+    )
 
     def put(idx: int):
         j0, j1 = blocks[idx]
@@ -331,10 +337,14 @@ def solve_out_of_core(
             return jax.device_put(
                 _host_prep(source.columns(j0, j1), eps, xd), device
             )
-        if idx not in _qcache:
+        if idx in _qcache:
+            q_np, s_dev = _qcache[idx]
+        else:
             q_np, s_np = _host_prep(source.columns(j0, j1), eps, xd)
-            _qcache[idx] = (q_np, jax.device_put(s_np, device))
-        q_np, s_dev = _qcache[idx]
+            s_dev = jax.device_put(s_np, device)
+            if _qcache_bytes[0] + q_np.nbytes <= _QCACHE_BUDGET:
+                _qcache[idx] = (q_np, s_dev)
+                _qcache_bytes[0] += q_np.nbytes
         return (jax.device_put(q_np, device), s_dev)
 
     def _save():

@@ -60,6 +60,22 @@ def _use_fused(config: SolveConfig, local_m: int, k: int, local_n: int) -> bool:
     )
 
 
+def _emit_live_origin(it, cost, rel):
+    """Live-metrics emitter gated to mesh coordinate (0, 0): a pod prints
+    one line per check, not one per device (callbacks in the untaken
+    lax.cond branch do not fire).  Shared by every sharded builder."""
+    from ..utils.metrics import emit_live
+
+    is_origin = jnp.logical_and(
+        jax.lax.axis_index(ROW_AXIS) == 0, jax.lax.axis_index(COL_AXIS) == 0
+    )
+    jax.lax.cond(
+        is_origin,
+        lambda: jax.debug.callback(emit_live, it, cost, rel),
+        lambda: None,
+    )
+
+
 def update_h_sharded(
     w, h, x, eps: float, precision: Precision, fused: bool = False
 ):
@@ -325,8 +341,12 @@ def solve_sharded(
     return fn(x, w0, h0, jnp.asarray(initial_cost, _F32))
 
 
+@functools.lru_cache(maxsize=32)
 def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
-    """The jitted shard_map solve program for a config + mesh.
+    """The jitted shard_map solve program for a config + mesh (cached: the
+    chunked live-metrics fallback and the checkpointed driver re-request the
+    same program per segment, and a retrace costs a 10-60 s remote compile
+    round trip on this platform).
 
     Exposed separately so callers can AOT-lower/compile it (e.g. validating
     the SPMD partitioning of pod-scale shapes with abstract inputs before any
@@ -356,21 +376,6 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
         )
         cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
-    def _emit_live_once(it, cost, rel):
-        """Live-metrics emitter gated to mesh coordinate (0, 0): a pod prints
-        one line per check, not one per device (callbacks in the untaken
-        lax.cond branch do not fire)."""
-        from ..utils.metrics import emit_live
-
-        is_origin = jnp.logical_and(
-            jax.lax.axis_index(ROW_AXIS) == 0, jax.lax.axis_index(COL_AXIS) == 0
-        )
-        jax.lax.cond(
-            is_origin,
-            lambda: jax.debug.callback(emit_live, it, cost, rel),
-            lambda: None,
-        )
-
     def local_solve(x_loc, w_loc, h_loc, initial_cost):
         return run_checked_loop(
             x_loc,
@@ -381,7 +386,7 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
             cost_fn,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
-            live_emit=_emit_live_once,
+            live_emit=_emit_live_origin,
         )
 
     out_specs = SolveResult(
@@ -432,6 +437,7 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
             x_loc, w_loc, h_loc, config, step, cost,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
+            live_emit=_emit_live_origin,
         )
 
     out_specs = SolveResult(
@@ -528,6 +534,7 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
             x_loc, w_loc, h_loc, config, step, cost,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
+            live_emit=_emit_live_origin,
         )
 
     out_specs = SolveResult(

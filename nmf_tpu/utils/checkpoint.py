@@ -77,6 +77,15 @@ def _config_fingerprint(config: SolveConfig) -> dict:
     }
 
 
+def _fingerprint_mismatch(have: dict, want: dict) -> bool:
+    """True if any field PRESENT in the stored fingerprint disagrees.
+
+    Compared key-by-key so checkpoints written before a fingerprint field
+    existed still resume under the same objective (a missing key is
+    compatible, a differing one is not)."""
+    return any(k in have and have[k] != want[k] for k in want)
+
+
 def save_checkpoint(
     directory: str,
     state: CheckpointState,
@@ -132,7 +141,7 @@ def load_checkpoint(step_dir: str, config: Optional[SolveConfig] = None) -> Chec
     if config is not None and meta.get("config") is not None:
         want = _config_fingerprint(config)
         have = meta["config"]
-        if have != want:
+        if _fingerprint_mismatch(have, want):
             raise ValueError(
                 f"checkpoint {step_dir} was written with config {have}, "
                 f"resume requested with {want}; refusing to mix objectives"
@@ -251,7 +260,7 @@ def load_checkpoint_sharded(
         meta = json.load(f)
     if config is not None and meta.get("config") is not None:
         want = _config_fingerprint(config)
-        if meta["config"] != want:
+        if _fingerprint_mismatch(meta["config"], want):
             raise ValueError(
                 f"checkpoint {step_dir} was written with config "
                 f"{meta['config']}, resume requested with {want}; refusing "
@@ -358,14 +367,27 @@ def solve_with_checkpoints(
             check_iterations = list(state.check_iterations or [])
 
     # ---- one-time placement + clamp (the single H2D of X for this run) ----
+    quant = config.precision.x_dtype == "int8"
     if mesh is not None:
+        if quant:
+            raise NotImplementedError(
+                "quantized X (x_dtype='int8') is single-device for now; use "
+                "bfloat16 X storage on meshes"
+            )
         from ..parallel.mesh import shard_problem
 
         x_dev, w_dev, h_dev = shard_problem(x, w, h, mesh)
     else:
         x_dev, w_dev, h_dev = jnp.asarray(x), jnp.asarray(w), jnp.asarray(h)
     eps32 = jnp.asarray(config.eps, _f32)
-    x_dev = jnp.maximum(x_dev.astype(_f32), eps32).astype(xd)
+    x_dev = jnp.maximum(x_dev.astype(_f32), eps32)
+    if quant:
+        # uint8 codes + per-column scales, once for the whole run
+        from ..ops.quant import quantize_columns
+
+        x_dev = quantize_columns(x_dev, config.eps)
+    else:
+        x_dev = x_dev.astype(xd)
     w_dev = jnp.maximum(w_dev.astype(sd), jnp.asarray(config.eps, sd))
     h_dev = jnp.maximum(h_dev.astype(sd), jnp.asarray(config.eps, sd))
     del w, h

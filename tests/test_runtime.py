@@ -503,3 +503,47 @@ def test_cli_batch_directory(tmp_path, rng):
     x0 = binio.read_matrix(str(d / "s0.bin"))
     corr = np.corrcoef((w0 @ h0).ravel(), x0.ravel())[0, 1]
     assert corr > 0.2  # rank-4 of random 40x50 captures limited variance
+
+
+def test_checkpointed_solve_int8_x(tmp_path, small_problem):
+    """x_dtype='int8' in the checkpointed driver quantizes (never a raw
+    astype-to-int8, which would zero the data) and matches the plain solver."""
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=20, check_every=10, precision=Precision(x_dtype="int8"))
+    ref = solve(x, w, h, cfg)
+    state = ckpt.solve_with_checkpoints(
+        x, w, h, cfg, str(tmp_path / "ck"), every=10
+    )
+    assert state.iteration == 20
+    np.testing.assert_allclose(
+        np.asarray(state.w), np.asarray(ref.w), rtol=1e-5, atol=1e-7
+    )
+    # and the cost is sane (a raw int8 astype would zero X -> degenerate cost)
+    ref32 = solve(x, w, h, SolveConfig(max_iter=20, check_every=10))
+    assert abs(state.cost_history[-1] - float(ref32.cost)) / float(ref32.cost) < 0.01
+
+
+def test_fingerprint_backcompat_missing_keys(tmp_path, small_problem):
+    """Checkpoints written before a fingerprint field existed still resume
+    under the same objective (missing key = compatible; differing = refused)."""
+    import json
+
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=10)
+    state = ckpt.CheckpointState(
+        w=clamp(w), h=clamp(h), iteration=5, cost_history=[1.0]
+    )
+    step_dir = ckpt.save_checkpoint(str(tmp_path), state, cfg)
+    meta_path = os.path.join(step_dir, "meta.json")
+    meta = json.load(open(meta_path))
+    del meta["config"]["x_dtype"]  # simulate a pre-x_dtype-era checkpoint
+    json.dump(meta, open(meta_path, "w"))
+    back = ckpt.load_checkpoint(step_dir, cfg)  # must NOT raise
+    assert back.iteration == 5
+    # a field that IS present and differs still refuses
+    import dataclasses
+
+    with pytest.raises(ValueError, match="refusing"):
+        ckpt.load_checkpoint(step_dir, dataclasses.replace(cfg, beta=2.0))

@@ -250,3 +250,38 @@ def test_sharded_rejects_hals(problem):
             x, w, h, SolveConfig(max_iter=2, beta=2.0, algorithm="hals"),
             mesh=meshmod.make_mesh(shape=(4, 2)),
         )
+
+
+def test_sharded_masked_live_metrics_once_per_check(problem):
+    """Masked/h-only mesh solvers gate live emission to device (0,0) too."""
+    from nmf_tpu.models.masked import solve_masked
+    from nmf_tpu.models.nmf import solve_h_only
+    from nmf_tpu.utils import metrics as m
+
+    x, w, h = problem
+    rng = np.random.RandomState(2)
+    mask = (rng.rand(*x.shape) > 0.2).astype(np.float32)
+    mesh = meshmod.make_mesh(shape=(4, 2))
+    cfg = SolveConfig(max_iter=20, check_every=10, live_metrics=True)
+    events = []
+    m.set_live_handler(lambda it, c, r: events.append(it))
+    try:
+        solve_masked(x, w, h, mask, cfg, mesh=mesh)
+        jax.effects_barrier()
+        masked_events = list(events)
+        events.clear()
+        solve_h_only(x, w, h, cfg, mesh=mesh)
+        jax.effects_barrier()
+        h_events = list(events)
+    finally:
+        m.set_live_handler(None)
+    assert masked_events == [10, 20]
+    assert h_events == [10, 20]
+
+
+def test_build_sharded_solver_is_cached(problem):
+    cfg = SolveConfig(max_iter=10)
+    mesh = meshmod.make_mesh(shape=(4, 2))
+    a = sharded.build_sharded_solver(cfg, mesh, fused=False)
+    b = sharded.build_sharded_solver(cfg, mesh, fused=False)
+    assert a is b  # chunked/segmented drivers must not retrace per segment
