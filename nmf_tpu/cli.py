@@ -503,7 +503,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except NotImplementedError as e:
+        # unsupported feature combination (e.g. --x-dtype int8 on a mesh):
+        # a clean one-line error beats a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

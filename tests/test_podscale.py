@@ -66,3 +66,35 @@ def test_podscale_collective_volume():
     per_iter_floats = K * (N // c) + K * (M // r) + 2 * K + 1
     x_local_floats = (M // r) * (N // c)
     assert per_iter_floats < 0.03 * x_local_floats  # ~2.3% at config 5
+
+
+@pytest.mark.parametrize("kind", ["reg", "masked", "h_only"])
+def test_podscale_extension_programs_lower(kind):
+    """The round-2 extension solvers also partition cleanly at config-5
+    shapes (regularized / masked / H-only inference on the mesh)."""
+    from nmf_tpu.parallel.sharded import (
+        build_sharded_h_solver,
+        build_sharded_masked_solver,
+    )
+
+    mesh = make_mesh(shape=(4, 2))
+    xs, ws, hs, _ = nmf_shardings(mesh)
+    rep = NamedSharding(mesh, P())
+    ax = jax.ShapeDtypeStruct((M, N), np.float32, sharding=xs)
+    aw = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
+    ah = jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs)
+    ac = jax.ShapeDtypeStruct((), np.float32, sharding=rep)
+    if kind == "reg":
+        cfg = SolveConfig(max_iter=200, check_every=25, l1_h=0.01, l2_w=0.01)
+        fn = build_sharded_solver(cfg, mesh)
+        lowered = fn.lower(ax, aw, ah, ac)
+    elif kind == "masked":
+        cfg = SolveConfig(max_iter=200, check_every=25)
+        fn = build_sharded_masked_solver(cfg, mesh)
+        lowered = fn.lower(ax, aw, ah, ax, ac)  # mask shards like X
+    else:
+        cfg = SolveConfig(max_iter=200, check_every=25)
+        fn = build_sharded_h_solver(cfg, mesh)
+        lowered = fn.lower(ax, aw, ah, ac)
+    text = lowered.as_text()
+    assert "all-reduce" in text or "all_reduce" in text
