@@ -134,39 +134,27 @@ def solve_masked(
         w0 = jax.device_put(w0, ws)
         h0 = jax.device_put(h0, hs)
         mask = jax.device_put(mask, xs)
-        if config.live_metrics and not _callbacks_ok(mesh):
-            from .solver import run_live_chunked
-
-            def make_fn(c):
-                fn = _sharded_masked_jit(c, mesh)
-                return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask, c0)
-
-            return run_live_chunked(
-                make_fn, x, w0, h0, config, jnp.asarray(jnp.nan, _F32)
-            )
-        fn = _sharded_masked_jit(config, mesh)
-        return fn(x, w0, h0, mask, jnp.asarray(jnp.nan, _F32))
-    if config.live_metrics and not _callbacks_ok(None):
-        from .solver import run_live_chunked
+        from .solver import maybe_live_chunked
 
         def make_fn(c):
-            fn = _masked_jit(c)
-            return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask)
+            fn = _sharded_masked_jit(c, mesh)
+            return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask, c0)
 
-        return run_live_chunked(
-            make_fn, x, w0, h0, config, jnp.asarray(jnp.nan, _F32)
-        )
+        fallback = maybe_live_chunked(make_fn, x, w0, h0, config, mesh)
+        if fallback is not None:
+            return fallback
+        fn = _sharded_masked_jit(config, mesh)
+        return fn(x, w0, h0, mask, jnp.asarray(jnp.nan, _F32))
+    from .solver import maybe_live_chunked
+
+    def make_fn(c):
+        fn = _masked_jit(c)
+        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask)
+
+    fallback = maybe_live_chunked(make_fn, x, w0, h0, config)
+    if fallback is not None:
+        return fallback
     return _masked_jit(config)(x, w0, h0, mask)
-
-
-def _callbacks_ok(mesh) -> bool:
-    from .solver import host_callbacks_supported
-
-    if mesh is not None:
-        platform = list(mesh.devices.flat)[0].platform
-    else:
-        platform = jax.default_backend()
-    return host_callbacks_supported(platform)
 
 
 @functools.lru_cache(maxsize=8)

@@ -133,15 +133,13 @@ def solve_h_only(
         from ..parallel.mesh import shard_problem
 
         x, w, h0 = shard_problem(x, w, h0, mesh)
-        if config.live_metrics:
-            from .masked import _callbacks_ok
-            from .solver import run_live_chunked
+        from .solver import maybe_live_chunked
 
-            if not _callbacks_ok(mesh):
-                return run_live_chunked(
-                    lambda c: _h_only_sharded_jit(c, mesh),
-                    x, w, h0, config, jnp.asarray(jnp.nan, _F32),
-                )
+        fallback = maybe_live_chunked(
+            lambda c: _h_only_sharded_jit(c, mesh), x, w, h0, config, mesh
+        )
+        if fallback is not None:
+            return fallback
         return _h_only_sharded_jit(config, mesh)(
             x, w, h0, jnp.asarray(jnp.nan, _F32)
         )
@@ -165,18 +163,15 @@ def solve_h_only(
         else:
             choice = "jnp"
         config = _dc.replace(config, backend=choice)
-    if config.live_metrics:
-        from .masked import _callbacks_ok
-        from .solver import run_live_chunked
+    from .solver import maybe_live_chunked
 
-        if not _callbacks_ok(None):
-            def make_fn(c):
-                fn = _h_only_jit(c, platform)
-                return lambda x_, w_, h_, c0: fn(x_, w_, h_)
+    def make_fn(c):
+        fn = _h_only_jit(c, platform)
+        return lambda x_, w_, h_, c0: fn(x_, w_, h_)
 
-            return run_live_chunked(
-                make_fn, x, w, h0, config, jnp.asarray(jnp.nan, _F32)
-            )
+    fallback = maybe_live_chunked(make_fn, x, w, h0, config)
+    if fallback is not None:
+        return fallback
     return _h_only_jit(config, platform)(x, w, h0)
 
 

@@ -174,27 +174,60 @@ def _emit_live_single(it, cost, rel):
 
 @functools.lru_cache(maxsize=4)
 def host_callbacks_supported(platform: Optional[str] = None) -> bool:
-    """Whether the backend can run jax.debug.callback inside jit.
+    """Whether ``platform`` can run jax.debug.callback inside jit.
 
     Some PJRT plugins (e.g. tunneled devices) reject host send/recv
     callbacks at execute time; live metrics then fall back to the chunked
     host-driven loop (:func:`run_live_chunked`).  The probe compiles one
-    trivial program; the result is cached per process.
+    trivial program ON A DEVICE OF THE REQUESTED PLATFORM (jit follows the
+    committed input) — mixed-backend sessions, e.g. a CPU mesh next to a
+    callback-less TPU default backend, get per-platform answers.  Cached
+    per process per platform.
     """
     import numpy as _np
 
+    try:
+        devices = jax.devices(platform) if platform else jax.devices()
+    except RuntimeError:
+        return False
+    if not devices:
+        return False
     try:
         @jax.jit
         def _probe(v):
             jax.debug.callback(lambda _: None, v)
             return v + 1
 
-        out = _probe(jnp.zeros((), jnp.int32))
+        out = _probe(jax.device_put(jnp.zeros((), jnp.int32), devices[0]))
         _np.asarray(jax.device_get(out))  # force execution (block may no-op)
         jax.effects_barrier()
         return True
     except Exception:
         return False
+
+
+def callbacks_ok(mesh=None) -> bool:
+    """host_callbacks_supported for a mesh's platform (default backend if
+    None) — the shared probe behind every live-metrics fallback decision."""
+    if mesh is not None:
+        platform = list(mesh.devices.flat)[0].platform
+    else:
+        platform = jax.default_backend()
+    return host_callbacks_supported(platform)
+
+
+def maybe_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, mesh=None):
+    """Run the chunked host-driven live loop when callbacks are unsupported.
+
+    Returns the SolveResult, or None when the caller should proceed with its
+    normal (callback-emitting) path.  Centralizes the fallback decision the
+    masked / h-only / dense solvers all share.
+    """
+    if not config.live_metrics or callbacks_ok(mesh):
+        return None
+    return run_live_chunked(
+        make_segment_fn, x, w, h, config, jnp.asarray(jnp.nan, _F32)
+    )
 
 
 def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost):

@@ -325,11 +325,19 @@ def solve_out_of_core(
     # genuinely exceeds host memory) later blocks re-quantize per sweep
     # instead of growing host RSS without bound; re-quantization is
     # deterministic so cached and uncached blocks see identical codes.
-    _qcache = {}
+    _qcache = {}        # idx -> uint8 codes (host), capped by budget
+    _scales_dev = {}    # idx -> device-resident scales (tiny, ALWAYS cached:
+    #                     per-transfer latency on slow links makes a few
+    #                     hundred bytes cost almost as much as megabytes)
     _qcache_bytes = [0]
-    _QCACHE_BUDGET = int(
-        os.environ.get("NMF_TPU_QCACHE_BYTES", 8 * 1024**3)
-    )
+    _raw_budget = os.environ.get("NMF_TPU_QCACHE_BYTES", 8 * 1024**3)
+    try:
+        _QCACHE_BUDGET = int(float(_raw_budget))
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"NMF_TPU_QCACHE_BYTES must be a number of bytes, got "
+            f"{_raw_budget!r}"
+        ) from None
 
     def put(idx: int):
         j0, j1 = blocks[idx]
@@ -338,14 +346,15 @@ def solve_out_of_core(
                 _host_prep(source.columns(j0, j1), eps, xd), device
             )
         if idx in _qcache:
-            q_np, s_dev = _qcache[idx]
+            q_np = _qcache[idx]
         else:
             q_np, s_np = _host_prep(source.columns(j0, j1), eps, xd)
-            s_dev = jax.device_put(s_np, device)
+            if idx not in _scales_dev:
+                _scales_dev[idx] = jax.device_put(s_np, device)
             if _qcache_bytes[0] + q_np.nbytes <= _QCACHE_BUDGET:
-                _qcache[idx] = (q_np, s_dev)
+                _qcache[idx] = q_np
                 _qcache_bytes[0] += q_np.nbytes
-        return (jax.device_put(q_np, device), s_dev)
+        return (jax.device_put(q_np, device), _scales_dev[idx])
 
     def _save():
         from ..utils import checkpoint as ckpt

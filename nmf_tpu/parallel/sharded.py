@@ -341,12 +341,18 @@ def solve_sharded(
     return fn(x, w0, h0, jnp.asarray(initial_cost, _F32))
 
 
-@functools.lru_cache(maxsize=32)
 def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
     """The jitted shard_map solve program for a config + mesh (cached: the
     chunked live-metrics fallback and the checkpointed driver re-request the
     same program per segment, and a retrace costs a 10-60 s remote compile
-    round trip on this platform).
+    round trip on this platform).  This thin wrapper normalizes the call
+    form so positional and keyword invocations share one cache entry."""
+    return _build_sharded_solver_cached(config, mesh, bool(fused))
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
+    """(implementation behind build_sharded_solver — see its docstring)
 
     Exposed separately so callers can AOT-lower/compile it (e.g. validating
     the SPMD partitioning of pod-scale shapes with abstract inputs before any
