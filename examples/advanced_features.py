@@ -1,0 +1,76 @@
+"""Round-2 feature tour: precision tiers, quantized X, out-of-core,
+strict replication, sparse X, live metrics, checkpoint/resume.
+
+Runs end-to-end on any backend (CPU included); sizes are kept small so the
+whole script finishes in seconds off-TPU.
+
+    python examples/advanced_features.py
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import nmf_tpu as nt
+
+rng = np.random.RandomState(0)
+m, k, n = 256, 16, 400
+x = rng.rand(m, n).astype(np.float32)
+w0 = rng.rand(m, k).astype(np.float32)
+h0 = rng.rand(k, n).astype(np.float32)
+work = tempfile.mkdtemp()
+
+
+# --- precision tiers -------------------------------------------------------
+# float32        : exact f32 GEMMs (reference parity)
+# float32_fast   : 3-pass bf16 split-float, ~1e-7-grade accuracy, ~1.9x f32
+# bfloat16       : full-rate MXU
+for tier in ("float32", "float32_fast", "bfloat16"):
+    res = nt.solve(
+        x, w0, h0,
+        nt.SolveConfig(max_iter=50, precision=nt.Precision(tier)),
+    )
+    print(f"{tier:14s} cost {float(res.cost):.4f}")
+
+# --- quantized X storage (4x denser; opt-in, lossy) ------------------------
+res8 = nt.solve(
+    x, w0, h0,
+    nt.SolveConfig(max_iter=50, precision=nt.Precision(x_dtype="int8")),
+)
+print(f"{'int8 X':14s} cost {float(res8.cost):.4f}  (quantization-grade)")
+
+# --- live per-check metrics ------------------------------------------------
+nt.solve(
+    x, w0, h0,
+    nt.SolveConfig(max_iter=30, check_every=10, live_metrics=True),
+)  # prints "[nmf] iter ... (live)" lines to stderr during the solve
+
+# --- out-of-core: X streamed from its .bin file ----------------------------
+xpath = os.path.join(work, "X.bin")
+nt.write_matrix(x, xpath)
+res_ooc = nt.solve_out_of_core(
+    xpath, w0, h0,
+    nt.SolveConfig(max_iter=30, check_every=10),
+    block_n=128,
+    checkpoint_dir=os.path.join(work, "ck"),  # resumable
+)
+ref = nt.solve(x, w0, h0, nt.SolveConfig(max_iter=30, check_every=10))
+print(
+    f"{'out-of-core':14s} cost {float(res_ooc.cost):.4f}  "
+    f"(in-memory: {float(ref.cost):.4f})"
+)
+
+# --- strict reference replication (padded-EPS numerics) --------------------
+res_strict = nt.solve_strict(x, w0, h0, nt.SolveConfig(max_iter=30))
+print(f"{'strict-compat':14s} cost {float(res_strict.cost):.4f}")
+
+# --- sparse X (memory ~ nnz) ------------------------------------------------
+xs = x.copy()
+xs[rng.rand(m, n) < 0.95] = 0.0
+res_sp = nt.solve_sparse(xs, w0, h0, nt.SolveConfig(max_iter=30), chunk=4096)
+nnz = int(nt.sparse_from_dense(xs).data.shape[0])
+print(f"{'sparse (5%)':14s} cost {float(res_sp.cost):.4f}  nnz={nnz}")
