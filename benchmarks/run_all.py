@@ -207,6 +207,23 @@ def main(argv=None) -> int:
     cfgs["batched_128x_513x2000_k32"] = bt
     print(json.dumps(bt), file=sys.stderr)
 
+    print("== out-of-core streaming ==", file=sys.stderr)
+    import bench as bench_mod
+
+    ooc = {}
+    for x_dtype in ("float32", "int8"):
+        r = bench_mod.run_oocore(
+            2048, 128, 8192, iters=3, dtype="bfloat16", x_dtype=x_dtype
+        )
+        ooc[x_dtype] = r
+        print(
+            f"oocore x_dtype={x_dtype:8s} {r['ms_per_iter']:8.0f} ms/it  "
+            f"{r['fraction_of_peak']:.2f} of H2D roofline  "
+            f"({r['streamed_gb_per_iter']:.3f} GB/iter @ {r['h2d_gbps']:.3f} GB/s)",
+            file=sys.stderr,
+        )
+    cfgs["oocore_2048x8192_k128"] = ooc
+
     cfgs["podscale_config5"] = {
         "note": "validated by abstract lowering over an 8-device mesh "
         "(tests/test_podscale.py); no pod attached to this host"
