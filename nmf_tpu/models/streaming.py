@@ -138,7 +138,12 @@ def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int
 
 @functools.lru_cache(maxsize=32)
 def _block_fns(config: SolveConfig, platform: str):
-    """Jitted per-block kernels: (step, accumulate, w_epilogue, cost)."""
+    """Jitted per-block kernels: (step_acc, w_epilogue, cost_block).
+
+    step_acc fuses the H_j update, the block's W-numerator/rowsum
+    contributions, AND the accumulation into one jitted call — one dispatch
+    per block matters on high-latency links.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -156,8 +161,8 @@ def _block_fns(config: SolveConfig, platform: str):
     if use_fused:
         from ..ops.pallas import fused_mu
 
-    def step(w, h_j, x_j):
-        """H_j full update + block-j W-numerator/rowsum contributions.
+    def step_acc(w, h_j, x_j, acc, sumh):
+        """H_j full update + block-j W-numerator/rowsum folded into acc.
 
         ``x_j`` arrives already load-clamped (host side); with quantized
         storage it is a (uint8 codes, scales) pair — the fused kernels
@@ -178,10 +183,8 @@ def _block_fns(config: SolveConfig, platform: str):
             h_new = update_h(w, h_j, x_j, eps, prec)
             z = x_j / eps_clamp(matmul(w, h_new, prec), eps)
             wnum = matmul(z, h_new, prec, transpose_b=True)
-        return h_new, wnum, jnp.sum(h_new, axis=1, dtype=_f32)
-
-    def accumulate(acc, sumh, wnum, sh):
-        return acc + wnum, sumh + sh
+        sh = jnp.sum(h_new, axis=1, dtype=_f32)
+        return h_new, acc + wnum, sumh + sh
 
     def w_epilogue(w, acc, sumh):
         sumh = eps_clamp(sumh, eps)
@@ -199,10 +202,88 @@ def _block_fns(config: SolveConfig, platform: str):
         return kl_divergence_from_recon(x_j, y, eps)
 
     return (
-        jax.jit(step, donate_argnums=(1,)),
-        jax.jit(accumulate, donate_argnums=(0, 1)),
+        jax.jit(step_acc, donate_argnums=(1, 3, 4)),
         jax.jit(w_epilogue, donate_argnums=(0,)),
         jax.jit(cost_block),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_block_fns(config: SolveConfig, mesh):
+    """Mesh variant of :func:`_block_fns`: per-block shard_map over the
+    canonical ('mr','mc') layout — X beyond the POD's aggregate HBM.
+
+    Per block: the H_j update psums its K-sized numerator/colsum over 'mr'
+    (exactly parallel.sharded.update_h_sharded), the block's W-numerator
+    contribution psums over 'mc' and folds into the row-sharded (M/r, K)
+    accumulator.  Every host streams (its shards of) the blocks; W, the H
+    blocks, and the accumulator stay sharded the whole run.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.elementwise import eps_clamp
+    from ..ops.mu import matmul
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from ..parallel.sharded import kl_partial, update_h_sharded
+
+    eps, prec = config.eps, config.precision
+    _f32 = jnp.float32
+
+    def block_step(w_loc, h_loc, x_loc, acc_loc, sumh_loc):
+        h_new = update_h_sharded(w_loc, h_loc, x_loc, eps, prec, fused=False)
+        z = x_loc / eps_clamp(matmul(w_loc, h_new, prec), eps)
+        wnum = jax.lax.psum(
+            matmul(z, h_new, prec, transpose_b=True), COL_AXIS
+        )
+        sh = jax.lax.psum(jnp.sum(h_new, axis=1, dtype=_f32), COL_AXIS)
+        return h_new, acc_loc + wnum, sumh_loc + sh
+
+    step_acc = jax.jit(
+        jax.shard_map(
+            block_step,
+            mesh=mesh,
+            in_specs=(
+                P(ROW_AXIS, None),
+                P(None, COL_AXIS),
+                P(ROW_AXIS, COL_AXIS),
+                P(ROW_AXIS, None),
+                P(),
+            ),
+            out_specs=(P(None, COL_AXIS), P(ROW_AXIS, None), P()),
+            check_vma=False,
+        ),
+        donate_argnums=(1, 3, 4),
+    )
+
+    def w_epilogue(w, acc, sumh):
+        # elementwise on identically-sharded operands: GSPMD partitions it
+        sumh = eps_clamp(sumh, eps)
+        return (w * (acc / sumh[None, :])).astype(w.dtype)
+
+    def cost_partial(w_loc, h_loc, x_loc):
+        return jax.lax.psum(
+            kl_partial(x_loc, w_loc, h_loc, eps), (ROW_AXIS, COL_AXIS)
+        )
+
+    cost_block = jax.jit(
+        jax.shard_map(
+            cost_partial,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), P(None, COL_AXIS), P(ROW_AXIS, COL_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+    def cost_wrapper(w, h_j, x_j):
+        return cost_block(w, h_j, x_j)
+
+    return (
+        step_acc,
+        jax.jit(w_epilogue, donate_argnums=(0,)),
+        cost_wrapper,
     )
 
 
@@ -233,6 +314,7 @@ def solve_out_of_core(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 100,
     resume: bool = True,
+    mesh=None,
 ) -> "SolveResult":
     """Factorize ``x ~= w @ h`` with X streamed from the host per iteration.
 
@@ -248,6 +330,11 @@ def solve_out_of_core(
     with ``resume``, continues from the newest one — the natural companion
     of multi-hour link-bound streaming runs.  X is NOT checkpointed (it is
     the immutable input); only (W, H, iteration, cost history) is state.
+
+    With ``mesh`` the run streams onto the canonical ('mr','mc') mesh: W, the
+    H blocks, and the (M/r, K) accumulator stay sharded for the whole run
+    and each block's collectives are the usual K-sized psums — X beyond the
+    POD's aggregate HBM, not just one chip's.
 
     Currently implements the reference KL (beta=1, unregularized) MU family —
     the families whose W-numerator accumulates blockwise with a global
@@ -265,6 +352,10 @@ def solve_out_of_core(
         )
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be >= 1")
+    if mesh is not None and config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "quantized X (x_dtype='int8') streaming is single-device for now"
+        )
 
     source = _as_source(x)
     m, n = source.shape
@@ -278,6 +369,17 @@ def solve_out_of_core(
         )
     k = w0.shape[1]
     bn = block_n if block_n is not None else pick_block_n(m, n)
+    if mesh is not None:
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+        r, c = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+        if m % r or n % c:
+            raise ValueError(
+                f"global dims (M={m}, N={n}) must divide the mesh "
+                f"{dict(mesh.shape)}"
+            )
+        # block width must also shard evenly over 'mc'
+        bn = max(c, (bn // c) * c)
     blocks: List[Tuple[int, int]] = [
         (j, min(j + bn, n)) for j in range(0, n, bn)
     ]
@@ -302,16 +404,48 @@ def solve_out_of_core(
             labels = list(state.check_iterations or [])
             converged = state.converged
 
-    platform = jax.default_backend()
-    step, accumulate, w_epilogue, cost_block = _block_fns(config, platform)
     eps = config.eps
-    device = jax.devices()[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        step_acc, w_epilogue, cost_block = _sharded_block_fns(config, mesh)
+        x_target = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
+        w_target = NamedSharding(mesh, P(ROW_AXIS, None))
+        h_target = NamedSharding(mesh, P(None, COL_AXIS))
+        acc_target = w_target
+        rep_target = NamedSharding(mesh, P())
+    else:
+        platform = jax.default_backend()
+        step_acc, w_epilogue, cost_block = _block_fns(config, platform)
+        x_target = w_target = h_target = acc_target = rep_target = (
+            jax.devices()[0]
+        )
+    device = x_target  # placement target for streamed blocks
+
+    if mesh is not None:
+        # accumulators are generated ON DEVICE with the right shardings
+        # (a host zeros upload per iteration would be an M x K H2D)
+        _zeros = jax.jit(
+            lambda: (
+                jnp.zeros((m, k), jnp.float32),
+                jnp.zeros((k,), jnp.float32),
+            ),
+            out_shardings=(acc_target, rep_target),
+        )
+    else:
+        def _zeros():
+            return jnp.zeros((m, k), jnp.float32), jnp.zeros((k,), jnp.float32)
 
     # factors resident on device for the whole run (clamped once, nmf.cu:211)
-    w = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
+    w = jnp.maximum(
+        jax.device_put(w0.astype(np.float32), w_target).astype(sd),
+        jnp.asarray(eps, sd),
+    )
     h_blocks = [
         jnp.maximum(
-            jnp.asarray(np.ascontiguousarray(h0[:, j0:j1]), sd),
+            jax.device_put(
+                np.ascontiguousarray(h0[:, j0:j1]), h_target
+            ).astype(sd),
             jnp.asarray(eps, sd),
         )
         for j0, j1 in blocks
@@ -380,15 +514,15 @@ def solve_out_of_core(
     start_iter = it
     while it < max_iter and not converged:
         # ---- one full MU iteration: a single double-buffered sweep ----
-        acc = jnp.zeros((m, k), jnp.float32)
-        sumh = jnp.zeros((k,), jnp.float32)
+        acc, sumh = _zeros()
         inflight = put(0)
         for idx in range(len(blocks)):
             x_dev = inflight
             if idx + 1 < len(blocks):
                 inflight = put(idx + 1)  # prefetch overlaps this block's math
-            h_blocks[idx], wnum, sh = step(w, h_blocks[idx], x_dev)
-            acc, sumh = accumulate(acc, sumh, wnum, sh)
+            h_blocks[idx], acc, sumh = step_acc(
+                w, h_blocks[idx], x_dev, acc, sumh
+            )
         w = w_epilogue(w, acc, sumh)
         it += 1
 

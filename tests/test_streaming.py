@@ -159,6 +159,71 @@ def test_streamed_int8_x_storage(problem):
     assert abs(float(res.cost) - float(ref32.cost)) / float(ref32.cost) < 0.01
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_streamed_on_mesh_matches_single_device(problem, shape):
+    """Mesh-sharded streaming (X beyond the pod's aggregate HBM): the
+    per-block psums must not change the math vs single-device streaming or
+    the in-memory solver."""
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=10)
+    ref = solve(x, w, h, cfg)
+    mesh = make_mesh(shape=shape)
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=250, mesh=mesh)
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+    # the factors really are sharded over the mesh
+    assert len(res.w.sharding.device_set) == shape[0] * shape[1]
+
+
+def test_streamed_mesh_bin_file_checkpoint(problem, tmp_path):
+    """Mesh streaming composes with the .bin source and checkpoint/resume."""
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = problem
+    path = str(tmp_path / "X.bin")
+    binio.write_matrix(x, path)
+    mesh = make_mesh(shape=(4, 2))
+    d = str(tmp_path / "ck")
+    streaming.solve_out_of_core(
+        path, w, h, SolveConfig(max_iter=10, check_every=10),
+        block_n=250, mesh=mesh, checkpoint_dir=d, checkpoint_every=10,
+    )
+    res = streaming.solve_out_of_core(
+        path, w, h, SolveConfig(max_iter=20, check_every=10),
+        block_n=250, mesh=mesh, checkpoint_dir=d, checkpoint_every=10,
+    )
+    ref = streaming.solve_out_of_core(
+        x, w, h, SolveConfig(max_iter=20, check_every=10), block_n=250
+    )
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+
+
+def test_streamed_mesh_rejects_int8(problem):
+    from nmf_tpu.parallel.mesh import make_mesh
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    with pytest.raises(NotImplementedError, match="int8"):
+        streaming.solve_out_of_core(
+            x, w, h,
+            SolveConfig(max_iter=2, precision=Precision(x_dtype="int8")),
+            mesh=make_mesh(shape=(4, 2)),
+        )
+
+
 def test_streamed_rejects_unsupported_families(problem):
     x, w, h = problem
     with pytest.raises(NotImplementedError):
