@@ -84,6 +84,12 @@ def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
 
         cost = functools.partial(beta_divergence, beta=config.beta, eps=eps)
 
+    if config.precision.x_dtype == "int8":
+        from .solver import _dequant_wrap_cost, _dequant_wrap_step
+
+        step = _dequant_wrap_step(step)
+        cost = _dequant_wrap_cost(cost)
+
     @jax.jit
     def _solve(x, w, h):
         return run_checked_loop(x, w, h, config, step, cost)
@@ -113,9 +119,10 @@ def solve_h_only(
     column-sequential and stays single-device.
     """
     config.validate()
-    if config.precision.x_dtype == "int8":
+    quant = config.precision.x_dtype == "int8"
+    if quant and mesh is not None:
         raise NotImplementedError(
-            "quantized X (x_dtype='int8') is not supported in solve_h_only"
+            "quantized X (x_dtype='int8') h-only solves are single-device"
         )
     if mesh is not None and config.algorithm == "hals":
         raise NotImplementedError(
@@ -128,7 +135,12 @@ def solve_h_only(
     h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
     if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
         raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
-    x = x.astype(jnp.dtype(config.precision.x_dtype))
+    if quant:
+        from ..ops.quant import quantize_columns
+
+        x = quantize_columns(x, config.eps)
+    else:
+        x = x.astype(jnp.dtype(config.precision.x_dtype))
     if mesh is not None:
         from ..parallel.mesh import shard_problem
 

@@ -295,38 +295,63 @@ def solve_sharded(
             "HALS updates columns sequentially (coordinate descent); the "
             "sharded solver implements the MU families"
         )
-    if config.precision.x_dtype == "int8":
-        raise NotImplementedError(
-            "quantized X (x_dtype='int8') is single-device for now; use "
-            "bfloat16 X storage on meshes"
-        )
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
+    quant = precision.x_dtype == "int8"
 
     sd = jnp.dtype(config.precision.state_dtype)
     xd = jnp.dtype(config.precision.x_dtype)
-    shape_x, shape_w, shape_h = jnp.shape(x), jnp.shape(w0), jnp.shape(h0)
+    shape_x = jnp.shape(x[0]) if isinstance(x, tuple) else jnp.shape(x)
+    shape_w, shape_h = jnp.shape(w0), jnp.shape(h0)
     if shape_x != (shape_w[0], shape_h[1]) or shape_w[1] != shape_h[0]:
         raise ValueError(
             f"shape mismatch: X{shape_x} vs W{shape_w} @ H{shape_h}"
         )
     if clamp_inputs:
-        x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32)).astype(xd)
         w0 = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
         h0 = jnp.maximum(jnp.asarray(h0, sd), jnp.asarray(eps, sd))
+        x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32))
+        if quant:
+            from ..ops.quant import quantize_columns
+
+            x = quantize_columns(x, eps)
+        else:
+            x = x.astype(xd)
     else:
         # pre-clamped device-resident inputs (checkpoint segments): no extra
         # passes over X, and already-sharded buffers flow through untouched
-        x = jnp.asarray(x, xd)
         w0 = jnp.asarray(w0, sd)
         h0 = jnp.asarray(h0, sd)
-    fused = _use_fused(
+        if quant:
+            if not isinstance(x, tuple):
+                from ..ops.quant import quantize_columns
+
+                x = quantize_columns(
+                    jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32)),
+                    eps,
+                )
+        else:
+            x = jnp.asarray(x, xd)
+    fused = (not quant) and _use_fused(
         config,
-        x.shape[0] // mesh.shape[ROW_AXIS],
+        shape_x[0] // mesh.shape[ROW_AXIS],
         w0.shape[1],
-        x.shape[1] // mesh.shape[COL_AXIS],
+        shape_x[1] // mesh.shape[COL_AXIS],
     )
-    x, w0, h0 = shard_problem(x, w0, h0, mesh)
+    if quant:
+        from jax.sharding import NamedSharding
+
+        from .mesh import nmf_shardings
+
+        xs_, ws_, hs_, _ = nmf_shardings(mesh)
+        x = (
+            jax.device_put(x[0], xs_),
+            jax.device_put(x[1], NamedSharding(mesh, P(COL_AXIS))),
+        )
+        w0 = jax.device_put(w0, ws_)
+        h0 = jax.device_put(h0, hs_)
+    else:
+        x, w0, h0 = shard_problem(x, w0, h0, mesh)
 
     if config.live_metrics:
         from ..models.solver import host_callbacks_supported, run_live_chunked
@@ -359,6 +384,7 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
     memory is allocated — see tests/test_podscale.py).
     """
     eps, precision = config.eps, config.precision
+    quant = precision.x_dtype == "int8"
     if config.beta == 1.0 and config.regularized:
         step_fn = functools.partial(
             mu_step_sharded_reg, eps=eps, precision=precision,
@@ -381,6 +407,15 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
             mu_step_sharded_beta, beta=config.beta, eps=eps, precision=precision
         )
         cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
+
+    if quant:
+        # local shard dequant: uint8 codes x per-column scales fuse into the
+        # consuming elementwise ops (scales shard over 'mc' with the columns)
+        from ..ops.quant import dequantize
+
+        base_step, base_cost = step_fn, cost_fn
+        step_fn = lambda w, h, x: base_step(w, h, dequantize(x[0], x[1]))
+        cost_fn = lambda x, w, h: base_cost(dequantize(x[0], x[1]), w, h)
 
     def local_solve(x_loc, w_loc, h_loc, initial_cost):
         return run_checked_loop(
@@ -406,11 +441,14 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
     )
     # w/h donated: the result factors alias the input state buffers, so a
     # chained (segmented) solve never holds two copies of W/H per device.
+    x_spec = (
+        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+    )
     return jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, None), P(None, COL_AXIS), P()),
+            in_specs=(x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P()),
             out_specs=out_specs,
             check_vma=False,
         ),

@@ -107,18 +107,47 @@ def test_solve_with_int8_x(problem):
     np.testing.assert_array_equal(np.asarray(res.w), np.asarray(res2.w))
 
 
-def test_int8_x_guards():
+def test_int8_x_sharded_matches_single_device(problem):
+    """Quantized X on a mesh: codes shard like X, scales over 'mc'; the
+    local dequant reproduces the single-device quantized run."""
+    from nmf_tpu.parallel import make_mesh, sharded
+
+    x, w, h = problem
+    x = np.asarray(x)[:96, :128]  # mesh-divisible slice
+    w, h = np.asarray(w), np.asarray(h)[:, :128]
+    cfg = SolveConfig(max_iter=20, check_every=10, precision=Precision(x_dtype="int8"))
+    ref = solve(x, w, h, cfg)
+    for shape in ((4, 2), (2, 4)):
+        res = sharded.solve_sharded(x, w, h, cfg, mesh=make_mesh(shape=shape))
+        np.testing.assert_allclose(
+            np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+        )
+
+
+def test_int8_x_h_only(problem):
+    from nmf_tpu.models.nmf import solve_h_only
+
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=10, precision=Precision(x_dtype="int8"))
+    res = solve_h_only(x, w, h, cfg)
+    ref = solve_h_only(x, w, h, SolveConfig(max_iter=20, check_every=10))
+    assert int(res.iterations) == 20
+    assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.01
+
+
+def test_int8_x_remaining_guards():
     rng = np.random.RandomState(1)
     x = rng.rand(32, 32).astype(np.float32)
     w = rng.rand(32, 4).astype(np.float32)
     h = rng.rand(4, 32).astype(np.float32)
     cfg = SolveConfig(max_iter=2, precision=Precision(x_dtype="int8"))
     from nmf_tpu.models.nmf import solve_h_only
-    from nmf_tpu.parallel import batched, make_mesh, sharded
+    from nmf_tpu.parallel import batched, make_mesh
 
-    with pytest.raises(NotImplementedError):
-        sharded.solve_sharded(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
     with pytest.raises(NotImplementedError):
         batched.solve_batched(x[None], w[None], h[None], cfg)
     with pytest.raises(NotImplementedError):
-        solve_h_only(x, w, h, cfg)
+        solve_h_only(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
