@@ -68,14 +68,24 @@ def bench_shape(m, k, n, dtype, backend, short, long):
     step = resolve_step_fn(cfg)
     per = time_steps(step, w, h, x, short, long)
     flops = 8.0 * m * n * k
-    return {
+    tflops = flops / per / 1e12
+    from nmf_tpu.utils.device import chip_spec
+
+    peak = chip_spec().peak_tflops(dtype)
+    row = {
         "shape": f"{m}x{n} k={k}",
         "dtype": dtype,
         "backend": backend,
         "us_per_iter": per * 1e6,
         "iters_per_sec": 1.0 / per,
-        "tflops": flops / per / 1e12,
+        "tflops": tflops,
     }
+    if peak is not None and tflops > peak:
+        # physically impossible: the long/short differencing mis-measured
+        # (this platform's block_until_ready is unreliable) — flag it so the
+        # committed results never present bogus rows as evidence
+        row["suspect"] = f"exceeds {peak:.0f} TF/s device peak; re-measure"
+    return row
 
 
 def bench_convergence(m, k, n, thresh, dtype="float32"):

@@ -97,7 +97,8 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         "--out-of-core",
         action="store_true",
         help="stream X from its .bin file in column blocks (X may exceed "
-        "device AND host memory); KL MU family only",
+        "device AND host memory); composes with --mesh and "
+        "--checkpoint-dir; KL MU family only",
     )
     p.add_argument(
         "--block-n",
@@ -153,12 +154,6 @@ def _cmd_run_out_of_core(args) -> int:
     """run with --out-of-core: X streamed from its .bin, never fully loaded."""
     from .models.streaming import BinColumnSource, solve_out_of_core
 
-    if args.mesh:
-        print(
-            "error: --out-of-core is a single-device streaming mode (no --mesh)",
-            file=sys.stderr,
-        )
-        return 2
     if args.strict_compat:
         print(
             "error: --strict-compat (padded-EPS replication) requires the "
@@ -183,6 +178,12 @@ def _cmd_run_out_of_core(args) -> int:
     else:
         print("error: provide W and H files, or --rank", file=sys.stderr)
         return 2
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        r_, c_ = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(shape=(r_, c_))
     config = _config_from(args)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
     with logger.timed() as t:
@@ -190,6 +191,7 @@ def _cmd_run_out_of_core(args) -> int:
             source, w0, h0, config, block_n=args.block_n,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
+            mesh=mesh,
         )
     logger.report(res, (m, n), t.seconds, check_every=config.check_every)
     if args.validate:

@@ -209,7 +209,7 @@ def _block_fns(config: SolveConfig, platform: str):
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_block_fns(config: SolveConfig, mesh):
+def _sharded_block_fns(config: SolveConfig, mesh, fused: bool = False):
     """Mesh variant of :func:`_block_fns`: per-block shard_map over the
     canonical ('mr','mc') layout — X beyond the POD's aggregate HBM.
 
@@ -232,11 +232,17 @@ def _sharded_block_fns(config: SolveConfig, mesh):
     _f32 = jnp.float32
 
     def block_step(w_loc, h_loc, x_loc, acc_loc, sumh_loc):
-        h_new = update_h_sharded(w_loc, h_loc, x_loc, eps, prec, fused=False)
-        z = x_loc / eps_clamp(matmul(w_loc, h_new, prec), eps)
-        wnum = jax.lax.psum(
-            matmul(z, h_new, prec, transpose_b=True), COL_AXIS
-        )
+        h_new = update_h_sharded(w_loc, h_loc, x_loc, eps, prec, fused=fused)
+        if fused:
+            from ..ops.pallas import fused_mu
+
+            wnum_loc = fused_mu.update_w_fused(
+                w_loc, h_new, x_loc, eps, prec, numerator_only=True
+            )
+        else:
+            z = x_loc / eps_clamp(matmul(w_loc, h_new, prec), eps)
+            wnum_loc = matmul(z, h_new, prec, transpose_b=True)
+        wnum = jax.lax.psum(wnum_loc, COL_AXIS)
         sh = jax.lax.psum(jnp.sum(h_new, axis=1, dtype=_f32), COL_AXIS)
         return h_new, acc_loc + wnum, sumh_loc + sh
 
@@ -277,13 +283,10 @@ def _sharded_block_fns(config: SolveConfig, mesh):
         )
     )
 
-    def cost_wrapper(w, h_j, x_j):
-        return cost_block(w, h_j, x_j)
-
     return (
         step_acc,
         jax.jit(w_epilogue, donate_argnums=(0,)),
-        cost_wrapper,
+        cost_block,
     )
 
 
@@ -384,31 +387,16 @@ def solve_out_of_core(
         (j, min(j + bn, n)) for j in range(0, n, bn)
     ]
 
-    it = 0
-    hist_list: List[float] = []
-    labels: List[int] = []
-    converged = False
-    if checkpoint_dir and resume:
-        from ..utils import checkpoint as ckpt
-
-        latest = ckpt.latest_checkpoint(checkpoint_dir)
-        if latest is not None:
-            state = ckpt.load_checkpoint(latest, config)
-            if np.shape(state.w) != w0.shape or np.shape(state.h) != h0.shape:
-                raise ValueError(
-                    f"checkpoint shapes {np.shape(state.w)}/{np.shape(state.h)}"
-                    f" do not match inputs {w0.shape}/{h0.shape}"
-                )
-            w0, h0, it = state.w, state.h, state.iteration
-            hist_list = list(state.cost_history)
-            labels = list(state.check_iterations or [])
-            converged = state.converged
-
     eps = config.eps
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        step_acc, w_epilogue, cost_block = _sharded_block_fns(config, mesh)
+        from ..parallel.sharded import _use_fused
+
+        fused = _use_fused(config, m // r, k, max(1, bn // c))
+        step_acc, w_epilogue, cost_block = _sharded_block_fns(
+            config, mesh, fused=fused
+        )
         x_target = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
         w_target = NamedSharding(mesh, P(ROW_AXIS, None))
         h_target = NamedSharding(mesh, P(None, COL_AXIS))
@@ -421,6 +409,42 @@ def solve_out_of_core(
             jax.devices()[0]
         )
     device = x_target  # placement target for streamed blocks
+
+    it = 0
+    hist_list: List[float] = []
+    labels: List[int] = []
+    converged = False
+    h_blocks_resumed = None
+    if checkpoint_dir and resume:
+        from ..utils import checkpoint as ckpt
+
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            if mesh is not None:
+                # sharded restore: each host reads only its shards, and the
+                # H column blocks come back as the list the loop carries
+                w_like = jax.ShapeDtypeStruct((m, k), sd, sharding=w_target)
+                h_like = [
+                    jax.ShapeDtypeStruct((k, j1 - j0), sd, sharding=h_target)
+                    for j0, j1 in blocks
+                ]
+                state = ckpt.load_checkpoint_sharded(
+                    latest, w_like, h_like, config
+                )
+                w0, h_blocks_resumed = state.w, state.h
+            else:
+                state = ckpt.load_checkpoint(latest, config)
+                if np.shape(state.w) != w0.shape or np.shape(state.h) != h0.shape:
+                    raise ValueError(
+                        f"checkpoint shapes {np.shape(state.w)}/"
+                        f"{np.shape(state.h)} do not match inputs "
+                        f"{w0.shape}/{h0.shape}"
+                    )
+                w0, h0 = state.w, state.h
+            it = state.iteration
+            hist_list = list(state.cost_history)
+            labels = list(state.check_iterations or [])
+            converged = state.converged
 
     if mesh is not None:
         # accumulators are generated ON DEVICE with the right shardings
@@ -438,18 +462,23 @@ def solve_out_of_core(
 
     # factors resident on device for the whole run (clamped once, nmf.cu:211)
     w = jnp.maximum(
-        jax.device_put(w0.astype(np.float32), w_target).astype(sd),
-        jnp.asarray(eps, sd),
+        jax.device_put(w0, w_target).astype(sd), jnp.asarray(eps, sd)
     )
-    h_blocks = [
-        jnp.maximum(
-            jax.device_put(
-                np.ascontiguousarray(h0[:, j0:j1]), h_target
-            ).astype(sd),
-            jnp.asarray(eps, sd),
-        )
-        for j0, j1 in blocks
-    ]
+    if h_blocks_resumed is not None:
+        h_blocks = [
+            jnp.maximum(hb.astype(sd), jnp.asarray(eps, sd))
+            for hb in h_blocks_resumed
+        ]
+    else:
+        h_blocks = [
+            jnp.maximum(
+                jax.device_put(
+                    np.ascontiguousarray(h0[:, j0:j1]), h_target
+                ).astype(sd),
+                jnp.asarray(eps, sd),
+            )
+            for j0, j1 in blocks
+        ]
 
     quantized = str(xd) == "int8"
     # int8 storage: quantize blocks ONCE (first sweep) and keep the uint8
@@ -493,6 +522,20 @@ def solve_out_of_core(
     def _save():
         from ..utils import checkpoint as ckpt
 
+        if mesh is not None:
+            # factors stay sharded end-to-end (pod-safe orbax path: each
+            # host writes its addressable shards; the H blocks are saved as
+            # the list the loop carries — no gather, no host round trip)
+            state = ckpt.CheckpointState(
+                w=w,
+                h=h_blocks,
+                iteration=it,
+                cost_history=hist_list,
+                converged=converged,
+                check_iterations=labels,
+            )
+            ckpt.save_checkpoint_sharded(checkpoint_dir, state, config)
+            return
         state = ckpt.CheckpointState(
             w=np.asarray(w),
             h=np.concatenate([np.asarray(hb) for hb in h_blocks], axis=1),

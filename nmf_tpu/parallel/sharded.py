@@ -411,11 +411,10 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
     if quant:
         # local shard dequant: uint8 codes x per-column scales fuse into the
         # consuming elementwise ops (scales shard over 'mc' with the columns)
-        from ..ops.quant import dequantize
+        from ..models.solver import _dequant_wrap_cost, _dequant_wrap_step
 
-        base_step, base_cost = step_fn, cost_fn
-        step_fn = lambda w, h, x: base_step(w, h, dequantize(x[0], x[1]))
-        cost_fn = lambda x, w, h: base_cost(dequantize(x[0], x[1]), w, h)
+        step_fn = _dequant_wrap_step(step_fn)
+        cost_fn = _dequant_wrap_cost(cost_fn)
 
     def local_solve(x_loc, w_loc, h_loc, initial_cost):
         return run_checked_loop(

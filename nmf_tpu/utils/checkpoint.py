@@ -248,9 +248,10 @@ def load_checkpoint_sharded(
 
     ``w_like``/``h_like`` carry the target shape/dtype/sharding — pass either
     sharded ``jax.Array``s or ``jax.ShapeDtypeStruct``s with ``.sharding``
-    set, so each host restores only its shards.  With ``config`` given, the
-    stored fingerprint is verified (same refusal semantics as
-    :func:`load_checkpoint`).
+    set (``h_like`` may be a PYTREE of them, e.g. the streaming solver's
+    list of H column blocks), so each host restores only its shards.  With
+    ``config`` given, the stored fingerprint is verified (same refusal
+    semantics as :func:`load_checkpoint`).
     """
     import jax
     import orbax.checkpoint as ocp
@@ -273,7 +274,7 @@ def load_checkpoint_sharded(
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(
             step_dir + ".arrays",
-            {"w": _abstract(w_like), "h": _abstract(h_like)},
+            jax.tree_util.tree_map(_abstract, {"w": w_like, "h": h_like}),
         )
     return CheckpointState(
         w=restored["w"],
@@ -368,18 +369,16 @@ def solve_with_checkpoints(
 
     # ---- one-time placement + clamp (the single H2D of X for this run) ----
     quant = config.precision.x_dtype == "int8"
-    if mesh is not None:
-        if quant:
-            raise NotImplementedError(
-                "quantized X (x_dtype='int8') is single-device for now; use "
-                "bfloat16 X storage on meshes"
-            )
+    eps32 = jnp.asarray(config.eps, _f32)
+    if mesh is not None and not quant:
         from ..parallel.mesh import shard_problem
 
         x_dev, w_dev, h_dev = shard_problem(x, w, h, mesh)
     else:
+        # quantized X on a mesh: build the (codes, scales) pair here; the
+        # first segment's solve_sharded places it with the canonical
+        # shardings and later segments' device_put calls are no-ops
         x_dev, w_dev, h_dev = jnp.asarray(x), jnp.asarray(w), jnp.asarray(h)
-    eps32 = jnp.asarray(config.eps, _f32)
     x_dev = jnp.maximum(x_dev.astype(_f32), eps32)
     if quant:
         # uint8 codes + per-column scales, once for the whole run

@@ -138,6 +138,27 @@ def test_int8_x_h_only(problem):
     assert abs(float(res.cost) - float(ref.cost)) / float(ref.cost) < 0.01
 
 
+def test_int8_x_checkpointed_on_mesh(tmp_path, problem):
+    """The checkpointed driver composes mesh + int8 X: segments route the
+    (codes, scales) pair through solve_sharded's quantized placement."""
+    from nmf_tpu import SolveConfig
+    from nmf_tpu.parallel import make_mesh
+    from nmf_tpu.utils import checkpoint as ckpt
+
+    x, w, h = problem
+    x = np.asarray(x)[:96, :128]
+    w, h = np.asarray(w), np.asarray(h)[:, :128]
+    cfg = SolveConfig(max_iter=20, check_every=10, precision=Precision(x_dtype="int8"))
+    state = ckpt.solve_with_checkpoints(
+        x, w, h, cfg, str(tmp_path / "ck"), every=10, mesh=make_mesh(shape=(4, 2))
+    )
+    assert state.iteration == 20
+    ref = solve(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(state.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+
+
 def test_int8_x_remaining_guards():
     rng = np.random.RandomState(1)
     x = rng.rand(32, 32).astype(np.float32)

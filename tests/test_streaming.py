@@ -224,6 +224,37 @@ def test_streamed_mesh_rejects_int8(problem):
         )
 
 
+def test_streamed_mesh_checkpoints_stay_sharded(problem, tmp_path):
+    """Mesh-streaming checkpoints use the pod-safe orbax path: no .bin
+    gather of the factors, arrays dir + meta written, resume exact."""
+    import os
+
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = problem
+    mesh = make_mesh(shape=(4, 2))
+    d = str(tmp_path / "ck")
+    streaming.solve_out_of_core(
+        x, w, h, SolveConfig(max_iter=10, check_every=10),
+        block_n=250, mesh=mesh, checkpoint_dir=d, checkpoint_every=10,
+    )
+    step = os.path.join(d, "step_00000010")
+    assert os.path.isdir(step + ".arrays")          # orbax shards
+    assert os.path.exists(os.path.join(step, "meta.json"))
+    assert not os.path.exists(os.path.join(step, "W.bin"))  # never gathered
+    res = streaming.solve_out_of_core(
+        x, w, h, SolveConfig(max_iter=20, check_every=10),
+        block_n=250, mesh=mesh, checkpoint_dir=d, checkpoint_every=10,
+    )
+    ref = streaming.solve_out_of_core(
+        x, w, h, SolveConfig(max_iter=20, check_every=10),
+        block_n=250, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_streamed_rejects_unsupported_families(problem):
     x, w, h = problem
     with pytest.raises(NotImplementedError):
