@@ -138,11 +138,15 @@ def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int
 
 @functools.lru_cache(maxsize=32)
 def _block_fns(config: SolveConfig, platform: str):
-    """Jitted per-block kernels: (step_acc, w_epilogue, cost_block).
+    """Jitted per-block kernels: (step_acc, w_epilogue, cost_block, zeros).
 
-    step_acc fuses the H_j update, the block's W-numerator/rowsum
-    contributions, AND the accumulation into one jitted call — one dispatch
-    per block matters on high-latency links.
+    step_acc fuses the H_j update, the block's W-side contributions, AND the
+    accumulation into one jitted call — one dispatch per block matters on
+    high-latency links.  The iteration carry is a generic pair (a1, a2):
+    KL carries (W-numerator (M,K), rowsum(H) (K,)); the beta family carries
+    BOTH W-side GEMM accumulators (numerator, denominator — each (M,K)),
+    since for beta != 1 the denominator is a data-dependent GEMM that also
+    decomposes over column blocks.
     """
     import jax
     import jax.numpy as jnp
@@ -153,58 +157,88 @@ def _block_fns(config: SolveConfig, platform: str):
 
     eps, prec = config.eps, config.precision
     _f32 = jnp.float32
+    beta = float(config.beta)
 
-    use_fused = platform == "tpu" and (
+    use_fused = platform == "tpu" and beta == 1.0 and (
         config.backend == "pallas"
         or (config.backend == "auto" and config.precision.x_dtype != "int8")
     )
     if use_fused:
         from ..ops.pallas import fused_mu
 
-    def step_acc(w, h_j, x_j, acc, sumh):
-        """H_j full update + block-j W-numerator/rowsum folded into acc.
-
-        ``x_j`` arrives already load-clamped (host side); with quantized
-        storage it is a (uint8 codes, scales) pair — the fused kernels
-        dequantize in-register, the jnp path inside its XLA fusion.
-        colsum(W) is computed from the full (device-resident) W inside
-        update_h — global, hence identical to the in-memory solver's value.
-        """
-        if use_fused and fused_mu.supported(w.shape[1]):
-            h_new = fused_mu.update_h_fused(w, h_j, x_j, eps, prec)
-            wnum = fused_mu.update_w_fused(
-                w, h_new, x_j, eps, prec, numerator_only=True
-            )
-        else:
-            if isinstance(x_j, tuple):
-                from ..ops.quant import dequantize
-
-                x_j = dequantize(x_j[0], x_j[1])
-            h_new = update_h(w, h_j, x_j, eps, prec)
-            z = x_j / eps_clamp(matmul(w, h_new, prec), eps)
-            wnum = matmul(z, h_new, prec, transpose_b=True)
-        sh = jnp.sum(h_new, axis=1, dtype=_f32)
-        return h_new, acc + wnum, sumh + sh
-
-    def w_epilogue(w, acc, sumh):
-        sumh = eps_clamp(sumh, eps)
-        return (w * (acc / sumh[None, :])).astype(w.dtype)
-
-    def cost_block(w, h_j, x_j):
+    def _dense(x_j):
         if isinstance(x_j, tuple):
             from ..ops.quant import dequantize
 
-            x_j = dequantize(x_j[0], x_j[1])
-        y = matmul(
-            w.astype(_f32), h_j.astype(_f32),
-            dataclasses.replace(prec, matmul_dtype="float32"),
-        )
-        return kl_divergence_from_recon(x_j, y, eps)
+            return dequantize(x_j[0], x_j[1])
+        return x_j
+
+    if beta == 1.0:
+
+        def step_acc(w, h_j, x_j, a1, a2):
+            """H_j full update + block-j W-numerator/rowsum folded into a1/a2.
+
+            ``x_j`` arrives already load-clamped (host side); with quantized
+            storage it is a (uint8 codes, scales) pair — the fused kernels
+            dequantize in-register, the jnp path inside its XLA fusion.
+            colsum(W) is computed from the full (device-resident) W inside
+            update_h — global, hence identical to the in-memory solver.
+            """
+            if use_fused and fused_mu.supported(w.shape[1]):
+                h_new = fused_mu.update_h_fused(w, h_j, x_j, eps, prec)
+                wnum = fused_mu.update_w_fused(
+                    w, h_new, x_j, eps, prec, numerator_only=True
+                )
+            else:
+                x_j = _dense(x_j)
+                h_new = update_h(w, h_j, x_j, eps, prec)
+                z = x_j / eps_clamp(matmul(w, h_new, prec), eps)
+                wnum = matmul(z, h_new, prec, transpose_b=True)
+            sh = jnp.sum(h_new, axis=1, dtype=_f32)
+            return h_new, a1 + wnum, a2 + sh
+
+        def w_epilogue(w, a1, a2):
+            return (w * (a1 / eps_clamp(a2, eps)[None, :])).astype(w.dtype)
+
+        def cost_block(w, h_j, x_j):
+            y = matmul(
+                w.astype(_f32), h_j.astype(_f32),
+                dataclasses.replace(prec, matmul_dtype="float32"),
+            )
+            return kl_divergence_from_recon(_dense(x_j), y, eps)
+
+        a2_shape = None  # (K,)
+    else:
+        from ..ops.mu import _beta_ratios
+        from ..parallel.sharded import beta_partial
+
+        def step_acc(w, h_j, x_j, a1, a2):
+            """beta-MU: H_j block update, then both W-side GEMM contributions
+            (numerator AND denominator) folded into the accumulators."""
+            x_j = _dense(x_j)
+            num, den = _beta_ratios(w, h_j, x_j, beta, eps, prec)
+            h_num = matmul(w, num, prec, transpose_a=True)
+            h_den = eps_clamp(matmul(w, den, prec, transpose_a=True), eps)
+            h_new = (h_j * (h_num / h_den)).astype(h_j.dtype)
+
+            num, den = _beta_ratios(w, h_new, x_j, beta, eps, prec)
+            w_num = matmul(num, h_new, prec, transpose_b=True)
+            w_den = matmul(den, h_new, prec, transpose_b=True)
+            return h_new, a1 + w_num, a2 + w_den
+
+        def w_epilogue(w, a1, a2):
+            return (w * (a1 / eps_clamp(a2, eps))).astype(w.dtype)
+
+        def cost_block(w, h_j, x_j):
+            return beta_partial(_dense(x_j), w, h_j, beta, eps)
+
+        a2_shape = "mk"  # (M, K)
 
     return (
         jax.jit(step_acc, donate_argnums=(1, 3, 4)),
         jax.jit(w_epilogue, donate_argnums=(0,)),
         jax.jit(cost_block),
+        a2_shape,
     )
 
 
@@ -339,9 +373,10 @@ def solve_out_of_core(
     and each block's collectives are the usual K-sized psums — X beyond the
     POD's aggregate HBM, not just one chip's.
 
-    Currently implements the reference KL (beta=1, unregularized) MU family —
-    the families whose W-numerator accumulates blockwise with a global
-    denominator.
+    Implements the MU families: the reference KL (beta=1) everywhere, and
+    the general beta-divergence family single-device (for beta != 1 the
+    W-side denominator is a data-dependent GEMM that also accumulates
+    blockwise, so the same one-pass sweep applies with two accumulators).
     """
     import jax
     import jax.numpy as jnp
@@ -349,9 +384,14 @@ def solve_out_of_core(
     from .solver import SolveResult
 
     config.validate()
-    if config.beta != 1.0 or config.regularized or config.algorithm != "mu":
+    if config.regularized or config.algorithm != "mu":
         raise NotImplementedError(
-            "out-of-core solve implements the reference KL (beta=1) MU family"
+            "out-of-core solve implements the MU families (KL and beta)"
+        )
+    if config.beta != 1.0 and mesh is not None:
+        raise NotImplementedError(
+            "beta != 1 streaming is single-device for now (the mesh variant "
+            "implements the reference KL family)"
         )
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be >= 1")
@@ -397,6 +437,7 @@ def solve_out_of_core(
         step_acc, w_epilogue, cost_block = _sharded_block_fns(
             config, mesh, fused=fused
         )
+        a2_shape = None  # mesh variant is KL: a2 is the (K,) rowsum
         x_target = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
         w_target = NamedSharding(mesh, P(ROW_AXIS, None))
         h_target = NamedSharding(mesh, P(None, COL_AXIS))
@@ -404,7 +445,7 @@ def solve_out_of_core(
         rep_target = NamedSharding(mesh, P())
     else:
         platform = jax.default_backend()
-        step_acc, w_epilogue, cost_block = _block_fns(config, platform)
+        step_acc, w_epilogue, cost_block, a2_shape = _block_fns(config, platform)
         x_target = w_target = h_target = acc_target = rep_target = (
             jax.devices()[0]
         )
@@ -446,19 +487,23 @@ def solve_out_of_core(
             labels = list(state.check_iterations or [])
             converged = state.converged
 
+    a2_dims = (m, k) if a2_shape == "mk" else (k,)
     if mesh is not None:
         # accumulators are generated ON DEVICE with the right shardings
         # (a host zeros upload per iteration would be an M x K H2D)
         _zeros = jax.jit(
             lambda: (
                 jnp.zeros((m, k), jnp.float32),
-                jnp.zeros((k,), jnp.float32),
+                jnp.zeros(a2_dims, jnp.float32),
             ),
             out_shardings=(acc_target, rep_target),
         )
     else:
         def _zeros():
-            return jnp.zeros((m, k), jnp.float32), jnp.zeros((k,), jnp.float32)
+            return (
+                jnp.zeros((m, k), jnp.float32),
+                jnp.zeros(a2_dims, jnp.float32),
+            )
 
     # factors resident on device for the whole run (clamped once, nmf.cu:211)
     w = jnp.maximum(
@@ -557,16 +602,14 @@ def solve_out_of_core(
     start_iter = it
     while it < max_iter and not converged:
         # ---- one full MU iteration: a single double-buffered sweep ----
-        acc, sumh = _zeros()
+        a1, a2 = _zeros()
         inflight = put(0)
         for idx in range(len(blocks)):
             x_dev = inflight
             if idx + 1 < len(blocks):
                 inflight = put(idx + 1)  # prefetch overlaps this block's math
-            h_blocks[idx], acc, sumh = step_acc(
-                w, h_blocks[idx], x_dev, acc, sumh
-            )
-        w = w_epilogue(w, acc, sumh)
+            h_blocks[idx], a1, a2 = step_acc(w, h_blocks[idx], x_dev, a1, a2)
+        w = w_epilogue(w, a1, a2)
         it += 1
 
         if need_cost and (it % check_every == 0 or it == max_iter):

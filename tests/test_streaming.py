@@ -256,11 +256,33 @@ def test_streamed_mesh_checkpoints_stay_sharded(problem, tmp_path):
 
 
 def test_streamed_rejects_unsupported_families(problem):
+    from nmf_tpu.parallel.mesh import make_mesh
+
     x, w, h = problem
     with pytest.raises(NotImplementedError):
-        streaming.solve_out_of_core(x, w, h, SolveConfig(max_iter=2, beta=2.0))
-    with pytest.raises(NotImplementedError):
         streaming.solve_out_of_core(x, w, h, SolveConfig(max_iter=2, l1_h=0.1))
+    with pytest.raises(NotImplementedError):  # beta streaming is single-device
+        streaming.solve_out_of_core(
+            x, w, h, SolveConfig(max_iter=2, beta=2.0),
+            mesh=make_mesh(shape=(4, 2)),
+        )
+
+
+@pytest.mark.parametrize("beta", [2.0, 0.0, 1.5])
+def test_streamed_beta_matches_in_memory(problem, beta):
+    """beta-MU streaming: numerator AND denominator W-side GEMMs accumulate
+    blockwise; result matches the in-memory beta solver."""
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=10, beta=beta)
+    ref = solve(x, w, h, cfg)
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256)
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
 
 
 def test_pick_block_n_lane_aligned():
