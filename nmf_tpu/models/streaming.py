@@ -137,7 +137,7 @@ def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int
 
 
 @functools.lru_cache(maxsize=32)
-def _block_fns(config: SolveConfig, platform: str):
+def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
     """Jitted per-block kernels: (step_acc, w_epilogue, cost_block, zeros).
 
     step_acc fuses the H_j update, the block's W-side contributions, AND the
@@ -159,12 +159,20 @@ def _block_fns(config: SolveConfig, platform: str):
     _f32 = jnp.float32
     beta = float(config.beta)
 
-    use_fused = platform == "tpu" and beta == 1.0 and (
-        config.backend == "pallas"
-        or (config.backend == "auto" and config.precision.x_dtype != "int8")
+    use_fused = (
+        platform == "tpu"
+        and beta == 1.0
+        and not masked
+        and not config.regularized
+        and (
+            config.backend == "pallas"
+            or (config.backend == "auto" and config.precision.x_dtype != "int8")
+        )
     )
     if use_fused:
         from ..ops.pallas import fused_mu
+    l1_w, l1_h = config.l1_w, config.l1_h
+    l2_w, l2_h = config.l2_w, config.l2_h
 
     def _dense(x_j):
         if isinstance(x_j, tuple):
@@ -173,7 +181,74 @@ def _block_fns(config: SolveConfig, platform: str):
             return dequantize(x_j[0], x_j[1])
         return x_j
 
-    if beta == 1.0:
+    if masked:
+        # masked/weighted KL (+ optional penalties): the mask streams with X
+        # as a (x_j, mask_j) pair; BOTH W-side GEMMs accumulate blockwise
+        # (models.masked.mu_step_masked restated per block).
+        def step_acc(w, h_j, xm_j, a1, a2):
+            x_j, m_j = xm_j
+            x_j = _dense(x_j)
+            z = m_j * (x_j / eps_clamp(matmul(w, h_j, prec), eps))
+            numer = matmul(w, z, prec, transpose_a=True)
+            denom = (
+                eps_clamp(matmul(w, m_j, prec, transpose_a=True), eps)
+                + l1_h + l2_h * h_j.astype(_f32)
+            )
+            h_new = (h_j * (numer / denom)).astype(h_j.dtype)
+
+            z = m_j * (x_j / eps_clamp(matmul(w, h_new, prec), eps))
+            w_num = matmul(z, h_new, prec, transpose_b=True)
+            w_den = matmul(m_j, h_new, prec, transpose_b=True)
+            return h_new, a1 + w_num, a2 + w_den
+
+        def w_epilogue(w, a1, a2):
+            den = eps_clamp(a2, eps) + l1_w + l2_w * w.astype(_f32)
+            return (w * (a1 / den)).astype(w.dtype)
+
+        def cost_block(w, h_j, xm_j):
+            from .masked import masked_kl
+
+            x_j, m_j = xm_j
+            # per-block masked KL + the block's H penalty share; the W
+            # penalty is added once per pass via cost_extra
+            hf = h_j.astype(_f32)
+            return masked_kl(_dense(x_j), w, h_j, m_j, eps) + (
+                l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
+            )
+
+        a2_shape = "mk"
+    elif beta == 1.0 and config.regularized:
+        # penalized KL: the penalty gradients are block-local for H and join
+        # the W epilogue denominator (ops.mu.mu_step_kl_reg restated).
+        def step_acc(w, h_j, x_j, a1, a2):
+            x_j = _dense(x_j)
+            z = x_j / eps_clamp(matmul(w, h_j, prec), eps)
+            numer = matmul(w, z, prec, transpose_a=True)
+            sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_f32), eps)
+            denom = sum_w[:, None] + l1_h + l2_h * h_j.astype(_f32)
+            h_new = (h_j * (numer / denom)).astype(h_j.dtype)
+
+            z = x_j / eps_clamp(matmul(w, h_new, prec), eps)
+            wnum = matmul(z, h_new, prec, transpose_b=True)
+            sh = jnp.sum(h_new, axis=1, dtype=_f32)
+            return h_new, a1 + wnum, a2 + sh
+
+        def w_epilogue(w, a1, a2):
+            den = eps_clamp(a2, eps)[None, :] + l1_w + l2_w * w.astype(_f32)
+            return (w * (a1 / den)).astype(w.dtype)
+
+        def cost_block(w, h_j, x_j):
+            y = matmul(
+                w.astype(_f32), h_j.astype(_f32),
+                dataclasses.replace(prec, matmul_dtype="float32"),
+            )
+            hf = h_j.astype(_f32)
+            return kl_divergence_from_recon(_dense(x_j), y, eps) + (
+                l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
+            )
+
+        a2_shape = None
+    elif beta == 1.0:
 
         def step_acc(w, h_j, x_j, a1, a2):
             """H_j full update + block-j W-numerator/rowsum folded into a1/a2.
@@ -234,10 +309,19 @@ def _block_fns(config: SolveConfig, platform: str):
 
         a2_shape = "mk"  # (M, K)
 
+    if config.regularized or (masked and (l1_w or l2_w)):
+        def cost_extra(w):
+            wf = w.astype(_f32)
+            return l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)
+    else:
+        def cost_extra(w):
+            return jnp.float32(0.0)
+
     return (
         jax.jit(step_acc, donate_argnums=(1, 3, 4)),
         jax.jit(w_epilogue, donate_argnums=(0,)),
         jax.jit(cost_block),
+        jax.jit(cost_extra),
         a2_shape,
     )
 
@@ -352,6 +436,7 @@ def solve_out_of_core(
     checkpoint_every: int = 100,
     resume: bool = True,
     mesh=None,
+    mask=None,
 ) -> "SolveResult":
     """Factorize ``x ~= w @ h`` with X streamed from the host per iteration.
 
@@ -384,14 +469,19 @@ def solve_out_of_core(
     from .solver import SolveResult
 
     config.validate()
-    if config.regularized or config.algorithm != "mu":
+    if config.algorithm != "mu":
+        raise NotImplementedError("out-of-core solve implements the MU families")
+    if mask is not None and (config.beta != 1.0 or config.precision.x_dtype == "int8"):
         raise NotImplementedError(
-            "out-of-core solve implements the MU families (KL and beta)"
+            "masked streaming implements the (optionally penalized) KL "
+            "family with float/bf16 X"
         )
-    if config.beta != 1.0 and mesh is not None:
+    if mesh is not None and (
+        config.beta != 1.0 or config.regularized or mask is not None
+    ):
         raise NotImplementedError(
-            "beta != 1 streaming is single-device for now (the mesh variant "
-            "implements the reference KL family)"
+            "mesh streaming implements the reference KL family; the beta / "
+            "regularized / masked variants are single-device for now"
         )
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be >= 1")
@@ -402,6 +492,13 @@ def solve_out_of_core(
 
     source = _as_source(x)
     m, n = source.shape
+    mask_source = None
+    if mask is not None:
+        mask_source = _as_source(mask)
+        if mask_source.shape != (m, n):
+            raise ValueError(
+                f"mask shape {mask_source.shape} != X shape {(m, n)}"
+            )
     sd = jnp.dtype(config.precision.state_dtype)
     xd = jnp.dtype(config.precision.x_dtype)
     w0 = np.asarray(w0, np.float32)
@@ -437,6 +534,7 @@ def solve_out_of_core(
         step_acc, w_epilogue, cost_block = _sharded_block_fns(
             config, mesh, fused=fused
         )
+        cost_extra = lambda w: jnp.float32(0.0)
         a2_shape = None  # mesh variant is KL: a2 is the (K,) rowsum
         x_target = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
         w_target = NamedSharding(mesh, P(ROW_AXIS, None))
@@ -445,7 +543,9 @@ def solve_out_of_core(
         rep_target = NamedSharding(mesh, P())
     else:
         platform = jax.default_backend()
-        step_acc, w_epilogue, cost_block, a2_shape = _block_fns(config, platform)
+        step_acc, w_epilogue, cost_block, cost_extra, a2_shape = _block_fns(
+            config, platform, masked=mask is not None
+        )
         x_target = w_target = h_target = acc_target = rep_target = (
             jax.devices()[0]
         )
@@ -549,6 +649,14 @@ def solve_out_of_core(
 
     def put(idx: int):
         j0, j1 = blocks[idx]
+        if mask_source is not None:
+            x_dev = jax.device_put(
+                _host_prep(source.columns(j0, j1), eps, xd), device
+            )
+            m_dev = jax.device_put(
+                mask_source.columns(j0, j1), device
+            )
+            return (x_dev, m_dev)
         if not quantized:
             return jax.device_put(
                 _host_prep(source.columns(j0, j1), eps, xd), device
@@ -621,6 +729,7 @@ def solve_out_of_core(
                 if idx + 1 < len(blocks):
                     inflight = put(idx + 1)
                 total += float(cost_block(w, h_blocks[idx], x_dev))
+            total += float(cost_extra(w))
             hist_list.append(total)
             labels.append(it)
             rel = abs(prev_cost - total) / abs(total) if total else float("nan")

@@ -259,13 +259,71 @@ def test_streamed_rejects_unsupported_families(problem):
     from nmf_tpu.parallel.mesh import make_mesh
 
     x, w, h = problem
+    # hals has no streaming variant; beta/regularized/masked are
+    # single-device (the mesh variant implements the reference KL family)
     with pytest.raises(NotImplementedError):
-        streaming.solve_out_of_core(x, w, h, SolveConfig(max_iter=2, l1_h=0.1))
-    with pytest.raises(NotImplementedError):  # beta streaming is single-device
         streaming.solve_out_of_core(
-            x, w, h, SolveConfig(max_iter=2, beta=2.0),
-            mesh=make_mesh(shape=(4, 2)),
+            x, w, h, SolveConfig(max_iter=2, beta=2.0, algorithm="hals")
         )
+    for bad in (
+        SolveConfig(max_iter=2, beta=2.0),
+        SolveConfig(max_iter=2, l1_h=0.1),
+    ):
+        with pytest.raises(NotImplementedError):
+            streaming.solve_out_of_core(
+                x, w, h, bad, mesh=make_mesh(shape=(4, 2))
+            )
+
+
+def test_streamed_regularized_matches_in_memory(problem):
+    """Penalized-KL streaming: penalty gradients are block-local for H and
+    join the W epilogue; the reported objective includes the penalties."""
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=10, l1_h=0.02, l2_w=0.01)
+    ref = solve(x, w, h, cfg)
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256)
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+
+
+def test_streamed_masked_matches_in_memory(problem, tmp_path):
+    """Masked streaming: the mask streams with X (from arrays or .bin files)
+    and both W-side GEMMs accumulate blockwise."""
+    from nmf_tpu.models.masked import solve_masked
+
+    x, w, h = problem
+    rng = np.random.RandomState(7)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    cfg = SolveConfig(max_iter=20, check_every=10)
+    ref = solve_masked(x, w, h, mask, cfg)
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256, mask=mask)
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+    # from .bin files for both X and the mask
+    xp, mp = str(tmp_path / "X.bin"), str(tmp_path / "M.bin")
+    binio.write_matrix(x, xp)
+    binio.write_matrix(mask, mp)
+    res2 = streaming.solve_out_of_core(xp, w, h, cfg, block_n=256, mask=mp)
+    np.testing.assert_allclose(
+        np.asarray(res2.w), np.asarray(res.w), rtol=1e-6, atol=1e-8
+    )
+    # masked + penalties compose
+    cfgp = SolveConfig(max_iter=20, check_every=10, l1_h=0.02, l2_w=0.01)
+    refp = solve_masked(x, w, h, mask, cfgp)
+    resp = streaming.solve_out_of_core(x, w, h, cfgp, block_n=256, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(resp.cost_history), np.asarray(refp.cost_history), rtol=1e-5
+    )
 
 
 @pytest.mark.parametrize("beta", [2.0, 0.0, 1.5])
