@@ -36,7 +36,10 @@ by ``bench.py --workload oocore``).  The cost/convergence check streams X
 one extra time on check iterations only (amortized by ``check_every``).
 
 Device memory high-water mark: W + H + accumulator (M x K) + 2 column
-blocks — independent of N.
+blocks — independent of N.  Family caveats: beta != 1 and masked runs carry
+a SECOND (M, K) accumulator (the blockwise W denominator), and masked runs
+stream the mask alongside X, doubling the per-iteration wire bytes (the
+H2D roofline scales accordingly).
 """
 
 from __future__ import annotations
@@ -138,7 +141,10 @@ def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int
 
 @functools.lru_cache(maxsize=32)
 def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
-    """Jitted per-block kernels: (step_acc, w_epilogue, cost_block, zeros).
+    """Jitted per-block kernels:
+    (step_acc, w_epilogue, cost_block, cost_extra, a2_shape) — cost_extra is
+    the once-per-pass W-penalty term (zero for unpenalized families) and
+    a2_shape tags the second accumulator's shape ('mk' or None for (K,)).
 
     step_acc fuses the H_j update, the block's W-side contributions, AND the
     accumulation into one jitted call — one dispatch per block matters on
@@ -309,7 +315,7 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
 
         a2_shape = "mk"  # (M, K)
 
-    if config.regularized or (masked and (l1_w or l2_w)):
+    if config.regularized:
         def cost_extra(w):
             wf = w.astype(_f32)
             return l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)
@@ -653,10 +659,14 @@ def solve_out_of_core(
             x_dev = jax.device_put(
                 _host_prep(source.columns(j0, j1), eps, xd), device
             )
-            m_dev = jax.device_put(
-                mask_source.columns(j0, j1), device
-            )
-            return (x_dev, m_dev)
+            m_blk = mask_source.columns(j0, j1)
+            if str(xd) == "bfloat16":
+                # the mask rides the same wire as X: match its storage dtype
+                # (lossless for the common binary 0/1 masks)
+                import ml_dtypes
+
+                m_blk = m_blk.astype(ml_dtypes.bfloat16)
+            return (x_dev, jax.device_put(m_blk, device))
         if not quantized:
             return jax.device_put(
                 _host_prep(source.columns(j0, j1), eps, xd), device
