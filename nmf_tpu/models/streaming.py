@@ -333,19 +333,24 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_block_fns(config: SolveConfig, mesh, fused: bool = False):
+def _sharded_block_fns(
+    config: SolveConfig, mesh, fused: bool = False, masked: bool = False
+):
     """Mesh variant of :func:`_block_fns`: per-block shard_map over the
     canonical ('mr','mc') layout — X beyond the POD's aggregate HBM.
 
-    Per block: the H_j update psums its K-sized numerator/colsum over 'mr'
-    (exactly parallel.sharded.update_h_sharded), the block's W-numerator
-    contribution psums over 'mc' and folds into the row-sharded (M/r, K)
-    accumulator.  Every host streams (its shards of) the blocks; W, the H
-    blocks, and the accumulator stay sharded the whole run.
+    Per block: the H_j update psums its K-sized terms over 'mr' and the
+    block's W-side contributions psum over 'mc' into the row-sharded (M/r, K)
+    accumulator(s).  Every host streams (its shards of) the blocks; W, the H
+    blocks, and the accumulators stay sharded the whole run.  Family
+    structure mirrors :func:`_block_fns`: KL carries (numerator, rowsum);
+    beta and masked carry (numerator, denominator) — the masked denominators
+    and the beta Y^(b-1) denominators both decompose over column blocks.
+    Returns (step_acc, w_epilogue, cost_block, cost_extra, a2_shape).
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.elementwise import eps_clamp
     from ..ops.mu import matmul
@@ -354,22 +359,154 @@ def _sharded_block_fns(config: SolveConfig, mesh, fused: bool = False):
 
     eps, prec = config.eps, config.precision
     _f32 = jnp.float32
+    beta = float(config.beta)
+    l1_w, l1_h = config.l1_w, config.l1_h
+    l2_w, l2_h = config.l2_w, config.l2_h
+    n_col = mesh.shape[COL_AXIS]
 
-    def block_step(w_loc, h_loc, x_loc, acc_loc, sumh_loc):
-        h_new = update_h_sharded(w_loc, h_loc, x_loc, eps, prec, fused=fused)
-        if fused:
-            from ..ops.pallas import fused_mu
-
-            wnum_loc = fused_mu.update_w_fused(
-                w_loc, h_new, x_loc, eps, prec, numerator_only=True
+    x_spec = P(ROW_AXIS, COL_AXIS)
+    if masked:
+        # masked/weighted KL (+ optional penalties): the mask block shards
+        # like X; both W-side mask-GEMMs psum over 'mc' and accumulate
+        def block_step(w_loc, h_loc, xm_loc, a1_loc, a2_loc):
+            x_loc, m_loc = xm_loc
+            z = m_loc * (x_loc / eps_clamp(matmul(w_loc, h_loc, prec), eps))
+            numer = jax.lax.psum(
+                matmul(w_loc, z, prec, transpose_a=True), ROW_AXIS
             )
-        else:
-            z = x_loc / eps_clamp(matmul(w_loc, h_new, prec), eps)
-            wnum_loc = matmul(z, h_new, prec, transpose_b=True)
-        wnum = jax.lax.psum(wnum_loc, COL_AXIS)
-        sh = jax.lax.psum(jnp.sum(h_new, axis=1, dtype=_f32), COL_AXIS)
-        return h_new, acc_loc + wnum, sumh_loc + sh
+            denom = eps_clamp(
+                jax.lax.psum(
+                    matmul(w_loc, m_loc, prec, transpose_a=True), ROW_AXIS
+                ),
+                eps,
+            ) + l1_h + l2_h * h_loc.astype(_f32)
+            h_new = (h_loc * (numer / denom)).astype(h_loc.dtype)
 
+            z = m_loc * (x_loc / eps_clamp(matmul(w_loc, h_new, prec), eps))
+            w_num = jax.lax.psum(
+                matmul(z, h_new, prec, transpose_b=True), COL_AXIS
+            )
+            w_den = jax.lax.psum(
+                matmul(m_loc, h_new, prec, transpose_b=True), COL_AXIS
+            )
+            return h_new, a1_loc + w_num, a2_loc + w_den
+
+        def w_epilogue(w, a1, a2):
+            den = eps_clamp(a2, eps) + l1_w + l2_w * w.astype(_f32)
+            return (w * (a1 / den)).astype(w.dtype)
+
+        def cost_partial(w_loc, h_loc, xm_loc):
+            from ..parallel.sharded import masked_kl_partial
+
+            x_loc, m_loc = xm_loc
+            part = masked_kl_partial(x_loc, w_loc, h_loc, m_loc, eps)
+            # the H-penalty partial, replication-normalized over 'mr'
+            hf = h_loc.astype(_f32)
+            part = part + (
+                l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
+            ) / mesh.shape[ROW_AXIS]
+            return jax.lax.psum(part, (ROW_AXIS, COL_AXIS))
+
+        x_spec = (P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, COL_AXIS))
+        a2_shape = "mk"
+    elif beta == 1.0 and config.regularized:
+
+        def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            z = x_loc / eps_clamp(matmul(w_loc, h_loc, prec), eps)
+            numer = jax.lax.psum(
+                matmul(w_loc, z, prec, transpose_a=True), ROW_AXIS
+            )
+            sum_w = eps_clamp(
+                jax.lax.psum(jnp.sum(w_loc, axis=0, dtype=_f32), ROW_AXIS), eps
+            )
+            denom = sum_w[:, None] + l1_h + l2_h * h_loc.astype(_f32)
+            h_new = (h_loc * (numer / denom)).astype(h_loc.dtype)
+
+            z = x_loc / eps_clamp(matmul(w_loc, h_new, prec), eps)
+            wnum = jax.lax.psum(
+                matmul(z, h_new, prec, transpose_b=True), COL_AXIS
+            )
+            sh = jax.lax.psum(jnp.sum(h_new, axis=1, dtype=_f32), COL_AXIS)
+            return h_new, a1_loc + wnum, a2_loc + sh
+
+        def w_epilogue(w, a1, a2):
+            den = eps_clamp(a2, eps)[None, :] + l1_w + l2_w * w.astype(_f32)
+            return (w * (a1 / den)).astype(w.dtype)
+
+        def cost_partial(w_loc, h_loc, x_loc):
+            part = kl_partial(x_loc, w_loc, h_loc, eps)
+            hf = h_loc.astype(_f32)
+            part = part + (
+                l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
+            ) / mesh.shape[ROW_AXIS]
+            return jax.lax.psum(part, (ROW_AXIS, COL_AXIS))
+
+        a2_shape = None
+    elif beta == 1.0:
+
+        def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            h_new = update_h_sharded(w_loc, h_loc, x_loc, eps, prec, fused=fused)
+            if fused:
+                from ..ops.pallas import fused_mu
+
+                wnum_loc = fused_mu.update_w_fused(
+                    w_loc, h_new, x_loc, eps, prec, numerator_only=True
+                )
+            else:
+                z = x_loc / eps_clamp(matmul(w_loc, h_new, prec), eps)
+                wnum_loc = matmul(z, h_new, prec, transpose_b=True)
+            wnum = jax.lax.psum(wnum_loc, COL_AXIS)
+            sh = jax.lax.psum(jnp.sum(h_new, axis=1, dtype=_f32), COL_AXIS)
+            return h_new, a1_loc + wnum, a2_loc + sh
+
+        def w_epilogue(w, a1, a2):
+            # elementwise on identically-sharded operands: GSPMD partitions it
+            return (w * (a1 / eps_clamp(a2, eps)[None, :])).astype(w.dtype)
+
+        def cost_partial(w_loc, h_loc, x_loc):
+            return jax.lax.psum(
+                kl_partial(x_loc, w_loc, h_loc, eps), (ROW_AXIS, COL_AXIS)
+            )
+
+        a2_shape = None
+    else:
+        from ..ops.mu import _beta_ratios
+        from ..parallel.sharded import beta_partial
+
+        def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            num, den = _beta_ratios(w_loc, h_loc, x_loc, beta, eps, prec)
+            h_num = jax.lax.psum(
+                matmul(w_loc, num, prec, transpose_a=True), ROW_AXIS
+            )
+            h_den = eps_clamp(
+                jax.lax.psum(
+                    matmul(w_loc, den, prec, transpose_a=True), ROW_AXIS
+                ),
+                eps,
+            )
+            h_new = (h_loc * (h_num / h_den)).astype(h_loc.dtype)
+
+            num, den = _beta_ratios(w_loc, h_new, x_loc, beta, eps, prec)
+            w_num = jax.lax.psum(
+                matmul(num, h_new, prec, transpose_b=True), COL_AXIS
+            )
+            w_den = jax.lax.psum(
+                matmul(den, h_new, prec, transpose_b=True), COL_AXIS
+            )
+            return h_new, a1_loc + w_num, a2_loc + w_den
+
+        def w_epilogue(w, a1, a2):
+            return (w * (a1 / eps_clamp(a2, eps))).astype(w.dtype)
+
+        def cost_partial(w_loc, h_loc, x_loc):
+            return jax.lax.psum(
+                beta_partial(x_loc, w_loc, h_loc, beta, eps),
+                (ROW_AXIS, COL_AXIS),
+            )
+
+        a2_shape = "mk"
+
+    a2_spec = P(ROW_AXIS, None) if a2_shape == "mk" else P()
     step_acc = jax.jit(
         jax.shard_map(
             block_step,
@@ -377,40 +514,40 @@ def _sharded_block_fns(config: SolveConfig, mesh, fused: bool = False):
             in_specs=(
                 P(ROW_AXIS, None),
                 P(None, COL_AXIS),
-                P(ROW_AXIS, COL_AXIS),
+                x_spec,
                 P(ROW_AXIS, None),
-                P(),
+                a2_spec,
             ),
-            out_specs=(P(None, COL_AXIS), P(ROW_AXIS, None), P()),
+            out_specs=(P(None, COL_AXIS), P(ROW_AXIS, None), a2_spec),
             check_vma=False,
         ),
         donate_argnums=(1, 3, 4),
     )
 
-    def w_epilogue(w, acc, sumh):
-        # elementwise on identically-sharded operands: GSPMD partitions it
-        sumh = eps_clamp(sumh, eps)
-        return (w * (acc / sumh[None, :])).astype(w.dtype)
-
-    def cost_partial(w_loc, h_loc, x_loc):
-        return jax.lax.psum(
-            kl_partial(x_loc, w_loc, h_loc, eps), (ROW_AXIS, COL_AXIS)
-        )
-
     cost_block = jax.jit(
         jax.shard_map(
             cost_partial,
             mesh=mesh,
-            in_specs=(P(ROW_AXIS, None), P(None, COL_AXIS), P(ROW_AXIS, COL_AXIS)),
+            in_specs=(P(ROW_AXIS, None), P(None, COL_AXIS), x_spec),
             out_specs=P(),
             check_vma=False,
         )
     )
 
+    if config.regularized:
+        def cost_extra(w):
+            wf = w.astype(_f32)
+            return l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)
+    else:
+        def cost_extra(w):
+            return jnp.float32(0.0)
+
     return (
         step_acc,
         jax.jit(w_epilogue, donate_argnums=(0,)),
         cost_block,
+        jax.jit(cost_extra),
+        a2_shape,
     )
 
 
@@ -482,13 +619,6 @@ def solve_out_of_core(
             "masked streaming implements the (optionally penalized) KL "
             "family with float/bf16 X"
         )
-    if mesh is not None and (
-        config.beta != 1.0 or config.regularized or mask is not None
-    ):
-        raise NotImplementedError(
-            "mesh streaming implements the reference KL family; the beta / "
-            "regularized / masked variants are single-device for now"
-        )
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be >= 1")
     if mesh is not None and config.precision.x_dtype == "int8":
@@ -536,12 +666,15 @@ def solve_out_of_core(
 
         from ..parallel.sharded import _use_fused
 
-        fused = _use_fused(config, m // r, k, max(1, bn // c))
-        step_acc, w_epilogue, cost_block = _sharded_block_fns(
-            config, mesh, fused=fused
+        fused = (
+            config.beta == 1.0
+            and not config.regularized
+            and mask is None
+            and _use_fused(config, m // r, k, max(1, bn // c))
         )
-        cost_extra = lambda w: jnp.float32(0.0)
-        a2_shape = None  # mesh variant is KL: a2 is the (K,) rowsum
+        step_acc, w_epilogue, cost_block, cost_extra, a2_shape = (
+            _sharded_block_fns(config, mesh, fused=fused, masked=mask is not None)
+        )
         x_target = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
         w_target = NamedSharding(mesh, P(ROW_AXIS, None))
         h_target = NamedSharding(mesh, P(None, COL_AXIS))
@@ -597,12 +730,13 @@ def solve_out_of_core(
     if mesh is not None:
         # accumulators are generated ON DEVICE with the right shardings
         # (a host zeros upload per iteration would be an M x K H2D)
+        a2_target = acc_target if a2_shape == "mk" else rep_target
         _zeros = jax.jit(
             lambda: (
                 jnp.zeros((m, k), jnp.float32),
                 jnp.zeros(a2_dims, jnp.float32),
             ),
-            out_shardings=(acc_target, rep_target),
+            out_shardings=(acc_target, a2_target),
         )
     else:
         def _zeros():

@@ -257,22 +257,59 @@ def test_streamed_mesh_checkpoints_stay_sharded(problem, tmp_path):
 
 def test_streamed_rejects_unsupported_families(problem):
     from nmf_tpu.parallel.mesh import make_mesh
+    from nmf_tpu.utils.config import Precision
 
     x, w, h = problem
-    # hals has no streaming variant; beta/regularized/masked are
-    # single-device (the mesh variant implements the reference KL family)
+    # hals has no streaming variant; masked excludes beta/int8; int8 is
+    # single-device
     with pytest.raises(NotImplementedError):
         streaming.solve_out_of_core(
             x, w, h, SolveConfig(max_iter=2, beta=2.0, algorithm="hals")
         )
-    for bad in (
-        SolveConfig(max_iter=2, beta=2.0),
-        SolveConfig(max_iter=2, l1_h=0.1),
-    ):
-        with pytest.raises(NotImplementedError):
-            streaming.solve_out_of_core(
-                x, w, h, bad, mesh=make_mesh(shape=(4, 2))
-            )
+    mask = np.ones_like(np.asarray(x))
+    with pytest.raises(NotImplementedError):
+        streaming.solve_out_of_core(
+            x, w, h, SolveConfig(max_iter=2, beta=2.0), mask=mask
+        )
+    with pytest.raises(NotImplementedError):
+        streaming.solve_out_of_core(
+            x, w, h,
+            SolveConfig(max_iter=2, precision=Precision(x_dtype="int8")),
+            mesh=make_mesh(shape=(4, 2)),
+        )
+
+
+@pytest.mark.parametrize("kind", ["beta2", "reg", "masked"])
+def test_streamed_extension_families_on_mesh(problem, kind):
+    """Every streaming family runs on the mesh too: sharded-streamed ==
+    single-device-streamed == in-memory."""
+    from nmf_tpu.models.masked import solve_masked
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = problem
+    mesh = make_mesh(shape=(4, 2))
+    mask = None
+    if kind == "beta2":
+        cfg = SolveConfig(max_iter=20, check_every=10, beta=2.0)
+        ref = solve(x, w, h, cfg)
+    elif kind == "reg":
+        cfg = SolveConfig(max_iter=20, check_every=10, l1_h=0.02, l2_w=0.01)
+        ref = solve(x, w, h, cfg)
+    else:
+        rng = np.random.RandomState(11)
+        mask = (rng.rand(*np.shape(x)) > 0.3).astype(np.float32)
+        cfg = SolveConfig(max_iter=20, check_every=10)
+        ref = solve_masked(x, w, h, mask, cfg)
+    res = streaming.solve_out_of_core(
+        x, w, h, cfg, block_n=250, mesh=mesh, mask=mask
+    )
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
 
 
 def test_streamed_regularized_matches_in_memory(problem):
