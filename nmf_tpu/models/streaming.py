@@ -336,6 +336,7 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
 def _sharded_block_fns(
     config: SolveConfig, mesh, fused: bool = False, masked: bool = False
 ):
+    # (quantized KL handled below: codes shard like X, scales over 'mc')
     """Mesh variant of :func:`_block_fns`: per-block shard_map over the
     canonical ('mr','mc') layout — X beyond the POD's aggregate HBM.
 
@@ -443,8 +444,17 @@ def _sharded_block_fns(
 
         a2_shape = None
     elif beta == 1.0:
+        quantized = prec.x_dtype == "int8"
+
+        def _local_x(x_loc):
+            if quantized:
+                from ..ops.quant import dequantize
+
+                return dequantize(x_loc[0], x_loc[1])
+            return x_loc
 
         def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            x_loc = _local_x(x_loc)
             h_new = update_h_sharded(w_loc, h_loc, x_loc, eps, prec, fused=fused)
             if fused:
                 from ..ops.pallas import fused_mu
@@ -465,9 +475,14 @@ def _sharded_block_fns(
 
         def cost_partial(w_loc, h_loc, x_loc):
             return jax.lax.psum(
-                kl_partial(x_loc, w_loc, h_loc, eps), (ROW_AXIS, COL_AXIS)
+                kl_partial(_local_x(x_loc), w_loc, h_loc, eps),
+                (ROW_AXIS, COL_AXIS),
             )
 
+        if quantized:
+            # codes shard like X; the per-column scale vector shards over
+            # 'mc' with its columns
+            x_spec = (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
         a2_shape = None
     else:
         from ..ops.mu import _beta_ratios
@@ -619,12 +634,14 @@ def solve_out_of_core(
             "masked streaming implements the (optionally penalized) KL "
             "family with float/bf16 X"
         )
+    if mesh is not None and config.precision.x_dtype == "int8" and (
+        config.beta != 1.0 or config.regularized
+    ):
+        raise NotImplementedError(
+            "int8-X mesh streaming implements the reference KL family"
+        )
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be >= 1")
-    if mesh is not None and config.precision.x_dtype == "int8":
-        raise NotImplementedError(
-            "quantized X (x_dtype='int8') streaming is single-device for now"
-        )
 
     source = _as_source(x)
     m, n = source.shape
@@ -680,14 +697,15 @@ def solve_out_of_core(
         h_target = NamedSharding(mesh, P(None, COL_AXIS))
         acc_target = w_target
         rep_target = NamedSharding(mesh, P())
+        scales_target = NamedSharding(mesh, P(COL_AXIS))
     else:
         platform = jax.default_backend()
         step_acc, w_epilogue, cost_block, cost_extra, a2_shape = _block_fns(
             config, platform, masked=mask is not None
         )
         x_target = w_target = h_target = acc_target = rep_target = (
-            jax.devices()[0]
-        )
+            scales_target
+        ) = jax.devices()[0]
     device = x_target  # placement target for streamed blocks
 
     it = 0
@@ -810,7 +828,7 @@ def solve_out_of_core(
         else:
             q_np, s_np = _host_prep(source.columns(j0, j1), eps, xd)
             if idx not in _scales_dev:
-                _scales_dev[idx] = jax.device_put(s_np, device)
+                _scales_dev[idx] = jax.device_put(s_np, scales_target)
             if _qcache_bytes[0] + q_np.nbytes <= _QCACHE_BUDGET:
                 _qcache[idx] = q_np
                 _qcache_bytes[0] += q_np.nbytes

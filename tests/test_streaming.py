@@ -211,17 +211,26 @@ def test_streamed_mesh_bin_file_checkpoint(problem, tmp_path):
     )
 
 
-def test_streamed_mesh_rejects_int8(problem):
+def test_streamed_int8_on_mesh_matches_single_device(problem):
+    """int8 mesh streaming: codes shard like X, scales over 'mc'; matches
+    the single-device quantized stream exactly (same codes, same math)."""
     from nmf_tpu.parallel.mesh import make_mesh
     from nmf_tpu.utils.config import Precision
 
     x, w, h = problem
-    with pytest.raises(NotImplementedError, match="int8"):
-        streaming.solve_out_of_core(
-            x, w, h,
-            SolveConfig(max_iter=2, precision=Precision(x_dtype="int8")),
-            mesh=make_mesh(shape=(4, 2)),
-        )
+    cfg = SolveConfig(
+        max_iter=20, check_every=10, precision=Precision(x_dtype="int8")
+    )
+    ref = streaming.solve_out_of_core(x, w, h, cfg, block_n=256)
+    res = streaming.solve_out_of_core(
+        x, w, h, cfg, block_n=256, mesh=make_mesh(shape=(4, 2))
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
 
 
 def test_streamed_mesh_checkpoints_stay_sharded(problem, tmp_path):
@@ -271,10 +280,10 @@ def test_streamed_rejects_unsupported_families(problem):
         streaming.solve_out_of_core(
             x, w, h, SolveConfig(max_iter=2, beta=2.0), mask=mask
         )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):  # int8 mesh streaming is KL-only
         streaming.solve_out_of_core(
             x, w, h,
-            SolveConfig(max_iter=2, precision=Precision(x_dtype="int8")),
+            SolveConfig(max_iter=2, l1_h=0.1, precision=Precision(x_dtype="int8")),
             mesh=make_mesh(shape=(4, 2)),
         )
 
