@@ -139,6 +139,38 @@ def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int
     return min(n, bn)
 
 
+def _penalty_fns(config: SolveConfig):
+    """Shared penalized-family closures: the masked / regularized W
+    epilogues and the once-per-pass W-penalty cost term contain no
+    collectives, so the single-device and mesh block factories use the SAME
+    definitions (one source of truth for the penalty math)."""
+    import jax.numpy as jnp
+
+    from ..ops.elementwise import eps_clamp
+
+    eps = config.eps
+    l1_w, l2_w = config.l1_w, config.l2_w
+    _f32 = jnp.float32
+
+    def masked_epilogue(w, a1, a2):
+        den = eps_clamp(a2, eps) + l1_w + l2_w * w.astype(_f32)
+        return (w * (a1 / den)).astype(w.dtype)
+
+    def reg_epilogue(w, a1, a2):
+        den = eps_clamp(a2, eps)[None, :] + l1_w + l2_w * w.astype(_f32)
+        return (w * (a1 / den)).astype(w.dtype)
+
+    if config.regularized:
+        def cost_extra(w):
+            wf = w.astype(_f32)
+            return l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)
+    else:
+        def cost_extra(w):
+            return jnp.float32(0.0)
+
+    return masked_epilogue, reg_epilogue, cost_extra
+
+
 @functools.lru_cache(maxsize=32)
 def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
     """Jitted per-block kernels:
@@ -207,9 +239,7 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
             w_den = matmul(m_j, h_new, prec, transpose_b=True)
             return h_new, a1 + w_num, a2 + w_den
 
-        def w_epilogue(w, a1, a2):
-            den = eps_clamp(a2, eps) + l1_w + l2_w * w.astype(_f32)
-            return (w * (a1 / den)).astype(w.dtype)
+        w_epilogue, _, _ = _penalty_fns(config)
 
         def cost_block(w, h_j, xm_j):
             from .masked import masked_kl
@@ -239,9 +269,7 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
             sh = jnp.sum(h_new, axis=1, dtype=_f32)
             return h_new, a1 + wnum, a2 + sh
 
-        def w_epilogue(w, a1, a2):
-            den = eps_clamp(a2, eps)[None, :] + l1_w + l2_w * w.astype(_f32)
-            return (w * (a1 / den)).astype(w.dtype)
+        _, w_epilogue, _ = _penalty_fns(config)
 
         def cost_block(w, h_j, x_j):
             y = matmul(
@@ -315,13 +343,7 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
 
         a2_shape = "mk"  # (M, K)
 
-    if config.regularized:
-        def cost_extra(w):
-            wf = w.astype(_f32)
-            return l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)
-    else:
-        def cost_extra(w):
-            return jnp.float32(0.0)
+    _, _, cost_extra = _penalty_fns(config)
 
     return (
         jax.jit(step_acc, donate_argnums=(1, 3, 4)),
@@ -351,7 +373,7 @@ def _sharded_block_fns(
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from ..ops.elementwise import eps_clamp
     from ..ops.mu import matmul
@@ -363,7 +385,6 @@ def _sharded_block_fns(
     beta = float(config.beta)
     l1_w, l1_h = config.l1_w, config.l1_h
     l2_w, l2_h = config.l2_w, config.l2_h
-    n_col = mesh.shape[COL_AXIS]
 
     x_spec = P(ROW_AXIS, COL_AXIS)
     if masked:
@@ -392,9 +413,7 @@ def _sharded_block_fns(
             )
             return h_new, a1_loc + w_num, a2_loc + w_den
 
-        def w_epilogue(w, a1, a2):
-            den = eps_clamp(a2, eps) + l1_w + l2_w * w.astype(_f32)
-            return (w * (a1 / den)).astype(w.dtype)
+        w_epilogue, _, _ = _penalty_fns(config)
 
         def cost_partial(w_loc, h_loc, xm_loc):
             from ..parallel.sharded import masked_kl_partial
@@ -430,9 +449,7 @@ def _sharded_block_fns(
             sh = jax.lax.psum(jnp.sum(h_new, axis=1, dtype=_f32), COL_AXIS)
             return h_new, a1_loc + wnum, a2_loc + sh
 
-        def w_epilogue(w, a1, a2):
-            den = eps_clamp(a2, eps)[None, :] + l1_w + l2_w * w.astype(_f32)
-            return (w * (a1 / den)).astype(w.dtype)
+        _, w_epilogue, _ = _penalty_fns(config)
 
         def cost_partial(w_loc, h_loc, x_loc):
             part = kl_partial(x_loc, w_loc, h_loc, eps)
@@ -549,13 +566,7 @@ def _sharded_block_fns(
         )
     )
 
-    if config.regularized:
-        def cost_extra(w):
-            wf = w.astype(_f32)
-            return l1_w * jnp.sum(jnp.abs(wf)) + 0.5 * l2_w * jnp.sum(wf * wf)
-    else:
-        def cost_extra(w):
-            return jnp.float32(0.0)
+    _, _, cost_extra = _penalty_fns(config)
 
     return (
         step_acc,
@@ -616,10 +627,12 @@ def solve_out_of_core(
     and each block's collectives are the usual K-sized psums — X beyond the
     POD's aggregate HBM, not just one chip's.
 
-    Implements the MU families: the reference KL (beta=1) everywhere, and
-    the general beta-divergence family single-device (for beta != 1 the
-    W-side denominator is a data-dependent GEMM that also accumulates
-    blockwise, so the same one-pass sweep applies with two accumulators).
+    Implements every MU family — the reference KL, the general
+    beta-divergence family (its data-dependent W denominator also
+    accumulates blockwise, so the same one-pass sweep applies with two
+    accumulators), penalized KL, and masked KL (``mask=``) — each both
+    single-device and on meshes.  int8 X streams in both modes for the
+    plain KL family.
     """
     import jax
     import jax.numpy as jnp
@@ -683,10 +696,14 @@ def solve_out_of_core(
 
         from ..parallel.sharded import _use_fused
 
+        from ..ops.pallas import fused_mu as _fused_mu
+
         fused = (
             config.beta == 1.0
             and not config.regularized
             and mask is None
+            and config.precision.x_dtype != "int8"  # dequant is XLA-fused
+            and _fused_mu.supported(k)
             and _use_fused(config, m // r, k, max(1, bn // c))
         )
         step_acc, w_epilogue, cost_block, cost_extra, a2_shape = (
