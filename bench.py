@@ -117,26 +117,44 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
             0, n_steps, lambda _, wh: step(wh[0], wh[1], x), (w, h)
         )
 
-    _sync(run(w, h, x, 3))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync(run(w, h, x, short))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(run(w, h, x, long))
-        t_long = time.perf_counter() - t0
-        best = min(best, (t_long - t_short) / (long - short))
+    def _measure_best(rounds):
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            _sync(run(w, h, x, short))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _sync(run(w, h, x, long))
+            t_long = time.perf_counter() - t0
+            best = min(best, (t_long - t_short) / (long - short))
+        return best
 
-    iters_per_sec = 1.0 / best
-    tflops = flops_per_iter(m, k, n) * iters_per_sec / 1e12
+    _sync(run(w, h, x, 3))  # compile + warm
+    best = _measure_best(3)
     peak = peak_tflops(dtype)
-    return {
+
+    def _tflops(per):
+        return flops_per_iter(m, k, n) / per / 1e12
+
+    # a result above the device peak is physically impossible — the
+    # long/short differencing mis-measured (block_until_ready is unreliable
+    # on this platform); take the MEDIAN-grade re-measurement and flag if
+    # it still exceeds the peak rather than reporting bogus numbers
+    suspect = None
+    if peak is not None and _tflops(best) > peak:
+        best = max(best, _measure_best(3))
+        if _tflops(best) > peak:
+            suspect = f"exceeds {peak:.0f} TF/s device peak; timing unreliable"
+    tflops = _tflops(best)
+    out = {
         "ms_per_iter": best * 1e3,
-        "iters_per_sec": iters_per_sec,
+        "iters_per_sec": 1.0 / best,
         "achieved_tflops": tflops,
         "fraction_of_peak": (tflops / peak) if peak else None,
     }
+    if suspect:
+        out["suspect"] = suspect
+    return out
 
 
 def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
@@ -414,6 +432,8 @@ def main(argv=None) -> int:
         "device": str(jax.devices()[0]),
         "backend": backend_used,
     }
+    if stats.get("suspect"):
+        record["suspect"] = stats["suspect"]
     print(json.dumps(record))
     return 0
 
