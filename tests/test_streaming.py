@@ -394,3 +394,31 @@ def test_pick_block_n_lane_aligned():
     assert streaming.pick_block_n(96, 100) == 100  # capped at n
     # huge M: floor at 128 columns
     assert streaming.pick_block_n(10_000_000, 4096) == 128
+
+
+@pytest.mark.parametrize("kind", ["beta2", "reg"])
+def test_streamed_int8_composes_with_families(problem, kind):
+    """int8 X composes with the beta and penalized streaming families
+    single-device (the jnp block steps dequantize the (codes, scales) pair)."""
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    if kind == "beta2":
+        cfg = SolveConfig(
+            max_iter=20, check_every=10, beta=2.0,
+            precision=Precision(x_dtype="int8"),
+        )
+    else:
+        cfg = SolveConfig(
+            max_iter=20, check_every=10, l1_h=0.02,
+            precision=Precision(x_dtype="int8"),
+        )
+    ref = solve(x, w, h, cfg)  # in-memory int8: identical quantized data
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256)
+    assert int(res.iterations) == 20
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
