@@ -68,8 +68,10 @@ def masked_kl(
     """Masked KL divergence (observed entries only) + optional penalties."""
     y = eps_clamp(matmul(w, h, Precision()), eps)
     xf = x.astype(_F32)
-    term = xf * (jnp.log(xf) - jnp.log(y)) - xf + y
-    total = jnp.sum(mask * term)
+    # x -> 0 limit of x*log(x/y) is 0 (keeps the '+y' mass finite for exact
+    # zeros, e.g. dequantized int8 data) — same convention as kl_divergence
+    xlog = jnp.where(xf > 0, xf * (jnp.log(xf) - jnp.log(y)), 0.0)
+    total = jnp.sum(mask * (xlog - xf + y))
     if l1_w or l1_h or l2_w or l2_h:
         wf, hf = w.astype(_F32), h.astype(_F32)
         total = total + (

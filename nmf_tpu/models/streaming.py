@@ -642,10 +642,14 @@ def solve_out_of_core(
     config.validate()
     if config.algorithm != "mu":
         raise NotImplementedError("out-of-core solve implements the MU families")
-    if mask is not None and (config.beta != 1.0 or config.precision.x_dtype == "int8"):
+    if mask is not None and config.beta != 1.0:
         raise NotImplementedError(
-            "masked streaming implements the (optionally penalized) KL "
-            "family with float/bf16 X"
+            "masked streaming implements the (optionally penalized) KL family"
+        )
+    if mask is not None and mesh is not None and config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "masked int8-X streaming is single-device (the mesh masked step "
+            "does not dequantize)"
         )
     if mesh is not None and config.precision.x_dtype == "int8" and (
         config.beta != 1.0 or config.regularized
@@ -825,6 +829,8 @@ def solve_out_of_core(
     def put(idx: int):
         j0, j1 = blocks[idx]
         if mask_source is not None:
+            # X prep may be a (codes, scales) pair for int8 storage —
+            # device_put places the pytree; the masked step dequantizes
             x_dev = jax.device_put(
                 _host_prep(source.columns(j0, j1), eps, xd), device
             )

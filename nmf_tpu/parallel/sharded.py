@@ -233,8 +233,9 @@ def masked_kl_partial(
     penalty exactly once."""
     y = eps_clamp(matmul(w, h, Precision("float32", "float32")), eps)
     xf = x.astype(_F32)
-    term = xf * (jnp.log(xf) - jnp.log(y)) - xf + y
-    total = jnp.sum(mask * term)
+    # x -> 0 limit of x*log(x/y) (see models.masked.masked_kl)
+    xlog = jnp.where(xf > 0, xf * (jnp.log(xf) - jnp.log(y)), 0.0)
+    total = jnp.sum(mask * (xlog - xf + y))
     if l1_w or l1_h or l2_w or l2_h:
         wf, hf = w.astype(_F32), h.astype(_F32)
         total = total + (

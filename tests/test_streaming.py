@@ -422,3 +422,37 @@ def test_streamed_int8_composes_with_families(problem, kind):
     np.testing.assert_allclose(
         np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
     )
+
+
+def test_streamed_masked_int8(problem):
+    """Masked streaming composes with int8 X storage single-device: the
+    result matches the in-memory masked solve on the dequantized data."""
+    from nmf_tpu.models.masked import solve_masked
+    from nmf_tpu.ops.quant import dequantize, quantize_columns
+    from nmf_tpu.parallel.mesh import make_mesh
+    from nmf_tpu.utils.config import Precision
+
+    import jax.numpy as jnp
+
+    x, w, h = problem
+    rng = np.random.RandomState(13)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    cfg = SolveConfig(
+        max_iter=20, check_every=10, precision=Precision(x_dtype="int8")
+    )
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256, mask=mask)
+    # reference: in-memory masked on the SAME quantized data
+    eps = np.float32(cfg.eps)
+    xq = np.asarray(dequantize(*quantize_columns(jnp.maximum(jnp.asarray(x), eps), float(eps))))
+    ref = solve_masked(xq, w, h, mask, SolveConfig(max_iter=20, check_every=10))
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+    # mesh + masked + int8 stays excluded with a clear error
+    with pytest.raises(NotImplementedError, match="masked int8"):
+        streaming.solve_out_of_core(
+            x, w, h, cfg, block_n=250, mask=mask, mesh=make_mesh(shape=(4, 2))
+        )
