@@ -115,19 +115,14 @@ def solve_h_only(
 
     With ``mesh`` the solve runs distributed over the canonical ('mr', 'mc')
     layout — the pod-scale inference path (W fixed/replicated over 'mc',
-    only H's K-sized numerator psums per iteration).  HALS h-only is
-    column-sequential and stays single-device.
+    only K-sized products psum per iteration, for the MU families and HALS
+    alike).
     """
     config.validate()
     quant = config.precision.x_dtype == "int8"
     if quant and mesh is not None:
         raise NotImplementedError(
             "quantized X (x_dtype='int8') h-only solves are single-device"
-        )
-    if mesh is not None and config.algorithm == "hals":
-        raise NotImplementedError(
-            "HALS h-only updates columns sequentially; use the MU families "
-            "on a mesh"
         )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.maximum(jnp.asarray(x, _F32), config.eps)

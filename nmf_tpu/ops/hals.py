@@ -12,6 +12,14 @@ TPU mapping: the Gram/cross products W^T W, W^T X, H H^T, X H^T hit the MXU;
 the K sequential rank-1 refinements are a ``lax.fori_loop`` of VPU
 row/column updates (K is small, so this tail is cheap).  Only beta=2
 (Frobenius) — for KL, MU is the standard and remains the default.
+
+Distributed note: HALS's sequential sweep runs over the RANK axis, which is
+replicated in the canonical mesh layout (parallel/mesh.py) — so the sweeps
+themselves are embarrassingly parallel over the sharded M/N axes.  The only
+cross-device data are the Gram/cross products, which psum exactly like the
+MU numerators; :func:`cd_sweep_h` / :func:`cd_sweep_w` take those products
+as inputs so the single-device, sharded, and streaming solvers share one
+sweep definition.
 """
 
 from __future__ import annotations
@@ -24,39 +32,58 @@ import jax.numpy as jnp
 from ..utils.config import Precision
 from .mu import matmul
 
-__all__ = ["hals_step"]
+__all__ = ["hals_step", "cd_sweep_h", "cd_sweep_w"]
 
 _F32 = jnp.float32
+
+
+def cd_sweep_h(h, wtx, wtw, eps: float) -> jnp.ndarray:
+    """Sweep H's rows once by coordinate descent.
+
+    ``wtx`` = W^T X (K x N) and ``wtw`` = W^T W (K x K) must be GLOBAL
+    products; ``h`` may be the full matrix or any column shard — each row
+    update is elementwise over columns, so the sweep needs no communication.
+    """
+    k_rank = h.shape[0]
+
+    def body(k, hh):
+        # residual gradient row against the CURRENT h (already-updated rows
+        # of this sweep included — that's what makes it coordinate descent)
+        grad = wtx[k] - wtw[k] @ hh                      # (N,)
+        denom = jnp.maximum(wtw[k, k], eps)
+        row = jnp.maximum(hh[k] + grad / denom, 0.0)
+        return hh.at[k].set(row)
+
+    return jax.lax.fori_loop(0, k_rank, body, h.astype(_F32)).astype(h.dtype)
+
+
+def cd_sweep_w(w, xht, hht, eps: float) -> jnp.ndarray:
+    """Sweep W's columns once by coordinate descent.
+
+    ``xht`` = X H^T (M x K) and ``hht`` = H H^T (K x K) must be GLOBAL
+    products; ``w`` may be the full matrix or any row shard.
+    """
+    k_rank = w.shape[1]
+
+    def body(k, ww):
+        grad = xht[:, k] - ww @ hht[:, k]                # (M,)
+        denom = jnp.maximum(hht[k, k], eps)
+        col = jnp.maximum(ww[:, k] + grad / denom, 0.0)
+        return ww.at[:, k].set(col)
+
+    return jax.lax.fori_loop(0, k_rank, body, w.astype(_F32)).astype(w.dtype)
 
 
 def _update_h_hals(w, h, x, eps: float, precision: Precision) -> jnp.ndarray:
     wtx = matmul(w, x, precision, transpose_a=True)     # (K, N)
     wtw = matmul(w, w, precision, transpose_a=True)     # (K, K)
-    k_rank = h.shape[0]
-
-    def body(k, h):
-        # residual gradient row against the CURRENT h (already-updated rows
-        # of this sweep included — that's what makes it coordinate descent)
-        grad = wtx[k] - wtw[k] @ h                       # (N,)
-        denom = jnp.maximum(wtw[k, k], eps)
-        row = jnp.maximum(h[k] + grad / denom, 0.0)
-        return h.at[k].set(row)
-
-    return jax.lax.fori_loop(0, k_rank, body, h.astype(_F32)).astype(h.dtype)
+    return cd_sweep_h(h, wtx.astype(_F32), wtw.astype(_F32), eps)
 
 
 def _update_w_hals(w, h, x, eps: float, precision: Precision) -> jnp.ndarray:
     xht = matmul(x, h, precision, transpose_b=True)     # (M, K)
     hht = matmul(h, h, precision, transpose_b=True)     # (K, K)
-    k_rank = w.shape[1]
-
-    def body(k, w):
-        grad = xht[:, k] - w @ hht[:, k]                 # (M,)
-        denom = jnp.maximum(hht[k, k], eps)
-        col = jnp.maximum(w[:, k] + grad / denom, 0.0)
-        return w.at[:, k].set(col)
-
-    return jax.lax.fori_loop(0, k_rank, body, w.astype(_F32)).astype(w.dtype)
+    return cd_sweep_w(w, xht.astype(_F32), hht.astype(_F32), eps)
 
 
 def hals_step(

@@ -151,6 +151,32 @@ def mu_step_sharded_beta(w, h, x, beta, eps, precision):
     return w, h
 
 
+def hals_step_sharded(w, h, x, eps, precision):
+    """Sharded HALS outer iteration (distributed ops.hals.hals_step).
+
+    HALS's sequential coordinate sweep runs over the RANK axis, which the
+    canonical layout replicates — so only the Gram/cross products cross
+    devices, and they psum exactly like the MU numerators:
+
+        W^T X -> psum over 'mr' (K x N/c)    W^T W -> psum 'mr' (K x K)
+        X H^T -> psum over 'mc' (M/r x K)    H H^T -> psum 'mc' (K x K)
+
+    The coordinate sweeps (ops.hals.cd_sweep_{h,w}) then refine the local
+    H column / W row shards with zero further communication; the W sweep
+    uses the post-sweep H, matching the single-device ordering.
+    """
+    from ..ops.hals import cd_sweep_h, cd_sweep_w
+
+    wtx = jax.lax.psum(matmul(w, x, precision, transpose_a=True), ROW_AXIS)
+    wtw = jax.lax.psum(matmul(w, w, precision, transpose_a=True), ROW_AXIS)
+    h = cd_sweep_h(h, wtx, wtw, eps)
+
+    xht = jax.lax.psum(matmul(x, h, precision, transpose_b=True), COL_AXIS)
+    hht = jax.lax.psum(matmul(h, h, precision, transpose_b=True), COL_AXIS)
+    w = cd_sweep_w(w, xht, hht, eps)
+    return w, h
+
+
 def mu_step_sharded_reg(
     w, h, x, eps, precision, l1_w=0.0, l1_h=0.0, l2_w=0.0, l2_h=0.0
 ):
@@ -291,11 +317,6 @@ def solve_sharded(
     cost history are fully replicated.
     """
     config.validate()
-    if config.algorithm == "hals":
-        raise NotImplementedError(
-            "HALS updates columns sequentially (coordinate descent); the "
-            "sharded solver implements the MU families"
-        )
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
     quant = precision.x_dtype == "int8"
@@ -333,7 +354,7 @@ def solve_sharded(
                 )
         else:
             x = jnp.asarray(x, xd)
-    fused = (not quant) and _use_fused(
+    fused = (not quant) and config.algorithm == "mu" and _use_fused(
         config,
         shape_x[0] // mesh.shape[ROW_AXIS],
         w0.shape[1],
@@ -386,7 +407,12 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
     """
     eps, precision = config.eps, config.precision
     quant = precision.x_dtype == "int8"
-    if config.beta == 1.0 and config.regularized:
+    if config.algorithm == "hals":
+        step_fn = functools.partial(
+            hals_step_sharded, eps=eps, precision=precision
+        )
+        cost_fn = functools.partial(beta_partial, beta=2.0, eps=eps)
+    elif config.beta == 1.0 and config.regularized:
         step_fn = functools.partial(
             mu_step_sharded_reg, eps=eps, precision=precision,
             l1_w=config.l1_w, l1_h=config.l1_h,
@@ -520,13 +546,27 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
 def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
     """Jitted shard_map H-only solver (distributed models.nmf.solve_h_only).
 
-    Supports the MU families (any beta, and the KL+penalty variant); HALS
-    h-only is column-sequential and stays single-device.
+    Supports the MU families (any beta, the KL+penalty variant) and HALS:
+    the HALS row sweep is elementwise over H's sharded column axis, so only
+    the K-sized W^T X / W^T W products psum (over 'mr').
     """
     eps, precision = config.eps, config.precision
     r = mesh.shape[ROW_AXIS]
 
-    if config.beta == 1.0 and config.regularized:
+    if config.algorithm == "hals":
+        from ..ops.hals import cd_sweep_h
+
+        def step(w, h, x):
+            wtx = jax.lax.psum(
+                matmul(w, x, precision, transpose_a=True), ROW_AXIS
+            )
+            wtw = jax.lax.psum(
+                matmul(w, w, precision, transpose_a=True), ROW_AXIS
+            )
+            return w, cd_sweep_h(h, wtx, wtw, eps)
+
+        cost = functools.partial(beta_partial, beta=2.0, eps=eps)
+    elif config.beta == 1.0 and config.regularized:
 
         def step(w, h, x):
             z = x / eps_clamp(matmul(w, h, precision), eps)
