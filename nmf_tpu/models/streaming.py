@@ -200,6 +200,7 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
     use_fused = (
         platform == "tpu"
         and beta == 1.0
+        and config.algorithm == "mu"
         and not masked
         and not config.regularized
         and (
@@ -219,7 +220,34 @@ def _block_fns(config: SolveConfig, platform: str, masked: bool = False):
             return dequantize(x_j[0], x_j[1])
         return x_j
 
-    if masked:
+    if config.algorithm == "hals":
+        # HALS: the H row sweep is column-local, so it decomposes over blocks
+        # EXACTLY (same wtx/wtw as the in-memory sweep); the W sweep's global
+        # X H^T / H H^T products accumulate blockwise.  W is fixed during the
+        # sweep, so the per-block W^T W recompute is identical every block
+        # and costs <1% of the block GEMMs (M*K^2 vs 3*M*K*bn FLOPs) — the
+        # price of keeping the one-dispatch-per-block contract.
+        from ..ops.hals import cd_sweep_h, cd_sweep_w
+
+        def step_acc(w, h_j, x_j, a1, a2):
+            x_j = _dense(x_j)
+            wtx = matmul(w, x_j, prec, transpose_a=True)       # (K, bn)
+            wtw = matmul(w, w, prec, transpose_a=True)         # (K, K)
+            h_new = cd_sweep_h(h_j, wtx, wtw, eps)
+            xht = matmul(x_j, h_new, prec, transpose_b=True)   # (M, K)
+            hht = matmul(h_new, h_new, prec, transpose_b=True) # (K, K)
+            return h_new, a1 + xht, a2 + hht
+
+        def w_epilogue(w, a1, a2):
+            return cd_sweep_w(w, a1, a2, eps)
+
+        def cost_block(w, h_j, x_j):
+            from ..parallel.sharded import beta_partial
+
+            return beta_partial(_dense(x_j), w, h_j, 2.0, eps)
+
+        a2_shape = "kk"
+    elif masked:
         # masked/weighted KL (+ optional penalties): the mask streams with X
         # as a (x_j, mask_j) pair; BOTH W-side GEMMs accumulate blockwise
         # (models.masked.mu_step_masked restated per block).
@@ -387,7 +415,43 @@ def _sharded_block_fns(
     l2_w, l2_h = config.l2_w, config.l2_h
 
     x_spec = P(ROW_AXIS, COL_AXIS)
-    if masked:
+    if config.algorithm == "hals":
+        # HALS on the mesh: per block the Gram/cross products psum like the
+        # sharded in-memory step (hals_step_sharded); the coordinate sweeps
+        # are local to each shard.  a2 is the replicated (K,K) H H^T.
+        from ..ops.hals import cd_sweep_h, cd_sweep_w
+
+        def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            wtx = jax.lax.psum(
+                matmul(w_loc, x_loc, prec, transpose_a=True), ROW_AXIS
+            )
+            wtw = jax.lax.psum(
+                matmul(w_loc, w_loc, prec, transpose_a=True), ROW_AXIS
+            )
+            h_new = cd_sweep_h(h_loc, wtx, wtw, eps)
+            xht = jax.lax.psum(
+                matmul(x_loc, h_new, prec, transpose_b=True), COL_AXIS
+            )
+            hht = jax.lax.psum(
+                matmul(h_new, h_new, prec, transpose_b=True), COL_AXIS
+            )
+            return h_new, a1_loc + xht, a2_loc + hht
+
+        def w_epilogue(w, a1, a2):
+            # row-sharded W/a1 with replicated a2: the sweep partitions over
+            # rows, so GSPMD runs it collective-free
+            return cd_sweep_w(w, a1, a2, eps)
+
+        def cost_partial(w_loc, h_loc, x_loc):
+            from ..parallel.sharded import beta_partial
+
+            return jax.lax.psum(
+                beta_partial(x_loc, w_loc, h_loc, 2.0, eps),
+                (ROW_AXIS, COL_AXIS),
+            )
+
+        a2_shape = "kk"
+    elif masked:
         # masked/weighted KL (+ optional penalties): the mask block shards
         # like X; both W-side mask-GEMMs psum over 'mc' and accumulate
         def block_step(w_loc, h_loc, xm_loc, a1_loc, a2_loc):
@@ -627,12 +691,14 @@ def solve_out_of_core(
     and each block's collectives are the usual K-sized psums — X beyond the
     POD's aggregate HBM, not just one chip's.
 
-    Implements every MU family — the reference KL, the general
+    Implements every solver family — the reference KL, the general
     beta-divergence family (its data-dependent W denominator also
     accumulates blockwise, so the same one-pass sweep applies with two
-    accumulators), penalized KL, and masked KL (``mask=``) — each both
-    single-device and on meshes.  int8 X streams in both modes for the
-    plain KL family.
+    accumulators), penalized KL, masked KL (``mask=``), and HALS (whose
+    column-local H row sweep decomposes over blocks exactly, with the W
+    sweep's global X H^T / H H^T products accumulated blockwise) — each
+    both single-device and on meshes.  int8 X streams in both modes for
+    the plain KL family.
     """
     import jax
     import jax.numpy as jnp
@@ -640,8 +706,6 @@ def solve_out_of_core(
     from .solver import SolveResult
 
     config.validate()
-    if config.algorithm != "mu":
-        raise NotImplementedError("out-of-core solve implements the MU families")
     if mask is not None and config.beta != 1.0:
         raise NotImplementedError(
             "masked streaming implements the (optionally penalized) KL family"
@@ -765,7 +829,7 @@ def solve_out_of_core(
             labels = list(state.check_iterations or [])
             converged = state.converged
 
-    a2_dims = (m, k) if a2_shape == "mk" else (k,)
+    a2_dims = {"mk": (m, k), "kk": (k, k)}.get(a2_shape, (k,))
     if mesh is not None:
         # accumulators are generated ON DEVICE with the right shardings
         # (a host zeros upload per iteration would be an M x K H2D)

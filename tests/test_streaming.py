@@ -269,12 +269,7 @@ def test_streamed_rejects_unsupported_families(problem):
     from nmf_tpu.utils.config import Precision
 
     x, w, h = problem
-    # hals has no streaming variant; masked excludes beta/int8; int8 is
-    # single-device
-    with pytest.raises(NotImplementedError):
-        streaming.solve_out_of_core(
-            x, w, h, SolveConfig(max_iter=2, beta=2.0, algorithm="hals")
-        )
+    # masked excludes beta/int8; int8 mesh streaming is KL-only
     mask = np.ones_like(np.asarray(x))
     with pytest.raises(NotImplementedError):
         streaming.solve_out_of_core(
@@ -288,7 +283,7 @@ def test_streamed_rejects_unsupported_families(problem):
         )
 
 
-@pytest.mark.parametrize("kind", ["beta2", "reg", "masked"])
+@pytest.mark.parametrize("kind", ["beta2", "reg", "masked", "hals"])
 def test_streamed_extension_families_on_mesh(problem, kind):
     """Every streaming family runs on the mesh too: sharded-streamed ==
     single-device-streamed == in-memory."""
@@ -300,6 +295,9 @@ def test_streamed_extension_families_on_mesh(problem, kind):
     mask = None
     if kind == "beta2":
         cfg = SolveConfig(max_iter=20, check_every=10, beta=2.0)
+        ref = solve(x, w, h, cfg)
+    elif kind == "hals":
+        cfg = SolveConfig(max_iter=20, check_every=10, beta=2.0, algorithm="hals")
         ref = solve(x, w, h, cfg)
     elif kind == "reg":
         cfg = SolveConfig(max_iter=20, check_every=10, l1_h=0.02, l2_w=0.01)
@@ -313,9 +311,15 @@ def test_streamed_extension_families_on_mesh(problem, kind):
         x, w, h, cfg, block_n=250, mesh=mesh, mask=mask
     )
     assert int(res.iterations) == 20
-    np.testing.assert_allclose(
-        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
-    )
+    w_res, w_ref = np.asarray(res.w), np.asarray(ref.w)
+    if kind == "hals":
+        # truncation-boundary entries: scale-relative atol (see
+        # test_streamed_hals_matches_in_memory)
+        np.testing.assert_allclose(
+            w_res, w_ref, rtol=5e-4, atol=1e-5 * float(np.abs(w_ref).max())
+        )
+    else:
+        np.testing.assert_allclose(w_res, w_ref, rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(
         np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
     )
@@ -389,6 +393,30 @@ def test_streamed_beta_matches_in_memory(problem, beta):
     )
 
 
+@pytest.mark.parametrize("block_n", [128, 250, 1000])
+def test_streamed_hals_matches_in_memory(problem, block_n):
+    """Streaming HALS: the column-local H row sweep decomposes over blocks
+    exactly; the W sweep's global X H^T / H H^T accumulate blockwise."""
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=10, beta=2.0, algorithm="hals")
+    ref = solve(x, w, h, cfg)
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=block_n)
+    assert int(res.iterations) == 20
+    # HALS max(., 0) truncation: near-boundary entries have unbounded
+    # RELATIVE sensitivity to blockwise fp summation order — compare with a
+    # scale-relative atol and pin the Frobenius objective tightly
+    for a, b in ((res.w, ref.w), (res.h, ref.h)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=1e-5 * max(float(np.abs(b).max()), 1e-6)
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+    assert float(np.min(np.asarray(res.w))) >= 0.0
+    assert float(np.min(np.asarray(res.h))) >= 0.0
+
+
 def test_pick_block_n_lane_aligned():
     assert streaming.pick_block_n(96, 1000, block_bytes=4 * 96 * 300) == 256
     assert streaming.pick_block_n(96, 100) == 100  # capped at n
@@ -396,9 +424,9 @@ def test_pick_block_n_lane_aligned():
     assert streaming.pick_block_n(10_000_000, 4096) == 128
 
 
-@pytest.mark.parametrize("kind", ["beta2", "reg"])
+@pytest.mark.parametrize("kind", ["beta2", "reg", "hals"])
 def test_streamed_int8_composes_with_families(problem, kind):
-    """int8 X composes with the beta and penalized streaming families
+    """int8 X composes with the beta, penalized, and HALS streaming families
     single-device (the jnp block steps dequantize the (codes, scales) pair)."""
     from nmf_tpu.utils.config import Precision
 
@@ -406,6 +434,11 @@ def test_streamed_int8_composes_with_families(problem, kind):
     if kind == "beta2":
         cfg = SolveConfig(
             max_iter=20, check_every=10, beta=2.0,
+            precision=Precision(x_dtype="int8"),
+        )
+    elif kind == "hals":
+        cfg = SolveConfig(
+            max_iter=20, check_every=10, beta=2.0, algorithm="hals",
             precision=Precision(x_dtype="int8"),
         )
     else:
@@ -416,9 +449,13 @@ def test_streamed_int8_composes_with_families(problem, kind):
     ref = solve(x, w, h, cfg)  # in-memory int8: identical quantized data
     res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256)
     assert int(res.iterations) == 20
-    np.testing.assert_allclose(
-        np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
-    )
+    w_res, w_ref = np.asarray(res.w), np.asarray(ref.w)
+    if kind == "hals":
+        np.testing.assert_allclose(
+            w_res, w_ref, rtol=5e-4, atol=1e-5 * float(np.abs(w_ref).max())
+        )
+    else:
+        np.testing.assert_allclose(w_res, w_ref, rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(
         np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
     )
