@@ -27,6 +27,12 @@ from .models.masked import solve_masked
 from .models.streaming import solve_out_of_core
 from .models.strict import solve_strict
 from .models.sparse import SparseX, solve_sparse, sparse_from_dense
+from .models.sparse_tiled import (
+    TileSparseX,
+    solve_sparse_tiled,
+    tiles_from_coo,
+    tiles_from_dense,
+)
 from .parallel import make_mesh, solve_batched, solve_sharded
 from .utils.config import Precision, SolveConfig, reference_preset
 
@@ -57,6 +63,10 @@ __all__ = [
     "solve_sparse",
     "SparseX",
     "sparse_from_dense",
+    "solve_sparse_tiled",
+    "TileSparseX",
+    "tiles_from_coo",
+    "tiles_from_dense",
     "solve_sharded",
     "solve_batched",
     "make_mesh",

@@ -5,6 +5,12 @@ from .nmf import NMF, solve_h_only
 from .streaming import solve_out_of_core
 from .strict import solve_strict
 from .sparse import SparseX, solve_sparse, sparse_from_dense
+from .sparse_tiled import (
+    TileSparseX,
+    solve_sparse_tiled,
+    tiles_from_coo,
+    tiles_from_dense,
+)
 from .separation import SeparationResult, istft, separate, stft
 from .solver import SolveResult, solve
 
@@ -18,6 +24,10 @@ __all__ = [
     "solve_sparse",
     "SparseX",
     "sparse_from_dense",
+    "solve_sparse_tiled",
+    "TileSparseX",
+    "tiles_from_coo",
+    "tiles_from_dense",
     "random_init",
     "scaled_random_init",
     "nndsvd_init",

@@ -1,0 +1,581 @@
+"""Tile-sparse X: block-sparse KL-NMF that keeps the MXU busy.
+
+The COO prototype (models/sparse.py) is memory-optimal but VPU-bound: each
+nonzero costs a K-length gather + elementwise work, so the MXU idles (its
+docstring says so; ROADMAP.md defers "Sparse X at scale" to exactly this
+module).  Real sparse data (spectrogram harmonics, text/recsys co-occurrence)
+is CLUSTERED: nonzeros concentrate in a small fraction of (bm x bn) tiles.
+Storing just the occupied tiles densely turns the sparse solve into batched
+dense GEMMs — the TPU-native sparse format:
+
+  * X is partitioned into (bm, bn) tiles; only tiles containing a nonzero
+    are kept, as a dense (T, bm, bn) payload + (T,) row/col BLOCK indices.
+  * Per occupied tile t at block (i, j), with W_i = W[i*bm:(i+1)*bm] and
+    H_j = H[:, j*bn:(j+1)*bn]:
+        Y_t = W_i @ H_j          Z_t = X_t / clamp(Y_t)
+        H-numerator[j] += W_i^T @ Z_t        W-numerator[i] += Z_t @ H_j^T
+    Unoccupied tiles have X = 0 => Z = 0: they contribute NOTHING to either
+    numerator, so skipping them is exact (same argument as sparse.py).
+  * The update denominators are the X-free colsum(W)/rowsum(H) (nmf.cu:134,
+    164), and the KL cost splits as sum_tiles(x log x - x log y - x) +
+    colsum(W) . rowsum(H) — never a dense M x N reconstruction.
+
+TPU mapping: tiles are processed in fixed-size chunks under ``lax.scan``;
+each chunk gathers its W row-blocks / H col-blocks ((chunk, bm, K) and
+(chunk, K, bn)), runs three batched MXU contractions (reconstruct, H-side,
+W-side), and scatter-adds into per-block accumulators (deterministic
+``.at[].add``).  Compute and memory scale with OCCUPIED TILES, not M x N.
+
+Semantics match models/sparse.py: zeros are EXACT zeros (== the dense solver
+with ``clamp_inputs=False``), not the reference's load-time clamp.
+
+With ``mesh`` the solve shards the canonical ('mr','mc') layout: each device
+owns the tiles of its (row-block range x col-block range), per-device tile
+lists are padded to a common length with inert zero tiles, and the
+numerators psum over the same axes as the dense sharded solver
+(parallel/sharded.py) — tile-sparse at pod scale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils.config import SolveConfig
+
+__all__ = [
+    "TileSparseX",
+    "solve_sparse_tiled",
+    "tiles_from_coo",
+    "tiles_from_dense",
+]
+
+_CHUNK = 64      # tiles per scan step: (chunk, bm, bn) + two gathered factor
+#                  chunks stay comfortably inside VMEM-friendly working sets
+_TILE = 128      # default (bm, bn): one MXU/lane-aligned block
+
+
+def _register(cls):
+    import jax
+
+    return jax.tree_util.register_dataclass(cls)
+
+
+@_register
+@dataclasses.dataclass
+class TileSparseX:
+    """Occupied (bm, bn) tiles of X with their block coordinates.
+
+    ``tiles[t]`` is the dense payload of block (rows[t], cols[t]); exact-zero
+    tiles (all-zero payload) are inert padding.  ``shape`` is the LOGICAL
+    (m, n); the block grid covers ceil(m/bm) x ceil(n/bn) with zero-padded
+    edges (zero entries contribute nothing anywhere — see module docstring).
+    """
+
+    tiles: "jnp.ndarray"   # (T, bm, bn) f32
+    rows: "jnp.ndarray"    # (T,) i32 — row-block index
+    cols: "jnp.ndarray"    # (T,) i32 — col-block index
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def tile_shape(self) -> Tuple[int, int]:
+        return tuple(self.tiles.shape[1:])
+
+    def occupancy(self) -> float:
+        """Stored fraction of the dense M x N footprint."""
+        t, bm, bn = self.tiles.shape
+        m, n = self.shape
+        return t * bm * bn / float(m * n)
+
+
+def tiles_from_coo(
+    data, rows, cols, shape: Tuple[int, int], tile: Tuple[int, int] = (_TILE, _TILE)
+) -> TileSparseX:
+    """Bucket COO nonzeros into dense occupied tiles (host-side, NumPy)."""
+    import jax.numpy as jnp
+
+    bm, bn = int(tile[0]), int(tile[1])
+    m, n = int(shape[0]), int(shape[1])
+    data = np.asarray(data, np.float32).ravel()
+    rows = np.asarray(rows, np.int64).ravel()
+    cols = np.asarray(cols, np.int64).ravel()
+    if not (data.shape == rows.shape == cols.shape):
+        raise ValueError("data/rows/cols must have identical lengths")
+    if data.size and (
+        rows.min() < 0 or cols.min() < 0 or rows.max() >= m or cols.max() >= n
+    ):
+        raise ValueError(f"indices out of bounds for shape {(m, n)}")
+    nb = -(-n // bn)
+    key = (rows // bm) * nb + (cols // bn)
+    uniq = np.unique(key)
+    t = max(len(uniq), 1)
+    tiles = np.zeros((t, bm, bn), np.float32)
+    if data.size:
+        slot = np.searchsorted(uniq, key)
+        # duplicates sum (standard COO semantics)
+        np.add.at(tiles, (slot, rows % bm, cols % bn), data)
+    trows = (uniq // nb).astype(np.int32) if len(uniq) else np.zeros(1, np.int32)
+    tcols = (uniq % nb).astype(np.int32) if len(uniq) else np.zeros(1, np.int32)
+    return TileSparseX(
+        tiles=jnp.asarray(tiles),
+        rows=jnp.asarray(trows),
+        cols=jnp.asarray(tcols),
+        shape=(m, n),
+    )
+
+
+def tiles_from_dense(x, tile: Tuple[int, int] = (_TILE, _TILE)) -> TileSparseX:
+    """Build a TileSparseX from a dense array's nonzeros (test/convenience)."""
+    x = np.asarray(x, np.float32)
+    rows, cols = np.nonzero(x)
+    return tiles_from_coo(x[rows, cols], rows, cols, x.shape, tile)
+
+
+def _pad_tiles_np(tiles, rows, cols, multiple: int):
+    """Pad the tile list to a count multiple with zero tiles at block (0,0)."""
+    t = tiles.shape[0]
+    padded = -(-max(t, 1) // multiple) * multiple
+    if padded == t:
+        return tiles, rows, cols
+    p = padded - t
+    return (
+        np.concatenate([tiles, np.zeros((p, *tiles.shape[1:]), tiles.dtype)]),
+        np.concatenate([rows, np.zeros(p, rows.dtype)]),
+        np.concatenate([cols, np.zeros(p, cols.dtype)]),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _tiled_fns(config: SolveConfig, chunk: int):
+    """Jitted solve program for tile-sparse KL-MU (single device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.elementwise import eps_clamp
+    from .solver import run_checked_loop
+
+    eps = config.eps
+    prec = config.precision
+    _f32 = jnp.float32
+    mmd = jnp.dtype(prec.mm_input_dtype)
+    pmm = prec.lax_matmul_precision()
+    phi = jax.lax.Precision.HIGHEST  # cost reconstruction never drifts
+
+    def _chunked(tiles, rows, cols):
+        n_chunks = tiles.shape[0] // chunk
+        return (
+            tiles.reshape(n_chunks, chunk, *tiles.shape[1:]),
+            rows.reshape(n_chunks, chunk),
+            cols.reshape(n_chunks, chunk),
+        )
+
+    def _z(t, wt, ht):
+        """Z = X_t / clamp(W_i H_j) for a gathered tile chunk, f32."""
+        y = jnp.einsum(
+            "tbk,tkn->tbn", wt, ht, precision=pmm, preferred_element_type=_f32
+        )
+        return t.astype(_f32) / eps_clamp(y, eps)
+
+    def _sweep(w, h, tiles, rows, cols, target: str):
+        """Accumulate the numerator GEMMs over occupied-tile chunks.
+
+        target 'h': sum W_i^T Z_t into col-block j -> (K, Np)
+        target 'w': sum Z_t H_j^T into row-block i -> (Mp, K)
+        """
+        k = w.shape[1]
+        bm, bn = tiles.shape[1:]
+        mb, nb = w.shape[0] // bm, h.shape[1] // bn
+        wb = w.reshape(mb, bm, k).astype(mmd)
+        hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(mmd)  # (Nb, K, bn)
+        ts, rs, cs = _chunked(tiles, rows, cols)
+
+        def body(acc, inp):
+            t, r, c = inp
+            wt = wb[r]                      # (chunk, bm, K)
+            ht = hb[c]                      # (chunk, K, bn)
+            z = _z(t, wt, ht).astype(mmd)
+            if target == "h":
+                contrib = jnp.einsum(
+                    "tbk,tbn->tkn", wt, z,
+                    precision=pmm, preferred_element_type=_f32,
+                )
+                acc = acc.at[c].add(contrib)
+            else:
+                contrib = jnp.einsum(
+                    "tbn,tkn->tbk", z, ht,
+                    precision=pmm, preferred_element_type=_f32,
+                )
+                acc = acc.at[r].add(contrib)
+            return acc, None
+
+        if target == "h":
+            acc0 = jnp.zeros((nb, k, bn), _f32)
+            acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+            return acc.transpose(1, 0, 2).reshape(k, nb * bn)
+        acc0 = jnp.zeros((mb, bm, k), _f32)
+        acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+        return acc.reshape(mb * bm, k)
+
+    def step(w, h, tx: TileSparseX):
+        """One full MU iteration in reference order (H half, then W half
+        with the new H; nmf.cu:118-176), X read only at its occupied tiles."""
+        numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "h")
+        sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_f32), eps)
+        h = (h * (numer / sum_w[:, None])).astype(h.dtype)
+
+        numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "w")
+        sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_f32), eps)
+        w = (w * (numer / sum_h[None, :])).astype(w.dtype)
+        return w, h
+
+    def cost(tx: TileSparseX, w, h):
+        """KL with the x -> 0 limit at zeros: the '+y' mass of the WHOLE
+        matrix is colsum(W) . rowsum(H); occupied tiles add x*log(x/y) - x."""
+        k = w.shape[1]
+        bm, bn = tx.tiles.shape[1:]
+        mb, nb = w.shape[0] // bm, h.shape[1] // bn
+        wb = w.reshape(mb, bm, k).astype(_f32)
+        hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(_f32)
+        ts, rs, cs = _chunked(tx.tiles, tx.rows, tx.cols)
+
+        def body(acc, inp):
+            t, r, c = inp
+            y = eps_clamp(
+                jnp.einsum(
+                    "tbk,tkn->tbn", wb[r], hb[c],
+                    precision=phi, preferred_element_type=_f32,
+                ),
+                eps,
+            )
+            tf = t.astype(_f32)
+            term = jnp.where(
+                tf > 0,
+                tf * (jnp.log(jnp.maximum(tf, eps)) - jnp.log(y)) - tf,
+                0.0,
+            )
+            return acc + jnp.sum(term), None
+
+        x_part, _ = jax.lax.scan(body, jnp.float32(0.0), (ts, rs, cs))
+        total_y = jnp.dot(
+            jnp.sum(w, axis=0, dtype=_f32), jnp.sum(h, axis=1, dtype=_f32)
+        )
+        return x_part + total_y
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def solve_fn(tx, w, h, initial_cost):
+        return run_checked_loop(
+            tx, w, h, config, step, cost, initial_cost=initial_cost
+        )
+
+    return solve_fn
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded tile-sparse solve
+# ---------------------------------------------------------------------------
+
+
+def _partition_tiles_np(tiles, rows, cols, mb_pad, nb_pad, mesh, chunk):
+    """Split the tile list into per-device lists by (row-range, col-range),
+    localize the block indices, and pad every list to one common
+    chunk-aligned length (zero tiles at local (0,0) are inert).
+
+    Returns host arrays stacked in ``mesh.devices.flat`` order, ready to be
+    device_put with a P(('mr','mc')) leading-axis sharding, plus the common
+    per-device tile count.
+    """
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+    r, c = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+    rows_per, cols_per = mb_pad // r, nb_pad // c
+    parts = []
+    for p in range(r):
+        for q in range(c):
+            sel = (
+                (rows // rows_per == p) & (cols // cols_per == q)
+            )
+            parts.append(
+                (
+                    tiles[sel],
+                    (rows[sel] - p * rows_per).astype(np.int32),
+                    (cols[sel] - q * cols_per).astype(np.int32),
+                )
+            )
+    t_max = max(max(p[0].shape[0] for p in parts), 1)
+    t_max = -(-t_max // chunk) * chunk
+    out_t, out_r, out_c = [], [], []
+    for t, rr, cc in parts:
+        pad = t_max - t.shape[0]
+        out_t.append(
+            np.concatenate([t, np.zeros((pad, *tiles.shape[1:]), tiles.dtype)])
+        )
+        out_r.append(np.concatenate([rr, np.zeros(pad, np.int32)]))
+        out_c.append(np.concatenate([cc, np.zeros(pad, np.int32)]))
+    return (
+        np.concatenate(out_t),
+        np.concatenate(out_r),
+        np.concatenate(out_c),
+        t_max,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
+    """Jitted shard_map solve for tile-sparse KL-MU on the canonical mesh.
+
+    Each device sweeps ITS tiles into local accumulators; the H numerator
+    psums over 'mr' and the W numerator over 'mc' — exactly the dense
+    sharded solver's collectives (parallel/sharded.py), with per-device
+    compute proportional to the device's occupied tiles.  The cost psums
+    its x-part over both axes and adds the colsum(W).rowsum(H) term from
+    already-psummed factor sums (computed replicated, counted once).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.elementwise import eps_clamp
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from .solver import SolveResult, run_checked_loop
+
+    eps = config.eps
+    prec = config.precision
+    _f32 = jnp.float32
+    mmd = jnp.dtype(prec.mm_input_dtype)
+    pmm = prec.lax_matmul_precision()
+    phi = jax.lax.Precision.HIGHEST
+
+    def _sweep_local(w, h, tiles, rows, cols, target: str):
+        k = w.shape[1]
+        bm, bn = tiles.shape[1:]
+        mb, nb = w.shape[0] // bm, h.shape[1] // bn
+        wb = w.reshape(mb, bm, k).astype(mmd)
+        hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(mmd)
+        n_chunks = tiles.shape[0] // chunk
+        ts = tiles.reshape(n_chunks, chunk, bm, bn)
+        rs = rows.reshape(n_chunks, chunk)
+        cs = cols.reshape(n_chunks, chunk)
+
+        def body(acc, inp):
+            t, r, c = inp
+            wt, ht = wb[r], hb[c]
+            y = jnp.einsum(
+                "tbk,tkn->tbn", wt, ht,
+                precision=pmm, preferred_element_type=_f32,
+            )
+            z = (t.astype(_f32) / eps_clamp(y, eps)).astype(mmd)
+            if target == "h":
+                contrib = jnp.einsum(
+                    "tbk,tbn->tkn", wt, z,
+                    precision=pmm, preferred_element_type=_f32,
+                )
+                return acc.at[c].add(contrib), None
+            contrib = jnp.einsum(
+                "tbn,tkn->tbk", z, ht,
+                precision=pmm, preferred_element_type=_f32,
+            )
+            return acc.at[r].add(contrib), None
+
+        if target == "h":
+            acc0 = jnp.zeros((nb, k, bn), _f32)
+            acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+            return acc.transpose(1, 0, 2).reshape(k, nb * bn)
+        acc0 = jnp.zeros((mb, bm, k), _f32)
+        acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+        return acc.reshape(mb * bm, k)
+
+    def step(w, h, tx):
+        tiles, rows, cols = tx
+        numer = jax.lax.psum(
+            _sweep_local(w, h, tiles, rows, cols, "h"), ROW_AXIS
+        )
+        sum_w = eps_clamp(
+            jax.lax.psum(jnp.sum(w, axis=0, dtype=_f32), ROW_AXIS), eps
+        )
+        h = (h * (numer / sum_w[:, None])).astype(h.dtype)
+
+        numer = jax.lax.psum(
+            _sweep_local(w, h, tiles, rows, cols, "w"), COL_AXIS
+        )
+        sum_h = eps_clamp(
+            jax.lax.psum(jnp.sum(h, axis=1, dtype=_f32), COL_AXIS), eps
+        )
+        w = (w * (numer / sum_h[None, :])).astype(w.dtype)
+        return w, h
+
+    def cost(tx, w, h):
+        tiles, rows, cols = tx
+        k = w.shape[1]
+        bm, bn = tiles.shape[1:]
+        mb, nb = w.shape[0] // bm, h.shape[1] // bn
+        wb = w.reshape(mb, bm, k).astype(_f32)
+        hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(_f32)
+        n_chunks = tiles.shape[0] // chunk
+        ts = tiles.reshape(n_chunks, chunk, bm, bn)
+        rs = rows.reshape(n_chunks, chunk)
+        cs = cols.reshape(n_chunks, chunk)
+
+        def body(acc, inp):
+            t, r, c = inp
+            y = eps_clamp(
+                jnp.einsum(
+                    "tbk,tkn->tbn", wb[r], hb[c],
+                    precision=phi, preferred_element_type=_f32,
+                ),
+                eps,
+            )
+            tf = t.astype(_f32)
+            term = jnp.where(
+                tf > 0,
+                tf * (jnp.log(jnp.maximum(tf, eps)) - jnp.log(y)) - tf,
+                0.0,
+            )
+            return acc + jnp.sum(term), None
+
+        x_loc, _ = jax.lax.scan(body, jnp.float32(0.0), (ts, rs, cs))
+        # x-part psums over both axes (tiles are disjoint across devices);
+        # the '+y' mass comes from globally-psummed K-sized factor sums and
+        # is computed replicated — counted exactly once
+        x_part = jax.lax.psum(x_loc, (ROW_AXIS, COL_AXIS))
+        sum_w = jax.lax.psum(jnp.sum(w, axis=0, dtype=_f32), ROW_AXIS)
+        sum_h = jax.lax.psum(jnp.sum(h, axis=1, dtype=_f32), COL_AXIS)
+        return x_part + jnp.dot(sum_w, sum_h)
+
+    def local_solve(tx, w_loc, h_loc, initial_cost):
+        # cost() already psums its partials; the predicate scalar is
+        # replicated by construction, so no outer all_reduce
+        return run_checked_loop(
+            tx, w_loc, h_loc, config, step, cost, initial_cost=initial_cost
+        )
+
+    out_specs = SolveResult(
+        w=P(ROW_AXIS, None),
+        h=P(None, COL_AXIS),
+        iterations=P(),
+        cost=P(),
+        cost_history=P(),
+        num_checks=P(),
+        converged=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(
+                (P((ROW_AXIS, COL_AXIS)), P((ROW_AXIS, COL_AXIS)), P((ROW_AXIS, COL_AXIS))),
+                P(ROW_AXIS, None),
+                P(None, COL_AXIS),
+                P(),
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(1, 2),
+    )
+
+
+def solve_sparse_tiled(
+    x,
+    w0,
+    h0,
+    config: SolveConfig = SolveConfig(),
+    chunk: int = _CHUNK,
+    tile: Tuple[int, int] = (_TILE, _TILE),
+    mesh=None,
+) -> "SolveResult":
+    """Factorize a tile-sparse X (TileSparseX, or anything dense-like whose
+    nonzeros define one).  Zero entries are exact zeros (module docstring);
+    W/H are dense device arrays as usual; compute scales with occupied tiles.
+
+    With ``mesh`` the solve shards the canonical ('mr','mc') layout (each
+    device owns its block-range's tiles; numerators psum like the dense
+    sharded solver).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    config.validate()
+    if config.beta != 1.0 or config.regularized or config.algorithm != "mu":
+        raise NotImplementedError(
+            "tile-sparse solve implements the KL (beta=1) MU family"
+        )
+    if config.precision.x_dtype == "int8":
+        raise NotImplementedError("tile-sparse X supports float32/bfloat16 tiles")
+    tx = x if isinstance(x, TileSparseX) else tiles_from_dense(x, tile)
+    m, n = tx.shape
+    bm, bn = tx.tile_shape
+    sd = jnp.dtype(config.precision.state_dtype)
+    xd = jnp.dtype(config.precision.x_dtype)
+    w0 = np.asarray(w0, np.float32)
+    h0 = np.asarray(h0, np.float32)
+    if (m, n) != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
+        raise ValueError(
+            f"shape mismatch: X{(m, n)} vs W{w0.shape} @ H{h0.shape}"
+        )
+    k = w0.shape[1]
+    mb, nb = -(-m // bm), -(-n // bn)
+    if mesh is not None:
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+        r, c = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+        mb, nb = -(-mb // r) * r, -(-nb // c) * c
+    mp, np_ = mb * bm, nb * bn
+
+    # Padded factors: clamp the LOGICAL region, zero the padding — padded H
+    # columns / W rows see zero numerators and stay exactly zero under the
+    # multiplicative update, and contribute zero to every sum (incl. the
+    # colsum.rowsum '+y' mass), so the padded solve == the logical solve.
+    w_pad = np.zeros((mp, k), np.float32)
+    h_pad = np.zeros((k, np_), np.float32)
+    w_pad[:m] = np.maximum(w0, np.float32(config.eps))
+    h_pad[:, :n] = np.maximum(h0, np.float32(config.eps))
+
+    tiles_np = np.asarray(tx.tiles, np.float32)
+    rows_np = np.asarray(tx.rows, np.int32)
+    cols_np = np.asarray(tx.cols, np.int32)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+        tiles_np, rows_np, cols_np, _ = _partition_tiles_np(
+            tiles_np, rows_np, cols_np, mb, nb, mesh, int(chunk)
+        )
+        both = NamedSharding(mesh, P((ROW_AXIS, COL_AXIS)))
+        tx_dev = (
+            jax.device_put(tiles_np.astype(xd), both),
+            jax.device_put(rows_np, both),
+            jax.device_put(cols_np, both),
+        )
+        w_dev = jax.device_put(
+            w_pad.astype(sd), NamedSharding(mesh, P(ROW_AXIS, None))
+        )
+        h_dev = jax.device_put(
+            h_pad.astype(sd), NamedSharding(mesh, P(None, COL_AXIS))
+        )
+        fn = _tiled_sharded_fns(config, int(chunk), mesh)
+        res = fn(tx_dev, w_dev, h_dev, jnp.asarray(jnp.nan, jnp.float32))
+    else:
+        tiles_np, rows_np, cols_np = _pad_tiles_np(
+            tiles_np, rows_np, cols_np, int(chunk)
+        )
+        tx_dev = TileSparseX(
+            tiles=jnp.asarray(tiles_np.astype(xd)),
+            rows=jnp.asarray(rows_np),
+            cols=jnp.asarray(cols_np),
+            shape=(mp, np_),
+        )
+        fn = _tiled_fns(config, int(chunk))
+        res = fn(
+            tx_dev,
+            jnp.asarray(w_pad, sd),
+            jnp.asarray(h_pad, sd),
+            jnp.asarray(jnp.nan, jnp.float32),
+        )
+    if (mp, np_) != (m, n):
+        res = dataclasses.replace(res, w=res.w[:m], h=res.h[:, :n])
+    return res
