@@ -509,13 +509,12 @@ def solve_sparse_tiled(
     bm, bn = tx.tile_shape
     sd = jnp.dtype(config.precision.state_dtype)
     xd = jnp.dtype(config.precision.x_dtype)
-    w0 = np.asarray(w0, np.float32)
-    h0 = np.asarray(h0, np.float32)
-    if (m, n) != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
+    shape_w, shape_h = jnp.shape(w0), jnp.shape(h0)
+    if (m, n) != (shape_w[0], shape_h[1]) or shape_w[1] != shape_h[0]:
         raise ValueError(
-            f"shape mismatch: X{(m, n)} vs W{w0.shape} @ H{h0.shape}"
+            f"shape mismatch: X{(m, n)} vs W{shape_w} @ H{shape_h}"
         )
-    k = w0.shape[1]
+    k = shape_w[1]
     mb, nb = -(-m // bm), -(-n // bn)
     if mesh is not None:
         from ..parallel.mesh import COL_AXIS, ROW_AXIS
@@ -524,20 +523,24 @@ def solve_sparse_tiled(
         mb, nb = -(-mb // r) * r, -(-nb // c) * c
     mp, np_ = mb * bm, nb * bn
 
-    # Padded factors: clamp the LOGICAL region, zero the padding — padded H
-    # columns / W rows see zero numerators and stay exactly zero under the
-    # multiplicative update, and contribute zero to every sum (incl. the
-    # colsum.rowsum '+y' mass), so the padded solve == the logical solve.
-    w_pad = np.zeros((mp, k), np.float32)
-    h_pad = np.zeros((k, np_), np.float32)
-    w_pad[:m] = np.maximum(w0, np.float32(config.eps))
-    h_pad[:, :n] = np.maximum(h0, np.float32(config.eps))
-
-    tiles_np = np.asarray(tx.tiles, np.float32)
-    rows_np = np.asarray(tx.rows, np.int32)
-    cols_np = np.asarray(tx.cols, np.int32)
+    if (mp, np_) == (m, n):
+        # block-aligned problem: device-resident factors stay on device
+        w_pad = jnp.maximum(jnp.asarray(w0, jnp.float32), jnp.float32(config.eps))
+        h_pad = jnp.maximum(jnp.asarray(h0, jnp.float32), jnp.float32(config.eps))
+    else:
+        # Padded factors: clamp the LOGICAL region, zero the padding — padded
+        # H columns / W rows see zero numerators and stay exactly zero under
+        # the multiplicative update, and contribute zero to every sum (incl.
+        # the colsum.rowsum '+y' mass): the padded solve == the logical solve.
+        w_pad = np.zeros((mp, k), np.float32)
+        h_pad = np.zeros((k, np_), np.float32)
+        w_pad[:m] = np.maximum(np.asarray(w0, np.float32), np.float32(config.eps))
+        h_pad[:, :n] = np.maximum(np.asarray(h0, np.float32), np.float32(config.eps))
 
     if mesh is not None:
+        tiles_np = np.asarray(tx.tiles, np.float32)
+        rows_np = np.asarray(tx.rows, np.int32)
+        cols_np = np.asarray(tx.cols, np.int32)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.mesh import COL_AXIS, ROW_AXIS
@@ -560,13 +563,21 @@ def solve_sparse_tiled(
         fn = _tiled_sharded_fns(config, int(chunk), mesh)
         res = fn(tx_dev, w_dev, h_dev, jnp.asarray(jnp.nan, jnp.float32))
     else:
-        tiles_np, rows_np, cols_np = _pad_tiles_np(
-            tiles_np, rows_np, cols_np, int(chunk)
-        )
+        if int(tx.tiles.shape[0]) % int(chunk):
+            tiles_a, rows_a, cols_a = _pad_tiles_np(
+                np.asarray(tx.tiles, np.float32),
+                np.asarray(tx.rows, np.int32),
+                np.asarray(tx.cols, np.int32),
+                int(chunk),
+            )
+        else:
+            # already chunk-aligned: device-resident tile arrays pass
+            # through without a host round trip
+            tiles_a, rows_a, cols_a = tx.tiles, tx.rows, tx.cols
         tx_dev = TileSparseX(
-            tiles=jnp.asarray(tiles_np.astype(xd)),
-            rows=jnp.asarray(rows_np),
-            cols=jnp.asarray(cols_np),
+            tiles=jnp.asarray(tiles_a, xd),
+            rows=jnp.asarray(rows_a, jnp.int32),
+            cols=jnp.asarray(cols_a, jnp.int32),
             shape=(mp, np_),
         )
         fn = _tiled_fns(config, int(chunk))
