@@ -149,8 +149,15 @@ def _pad_tiles_np(tiles, rows, cols, multiple: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _tiled_fns(config: SolveConfig, chunk: int):
-    """Jitted solve program for tile-sparse KL-MU (single device)."""
+def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
+    """Jitted solve program for tile-sparse KL-MU (single device).
+
+    With ``pallas`` the numerator sweeps run the scalar-prefetch Pallas
+    kernels (ops/pallas/tile_sparse.py) and the solve's X payload is
+    ``(tx, plan_h, plan_w)`` — the sweep plans are host-precomputed,
+    sorted-by-output-block index triples.  The cost pass stays on the
+    jnp scan (checks are amortized by check_every).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -219,21 +226,41 @@ def _tiled_fns(config: SolveConfig, chunk: int):
         acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
         return acc.reshape(mb * bm, k)
 
-    def step(w, h, tx: TileSparseX):
-        """One full MU iteration in reference order (H half, then W half
-        with the new H; nmf.cu:118-176), X read only at its occupied tiles."""
-        numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "h")
-        sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_f32), eps)
-        h = (h * (numer / sum_w[:, None])).astype(h.dtype)
+    if pallas:
+        from ..ops.pallas import tile_sparse as ts
 
-        numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "w")
-        sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_f32), eps)
-        w = (w * (numer / sum_h[None, :])).astype(w.dtype)
-        return w, h
+        def step(w, h, xarg):
+            """One full MU iteration (reference order, nmf.cu:118-176) with
+            the numerators swept by the Pallas block-sparse kernels."""
+            tx, plan_h, plan_w = xarg
+            numer = ts.h_numerator(w, h, tx.tiles, *plan_h, eps, prec)
+            sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_f32), eps)
+            h = (h * (numer / sum_w[:, None])).astype(h.dtype)
 
-    def cost(tx: TileSparseX, w, h):
+            numer = ts.w_numerator(w, h, tx.tiles, *plan_w, eps, prec)
+            sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_f32), eps)
+            w = (w * (numer / sum_h[None, :])).astype(w.dtype)
+            return w, h
+
+    else:
+
+        def step(w, h, tx: TileSparseX):
+            """One full MU iteration in reference order (H half, then W half
+            with the new H; nmf.cu:118-176), X read only at its occupied
+            tiles."""
+            numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "h")
+            sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_f32), eps)
+            h = (h * (numer / sum_w[:, None])).astype(h.dtype)
+
+            numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "w")
+            sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_f32), eps)
+            w = (w * (numer / sum_h[None, :])).astype(w.dtype)
+            return w, h
+
+    def cost(xarg, w, h):
         """KL with the x -> 0 limit at zeros: the '+y' mass of the WHOLE
         matrix is colsum(W) . rowsum(H); occupied tiles add x*log(x/y) - x."""
+        tx = xarg[0] if pallas else xarg
         k = w.shape[1]
         bm, bn = tx.tiles.shape[1:]
         mb, nb = w.shape[0] // bm, h.shape[1] // bn
@@ -580,9 +607,34 @@ def solve_sparse_tiled(
             cols=jnp.asarray(cols_a, jnp.int32),
             shape=(mp, np_),
         )
-        fn = _tiled_fns(config, int(chunk))
+        from ..ops.pallas import tile_sparse as ts
+
+        use_pallas = (
+            ts.supported(k, bm, bn, config.precision)
+            if config.backend == "pallas"
+            else (
+                config.backend != "jnp"
+                and ts.preferred(k, bm, bn, config.precision)
+            )
+        )
+        if use_pallas:
+            # sweep plans are host-side index metadata (tiny); the padding
+            # tiles are all-zero and land in block (0,0)'s run, contributing
+            # nothing
+            rows_h = np.asarray(rows_a, np.int32)
+            cols_h = np.asarray(cols_a, np.int32)
+            plan_h = tuple(
+                jnp.asarray(a) for a in ts.sweep_plan(rows_h, cols_h, nb, "col")
+            )
+            plan_w = tuple(
+                jnp.asarray(a) for a in ts.sweep_plan(rows_h, cols_h, mb, "row")
+            )
+            xarg = (tx_dev, plan_h, plan_w)
+        else:
+            xarg = tx_dev
+        fn = _tiled_fns(config, int(chunk), pallas=use_pallas)
         res = fn(
-            tx_dev,
+            xarg,
             jnp.asarray(w_pad, sd),
             jnp.asarray(h_pad, sd),
             jnp.asarray(jnp.nan, jnp.float32),

@@ -173,3 +173,81 @@ def test_kl_cost_fused_unclamped_zeros_match_jnp():
     ref = kl_divergence(x, w, h)
     assert np.isfinite(float(ref))
     assert float(ours) == pytest.approx(float(ref), rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Tile-sparse sweep kernels (ops/pallas/tile_sparse.py), interpret mode
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tile_problem():
+    rng = np.random.RandomState(3)
+    bm = bn = 128
+    m, k, n = 512, 16, 640  # 4 x 5 block grid; cols 1 and 3 left empty
+    x = np.zeros((m, n), np.float32)
+    for (i, j) in [(0, 0), (1, 2), (3, 4), (2, 2), (0, 4)]:
+        blk = rng.rand(bm, bn).astype(np.float32)
+        blk[rng.rand(bm, bn) < 0.6] = 0
+        x[i * bm:(i + 1) * bm, j * bn:(j + 1) * bn] = blk
+    w = clamp(rng.rand(m, k).astype(np.float32))
+    h = clamp(rng.rand(k, n).astype(np.float32))
+    return x, w, h
+
+
+def test_tile_sparse_numerators_match_dense(tile_problem):
+    """Both sweep kernels == the dense numerators with exact zeros, and
+    output blocks with no tiles (sentinel entries) come back exactly zero."""
+    from nmf_tpu.models.sparse_tiled import tiles_from_dense
+    from nmf_tpu.ops.pallas import tile_sparse as ts
+
+    x, w, h = tile_problem
+    tx = tiles_from_dense(x, tile=(128, 128))
+    rows, cols = np.asarray(tx.rows), np.asarray(tx.cols)
+    eps = float(np.float32(2.2204e-16))
+    z = x / np.maximum(w @ h, eps)
+
+    ph = [jnp.asarray(a) for a in ts.sweep_plan(rows, cols, 640 // 128, "col")]
+    num_h = ts.h_numerator(
+        jnp.asarray(w), jnp.asarray(h), tx.tiles, *ph, eps, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(num_h), w.T @ z, rtol=1e-5, atol=1e-6
+    )
+    # empty col blocks (1 and 3): exact zeros via the sentinel init
+    assert np.all(np.asarray(num_h)[:, 128:256] == 0.0)
+    assert np.all(np.asarray(num_h)[:, 384:512] == 0.0)
+
+    pw = [jnp.asarray(a) for a in ts.sweep_plan(rows, cols, 512 // 128, "row")]
+    num_w = ts.w_numerator(
+        jnp.asarray(w), jnp.asarray(h), tx.tiles, *pw, eps, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(num_w), z @ h.T, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_tile_sparse_sweep_plan_invariants(tile_problem):
+    from nmf_tpu.models.sparse_tiled import tiles_from_dense
+    from nmf_tpu.ops.pallas import tile_sparse as ts
+
+    x, _, _ = tile_problem
+    tx = tiles_from_dense(x, tile=(128, 128))
+    rows, cols = np.asarray(tx.rows), np.asarray(tx.cols)
+    perm, rr, cc = ts.sweep_plan(rows, cols, 5, "col")
+    # sorted by output block; every block present exactly once as a run
+    assert np.all(np.diff(cc) >= 0)
+    assert set(cc.tolist()) == set(range(5))
+    # sentinels mark exactly the empty blocks
+    assert set(cc[perm < 0].tolist()) == {1, 3}
+    # real entries cover every tile exactly once
+    assert sorted(perm[perm >= 0].tolist()) == list(range(len(rows)))
+
+
+def test_tile_sparse_backend_rule():
+    from nmf_tpu.ops.pallas import tile_sparse as ts
+    from nmf_tpu.utils.config import Precision
+
+    # off-TPU (this CI runs on CPU): never supported, never preferred
+    assert not ts.supported(128, 128, 128, Precision())
+    assert not ts.preferred(128, 128, 128, Precision())
