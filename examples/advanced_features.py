@@ -74,3 +74,23 @@ xs[rng.rand(m, n) < 0.95] = 0.0
 res_sp = nt.solve_sparse(xs, w0, h0, nt.SolveConfig(max_iter=30), chunk=4096)
 nnz = int(nt.sparse_from_dense(xs).data.shape[0])
 print(f"{'sparse (5%)':14s} cost {float(res_sp.cost):.4f}  nnz={nnz}")
+
+# --- tile-sparse X (block-sparse, MXU-driven; scales with occupied tiles) ---
+xt = np.zeros((m, n), np.float32)
+xt[:128, :128] = x[:128, :128]          # clustered nonzeros: 2 occupied
+xt[128:256, 256:384] = x[128:256, 256:384]  # (128,128) tiles out of 8
+tx = nt.tiles_from_dense(xt, tile=(128, 128))
+res_t = nt.solve_sparse_tiled(tx, w0, h0, nt.SolveConfig(max_iter=30))
+print(
+    f"{'tile-sparse':14s} cost {float(res_t.cost):.4f}  "
+    f"occupancy={tx.occupancy():.2f} ({tx.tiles.shape[0]} tiles)"
+)
+
+# --- HALS everywhere: a second solver family, orthogonal to parallelism ----
+cfg_h = nt.SolveConfig(max_iter=30, beta=2.0, algorithm="hals")
+res_h = nt.solve(x, w0, h0, cfg_h)
+res_ho = nt.solve_out_of_core(x, w0, h0, cfg_h, block_n=128)
+print(
+    f"{'hals':14s} cost {float(res_h.cost):.4f}  "
+    f"(out-of-core: {float(res_ho.cost):.4f}; also mesh-shardable)"
+)

@@ -185,6 +185,9 @@ def _cmd_run_out_of_core(args) -> int:
         r_, c_ = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=(r_, c_))
     config = _config_from(args)
+    mask_source = None
+    if args.mask:
+        mask_source = BinColumnSource(args.mask)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
     with logger.timed() as t:
         res = solve_out_of_core(
@@ -192,6 +195,7 @@ def _cmd_run_out_of_core(args) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             mesh=mesh,
+            mask=mask_source,
         )
     logger.report(res, (m, n), t.seconds, check_every=config.check_every)
     if args.validate:
@@ -231,6 +235,23 @@ def cmd_run(args) -> int:
 
     config = _config_from(args)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
+
+    mask = None
+    if args.mask:
+        mask = binio.read_matrix(args.mask)
+        if mask.shape != x.shape:
+            print(
+                f"error: mask shape {mask.shape} != X shape {x.shape}",
+                file=sys.stderr,
+            )
+            return 2
+        if args.strict_compat or args.checkpoint_dir:
+            print(
+                "error: --mask runs the masked solver (no --strict-compat / "
+                "--checkpoint-dir; use --out-of-core for resumable masked runs)",
+                file=sys.stderr,
+            )
+            return 2
 
     if args.validate:
         from .utils.guards import validate_input
@@ -291,7 +312,12 @@ def cmd_run(args) -> int:
                 file=sys.stderr,
             )
     else:
-        if mesh is not None:
+        if mask is not None:
+            from .models.masked import solve_masked
+
+            with logger.timed() as t:
+                res = solve_masked(x, w0, h0, mask, config, mesh=mesh)
+        elif mesh is not None:
             from .parallel.sharded import solve_sharded
 
             with logger.timed() as t:
@@ -461,6 +487,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="output paths (default: Wout.bin Hout.bin, as the reference)",
     )
     run.add_argument("--rank", "-k", type=int, help="rank for generated init")
+    run.add_argument(
+        "--mask",
+        help="observed-data mask .bin (same shape as X): masked/weighted "
+        "NMF — zero entries are excluded from the objective and both "
+        "updates (missing data).  KL family; composes with --l1*/--l2*, "
+        "--mesh, and --out-of-core (the mask streams alongside X)",
+    )
     run.add_argument(
         "--init",
         choices=["random", "scaled", "nndsvd", "nndsvda", "nndsvdar"],

@@ -547,3 +547,48 @@ def test_fingerprint_backcompat_missing_keys(tmp_path, small_problem):
 
     with pytest.raises(ValueError, match="refusing"):
         ckpt.load_checkpoint(step_dir, dataclasses.replace(cfg, beta=2.0))
+
+
+def test_cli_run_with_mask(cli_fixtures):
+    """--mask routes through the masked solver (in-memory and out-of-core)."""
+    from nmf_tpu.models.masked import solve_masked
+
+    tmp_path, p = cli_fixtures
+    x = binio.read_matrix(p["X"])
+    rng = np.random.RandomState(5)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    mpath = str(tmp_path / "M.bin")
+    binio.write_matrix(mask, mpath)
+    wout, hout = str(tmp_path / "Wm.bin"), str(tmp_path / "Hm.bin")
+    rc = cli_main(
+        ["run", p["X"], p["W"], p["H"], "-o", wout, hout,
+         "--mask", mpath, "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    ref = solve_masked(
+        x, binio.read_matrix(p["W"]), binio.read_matrix(p["H"]), mask,
+        SolveConfig(max_iter=10),
+    )
+    np.testing.assert_allclose(
+        binio.read_matrix(wout), np.asarray(ref.w), rtol=1e-6, atol=1e-8
+    )
+    # streaming composition: mask streams alongside X
+    rc = cli_main(
+        ["run", p["X"], p["W"], p["H"], "-o", wout, hout,
+         "--mask", mpath, "--out-of-core", "--block-n", "128",
+         "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    np.testing.assert_allclose(
+        binio.read_matrix(wout), np.asarray(ref.w), rtol=1e-4, atol=1e-7
+    )
+    # mask shape mismatch: clean error
+    bad = str(tmp_path / "Mbad.bin")
+    binio.write_matrix(mask[:-1], bad)
+    assert cli_main(
+        ["run", p["X"], p["W"], p["H"], "--mask", bad, "-q"]
+    ) == 2
+    # incompatible with strict-compat
+    assert cli_main(
+        ["run", p["X"], p["W"], p["H"], "--mask", mpath, "--strict-compat", "-q"]
+    ) == 2
