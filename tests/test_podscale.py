@@ -68,10 +68,10 @@ def test_podscale_collective_volume():
     assert per_iter_floats < 0.03 * x_local_floats  # ~2.3% at config 5
 
 
-@pytest.mark.parametrize("kind", ["reg", "masked", "h_only"])
+@pytest.mark.parametrize("kind", ["reg", "masked", "h_only", "hals"])
 def test_podscale_extension_programs_lower(kind):
     """The round-2 extension solvers also partition cleanly at config-5
-    shapes (regularized / masked / H-only inference on the mesh)."""
+    shapes (regularized / masked / HALS / H-only inference on the mesh)."""
     from nmf_tpu.parallel.sharded import (
         build_sharded_h_solver,
         build_sharded_masked_solver,
@@ -92,9 +92,43 @@ def test_podscale_extension_programs_lower(kind):
         cfg = SolveConfig(max_iter=200, check_every=25)
         fn = build_sharded_masked_solver(cfg, mesh)
         lowered = fn.lower(ax, aw, ah, ax, ac)  # mask shards like X
+    elif kind == "hals":
+        cfg = SolveConfig(max_iter=200, check_every=25, beta=2.0, algorithm="hals")
+        fn = build_sharded_solver(cfg, mesh)
+        lowered = fn.lower(ax, aw, ah, ac)
     else:
         cfg = SolveConfig(max_iter=200, check_every=25)
         fn = build_sharded_h_solver(cfg, mesh)
         lowered = fn.lower(ax, aw, ah, ac)
     text = lowered.as_text()
     assert "all-reduce" in text or "all_reduce" in text
+
+
+def test_podscale_tile_sparse_program_lowers():
+    """Tile-sparse on the mesh partitions at a pod-scale tile population:
+    a 1M x 131k X at 1% occupancy in (128,128) tiles is ~84k tiles ->
+    ~10.5k tiles/device on 4x2; abstract lowering proves the shard_map
+    partitioning without allocating any of it."""
+    from nmf_tpu.models.sparse_tiled import _tiled_sharded_fns
+
+    mesh = make_mesh(shape=(4, 2))
+    cfg = SolveConfig(max_iter=200, check_every=25)
+    fn = _tiled_sharded_fns(cfg, 64, mesh)
+    both = NamedSharding(mesh, P((ROW_AXIS, COL_AXIS)))
+    ws = NamedSharding(mesh, P(ROW_AXIS, None))
+    hs = NamedSharding(mesh, P(None, COL_AXIS))
+    rep = NamedSharding(mesh, P())
+    t_per_dev = 10_496  # chunk-aligned tiles per device
+    t_glob = 8 * t_per_dev
+    abstract = (
+        (
+            jax.ShapeDtypeStruct((t_glob, 128, 128), np.float32, sharding=both),
+            jax.ShapeDtypeStruct((t_glob,), np.int32, sharding=both),
+            jax.ShapeDtypeStruct((t_glob,), np.int32, sharding=both),
+        ),
+        jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws),
+        jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs),
+        jax.ShapeDtypeStruct((), np.float32, sharding=rep),
+    )
+    lowered = fn.lower(*abstract)
+    assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
