@@ -65,10 +65,7 @@ def solve_batched(
     sharded across devices; B must divide the axis size evenly.
     """
     config.validate()
-    if config.precision.x_dtype == "int8":
-        raise NotImplementedError(
-            "quantized X (x_dtype='int8') is not supported for batched solves"
-        )
+    quant = config.precision.x_dtype == "int8"
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.asarray(x, _F32)
     w0 = jnp.asarray(w0, sd)
@@ -87,10 +84,18 @@ def solve_batched(
         x = jnp.maximum(x, jnp.asarray(config.eps, _F32))
         w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
         h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
-    x = x.astype(jnp.dtype(config.precision.x_dtype))
+    if quant:
+        # per-member column quantization: codes [B,M,N] + scales [B,N];
+        # the per-problem (codes, scales) pair flows through the vmapped
+        # solver's dequant wrappers (models.solver._dequant_wrap_step)
+        from ..ops.quant import quantize_columns
+
+        x = jax.vmap(lambda xi: quantize_columns(xi, config.eps))(x)
+    else:
+        x = x.astype(jnp.dtype(config.precision.x_dtype))
 
     platform = None
-    if config.backend in ("auto", "autotune") and config.beta == 1.0 and (
+    if not quant and config.backend in ("auto", "autotune") and config.beta == 1.0 and (
         jax.default_backend() == "tpu"
     ):
         import dataclasses
@@ -107,10 +112,10 @@ def solve_batched(
         config = dataclasses.replace(config, backend=choice)
     if mesh is not None:
         axis = mesh.axis_names[0]
-        if x.shape[0] % mesh.shape[axis]:
+        b = (x[0] if quant else x).shape[0]
+        if b % mesh.shape[axis]:
             raise ValueError(
-                f"batch {x.shape[0]} must divide mesh axis "
-                f"{axis}={mesh.shape[axis]}"
+                f"batch {b} must divide mesh axis {axis}={mesh.shape[axis]}"
             )
         batch_sharding = NamedSharding(mesh, P(axis))
         x, w0, h0 = (jax.device_put(a, batch_sharding) for a in (x, w0, h0))

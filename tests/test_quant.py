@@ -166,9 +166,34 @@ def test_int8_x_remaining_guards():
     h = rng.rand(4, 32).astype(np.float32)
     cfg = SolveConfig(max_iter=2, precision=Precision(x_dtype="int8"))
     from nmf_tpu.models.nmf import solve_h_only
-    from nmf_tpu.parallel import batched, make_mesh
+    from nmf_tpu.parallel import make_mesh
 
     with pytest.raises(NotImplementedError):
-        batched.solve_batched(x[None], w[None], h[None], cfg)
-    with pytest.raises(NotImplementedError):
         solve_h_only(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+
+
+def test_int8_x_batched_matches_single_solves(problem):
+    """Batched int8: per-member column quantization == a loop of int8
+    single solves (identical quantized data; vmap only batches)."""
+    from nmf_tpu.parallel import batched
+
+    x, w, h = problem
+    rng = np.random.RandomState(8)
+    B = 3
+    xs = np.stack([
+        clamp((rng.rand(*x.shape) * np.logspace(0, 2, x.shape[1])[None, :])
+              .astype(np.float32))
+        for _ in range(B)
+    ])
+    ws = clamp(rng.rand(B, w.shape[0], w.shape[1]).astype(np.float32))
+    hs = clamp(rng.rand(B, h.shape[0], h.shape[1]).astype(np.float32))
+    cfg = SolveConfig(
+        max_iter=15, check_every=5, precision=Precision(x_dtype="int8")
+    )
+    res = batched.solve_batched(xs, ws, hs, cfg)
+    for b in range(B):
+        ref = solve(xs[b], ws[b], hs[b], cfg)
+        np.testing.assert_allclose(
+            np.asarray(res.w[b]), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+        )
+        assert float(res.cost[b]) == pytest.approx(float(ref.cost), rel=1e-5)
