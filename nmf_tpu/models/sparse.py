@@ -65,6 +65,11 @@ def sparse_from_dense(x) -> SparseX:
 
     x = np.asarray(x, np.float32)
     rows, cols = np.nonzero(x)
+    if rows.size and x[rows, cols].min() < 0:
+        # NMF requires nonnegative data; sparse values are used as-is
+        raise ValueError(
+            f"sparse data must be nonnegative (min {x[rows, cols].min()})"
+        )
     return SparseX(
         data=jnp.asarray(x[rows, cols]),
         rows=jnp.asarray(rows.astype(np.int32)),

@@ -108,6 +108,12 @@ def tiles_from_coo(
         rows.min() < 0 or cols.min() < 0 or rows.max() >= m or cols.max() >= n
     ):
         raise ValueError(f"indices out of bounds for shape {(m, n)}")
+    if data.size and data.min() < 0:
+        # NMF requires nonnegative data; the dense path's load-time clamp
+        # would hide this, but sparse values are used as-is
+        raise ValueError(
+            f"tile-sparse data must be nonnegative (min {data.min()})"
+        )
     nb = -(-n // bn)
     key = (rows // bm) * nb + (cols // bn)
     uniq = np.unique(key)

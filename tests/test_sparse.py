@@ -221,3 +221,13 @@ def test_tiled_rejects_unsupported(tiled_problem):
         )
     with pytest.raises(ValueError):
         st.solve_sparse_tiled(x, w[:-1], h, SolveConfig(max_iter=2))
+
+
+def test_sparse_constructors_reject_negative_data():
+    x = np.array([[1.0, -0.5], [0.0, 2.0]], np.float32)
+    with pytest.raises(ValueError, match="nonnegative"):
+        sp.sparse_from_dense(x)
+    from nmf_tpu.models import sparse_tiled as st
+
+    with pytest.raises(ValueError, match="nonnegative"):
+        st.tiles_from_coo([1.0, -2.0], [0, 1], [0, 1], (4, 4), tile=(2, 2))
