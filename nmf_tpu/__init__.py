@@ -26,6 +26,7 @@ from .models.separation import separate
 from .models.masked import solve_masked
 from .models.streaming import solve_out_of_core
 from .models.strict import solve_strict
+from .models.selection import SelectionResult, solve_rank_sweep, solve_restarts
 from .models.sparse import SparseX, solve_sparse, sparse_from_dense
 from .models.sparse_tiled import (
     TileSparseX,
@@ -60,6 +61,9 @@ __all__ = [
     "solve_masked",
     "solve_out_of_core",
     "solve_strict",
+    "solve_restarts",
+    "solve_rank_sweep",
+    "SelectionResult",
     "solve_sparse",
     "SparseX",
     "sparse_from_dense",

@@ -215,6 +215,13 @@ def _cmd_run_out_of_core(args) -> int:
 
 
 def cmd_run(args) -> int:
+    if args.restarts > 1 and args.out_of_core:
+        print(
+            "error: --restarts batches whole in-memory solves "
+            "(no --out-of-core)",
+            file=sys.stderr,
+        )
+        return 2
     if args.out_of_core:
         return _cmd_run_out_of_core(args)
     x = binio.read_matrix(args.X)
@@ -267,7 +274,71 @@ def cmd_run(args) -> int:
         r, c = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=(r, c))
 
-    if args.strict_compat:
+    if args.restarts > 1:
+        if not args.rank or (args.W and args.H):
+            print(
+                "error: --restarts generates its own seeded inits; use "
+                "--rank (not W/H files)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.strict_compat or args.checkpoint_dir or mask is not None:
+            print(
+                "error: --restarts composes with --mesh only (no "
+                "--strict-compat / --checkpoint-dir / --mask)",
+                file=sys.stderr,
+            )
+            return 2
+        from .models.selection import solve_restarts
+        from .models.solver import SolveResult
+
+        if mesh is not None:
+            # restarts are pure data parallelism over members: flatten the
+            # RxC mesh into one batch axis so every device holds members
+            import jax
+            from jax.sharding import Mesh
+
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
+            if args.restarts % n_dev:
+                print(
+                    f"error: --restarts {args.restarts} must divide the "
+                    f"mesh device count {n_dev}",
+                    file=sys.stderr,
+                )
+                return 2
+        # deterministic nndsvd variants would make identical members
+        init = args.init if args.init in ("random", "scaled", "nndsvdar") else "scaled"
+        with logger.timed() as t:
+            sel = solve_restarts(
+                x, rank=args.rank, n_restarts=args.restarts, config=config,
+                seed=args.seed, init=init, mesh=mesh,
+            )
+        b = sel.best_index
+        w_b, h_b = sel.best
+        res = SolveResult(
+            w=w_b, h=h_b,
+            iterations=sel.results.iterations[b],
+            cost=sel.results.cost[b],
+            cost_history=sel.results.cost_history[b],
+            num_checks=sel.results.num_checks[b],
+            converged=sel.results.converged[b],
+        )
+        logger.report(res, x.shape, t.seconds, check_every=config.check_every)
+        if args.validate:
+            from .utils.guards import validate_result
+
+            validate_result(res)
+        if not args.quiet:
+            costs = ", ".join(f"{c:.6g}" for c in sel.costs)
+            print(
+                f"[nmf] {args.restarts} restarts (seeds {args.seed}.."
+                f"{args.seed + args.restarts - 1}): costs [{costs}]; "
+                f"kept #{b}",
+                file=sys.stderr,
+            )
+        w_out, h_out = np.asarray(res.w), np.asarray(res.h)
+    elif args.strict_compat:
         if mesh is not None or args.checkpoint_dir:
             print(
                 "error: --strict-compat is a single-device exact-replication "
@@ -501,6 +572,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="init strategy when --rank is used",
     )
     run.add_argument("--seed", type=int, default=0)
+    run.add_argument(
+        "--restarts",
+        type=int,
+        default=1,
+        help="with --rank: solve from N seeded inits in ONE compiled batch "
+        "and keep the lowest-cost factorization (NMF is non-convex); "
+        "composes with --mesh (members sharded over all devices)",
+    )
     _add_solver_flags(run)
     run.set_defaults(fn=cmd_run)
 

@@ -11,6 +11,7 @@ from .sparse_tiled import (
     tiles_from_coo,
     tiles_from_dense,
 )
+from .selection import SelectionResult, solve_rank_sweep, solve_restarts
 from .separation import SeparationResult, istft, separate, stft
 from .solver import SolveResult, solve
 
@@ -28,6 +29,9 @@ __all__ = [
     "TileSparseX",
     "tiles_from_coo",
     "tiles_from_dense",
+    "solve_restarts",
+    "solve_rank_sweep",
+    "SelectionResult",
     "random_init",
     "scaled_random_init",
     "nndsvd_init",

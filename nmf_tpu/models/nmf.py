@@ -195,7 +195,9 @@ class NMF:
     only — sklearn's default).
 
     Extra knobs: ``precision`` (fp32 / bf16 MXU policy), ``backend``,
-    ``check_every``, and ``mesh`` — a ('mr','mc') device mesh that routes
+    ``check_every``, ``n_restarts`` (fit from several seeded inits in one
+    compiled batch — :func:`nmf_tpu.solve_restarts` — and keep the
+    lowest-cost factorization), and ``mesh`` — a ('mr','mc') device mesh that routes
     fit through the sharded solver and transform through the sharded H-only
     solver (the extension matrix is orthogonal to the parallelism matrix).
 
@@ -219,8 +221,10 @@ class NMF:
         backend: str = "auto",
         solver: str = "mu",
         mesh=None,
+        n_restarts: int = 1,
     ):
         self.mesh = mesh
+        self.n_restarts = int(n_restarts)
         self.n_components = int(n_components)
         self.init = init
         self.beta_loss = float(beta_loss)
@@ -263,6 +267,29 @@ class NMF:
     def fit_transform(self, x, w0=None, h0=None) -> np.ndarray:
         """Learn W and H for ``x``; returns W (the sample representation)."""
         x = np.asarray(x, np.float32)
+        if self.n_restarts > 1 and w0 is None and h0 is None:
+            # all restarts in one compiled batch; keep the lowest-cost fit.
+            # deterministic nndsvd inits would make identical members —
+            # fall back to the seed-sensitive 'scaled' family for them.
+            from .selection import solve_restarts
+
+            init = self.init if self.init in ("random", "scaled", "nndsvdar") \
+                else "scaled"
+            sel = solve_restarts(
+                x,
+                rank=self.n_components,
+                n_restarts=self.n_restarts,
+                config=self._config(),
+                seed=self.random_state,
+                init=init,
+            )
+            best = sel.best_index
+            w_b, h_b = sel.factors(best)
+            self.w_ = np.asarray(w_b)
+            self.components_ = np.asarray(h_b)
+            self.reconstruction_err_ = sel.best_cost
+            self.n_iter_ = int(sel.iterations[best])
+            return self.w_
         if w0 is None or h0 is None:
             wi, hi = self._init_factors(x)
             w0 = wi if w0 is None else w0

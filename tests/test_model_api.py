@@ -119,3 +119,18 @@ def test_transform_with_hals(small_problem):
     h_new = model.transform(x[:, :20], max_iter=50)
     assert h_new.shape == (6, 20)
     assert h_new.min() >= 0
+
+
+def test_nmf_estimator_restarts(small_problem):
+    x, _, _ = small_problem
+    base = NMF(n_components=4, max_iter=20, init="random", random_state=3)
+    multi = NMF(
+        n_components=4, max_iter=20, init="random", random_state=3,
+        n_restarts=4,
+    )
+    base.fit(x)
+    multi.fit(x)
+    # the multi-restart fit can only be as good or better than seed 3 alone
+    assert multi.reconstruction_err_ <= base.reconstruction_err_ + 1e-6
+    assert multi.w_.shape == base.w_.shape
+    assert multi.components_.shape == base.components_.shape

@@ -592,3 +592,37 @@ def test_cli_run_with_mask(cli_fixtures):
     assert cli_main(
         ["run", p["X"], p["W"], p["H"], "--mask", mpath, "--strict-compat", "-q"]
     ) == 2
+
+
+def test_cli_run_restarts(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Wre.bin"), str(tmp_path / "Hre.bin")
+    rc = cli_main(
+        ["run", p["X"], "-o", wout, hout, "--rank", "6", "--restarts", "3",
+         "--max-iter", "10", "--init", "random", "-q"]
+    )
+    assert rc == 0
+    # the kept member is the argmin-cost restart
+    from nmf_tpu import SolveConfig, solve_restarts
+
+    x = binio.read_matrix(p["X"])
+    sel = solve_restarts(
+        x, rank=6, n_restarts=3, config=SolveConfig(max_iter=10),
+        init="random", seed=0,
+    )
+    np.testing.assert_array_equal(
+        binio.read_matrix(wout), np.asarray(sel.best[0])
+    )
+
+
+def test_cli_run_restarts_flag_conflicts(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    # restarts need generated inits
+    assert cli_main(["run", p["X"], p["W"], p["H"], "--restarts", "2", "-q"]) == 2
+    # no strict / checkpoint / mask / out-of-core composition
+    assert cli_main(
+        ["run", p["X"], "--rank", "4", "--restarts", "2", "--strict-compat", "-q"]
+    ) == 2
+    assert cli_main(
+        ["run", p["X"], "--rank", "4", "--restarts", "2", "--out-of-core", "-q"]
+    ) == 2
