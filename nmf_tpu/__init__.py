@@ -24,7 +24,7 @@ from .models.solver import SolveResult, solve
 from .models.nmf import NMF, solve_h_only
 from .models.separation import separate
 from .models.masked import solve_masked
-from .models.streaming import solve_out_of_core
+from .models.streaming import TransformResult, solve_out_of_core, transform_out_of_core
 from .models.strict import solve_strict
 from .models.selection import SelectionResult, solve_rank_sweep, solve_restarts
 from .models.sparse import SparseX, solve_sparse, sparse_from_dense
@@ -60,6 +60,8 @@ __all__ = [
     "separate",
     "solve_masked",
     "solve_out_of_core",
+    "transform_out_of_core",
+    "TransformResult",
     "solve_strict",
     "solve_restarts",
     "solve_rank_sweep",

@@ -413,6 +413,52 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_transform(args) -> int:
+    """H-only inference: solve H for X against a FIXED (learned) W."""
+    config = _config_from(args)
+    w = binio.read_matrix(args.W)
+    h0 = binio.read_matrix(args.h0) if args.h0 else None
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        r, c = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(shape=(r, c))
+    logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
+    if args.out_of_core:
+        from .models.streaming import transform_out_of_core
+
+        with logger.timed() as t:
+            res = transform_out_of_core(
+                args.X, w, h0=h0, config=config, block_n=args.block_n,
+                mesh=mesh, seed=args.seed,
+            )
+        h_out = res.h
+        if not args.quiet:
+            print(
+                f"[nmf] transform (out-of-core): {len(res.blocks)} blocks, "
+                f"iters/block min {res.iterations.min()} max "
+                f"{res.iterations.max()}, cost {res.cost:.6g}, "
+                f"{t.seconds:.2f}s",
+                file=sys.stderr,
+            )
+    else:
+        from .models.nmf import solve_h_only
+
+        x = binio.read_matrix(args.X)
+        if h0 is None:
+            rng = np.random.RandomState(args.seed)
+            h0 = rng.rand(w.shape[1], x.shape[1]).astype(np.float32)
+        with logger.timed() as t:
+            res = solve_h_only(x, w, h0, config, mesh=mesh)
+        logger.report(res, x.shape, t.seconds, check_every=config.check_every)
+        h_out = np.asarray(res.h)
+    binio.write_matrix(h_out, args.output)
+    if not args.quiet:
+        print(f"[nmf] wrote {args.output} {h_out.shape}", file=sys.stderr)
+    return 0
+
+
 def cmd_separate(args) -> int:
     """The paper's application: separate audio into spectral sources."""
     from scipy.io import wavfile
@@ -582,6 +628,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_solver_flags(run)
     run.set_defaults(fn=cmd_run)
+
+    tr = sub.add_parser(
+        "transform",
+        help="H-only inference: factor new data against a fixed W "
+        "(supports --mesh and --out-of-core column streaming)",
+    )
+    tr.add_argument("X", help="input matrix .bin (new columns)")
+    tr.add_argument("W", help="learned dictionary W .bin")
+    tr.add_argument(
+        "-o", "--output", default="Hout.bin", help="output H path"
+    )
+    tr.add_argument("--h0", help="optional warm-start H .bin")
+    tr.add_argument("--seed", type=int, default=0)
+    _add_solver_flags(tr)
+    tr.set_defaults(fn=cmd_transform)
 
     sep = sub.add_parser(
         "separate", help="audio source separation via spectrogram NMF"

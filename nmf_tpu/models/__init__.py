@@ -2,7 +2,7 @@
 
 from .init import nndsvd_init, random_init, scaled_random_init
 from .nmf import NMF, solve_h_only
-from .streaming import solve_out_of_core
+from .streaming import TransformResult, solve_out_of_core, transform_out_of_core
 from .strict import solve_strict
 from .sparse import SparseX, solve_sparse, sparse_from_dense
 from .sparse_tiled import (
@@ -21,6 +21,8 @@ __all__ = [
     "NMF",
     "solve_h_only",
     "solve_out_of_core",
+    "transform_out_of_core",
+    "TransformResult",
     "solve_strict",
     "solve_sparse",
     "SparseX",

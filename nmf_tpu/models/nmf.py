@@ -306,14 +306,32 @@ class NMF:
         self.n_iter_ = int(res.iterations)
         return self.w_
 
-    def transform(self, x, h0=None, max_iter: Optional[int] = None) -> np.ndarray:
+    def transform(
+        self,
+        x,
+        h0=None,
+        max_iter: Optional[int] = None,
+        out_of_core: bool = False,
+    ) -> np.ndarray:
         """Solve for H against the learned W... for NEW columns of data.
 
         In the X = W @ H orientation, new data are new columns (time frames):
         ``x`` is (M, N_new) and the result is H_new (K, N_new).
+
+        With ``out_of_core`` the columns are streamed
+        (:func:`nmf_tpu.transform_out_of_core`): ``x`` may also be a
+        ``.bin`` path or memmap far larger than device memory.
         """
         if self.w_ is None:
             raise RuntimeError("transform() before fit()")
+        if out_of_core:
+            from .streaming import transform_out_of_core
+
+            res = transform_out_of_core(
+                x, self.w_, h0=h0, config=self._config(max_iter),
+                mesh=self.mesh, seed=self.random_state,
+            )
+            return res.h
         x = np.asarray(x, np.float32)
         k = self.n_components
         if h0 is None:

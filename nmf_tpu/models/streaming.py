@@ -58,6 +58,8 @@ __all__ = [
     "ArrayColumnSource",
     "BinColumnSource",
     "solve_out_of_core",
+    "transform_out_of_core",
+    "TransformResult",
     "pick_block_n",
 ]
 
@@ -1003,4 +1005,183 @@ def solve_out_of_core(
         cost_history=jnp.asarray(hist),
         num_checks=jnp.asarray(len(hist_list), jnp.int32),
         converged=jnp.asarray(converged, jnp.bool_),
+    )
+
+
+@dataclasses.dataclass
+class TransformResult:
+    """Out-of-core H-only result.  ``h`` lives on the HOST (N may exceed
+    HBM); per-block fields are aligned with ``blocks``."""
+
+    h: np.ndarray                # (K, N) float32
+    cost: float                  # total divergence over all columns (NaN if untracked)
+    iterations: np.ndarray       # i32 [n_blocks]: solve iterations per block
+    converged: np.ndarray        # bool [n_blocks]
+    block_costs: np.ndarray      # f32 [n_blocks]
+    blocks: List[Tuple[int, int]]
+
+
+def transform_out_of_core(
+    x,
+    w,
+    h0=None,
+    config: SolveConfig = SolveConfig(),
+    block_n: Optional[int] = None,
+    mesh=None,
+    seed: int = 0,
+) -> TransformResult:
+    """Solve H against a FIXED W with X streamed from the host (inference).
+
+    The H half-update is column-local — block j's H depends only on X block
+    j and W — so unlike :func:`solve_out_of_core` each block needs exactly
+    ONE visit: stream it in (double-buffered), run the full H-only solve
+    (same loop/convergence machinery as :func:`nmf_tpu.solve_h_only`, with
+    per-block convergence), and stream H back out.  X crosses the link once
+    per RUN, not once per iteration: whole-catalog inference against a
+    learned dictionary at any N.
+
+    ``x`` may be an array / memmap / ``.bin`` path / column source;
+    ``h0`` an optional (K, N) warm start (sliced per block) — omitted, each
+    block gets a seeded uniform init like ``NMF.transform``.  ``cost`` is
+    exact: divergences are column-separable, so the total is the sum of
+    block costs (NaN when ``track_cost=False`` and ``thresh == 0``).
+
+    All H-only families are supported (KL, beta, penalized-KL, HALS), f32 /
+    bf16 / int8 X storage (the wire carries the storage bytes), and meshes
+    (per-block sharded H-only solves on the canonical layout; int8 stays
+    single-device, matching :func:`solve_h_only`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    config.validate()
+    if config.live_metrics:
+        # per-block restarts of the iteration counter are noise, not signal
+        config = dataclasses.replace(config, live_metrics=False)
+    quant = config.precision.x_dtype == "int8"
+    if quant and mesh is not None:
+        raise NotImplementedError(
+            "quantized X (x_dtype='int8') h-only solves are single-device"
+        )
+    source = _as_source(x)
+    m, n = source.shape
+    w = np.asarray(w, np.float32)
+    if w.ndim != 2 or w.shape[0] != m:
+        raise ValueError(f"W {w.shape} does not match X {(m, n)}")
+    k = w.shape[1]
+    if h0 is not None:
+        h0 = np.asarray(h0, np.float32)
+        if h0.shape != (k, n):
+            raise ValueError(f"h0 {h0.shape} must be ({k}, {n})")
+    eps = config.eps
+    sd = jnp.dtype(config.precision.state_dtype)
+    xd = config.precision.x_dtype
+    bn = block_n if block_n is not None else pick_block_n(m, n)
+    if mesh is not None:
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+        r, c = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+        if m % r or n % c:
+            raise ValueError(
+                f"global dims (M={m}, N={n}) must divide the mesh "
+                f"{dict(mesh.shape)}"
+            )
+        bn = max(c, (bn // c) * c)
+    blocks: List[Tuple[int, int]] = [
+        (j, min(j + bn, n)) for j in range(0, n, bn)
+    ]
+
+    w_clamped = np.maximum(w, np.float32(eps))
+    if mesh is None:
+        platform = jax.default_backend()
+        w_dev = jnp.asarray(w_clamped, sd)
+
+        def _cfg_for(width: int) -> SolveConfig:
+            if config.beta != 1.0 or config.backend not in ("auto", "autotune"):
+                return config
+            if platform == "tpu" and not config.regularized and not quant:
+                from ..utils.autotune import rule_pick
+
+                choice = rule_pick(m, k, width, config.precision.matmul_dtype)
+            else:
+                choice = "jnp"
+            return dataclasses.replace(config, backend=choice)
+
+        from .nmf import _h_only_jit
+
+        def _solve_block(x_dev, h_dev, width):
+            return _h_only_jit(_cfg_for(width), platform)(x_dev, w_dev, h_dev)
+
+    def _gen_h0(idx):
+        j0, j1 = blocks[idx]
+        if h0 is not None:
+            return np.maximum(h0[:, j0:j1], np.float32(eps))
+        rng = np.random.RandomState(seed + idx)
+        return rng.rand(k, j1 - j0).astype(np.float32)
+
+    # ---- the single pass: solve block idx while block idx+1 transfers
+    # and block idx-1's result drains; at most ~3 blocks are device-live,
+    # so memory stays independent of N ----
+    h_parts: List[np.ndarray] = []
+    iters: List[int] = []
+    convs: List[bool] = []
+    costs: List[float] = []
+
+    def _fetch(res):
+        h_parts.append(np.asarray(res.h, np.float32))
+        iters.append(int(res.iterations))
+        convs.append(bool(res.converged))
+        costs.append(float(res.cost))
+
+    if mesh is None:
+
+        def _put(idx):
+            j0, j1 = blocks[idx]
+            x_np = _host_prep(source.columns(j0, j1), eps, xd)
+            if quant:
+                x_dev = (jnp.asarray(x_np[0]), jnp.asarray(x_np[1]))
+            else:
+                x_dev = jnp.asarray(x_np)
+            return x_dev, jnp.asarray(_gen_h0(idx), sd)
+
+        inflight = _put(0)
+        prev = None
+        for idx in range(len(blocks)):
+            x_dev, h_dev = inflight
+            res = _solve_block(x_dev, h_dev, blocks[idx][1] - blocks[idx][0])
+            if idx + 1 < len(blocks):
+                inflight = _put(idx + 1)  # overlaps this block's solve
+            if prev is not None:
+                _fetch(prev)  # drains idx-1 while idx computes
+            prev = res
+        _fetch(prev)
+    else:
+        from ..parallel.mesh import shard_problem
+        from .nmf import _h_only_sharded_jit
+
+        solver = _h_only_sharded_jit(config, mesh)
+        w_placed = None
+        prev = None
+        for idx in range(len(blocks)):
+            x_np = _host_prep(source.columns(*blocks[idx]), eps, xd)
+            x_s, w_s, h_s = shard_problem(x_np, w_clamped, _gen_h0(idx), mesh)
+            if w_placed is None:
+                w_placed = w_s.astype(sd)
+            res = solver(
+                x_s, w_placed, h_s.astype(sd), jnp.asarray(jnp.nan, jnp.float32)
+            )
+            if prev is not None:
+                _fetch(prev)
+            prev = res
+        _fetch(prev)
+
+    need_cost = config.track_cost or config.thresh > 0.0
+    total = float(np.sum(costs)) if need_cost else float("nan")
+    return TransformResult(
+        h=np.concatenate(h_parts, axis=1),
+        cost=total,
+        iterations=np.asarray(iters, np.int32),
+        converged=np.asarray(convs, np.bool_),
+        block_costs=np.asarray(costs, np.float32),
+        blocks=blocks,
     )

@@ -626,3 +626,34 @@ def test_cli_run_restarts_flag_conflicts(cli_fixtures):
     assert cli_main(
         ["run", p["X"], "--rank", "4", "--restarts", "2", "--out-of-core", "-q"]
     ) == 2
+
+
+def test_cli_transform(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    hout = str(tmp_path / "Ht.bin")
+    rc = cli_main(
+        ["transform", p["X"], p["W"], "-o", hout, "--h0", p["H"],
+         "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    from nmf_tpu import SolveConfig, solve_h_only
+
+    ref = solve_h_only(
+        binio.read_matrix(p["X"]), binio.read_matrix(p["W"]),
+        binio.read_matrix(p["H"]), SolveConfig(max_iter=10),
+    )
+    np.testing.assert_array_equal(binio.read_matrix(hout), np.asarray(ref.h))
+
+
+def test_cli_transform_out_of_core(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    hout = str(tmp_path / "Hooc.bin")
+    rc = cli_main(
+        ["transform", p["X"], p["W"], "-o", hout, "--h0", p["H"],
+         "--max-iter", "10", "--out-of-core", "--block-n", "64", "-q"]
+    )
+    assert rc == 0
+    h = binio.read_matrix(hout)
+    x = binio.read_matrix(p["X"])
+    w = binio.read_matrix(p["W"])
+    assert h.shape == (w.shape[1], x.shape[1])

@@ -493,3 +493,166 @@ def test_streamed_masked_int8(problem):
         streaming.solve_out_of_core(
             x, w, h, cfg, block_n=250, mask=mask, mesh=make_mesh(shape=(4, 2))
         )
+
+
+# ---------------------------------------------------------------------------
+# out-of-core transform (streaming H-only)
+# ---------------------------------------------------------------------------
+
+
+def _fit_w(problem):
+    x, w, h = problem
+    return np.asarray(solve(x, w, h, SolveConfig(max_iter=20)).w)
+
+
+@pytest.mark.parametrize("block_n", [128, 256, 1000])
+def test_transform_ooc_matches_in_memory_h_only(problem, block_n):
+    from nmf_tpu import solve_h_only
+    from nmf_tpu.models.streaming import transform_out_of_core
+
+    x, w0, h0 = problem
+    w = _fit_w(problem)
+    cfg = SolveConfig(max_iter=25, check_every=25)
+    res = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=block_n)
+    ref = solve_h_only(x, w, h0, cfg)
+    np.testing.assert_allclose(res.h, np.asarray(ref.h), rtol=2e-6, atol=1e-8)
+    # column-separable cost: block sum == global divergence
+    np.testing.assert_allclose(res.cost, float(ref.cost), rtol=1e-6)
+    assert res.iterations.shape == (len(res.blocks),)
+    assert np.all(res.iterations == 25)
+
+
+def test_transform_ooc_from_bin_file(problem, tmp_path):
+    from nmf_tpu.models.streaming import transform_out_of_core
+
+    x, _, h0 = problem
+    w = _fit_w(problem)
+    path = tmp_path / "X.bin"
+    binio.write_matrix(x, path)
+    cfg = SolveConfig(max_iter=10, check_every=10)
+    res_file = transform_out_of_core(str(path), w, h0=h0, config=cfg, block_n=256)
+    res_arr = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=256)
+    np.testing.assert_array_equal(res_file.h, res_arr.h)
+
+
+def test_transform_ooc_seeded_inits_per_block(problem):
+    """Without h0 each block solves from its own seeded uniform init and
+    still converges to a sensible H (better than the init)."""
+    from nmf_tpu import kl_divergence
+    from nmf_tpu.models.streaming import transform_out_of_core
+
+    x, _, _ = problem
+    w = _fit_w(problem)
+    cfg = SolveConfig(max_iter=60, check_every=20)
+    res = transform_out_of_core(x, w, config=cfg, block_n=256, seed=4)
+    import jax.numpy as jnp
+
+    xc = jnp.asarray(clamp(x))
+    c_fit = float(kl_divergence(xc, jnp.asarray(w), jnp.asarray(res.h)))
+    rng = np.random.RandomState(4)
+    h_rand = rng.rand(w.shape[1], x.shape[1]).astype(np.float32)
+    c_rand = float(kl_divergence(xc, jnp.asarray(w), jnp.asarray(h_rand)))
+    assert c_fit < 0.5 * c_rand
+    np.testing.assert_allclose(res.cost, c_fit, rtol=1e-6)
+
+
+def test_transform_ooc_per_block_convergence(problem):
+    from nmf_tpu.models.streaming import transform_out_of_core
+
+    x, _, h0 = problem
+    w = _fit_w(problem)
+    cfg = SolveConfig(max_iter=300, thresh=0.05, check_every=10)
+    res = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=256)
+    assert np.any(res.converged)
+    assert np.all(res.iterations <= 300)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_transform_ooc_on_mesh_matches_single_device(problem, shape):
+    from nmf_tpu.models.streaming import transform_out_of_core
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, _, h0 = problem
+    w = _fit_w(problem)
+    # mesh requires N % c == 0: 1000 % 2 == 0; use c=2 shapes
+    mesh = make_mesh(shape=shape)
+    if x.shape[1] % shape[1]:
+        pytest.skip("N not divisible by mesh cols")
+    cfg = SolveConfig(max_iter=15, check_every=15)
+    res_m = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=256, mesh=mesh)
+    res_s = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=256)
+    np.testing.assert_allclose(res_m.h, res_s.h, rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(res_m.cost, res_s.cost, rtol=1e-5)
+
+
+def test_transform_ooc_int8_x(problem):
+    from nmf_tpu.models.streaming import transform_out_of_core
+    from nmf_tpu.utils.config import Precision
+
+    x, _, h0 = problem
+    w = _fit_w(problem)
+    cfg8 = SolveConfig(
+        max_iter=10, check_every=10, precision=Precision(x_dtype="int8")
+    )
+    cfg = SolveConfig(max_iter=10, check_every=10)
+    res8 = transform_out_of_core(x, w, h0=h0, config=cfg8, block_n=256)
+    ref = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=256)
+    np.testing.assert_allclose(res8.cost, ref.cost, rtol=0.05)
+
+
+@pytest.mark.parametrize(
+    "kind", ["hals", "beta", "regularized"]
+)
+def test_transform_ooc_families(problem, kind):
+    from nmf_tpu import solve_h_only
+    from nmf_tpu.models.streaming import transform_out_of_core
+
+    x, _, h0 = problem
+    w = _fit_w(problem)
+    if kind == "hals":
+        cfg = SolveConfig(max_iter=10, check_every=10, beta=2.0, algorithm="hals")
+    elif kind == "beta":
+        cfg = SolveConfig(max_iter=10, check_every=10, beta=2.0)
+    else:
+        cfg = SolveConfig(max_iter=10, check_every=10, l1_h=0.01, l2_h=0.001)
+    res = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=384)
+    ref = solve_h_only(x, w, h0, cfg)
+    np.testing.assert_allclose(res.h, np.asarray(ref.h), rtol=5e-6, atol=1e-8)
+
+
+def test_transform_ooc_validation(problem):
+    from nmf_tpu.models.streaming import transform_out_of_core
+    from nmf_tpu.parallel.mesh import make_mesh
+    from nmf_tpu.utils.config import Precision
+
+    x, _, h0 = problem
+    w = _fit_w(problem)
+    with pytest.raises(ValueError):
+        transform_out_of_core(x, w[:-1], config=SolveConfig(max_iter=1))
+    with pytest.raises(ValueError):
+        transform_out_of_core(x, w, h0=h0[:, :-1], config=SolveConfig(max_iter=1))
+    with pytest.raises(NotImplementedError):
+        transform_out_of_core(
+            x, w, config=SolveConfig(precision=Precision(x_dtype="int8")),
+            mesh=make_mesh(shape=(2, 2)),
+        )
+
+
+def test_nmf_estimator_transform_out_of_core(problem):
+    from nmf_tpu import NMF
+
+    x, _, _ = problem
+    model = NMF(n_components=12, max_iter=20, random_state=1)
+    model.fit(x)
+    h_mem = model.transform(x, max_iter=20)
+    h_ooc = model.transform(x, max_iter=20, out_of_core=True)
+    assert h_ooc.shape == h_mem.shape
+    # same W, same families; different inits (per-block seeds) — both fits
+    # must land at comparable objective values
+    from nmf_tpu import kl_divergence
+    import jax.numpy as jnp
+
+    xc = jnp.asarray(clamp(x))
+    c_mem = float(kl_divergence(xc, jnp.asarray(model.w_), jnp.asarray(h_mem)))
+    c_ooc = float(kl_divergence(xc, jnp.asarray(model.w_), jnp.asarray(h_ooc)))
+    assert abs(c_mem - c_ooc) / c_mem < 0.05
