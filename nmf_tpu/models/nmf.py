@@ -120,10 +120,6 @@ def solve_h_only(
     """
     config.validate()
     quant = config.precision.x_dtype == "int8"
-    if quant and mesh is not None:
-        raise NotImplementedError(
-            "quantized X (x_dtype='int8') h-only solves are single-device"
-        )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
     w = jnp.maximum(jnp.asarray(w, sd), config.eps)
@@ -137,9 +133,23 @@ def solve_h_only(
     else:
         x = x.astype(jnp.dtype(config.precision.x_dtype))
     if mesh is not None:
-        from ..parallel.mesh import shard_problem
+        if quant:
+            # codes shard like X; the per-column scale vector over 'mc'
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        x, w, h0 = shard_problem(x, w, h0, mesh)
+            from ..parallel.mesh import COL_AXIS, nmf_shardings
+
+            xs, ws, hs, _ = nmf_shardings(mesh)
+            x = (
+                jax.device_put(x[0], xs),
+                jax.device_put(x[1], NamedSharding(mesh, P(COL_AXIS))),
+            )
+            w = jax.device_put(w, ws)
+            h0 = jax.device_put(h0, hs)
+        else:
+            from ..parallel.mesh import shard_problem
+
+            x, w, h0 = shard_problem(x, w, h0, mesh)
         from .solver import maybe_live_chunked
 
         fallback = maybe_live_chunked(

@@ -416,7 +416,23 @@ def _sharded_block_fns(
     l1_w, l1_h = config.l1_w, config.l1_h
     l2_w, l2_h = config.l2_w, config.l2_h
 
-    x_spec = P(ROW_AXIS, COL_AXIS)
+    # int8 X storage composes with EVERY family here: each shard dequantizes
+    # its (codes, scales) block in-register before the family math; codes
+    # shard like X and the per-column scale vector shards over 'mc'
+    quantized = prec.x_dtype == "int8"
+
+    def _local_x(x_loc):
+        if quantized:
+            from ..ops.quant import dequantize
+
+            return dequantize(x_loc[0], x_loc[1])
+        return x_loc
+
+    x_spec = (
+        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
+        if quantized
+        else P(ROW_AXIS, COL_AXIS)
+    )
     if config.algorithm == "hals":
         # HALS on the mesh: per block the Gram/cross products psum like the
         # sharded in-memory step (hals_step_sharded); the coordinate sweeps
@@ -424,6 +440,7 @@ def _sharded_block_fns(
         from ..ops.hals import cd_sweep_h, cd_sweep_w
 
         def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            x_loc = _local_x(x_loc)
             wtx = jax.lax.psum(
                 matmul(w_loc, x_loc, prec, transpose_a=True), ROW_AXIS
             )
@@ -448,7 +465,7 @@ def _sharded_block_fns(
             from ..parallel.sharded import beta_partial
 
             return jax.lax.psum(
-                beta_partial(x_loc, w_loc, h_loc, 2.0, eps),
+                beta_partial(_local_x(x_loc), w_loc, h_loc, 2.0, eps),
                 (ROW_AXIS, COL_AXIS),
             )
 
@@ -458,6 +475,7 @@ def _sharded_block_fns(
         # like X; both W-side mask-GEMMs psum over 'mc' and accumulate
         def block_step(w_loc, h_loc, xm_loc, a1_loc, a2_loc):
             x_loc, m_loc = xm_loc
+            x_loc = _local_x(x_loc)
             z = m_loc * (x_loc / eps_clamp(matmul(w_loc, h_loc, prec), eps))
             numer = jax.lax.psum(
                 matmul(w_loc, z, prec, transpose_a=True), ROW_AXIS
@@ -485,7 +503,7 @@ def _sharded_block_fns(
             from ..parallel.sharded import masked_kl_partial
 
             x_loc, m_loc = xm_loc
-            part = masked_kl_partial(x_loc, w_loc, h_loc, m_loc, eps)
+            part = masked_kl_partial(_local_x(x_loc), w_loc, h_loc, m_loc, eps)
             # the H-penalty partial, replication-normalized over 'mr'
             hf = h_loc.astype(_f32)
             part = part + (
@@ -493,11 +511,12 @@ def _sharded_block_fns(
             ) / mesh.shape[ROW_AXIS]
             return jax.lax.psum(part, (ROW_AXIS, COL_AXIS))
 
-        x_spec = (P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, COL_AXIS))
+        x_spec = (x_spec, P(ROW_AXIS, COL_AXIS))
         a2_shape = "mk"
     elif beta == 1.0 and config.regularized:
 
         def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            x_loc = _local_x(x_loc)
             z = x_loc / eps_clamp(matmul(w_loc, h_loc, prec), eps)
             numer = jax.lax.psum(
                 matmul(w_loc, z, prec, transpose_a=True), ROW_AXIS
@@ -518,7 +537,7 @@ def _sharded_block_fns(
         _, w_epilogue, _ = _penalty_fns(config)
 
         def cost_partial(w_loc, h_loc, x_loc):
-            part = kl_partial(x_loc, w_loc, h_loc, eps)
+            part = kl_partial(_local_x(x_loc), w_loc, h_loc, eps)
             hf = h_loc.astype(_f32)
             part = part + (
                 l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
@@ -527,14 +546,6 @@ def _sharded_block_fns(
 
         a2_shape = None
     elif beta == 1.0:
-        quantized = prec.x_dtype == "int8"
-
-        def _local_x(x_loc):
-            if quantized:
-                from ..ops.quant import dequantize
-
-                return dequantize(x_loc[0], x_loc[1])
-            return x_loc
 
         def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
             x_loc = _local_x(x_loc)
@@ -562,16 +573,13 @@ def _sharded_block_fns(
                 (ROW_AXIS, COL_AXIS),
             )
 
-        if quantized:
-            # codes shard like X; the per-column scale vector shards over
-            # 'mc' with its columns
-            x_spec = (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
         a2_shape = None
     else:
         from ..ops.mu import _beta_ratios
         from ..parallel.sharded import beta_partial
 
         def block_step(w_loc, h_loc, x_loc, a1_loc, a2_loc):
+            x_loc = _local_x(x_loc)
             num, den = _beta_ratios(w_loc, h_loc, x_loc, beta, eps, prec)
             h_num = jax.lax.psum(
                 matmul(w_loc, num, prec, transpose_a=True), ROW_AXIS
@@ -598,7 +606,7 @@ def _sharded_block_fns(
 
         def cost_partial(w_loc, h_loc, x_loc):
             return jax.lax.psum(
-                beta_partial(x_loc, w_loc, h_loc, beta, eps),
+                beta_partial(_local_x(x_loc), w_loc, h_loc, beta, eps),
                 (ROW_AXIS, COL_AXIS),
             )
 
@@ -699,8 +707,9 @@ def solve_out_of_core(
     accumulators), penalized KL, masked KL (``mask=``), and HALS (whose
     column-local H row sweep decomposes over blocks exactly, with the W
     sweep's global X H^T / H H^T products accumulated blockwise) — each
-    both single-device and on meshes.  int8 X streams in both modes for
-    the plain KL family.
+    both single-device and on meshes, and each composable with int8 X
+    storage (each device dequantizes its (codes, scales) block shards
+    in-register).
     """
     import jax
     import jax.numpy as jnp
@@ -711,17 +720,6 @@ def solve_out_of_core(
     if mask is not None and config.beta != 1.0:
         raise NotImplementedError(
             "masked streaming implements the (optionally penalized) KL family"
-        )
-    if mask is not None and mesh is not None and config.precision.x_dtype == "int8":
-        raise NotImplementedError(
-            "masked int8-X streaming is single-device (the mesh masked step "
-            "does not dequantize)"
-        )
-    if mesh is not None and config.precision.x_dtype == "int8" and (
-        config.beta != 1.0 or config.regularized
-    ):
-        raise NotImplementedError(
-            "int8-X mesh streaming implements the reference KL family"
         )
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be >= 1")
@@ -895,11 +893,16 @@ def solve_out_of_core(
     def put(idx: int):
         j0, j1 = blocks[idx]
         if mask_source is not None:
-            # X prep may be a (codes, scales) pair for int8 storage —
-            # device_put places the pytree; the masked step dequantizes
-            x_dev = jax.device_put(
-                _host_prep(source.columns(j0, j1), eps, xd), device
-            )
+            # X prep may be a (codes, scales) pair for int8 storage — the
+            # masked step dequantizes; on meshes the scale vector needs its
+            # own 'mc' placement (it is 1-D, unlike the codes)
+            x_prep = _host_prep(source.columns(j0, j1), eps, xd)
+            if quantized:
+                if idx not in _scales_dev:
+                    _scales_dev[idx] = jax.device_put(x_prep[1], scales_target)
+                x_dev = (jax.device_put(x_prep[0], device), _scales_dev[idx])
+            else:
+                x_dev = jax.device_put(x_prep, device)
             m_blk = mask_source.columns(j0, j1)
             if str(xd) == "bfloat16":
                 # the mask rides the same wire as X: match its storage dtype
@@ -1059,10 +1062,6 @@ def transform_out_of_core(
         # per-block restarts of the iteration counter are noise, not signal
         config = dataclasses.replace(config, live_metrics=False)
     quant = config.precision.x_dtype == "int8"
-    if quant and mesh is not None:
-        raise NotImplementedError(
-            "quantized X (x_dtype='int8') h-only solves are single-device"
-        )
     source = _as_source(x)
     m, n = source.shape
     w = np.asarray(w, np.float32)
@@ -1164,7 +1163,22 @@ def transform_out_of_core(
         prev = None
         for idx in range(len(blocks)):
             x_np = _host_prep(source.columns(*blocks[idx]), eps, xd)
-            x_s, w_s, h_s = shard_problem(x_np, w_clamped, _gen_h0(idx), mesh)
+            if quant:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import COL_AXIS, nmf_shardings
+
+                xs_t, ws_t, hs_t, _ = nmf_shardings(mesh)
+                x_s = (
+                    jax.device_put(x_np[0], xs_t),
+                    jax.device_put(x_np[1], NamedSharding(mesh, P(COL_AXIS))),
+                )
+                w_s = jax.device_put(w_clamped, ws_t)
+                h_s = jax.device_put(_gen_h0(idx), hs_t)
+            else:
+                x_s, w_s, h_s = shard_problem(
+                    x_np, w_clamped, _gen_h0(idx), mesh
+                )
             if w_placed is None:
                 w_placed = w_s.astype(sd)
             res = solver(

@@ -621,6 +621,18 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
             live_emit=_emit_live_origin,
         )
 
+    if config.precision.x_dtype == "int8":
+        # codes shard like X; per-column scales shard over 'mc'.  Each
+        # device dequantizes its local block in-register per use (XLA fuses
+        # the uint8 cast into the consuming ops; X stays 1/4-size in HBM).
+        from ..models.solver import _dequant_wrap_cost, _dequant_wrap_step
+
+        step = _dequant_wrap_step(step)
+        cost = _dequant_wrap_cost(cost)
+        x_spec = (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
+    else:
+        x_spec = P(ROW_AXIS, COL_AXIS)
+
     out_specs = SolveResult(
         w=P(ROW_AXIS, None),
         h=P(None, COL_AXIS),
@@ -636,7 +648,7 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
         jax.shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, None), P(None, COL_AXIS), P()),
+            in_specs=(x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P()),
             out_specs=out_specs,
             check_vma=False,
         ),

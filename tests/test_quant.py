@@ -159,17 +159,28 @@ def test_int8_x_checkpointed_on_mesh(tmp_path, problem):
     )
 
 
-def test_int8_x_remaining_guards():
+def test_int8_x_h_only_on_mesh_matches_single_device():
+    """Mesh int8 h-only: each shard dequantizes its (codes, scales) block —
+    identical quantized data, so the mesh result tracks single-device int8
+    to collective-summation fp noise."""
     rng = np.random.RandomState(1)
-    x = rng.rand(32, 32).astype(np.float32)
+    x = rng.rand(32, 48).astype(np.float32)
     w = rng.rand(32, 4).astype(np.float32)
-    h = rng.rand(4, 32).astype(np.float32)
-    cfg = SolveConfig(max_iter=2, precision=Precision(x_dtype="int8"))
+    h = rng.rand(4, 48).astype(np.float32)
+    cfg = SolveConfig(
+        max_iter=15, check_every=5, precision=Precision(x_dtype="int8")
+    )
     from nmf_tpu.models.nmf import solve_h_only
     from nmf_tpu.parallel import make_mesh
 
-    with pytest.raises(NotImplementedError):
-        solve_h_only(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+    single = solve_h_only(x, w, h, cfg)
+    meshed = solve_h_only(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+    np.testing.assert_allclose(
+        np.asarray(meshed.h), np.asarray(single.h), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(meshed.cost), float(single.cost), rtol=1e-5
+    )
 
 
 def test_int8_x_batched_matches_single_solves(problem):

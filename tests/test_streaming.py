@@ -265,21 +265,12 @@ def test_streamed_mesh_checkpoints_stay_sharded(problem, tmp_path):
 
 
 def test_streamed_rejects_unsupported_families(problem):
-    from nmf_tpu.parallel.mesh import make_mesh
-    from nmf_tpu.utils.config import Precision
-
     x, w, h = problem
-    # masked excludes beta/int8; int8 mesh streaming is KL-only
+    # masked streaming is the (optionally penalized) KL family only
     mask = np.ones_like(np.asarray(x))
     with pytest.raises(NotImplementedError):
         streaming.solve_out_of_core(
             x, w, h, SolveConfig(max_iter=2, beta=2.0), mask=mask
-        )
-    with pytest.raises(NotImplementedError):  # int8 mesh streaming is KL-only
-        streaming.solve_out_of_core(
-            x, w, h,
-            SolveConfig(max_iter=2, l1_h=0.1, precision=Precision(x_dtype="int8")),
-            mesh=make_mesh(shape=(4, 2)),
         )
 
 
@@ -488,11 +479,13 @@ def test_streamed_masked_int8(problem):
     np.testing.assert_allclose(
         np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
     )
-    # mesh + masked + int8 stays excluded with a clear error
-    with pytest.raises(NotImplementedError, match="masked int8"):
-        streaming.solve_out_of_core(
-            x, w, h, cfg, block_n=250, mask=mask, mesh=make_mesh(shape=(4, 2))
-        )
+    # mesh + masked + int8 composes too (each shard dequantizes its block)
+    res_m = streaming.solve_out_of_core(
+        x, w, h, cfg, block_n=250, mask=mask, mesh=make_mesh(shape=(4, 2))
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_m.w), np.asarray(ref.w), rtol=2e-4, atol=1e-7
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -631,11 +624,15 @@ def test_transform_ooc_validation(problem):
         transform_out_of_core(x, w[:-1], config=SolveConfig(max_iter=1))
     with pytest.raises(ValueError):
         transform_out_of_core(x, w, h0=h0[:, :-1], config=SolveConfig(max_iter=1))
-    with pytest.raises(NotImplementedError):
-        transform_out_of_core(
-            x, w, config=SolveConfig(precision=Precision(x_dtype="int8")),
-            mesh=make_mesh(shape=(2, 2)),
-        )
+    # int8 + mesh composes (shard-local dequant); smoke it
+    res = transform_out_of_core(
+        x, w, h0=h0,
+        config=SolveConfig(
+            max_iter=5, check_every=5, precision=Precision(x_dtype="int8")
+        ),
+        block_n=256, mesh=make_mesh(shape=(2, 2)),
+    )
+    assert np.isfinite(res.cost)
 
 
 def test_nmf_estimator_transform_out_of_core(problem):
@@ -656,3 +653,54 @@ def test_nmf_estimator_transform_out_of_core(problem):
     c_mem = float(kl_divergence(xc, jnp.asarray(model.w_), jnp.asarray(h_mem)))
     c_ooc = float(kl_divergence(xc, jnp.asarray(model.w_), jnp.asarray(h_ooc)))
     assert abs(c_mem - c_ooc) / c_mem < 0.05
+
+
+@pytest.mark.parametrize("kind", ["beta2", "reg", "hals", "masked"])
+def test_streamed_int8_families_on_mesh(problem, kind):
+    """int8 X storage composes with every mesh streaming family: each shard
+    dequantizes its (codes, scales) block — mesh-streamed == single-device
+    streamed on the identical quantized data."""
+    from nmf_tpu.parallel.mesh import make_mesh
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    mesh = make_mesh(shape=(4, 2))
+    mask = None
+    if kind == "beta2":
+        cfg = SolveConfig(
+            max_iter=15, check_every=5, beta=2.0,
+            precision=Precision(x_dtype="int8"),
+        )
+    elif kind == "hals":
+        cfg = SolveConfig(
+            max_iter=15, check_every=5, beta=2.0, algorithm="hals",
+            precision=Precision(x_dtype="int8"),
+        )
+    elif kind == "reg":
+        cfg = SolveConfig(
+            max_iter=15, check_every=5, l1_h=0.02,
+            precision=Precision(x_dtype="int8"),
+        )
+    else:
+        cfg = SolveConfig(
+            max_iter=15, check_every=5, precision=Precision(x_dtype="int8")
+        )
+        rng = np.random.RandomState(5)
+        mask = (rng.rand(*x.shape) > 0.2).astype(np.float32)
+    single = streaming.solve_out_of_core(x, w, h, cfg, block_n=256, mask=mask)
+    meshed = streaming.solve_out_of_core(
+        x, w, h, cfg, block_n=256, mesh=mesh, mask=mask
+    )
+    w_s = np.asarray(single.w)
+    if kind == "hals":
+        # truncation-boundary entries (max(0, .)): scale-relative atol, as
+        # in test_streamed_hals_matches_in_memory
+        tols = dict(rtol=5e-4, atol=1e-5 * float(np.abs(w_s).max()))
+    else:
+        tols = dict(rtol=5e-5, atol=1e-6 * float(np.abs(w_s).max()))
+    np.testing.assert_allclose(np.asarray(meshed.w), w_s, **tols)
+    np.testing.assert_allclose(
+        np.asarray(meshed.cost_history),
+        np.asarray(single.cost_history),
+        rtol=1e-5,
+    )
