@@ -275,7 +275,7 @@ def cmd_run(args) -> int:
         mesh = make_mesh(shape=(r, c))
 
     if args.restarts > 1:
-        if not args.rank or (args.W and args.H):
+        if not args.rank or args.W or args.H:
             print(
                 "error: --restarts generates its own seeded inits; use "
                 "--rank (not W/H files)",
@@ -302,13 +302,19 @@ def cmd_run(args) -> int:
             mesh = Mesh(np.array(jax.devices()[:n_dev]), ("b",))
             if args.restarts % n_dev:
                 print(
-                    f"error: --restarts {args.restarts} must divide the "
-                    f"mesh device count {n_dev}",
+                    f"error: --restarts {args.restarts} must be a multiple "
+                    f"of the mesh device count {n_dev}",
                     file=sys.stderr,
                 )
                 return 2
         # deterministic nndsvd variants would make identical members
         init = args.init if args.init in ("random", "scaled", "nndsvdar") else "scaled"
+        if init != args.init and not args.quiet:
+            print(
+                f"[nmf] --init {args.init} is deterministic (identical "
+                f"restart members); using 'scaled' with per-member seeds",
+                file=sys.stderr,
+            )
         with logger.timed() as t:
             sel = solve_restarts(
                 x, rank=args.rank, n_restarts=args.restarts, config=config,
@@ -415,6 +421,22 @@ def cmd_run(args) -> int:
 
 def cmd_transform(args) -> int:
     """H-only inference: solve H for X against a FIXED (learned) W."""
+    # reject accepted-but-unimplemented solver flags instead of silently
+    # ignoring them (a checkpoint-less multi-day run is a data-loss trap)
+    if getattr(args, "checkpoint_dir", None):
+        print(
+            "error: transform does not checkpoint (each streamed block is "
+            "solved in one visit; re-running re-does only unfinished work)",
+            file=sys.stderr,
+        )
+        return 2
+    if getattr(args, "strict_compat", False):
+        print(
+            "error: --strict-compat is a full-solve replication mode "
+            "(use 'run')",
+            file=sys.stderr,
+        )
+        return 2
     config = _config_from(args)
     w = binio.read_matrix(args.W)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
@@ -434,6 +456,13 @@ def cmd_transform(args) -> int:
                 mesh=mesh, seed=args.seed,
             )
         h_out = res.h
+        if args.validate:
+            from .utils.guards import validate_input
+
+            validate_input("H", h_out)
+            if config.track_cost and not np.isfinite(res.cost):
+                print("error: non-finite transform cost", file=sys.stderr)
+                return 1
         if not args.quiet:
             print(
                 f"[nmf] transform (out-of-core): {len(res.blocks)} blocks, "
@@ -452,6 +481,10 @@ def cmd_transform(args) -> int:
         with logger.timed() as t:
             res = solve_h_only(x, w, h0, config, mesh=mesh)
         logger.report(res, x.shape, t.seconds, check_every=config.check_every)
+        if args.validate:
+            from .utils.guards import validate_result
+
+            validate_result(res)
         h_out = np.asarray(res.h)
     binio.write_matrix(h_out, args.output)
     if not args.quiet:

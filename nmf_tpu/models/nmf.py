@@ -133,23 +133,10 @@ def solve_h_only(
     else:
         x = x.astype(jnp.dtype(config.precision.x_dtype))
     if mesh is not None:
-        if quant:
-            # codes shard like X; the per-column scale vector over 'mc'
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import shard_problem
 
-            from ..parallel.mesh import COL_AXIS, nmf_shardings
-
-            xs, ws, hs, _ = nmf_shardings(mesh)
-            x = (
-                jax.device_put(x[0], xs),
-                jax.device_put(x[1], NamedSharding(mesh, P(COL_AXIS))),
-            )
-            w = jax.device_put(w, ws)
-            h0 = jax.device_put(h0, hs)
-        else:
-            from ..parallel.mesh import shard_problem
-
-            x, w, h0 = shard_problem(x, w, h0, mesh)
+        # shard_problem also places a quantized (codes, scales) X pair
+        x, w, h0 = shard_problem(x, w, h0, mesh)
         from .solver import maybe_live_chunked
 
         fallback = maybe_live_chunked(
@@ -285,6 +272,24 @@ class NMF:
 
             init = self.init if self.init in ("random", "scaled", "nndsvdar") \
                 else "scaled"
+            if init != self.init:
+                import warnings
+
+                warnings.warn(
+                    f"init={self.init!r} is deterministic and would make "
+                    f"identical restart members; using 'scaled' with seeds "
+                    f"{self.random_state}..{self.random_state + self.n_restarts - 1}",
+                    stacklevel=2,
+                )
+            mesh = self.mesh
+            if mesh is not None:
+                # restarts are pure data parallelism over members: flatten
+                # the ('mr','mc') mesh into one member axis
+                from jax.sharding import Mesh
+
+                mesh = Mesh(
+                    np.asarray(list(mesh.devices.flat)), ("members",)
+                )
             sel = solve_restarts(
                 x,
                 rank=self.n_components,
@@ -292,6 +297,7 @@ class NMF:
                 config=self._config(),
                 seed=self.random_state,
                 init=init,
+                mesh=mesh,
             )
             best = sel.best_index
             w_b, h_b = sel.factors(best)

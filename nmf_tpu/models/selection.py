@@ -206,7 +206,8 @@ def _solve_selection(
         axis = mesh.axis_names[0]
         if r % mesh.shape[axis]:
             raise ValueError(
-                f"members {r} must divide mesh axis {axis}={mesh.shape[axis]}"
+                f"members {r} must be a multiple of mesh axis "
+                f"{axis}={mesh.shape[axis]}"
             )
         member = NamedSharding(mesh, P(axis))
         replicated = NamedSharding(mesh, P())
@@ -216,6 +217,9 @@ def _solve_selection(
         w0s = jax.device_put(w0s, member)
         h0s = jax.device_put(h0s, member)
         mks_j = jax.device_put(mks_j, member)
+        # the step/cost kernels must resolve for the MESH's backend, which
+        # can differ from the default one (mixed CPU-mesh/TPU sessions)
+        platform = list(mesh.devices.flat)[0].platform
 
     res = _selection_jit(config, platform, masked)(x, w0s, h0s, mks_j)
     return SelectionResult(results=res, ranks=np.asarray(ranks, np.int64))

@@ -890,27 +890,11 @@ def solve_out_of_core(
             f"{_raw_budget!r}"
         ) from None
 
-    def put(idx: int):
+    def _put_x(idx: int):
+        """Place block idx's X on device; int8 codes come from the host
+        cache when budgeted (masked and unmasked runs share this path —
+        on meshes the 1-D scale vector gets its own 'mc' placement)."""
         j0, j1 = blocks[idx]
-        if mask_source is not None:
-            # X prep may be a (codes, scales) pair for int8 storage — the
-            # masked step dequantizes; on meshes the scale vector needs its
-            # own 'mc' placement (it is 1-D, unlike the codes)
-            x_prep = _host_prep(source.columns(j0, j1), eps, xd)
-            if quantized:
-                if idx not in _scales_dev:
-                    _scales_dev[idx] = jax.device_put(x_prep[1], scales_target)
-                x_dev = (jax.device_put(x_prep[0], device), _scales_dev[idx])
-            else:
-                x_dev = jax.device_put(x_prep, device)
-            m_blk = mask_source.columns(j0, j1)
-            if str(xd) == "bfloat16":
-                # the mask rides the same wire as X: match its storage dtype
-                # (lossless for the common binary 0/1 masks)
-                import ml_dtypes
-
-                m_blk = m_blk.astype(ml_dtypes.bfloat16)
-            return (x_dev, jax.device_put(m_blk, device))
         if not quantized:
             return jax.device_put(
                 _host_prep(source.columns(j0, j1), eps, xd), device
@@ -925,6 +909,20 @@ def solve_out_of_core(
                 _qcache[idx] = q_np
                 _qcache_bytes[0] += q_np.nbytes
         return (jax.device_put(q_np, device), _scales_dev[idx])
+
+    def put(idx: int):
+        x_dev = _put_x(idx)
+        if mask_source is None:
+            return x_dev
+        j0, j1 = blocks[idx]
+        m_blk = mask_source.columns(j0, j1)
+        if str(xd) == "bfloat16":
+            # the mask rides the same wire as X: match its storage dtype
+            # (lossless for the common binary 0/1 masks)
+            import ml_dtypes
+
+            m_blk = m_blk.astype(ml_dtypes.bfloat16)
+        return (x_dev, jax.device_put(m_blk, device))
 
     def _save():
         from ..utils import checkpoint as ckpt
@@ -1051,8 +1049,8 @@ def transform_out_of_core(
 
     All H-only families are supported (KL, beta, penalized-KL, HALS), f32 /
     bf16 / int8 X storage (the wire carries the storage bytes), and meshes
-    (per-block sharded H-only solves on the canonical layout; int8 stays
-    single-device, matching :func:`solve_h_only`).
+    (per-block sharded H-only solves on the canonical layout) — including
+    int8 on meshes (shard-local dequantization, as in :func:`solve_h_only`).
     """
     import jax
     import jax.numpy as jnp
@@ -1155,37 +1153,37 @@ def transform_out_of_core(
             prev = res
         _fetch(prev)
     else:
-        from ..parallel.mesh import shard_problem
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import COL_AXIS, nmf_shardings
         from .nmf import _h_only_sharded_jit
 
         solver = _h_only_sharded_jit(config, mesh)
-        w_placed = None
-        prev = None
-        for idx in range(len(blocks)):
+        xs_t, ws_t, hs_t, _ = nmf_shardings(mesh)
+        scales_t = NamedSharding(mesh, P(COL_AXIS))
+        # W crosses the link ONCE for the whole run (it is fixed)
+        w_placed = jax.device_put(w_clamped, ws_t).astype(sd)
+
+        def _put_mesh(idx):
             x_np = _host_prep(source.columns(*blocks[idx]), eps, xd)
             if quant:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from ..parallel.mesh import COL_AXIS, nmf_shardings
-
-                xs_t, ws_t, hs_t, _ = nmf_shardings(mesh)
                 x_s = (
                     jax.device_put(x_np[0], xs_t),
-                    jax.device_put(x_np[1], NamedSharding(mesh, P(COL_AXIS))),
+                    jax.device_put(x_np[1], scales_t),
                 )
-                w_s = jax.device_put(w_clamped, ws_t)
-                h_s = jax.device_put(_gen_h0(idx), hs_t)
             else:
-                x_s, w_s, h_s = shard_problem(
-                    x_np, w_clamped, _gen_h0(idx), mesh
-                )
-            if w_placed is None:
-                w_placed = w_s.astype(sd)
-            res = solver(
-                x_s, w_placed, h_s.astype(sd), jnp.asarray(jnp.nan, jnp.float32)
-            )
+                x_s = jax.device_put(x_np, xs_t)
+            return x_s, jax.device_put(_gen_h0(idx), hs_t).astype(sd)
+
+        inflight = _put_mesh(0)
+        prev = None
+        for idx in range(len(blocks)):
+            x_s, h_s = inflight
+            res = solver(x_s, w_placed, h_s, jnp.asarray(jnp.nan, jnp.float32))
+            if idx + 1 < len(blocks):
+                inflight = _put_mesh(idx + 1)  # overlaps this block's solve
             if prev is not None:
-                _fetch(prev)
+                _fetch(prev)  # drains idx-1 while idx computes
             prev = res
         _fetch(prev)
 

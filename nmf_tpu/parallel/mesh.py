@@ -94,10 +94,21 @@ def factor_shapes(m: int, k: int, n: int, mesh: Mesh) -> Tuple[Tuple[int, int], 
 
 
 def shard_problem(x, w, h, mesh: Mesh):
-    """Place (X, W, H) onto the mesh with the canonical shardings."""
+    """Place (X, W, H) onto the mesh with the canonical shardings.
+
+    ``x`` may also be a quantized ``(codes, scales)`` pair: the uint8 codes
+    shard like X and the 1-D per-column scale vector shards over 'mc'.
+    """
     xs, ws, hs, _ = nmf_shardings(mesh)
+    if isinstance(x, tuple):
+        x = (
+            jax.device_put(x[0], xs),
+            jax.device_put(x[1], NamedSharding(mesh, P(COL_AXIS))),
+        )
+    else:
+        x = jax.device_put(x, xs)
     return (
-        jax.device_put(x, xs),
+        x,
         jax.device_put(w, ws),
         jax.device_put(h, hs),
     )

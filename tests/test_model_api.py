@@ -134,3 +134,38 @@ def test_nmf_estimator_restarts(small_problem):
     assert multi.reconstruction_err_ <= base.reconstruction_err_ + 1e-6
     assert multi.w_.shape == base.w_.shape
     assert multi.components_.shape == base.components_.shape
+
+
+def test_nmf_estimator_restarts_uses_mesh(small_problem):
+    import jax
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, _, _ = small_problem
+    model = NMF(
+        n_components=4, max_iter=10, init="random", random_state=2,
+        n_restarts=8, mesh=make_mesh(shape=(4, 2)),
+    )
+    model.fit(x)
+    single = NMF(
+        n_components=4, max_iter=10, init="random", random_state=2,
+        n_restarts=8,
+    )
+    single.fit(x)
+    # the mesh changes placement, not the math
+    np.testing.assert_allclose(
+        model.reconstruction_err_, single.reconstruction_err_, rtol=1e-5
+    )
+
+
+def test_nmf_estimator_restarts_warns_on_deterministic_init(small_problem):
+    import warnings
+
+    x, _, _ = small_problem
+    model = NMF(
+        n_components=4, max_iter=5, init="nndsvda", random_state=0,
+        n_restarts=2,
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        model.fit(x)
+    assert any("deterministic" in str(w.message) for w in rec)
