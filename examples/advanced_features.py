@@ -94,3 +94,25 @@ print(
     f"{'hals':14s} cost {float(res_h.cost):.4f}  "
     f"(out-of-core: {float(res_ho.cost):.4f}; also mesh-shardable)"
 )
+
+# --- model selection: restarts + rank sweep in one compiled batch ----------
+sel = nt.solve_restarts(x, rank=8, n_restarts=4, config=nt.SolveConfig(max_iter=30))
+print(
+    f"{'restarts':14s} costs {[round(float(c), 2) for c in sel.costs]}  "
+    f"kept #{sel.best_index}"
+)
+sweep = nt.solve_rank_sweep(x, [4, 8, 16], config=nt.SolveConfig(max_iter=30))
+print(
+    f"{'rank sweep':14s} " +
+    "  ".join(f"K={k}:{c:.2f}" for k, c in zip(sweep.ranks, sweep.costs))
+)
+
+# --- out-of-core transform: stream-once H-only inference -------------------
+w_learned = np.asarray(nt.solve(x, w0, h0, nt.SolveConfig(max_iter=30)).w)
+tr = nt.transform_out_of_core(
+    x, w_learned, config=nt.SolveConfig(max_iter=30), block_n=128
+)
+print(
+    f"{'ooc transform':14s} cost {tr.cost:.4f}  "
+    f"({len(tr.blocks)} blocks, one X stream total)"
+)

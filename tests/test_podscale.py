@@ -132,3 +132,65 @@ def test_podscale_tile_sparse_program_lowers():
     )
     lowered = fn.lower(*abstract)
     assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
+
+
+@pytest.mark.parametrize("family", ["kl", "beta", "reg", "hals"])
+def test_podscale_int8_streaming_blocks_lower(family):
+    """The int8 x family x mesh streaming steps partition at config-5
+    shapes: uint8 codes shard like X, per-column scales over 'mc'."""
+    from nmf_tpu.models.streaming import _sharded_block_fns
+    from nmf_tpu.utils.config import Precision
+
+    mesh = make_mesh(shape=(4, 2))
+    xs, ws, hs, _ = nmf_shardings(mesh)
+    rep = NamedSharding(mesh, P())
+    scales = NamedSharding(mesh, P(COL_AXIS))
+    prec = Precision(x_dtype="int8")
+    if family == "beta":
+        cfg = SolveConfig(max_iter=200, check_every=25, beta=2.0, precision=prec)
+        a2 = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
+    elif family == "reg":
+        cfg = SolveConfig(max_iter=200, check_every=25, l1_h=0.01, precision=prec)
+        a2 = jax.ShapeDtypeStruct((K,), np.float32, sharding=rep)
+    elif family == "hals":
+        cfg = SolveConfig(
+            max_iter=200, check_every=25, beta=2.0, algorithm="hals",
+            precision=prec,
+        )
+        a2 = jax.ShapeDtypeStruct((K, K), np.float32, sharding=rep)
+    else:
+        cfg = SolveConfig(max_iter=200, check_every=25, precision=prec)
+        a2 = jax.ShapeDtypeStruct((K,), np.float32, sharding=rep)
+    step_acc, _, cost_block, _, _ = _sharded_block_fns(cfg, mesh)
+    bn = 8192  # one streamed column block
+    codes = jax.ShapeDtypeStruct((M, bn), np.uint8, sharding=xs)
+    sc = jax.ShapeDtypeStruct((bn,), np.float32, sharding=scales)
+    aw = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
+    ah = jax.ShapeDtypeStruct((K, bn), np.float32, sharding=hs)
+    a1 = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
+    lowered = step_acc.lower(aw, ah, (codes, sc), a1, a2)
+    assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
+    cost_block.lower(aw, ah, (codes, sc))
+
+
+def test_podscale_int8_h_only_lowers():
+    """Pod-scale int8 inference: the sharded H-only program partitions with
+    quantized X (the serving path at 1/4 the HBM)."""
+    from nmf_tpu.parallel.sharded import build_sharded_h_solver
+    from nmf_tpu.utils.config import Precision
+
+    mesh = make_mesh(shape=(4, 2))
+    xs, ws, hs, _ = nmf_shardings(mesh)
+    rep = NamedSharding(mesh, P())
+    scales = NamedSharding(mesh, P(COL_AXIS))
+    cfg = SolveConfig(
+        max_iter=200, check_every=25, precision=Precision(x_dtype="int8")
+    )
+    fn = build_sharded_h_solver(cfg, mesh)
+    codes = jax.ShapeDtypeStruct((M, N), np.uint8, sharding=xs)
+    sc = jax.ShapeDtypeStruct((N,), np.float32, sharding=scales)
+    aw = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
+    ah = jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs)
+    ac = jax.ShapeDtypeStruct((), np.float32, sharding=rep)
+    lowered = fn.lower((codes, sc), aw, ah, ac)
+    assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
