@@ -151,6 +151,69 @@ def bench_batched(batch, m, k, n, iters, dtype="bfloat16"):
     }
 
 
+def bench_restarts(r, m, k, n, dtype="bfloat16", short=100, long=400):
+    """Model selection: R restarts in ONE compiled batch (shared X) vs R
+    sequential solves.  Long/short differencing cancels the per-call H2D
+    uploads (this link is slow); the ratio is the batching win."""
+    import jax
+    import jax.numpy as jnp
+
+    import nmf_tpu as nt
+
+    rng = np.random.RandomState(0)
+    x_np = rng.rand(m, n).astype(np.float32)
+    x_dev = jnp.asarray(x_np)
+    inits = [nt.scaled_random_init(x_np, k, seed=s) for s in range(r)]
+    # everything staged on device up front: per-call H2D on this link is
+    # slow AND 2-3x variable, which would swamp the differencing
+    w0s = jnp.asarray(np.stack([w for w, _ in inits]))
+    h0s = jnp.asarray(np.stack([h for _, h in inits]))
+    _sync([x_dev, w0s, h0s])
+
+    def _rate(run):
+        # warm BOTH exact configs (jit caches key on max_iter via the
+        # config) — first dispatch stalls on this platform
+        run(short)
+        run(long)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); run(short); ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); run(long); tl = time.perf_counter() - t0
+            best = min(best, (tl - ts) / (long - short))
+        return 1.0 / best  # solver iterations (per member) per second
+
+    def run_batched(iters):
+        cfg = nt.SolveConfig(
+            max_iter=iters, check_every=10**9, precision=nt.Precision(dtype)
+        )
+        res = nt.solve_restarts(x_dev, w0s=w0s, h0s=h0s, config=cfg)
+        _sync([res.results.w])
+
+    def run_sequential(iters):
+        cfg = nt.SolveConfig(
+            max_iter=iters, check_every=10**9, precision=nt.Precision(dtype)
+        )
+        outs = [
+            nt.solve(x_dev, w0s[i], h0s[i], cfg) for i in range(r)
+        ]
+        _sync([o.w for o in outs])
+
+    # _rate returns ensemble-iterations/s (each counts all R members once)
+    batched_ips = _rate(run_batched) * r       # -> problem-iters/s
+    sequential_ips = _rate(run_sequential) * r
+    row = {
+        "restarts": r,
+        "shape": f"{m}x{n} k={k}",
+        "dtype": dtype,
+        "batched_problem_iters_per_sec": batched_ips,
+        "sequential_problem_iters_per_sec": sequential_ips,
+        "speedup_vs_sequential": batched_ips / sequential_ips,
+    }
+    if row["speedup_vs_sequential"] > 1.5 * r:
+        row["suspect"] = f"speedup exceeds 1.5x the member count {r}; re-measure"
+    return row
+
+
 def precision_study(m, k, n, iters=100):
     """Config 3: fp32 vs bf16-matmul/fp32-accum — speed and cost agreement."""
     import nmf_tpu as nt
@@ -304,6 +367,11 @@ def main(argv=None) -> int:
     bt = bench_batched(128, 513, 32, 2000, iters=50 if args.quick else 100)
     cfgs["batched_128x_513x2000_k32"] = bt
     print(json.dumps(bt), file=sys.stderr)
+
+    print("== model selection (8 restarts, one batch) ==", file=sys.stderr)
+    rs = bench_restarts(8, 2048, 64, 2048)
+    cfgs["restarts_8x_2048x2048_k64"] = rs
+    print(json.dumps(rs), file=sys.stderr)
 
     print("== out-of-core streaming ==", file=sys.stderr)
     import bench as bench_mod

@@ -26,6 +26,7 @@ from .models.separation import separate
 from .models.masked import solve_masked
 from .models.streaming import TransformResult, solve_out_of_core, transform_out_of_core
 from .models.strict import solve_strict
+from .models.init import nndsvd_init, random_init, scaled_random_init
 from .models.selection import SelectionResult, solve_rank_sweep, solve_restarts
 from .models.sparse import SparseX, solve_sparse, sparse_from_dense
 from .models.sparse_tiled import (
@@ -66,6 +67,9 @@ __all__ = [
     "solve_restarts",
     "solve_rank_sweep",
     "SelectionResult",
+    "random_init",
+    "scaled_random_init",
+    "nndsvd_init",
     "solve_sparse",
     "SparseX",
     "sparse_from_dense",

@@ -184,21 +184,11 @@ def _solve_selection(
         x = x.astype(jnp.dtype(config.precision.x_dtype))
 
     platform = None
-    if (
-        not quant
-        and config.backend in ("auto", "autotune")
-        and config.beta == 1.0
-        and not config.regularized
-        and config.algorithm != "hals"
-        and jax.default_backend() == "tpu"
-    ):
-        from ..utils import autotune
-
-        if config.backend == "autotune":
-            choice = autotune.pick_backend(config, m, kmax, n)
-        else:
-            choice = autotune.rule_pick(m, kmax, n, config.precision.matmul_dtype)
-        config = dataclasses.replace(config, backend=choice)
+    if config.backend in ("auto", "autotune") and config.beta == 1.0:
+        # member solves are vmapped: default to the jnp/XLA path (vmapped
+        # Pallas serializes the member axis as an outer grid dimension —
+        # see parallel/batched.py for the measurements)
+        config = dataclasses.replace(config, backend="jnp")
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -277,8 +267,12 @@ def solve_restarts(
     if (w0s is None) != (h0s is None):
         raise ValueError("provide both w0s and h0s, or neither")
     if w0s is not None:
-        w0s = np.asarray(w0s, np.float32)
-        h0s = np.asarray(h0s, np.float32)
+        # keep device arrays device-resident (no forced host round trip);
+        # _solve_selection casts to the state dtype on device
+        if not hasattr(w0s, "ndim"):
+            w0s = np.asarray(w0s, np.float32)
+        if not hasattr(h0s, "ndim"):
+            h0s = np.asarray(h0s, np.float32)
         if w0s.ndim != 3 or h0s.ndim != 3:
             raise ValueError("w0s/h0s must be [R, M, K] / [R, K, N] stacks")
         ranks = np.full((w0s.shape[0],), w0s.shape[2], np.int64)
