@@ -116,3 +116,12 @@ print(
     f"{'ooc transform':14s} cost {tr.cost:.4f}  "
     f"({len(tr.blocks)} blocks, one X stream total)"
 )
+
+# --- consensus-clustering rank selection (Brunet et al. 2004) --------------
+stab = nt.rank_stability(
+    x, ranks=[4, 8], n_restarts=6, config=nt.SolveConfig(max_iter=60), seed=1
+)
+print(
+    f"{'stability':14s} " +
+    "  ".join(f"K={k}:coph={c:.3f}" for k, c in zip(stab.ranks, stab.cophenetic))
+)

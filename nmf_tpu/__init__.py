@@ -28,6 +28,7 @@ from .models.streaming import TransformResult, solve_out_of_core, transform_out_
 from .models.strict import solve_strict
 from .models.init import nndsvd_init, random_init, scaled_random_init
 from .models.selection import SelectionResult, solve_rank_sweep, solve_restarts
+from .models.stability import StabilityResult, consensus_matrix, rank_stability
 from .models.sparse import SparseX, solve_sparse, sparse_from_dense
 from .models.sparse_tiled import (
     TileSparseX,
@@ -67,6 +68,9 @@ __all__ = [
     "solve_restarts",
     "solve_rank_sweep",
     "SelectionResult",
+    "rank_stability",
+    "consensus_matrix",
+    "StabilityResult",
     "random_init",
     "scaled_random_init",
     "nndsvd_init",

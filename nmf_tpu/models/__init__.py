@@ -12,6 +12,7 @@ from .sparse_tiled import (
     tiles_from_dense,
 )
 from .selection import SelectionResult, solve_rank_sweep, solve_restarts
+from .stability import StabilityResult, consensus_matrix, rank_stability
 from .separation import SeparationResult, istft, separate, stft
 from .solver import SolveResult, solve
 
@@ -34,6 +35,9 @@ __all__ = [
     "solve_restarts",
     "solve_rank_sweep",
     "SelectionResult",
+    "rank_stability",
+    "consensus_matrix",
+    "StabilityResult",
     "random_init",
     "scaled_random_init",
     "nndsvd_init",
