@@ -51,6 +51,30 @@ def _batched_jit(config: SolveConfig, platform: Optional[str]):
     return jax.jit(jax.vmap(one), donate_argnums=(1, 2))
 
 
+@functools.lru_cache(maxsize=8)
+def _batched_masked_jit(config: SolveConfig):
+    """vmapped masked KL solve: per-member (x, w, h, mask)."""
+    if config.live_metrics:
+        import dataclasses
+
+        config = dataclasses.replace(config, live_metrics=False)
+    from ..models.masked import masked_kl, mu_step_masked
+
+    eps, prec = config.eps, config.precision
+    pens = dict(
+        l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
+    )
+
+    def one(x, w, h, mask):
+        step = lambda w_, h_, x_: mu_step_masked(
+            w_, h_, x_, mask, eps, prec, **pens
+        )
+        cost = lambda x_, w_, h_: masked_kl(x_, w_, h_, mask, eps, **pens)
+        return run_checked_loop(x, w, h, config, step, cost)
+
+    return jax.jit(jax.vmap(one), donate_argnums=(1, 2))
+
+
 def solve_batched(
     x,
     w0,
@@ -58,14 +82,29 @@ def solve_batched(
     config: SolveConfig = SolveConfig(),
     mesh: Optional[Mesh] = None,
     clamp_inputs: bool = True,
+    mask=None,
 ) -> SolveResult:
     """Solve a batch: x [B,M,N], w0 [B,M,K], h0 [B,K,N] -> batched SolveResult.
 
     With ``mesh`` (1-D or n-D; its first axis is used) the batch dimension is
     sharded across devices; B must divide the axis size evenly.
+
+    ``mask`` ([B,M,N], optional) runs the masked/weighted KL solve per
+    member — each problem sees only its own ``mask != 0`` entries (the
+    batched counterpart of :func:`nmf_tpu.solve_masked`).
     """
     config.validate()
     quant = config.precision.x_dtype == "int8"
+    if mask is not None:
+        if config.beta != 1.0 or config.algorithm != "mu":
+            raise NotImplementedError(
+                "masked solve implements the KL (beta=1) MU family"
+            )
+        if quant:
+            raise NotImplementedError(
+                "masked batched solves take dense X (int8 X is the "
+                "streaming path's storage format)"
+            )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.asarray(x, _F32)
     w0 = jnp.asarray(w0, sd)
@@ -80,6 +119,10 @@ def solve_batched(
         raise ValueError(
             f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}"
         )
+    if mask is not None:
+        mask = jnp.asarray(mask, _F32)
+        if mask.shape != x.shape:
+            raise ValueError(f"mask shape {mask.shape} != X shape {x.shape}")
     if clamp_inputs:
         x = jnp.maximum(x, jnp.asarray(config.eps, _F32))
         w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
@@ -114,6 +157,10 @@ def solve_batched(
             )
         batch_sharding = NamedSharding(mesh, P(axis))
         x, w0, h0 = (jax.device_put(a, batch_sharding) for a in (x, w0, h0))
+        if mask is not None:
+            mask = jax.device_put(mask, batch_sharding)
         platform = list(mesh.devices.flat)[0].platform
 
+    if mask is not None:
+        return _batched_masked_jit(config)(x, w0, h0, mask)
     return _batched_jit(config, platform)(x, w0, h0)

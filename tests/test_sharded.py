@@ -320,3 +320,63 @@ def test_build_sharded_solver_is_cached(problem):
     a = sharded.build_sharded_solver(cfg, mesh, fused=False)
     b = sharded.build_sharded_solver(cfg, mesh, fused=False)
     assert a is b  # chunked/segmented drivers must not retrace per segment
+
+
+@pytest.mark.parametrize("kind", ["beta2", "reg", "hals"])
+def test_batched_extension_families_match_loop(problem, kind):
+    """The extension families are orthogonal to batching: vmapped members ==
+    per-member solo solves."""
+    x, w, h = problem
+    rng = np.random.RandomState(21)
+    B = 3
+    xs = clamp(rng.rand(B, *x.shape).astype(np.float32))
+    ws = clamp(rng.rand(B, *w.shape).astype(np.float32))
+    hs = clamp(rng.rand(B, *h.shape).astype(np.float32))
+    if kind == "beta2":
+        cfg = SolveConfig(max_iter=10, check_every=5, beta=2.0)
+    elif kind == "hals":
+        cfg = SolveConfig(max_iter=10, check_every=5, beta=2.0, algorithm="hals")
+    else:
+        cfg = SolveConfig(max_iter=10, check_every=5, l1_h=0.02, l2_w=0.01)
+    res = batched.solve_batched(xs, ws, hs, cfg)
+    for b in range(B):
+        ref = solve(xs[b], ws[b], hs[b], cfg)
+        w_ref = np.asarray(ref.w)
+        tol = dict(rtol=5e-4, atol=1e-5 * float(np.abs(w_ref).max())) \
+            if kind == "hals" else dict(rtol=5e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(res.w[b]), w_ref, **tol)
+        assert float(res.cost[b]) == pytest.approx(float(ref.cost), rel=1e-5)
+
+
+def test_batched_masked_matches_loop(problem):
+    """Masked x batched: each member sees only its own mask."""
+    from nmf_tpu.models.masked import solve_masked
+
+    x, w, h = problem
+    rng = np.random.RandomState(22)
+    B = 3
+    xs = clamp(rng.rand(B, *x.shape).astype(np.float32))
+    ws = clamp(rng.rand(B, *w.shape).astype(np.float32))
+    hs = clamp(rng.rand(B, *h.shape).astype(np.float32))
+    masks = (rng.rand(B, *x.shape) > 0.25).astype(np.float32)
+    cfg = SolveConfig(max_iter=10, check_every=5, l1_h=0.01)
+    res = batched.solve_batched(xs, ws, hs, cfg, mask=masks)
+    for b in range(B):
+        ref = solve_masked(xs[b], ws[b], hs[b], masks[b], cfg)
+        np.testing.assert_allclose(
+            np.asarray(res.w[b]), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+        )
+        assert float(res.cost[b]) == pytest.approx(float(ref.cost), rel=1e-5)
+    # masked batched composes with the batch mesh too
+    mesh = Mesh(np.asarray(jax.devices()[:3]), ("batch",))
+    res_m = batched.solve_batched(xs, ws, hs, cfg, mesh=mesh, mask=masks)
+    np.testing.assert_allclose(
+        np.asarray(res_m.w), np.asarray(res.w), rtol=5e-5, atol=1e-7
+    )
+    # guards
+    with pytest.raises(ValueError):
+        batched.solve_batched(xs, ws, hs, cfg, mask=masks[:, :-1])
+    with pytest.raises(NotImplementedError):
+        batched.solve_batched(
+            xs, ws, hs, SolveConfig(max_iter=2, beta=2.0), mask=masks
+        )
