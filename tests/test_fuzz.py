@@ -31,3 +31,37 @@ def test_fuzz_solver_against_oracle(trial):
         np.asarray(res.h), hn, rtol=5e-4, atol=1e-6 * scale,
         err_msg=f"shape=({m},{k},{n}) iters={iters} scale={scale:.3g}",
     )
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_rank_sweep_members_equal_solo_solves(trial):
+    """Random shapes + random rank lists: every embedded member must equal
+    the standalone solve at its true rank (the exact-zero-embedding
+    contract), including ragged non-tile-aligned dims."""
+    from nmf_tpu import solve_rank_sweep
+    from nmf_tpu.models.selection import _member_inits
+
+    rng = np.random.RandomState(2000 + trial)
+    m = int(rng.randint(4, 120))
+    n = int(rng.randint(4, 150))
+    kmax = int(rng.randint(2, min(m, n, 16) + 1))
+    ranks = sorted(
+        int(r) for r in rng.randint(1, kmax + 1, size=int(rng.randint(2, 5)))
+    )
+    iters = int(rng.randint(1, 15))
+    x = rng.rand(m, n).astype(np.float32)
+    cfg = SolveConfig(max_iter=iters, check_every=max(1, iters))
+    res = solve_rank_sweep(x, ranks, config=cfg, seed=trial)
+    w0s, h0s = _member_inits(x, np.asarray(ranks), "scaled", trial)
+    for i, k in enumerate(ranks):
+        ref = solve(x, w0s[i, :, :k], h0s[i, :k, :], cfg)
+        wi = np.asarray(res.results.w[i])
+        np.testing.assert_allclose(
+            wi[:, :k], np.asarray(ref.w), rtol=5e-5, atol=1e-7,
+            err_msg=f"shape=({m},{n}) ranks={ranks} member={i} iters={iters}",
+        )
+        assert np.all(wi[:, k:] == 0.0)
+        np.testing.assert_allclose(
+            res.costs[i], float(ref.cost), rtol=1e-5,
+            err_msg=f"shape=({m},{n}) ranks={ranks} member={i}",
+        )
