@@ -21,7 +21,7 @@ from .ops.elementwise import EPS, eps_clamp
 from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_divergence
 from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
-from .models.nmf import NMF, solve_h_only
+from .models.nmf import NMF, solve_h_only, solve_w_only
 from .models.separation import separate
 from .models.masked import solve_masked
 from .models.streaming import TransformResult, solve_out_of_core, transform_out_of_core
@@ -58,6 +58,7 @@ __all__ = [
     "update_w",
     "solve",
     "solve_h_only",
+    "solve_w_only",
     "NMF",
     "separate",
     "solve_masked",

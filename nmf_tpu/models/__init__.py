@@ -1,7 +1,7 @@
 """Model zoo: the KL-MU solver (reference parity), estimator API, extensions."""
 
 from .init import nndsvd_init, random_init, scaled_random_init
-from .nmf import NMF, solve_h_only
+from .nmf import NMF, solve_h_only, solve_w_only
 from .streaming import TransformResult, solve_out_of_core, transform_out_of_core
 from .strict import solve_strict
 from .sparse import SparseX, solve_sparse, sparse_from_dense
@@ -21,6 +21,7 @@ __all__ = [
     "SolveResult",
     "NMF",
     "solve_h_only",
+    "solve_w_only",
     "solve_out_of_core",
     "transform_out_of_core",
     "TransformResult",

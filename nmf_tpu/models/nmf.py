@@ -179,6 +179,35 @@ def solve_h_only(
     return _h_only_jit(config, platform)(x, w, h0)
 
 
+def solve_w_only(
+    x, w0, h, config: SolveConfig = SolveConfig(), mesh=None
+) -> SolveResult:
+    """Iterate only the W half-update with H fixed (dictionary adaptation).
+
+    The exact transpose of :func:`solve_h_only`: ``D(X || W H) ==
+    D(X^T || H^T W^T)``, and the reference's W update (nmf.cu:148-176) is
+    the H update of the transposed problem — so this is a thin transposition
+    wrapper with identical numerics, families, and convergence semantics.
+
+    With ``mesh`` the transposed problem runs on the same canonical
+    ('mr', 'mc') layout, so N must divide the mesh rows and M its columns.
+    """
+    xt = np.asarray(x, np.float32).T if not hasattr(x, "T") else x.T
+    h = np.asarray(h, np.float32) if not hasattr(h, "T") else h
+    w0 = np.asarray(w0, np.float32) if not hasattr(w0, "T") else w0
+    res = solve_h_only(xt, h.T, w0.T, config, mesh=mesh)
+    # transpose back: the transposed result's fixed 'w' is the (clamped) H
+    return SolveResult(
+        w=res.h.T,
+        h=res.w.T,
+        iterations=res.iterations,
+        cost=res.cost,
+        cost_history=res.cost_history,
+        num_checks=res.num_checks,
+        converged=res.converged,
+    )
+
+
 class NMF:
     """scikit-learn-style NMF estimator running on the TPU solver.
 

@@ -169,3 +169,39 @@ def test_nmf_estimator_restarts_warns_on_deterministic_init(small_problem):
         warnings.simplefilter("always")
         model.fit(x)
     assert any("deterministic" in str(w.message) for w in rec)
+
+
+def test_solve_w_only_transposition_symmetry(small_problem):
+    """W-only == H-only on the transposed problem, returned untransposed."""
+    from nmf_tpu import SolveConfig, solve_h_only, solve_w_only
+    from nmf_tpu.ops.divergence import kl_divergence
+
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=15, check_every=5)
+    res = solve_w_only(x, w, h, cfg)
+    ref = solve_h_only(x.T, h.T, w.T, cfg)
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.h).T)
+    assert float(res.cost) == float(ref.cost)
+    assert res.w.shape == w.shape and res.h.shape == h.shape
+    # the adapted W reduces the divergence vs the initial W
+    xc = jnp.asarray(clamp(x))
+    c0 = float(kl_divergence(xc, jnp.asarray(clamp(w)), jnp.asarray(clamp(h))))
+    assert float(res.cost) < c0
+
+
+def test_solve_w_only_on_mesh(small_problem):
+    from nmf_tpu import SolveConfig, solve_w_only
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = small_problem
+    m, n = x.shape
+    # transposed problem: N must divide mesh rows, M its cols
+    mesh = make_mesh(shape=(2, 2))
+    if n % 2 or m % 2:
+        pytest.skip("dims not divisible")
+    cfg = SolveConfig(max_iter=10, check_every=5)
+    res_m = solve_w_only(x, w, h, cfg, mesh=mesh)
+    res_s = solve_w_only(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_m.w), np.asarray(res_s.w), rtol=5e-5, atol=1e-7
+    )
