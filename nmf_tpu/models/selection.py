@@ -263,6 +263,11 @@ def solve_restarts(
 
     Returns a :class:`SelectionResult`; ``result.best`` is the lowest-cost
     (W, H).
+
+    Like :func:`nmf_tpu.solve`, the member state buffers are donated to the
+    compiled program; with ``clamp_inputs=False`` and device-resident
+    ``w0s``/``h0s`` the caller's arrays are consumed (the default clamped
+    copies keep caller buffers intact).
     """
     if (w0s is None) != (h0s is None):
         raise ValueError("provide both w0s and h0s, or neither")
