@@ -120,18 +120,14 @@ def solve_h_only(
     """
     config.validate()
     quant = config.precision.x_dtype == "int8"
-    sd = jnp.dtype(config.precision.state_dtype)
-    x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
-    w = jnp.maximum(jnp.asarray(w, sd), config.eps)
-    h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
-    if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
-        raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
-    if quant:
-        from ..ops.quant import quantize_columns
+    sx, sw, sh = jnp.shape(x), jnp.shape(w), jnp.shape(h0)
+    if sx != (sw[0], sh[1]) or sw[1] != sh[0]:
+        raise ValueError(f"shape mismatch: X{sx} vs W{sw} @ H{sh}")
+    # one program launch for clamp + casts (+ int8 quantization): repeated
+    # transform() calls pay per-launch tunnel RPCs (see solver._prep_jit)
+    from .solver import _prep_jit
 
-        x = quantize_columns(x, config.eps)
-    else:
-        x = x.astype(jnp.dtype(config.precision.x_dtype))
+    x, w, h0 = _prep_jit(config)(x, w, h0)
     if mesh is not None:
         from ..parallel.mesh import shard_problem
 
