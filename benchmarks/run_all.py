@@ -151,17 +151,15 @@ def bench_batched(batch, m, k, n, iters, dtype="bfloat16"):
     }
 
 
-def bench_restarts(r, m, k, n, dtype="bfloat16", short=100, long=400):
+def bench_restarts(r, m, k, n, dtype="bfloat16", long=400):
     """Model selection: R restarts in ONE compiled batch (shared X) vs R
-    sequential solves.  Long/short differencing cancels the per-call H2D
-    uploads (this link is slow); the ratio is the batching win.
+    sequential solves, straight warmed wall timing (see _rate).
 
     Use SMALL member dims: batching one program over R members is a
-    structural win when a single member under-fills the chip (fewer
-    dispatches, fuller contractions).  At members >= ~2048^2 one problem
-    already saturates the MXU and sequential dispatch pipelines as well or
-    better — measured both ways on v5e, with the documented +-2-3x
-    shared-chip noise dominating at large dims."""
+    structural win when a single member under-fills the chip or per-call
+    dispatch dominates (every launch is a tunnel RPC here).  At members
+    >= ~2048^2 one problem already keeps the MXU busy and the gap narrows
+    (measured 3.3x at 8x 2048^2 vs 9.3x at 16x 512x1024 on v5e)."""
     import jax
     import jax.numpy as jnp
 

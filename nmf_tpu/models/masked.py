@@ -119,8 +119,16 @@ def solve_masked(
     config.validate()
     if config.beta != 1.0 or config.algorithm != "mu":
         raise NotImplementedError("masked solve implements the KL (beta=1) MU family")
+    if config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "masked in-memory solves take dense f32/bf16 X (int8 X is the "
+            "streaming path's storage format — use solve_out_of_core)"
+        )
     sd = jnp.dtype(config.precision.state_dtype)
     x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
+    # honor the X storage dtype like every other solver (bf16 halves the
+    # dominant HBM stream; the masked quotient promotes back to f32)
+    x = x.astype(jnp.dtype(config.precision.x_dtype))
     w0 = jnp.maximum(jnp.asarray(w0, sd), config.eps)
     h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
     mask = jnp.asarray(mask, _F32)

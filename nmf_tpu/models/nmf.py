@@ -28,7 +28,7 @@ from ..utils.config import Precision, SolveConfig
 from .init import nndsvd_init, random_init, scaled_random_init
 from .solver import SolveResult, run_checked_loop, solve
 
-__all__ = ["NMF", "solve_h_only"]
+__all__ = ["NMF", "solve_h_only", "solve_w_only"]
 
 _F32 = jnp.float32
 
@@ -191,6 +191,15 @@ def solve_w_only(
     xt = np.asarray(x, np.float32).T if not hasattr(x, "T") else x.T
     h = np.asarray(h, np.float32) if not hasattr(h, "T") else h
     w0 = np.asarray(w0, np.float32) if not hasattr(w0, "T") else w0
+    if config.regularized:
+        # the W penalties become the transposed problem's H penalties
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            l1_h=config.l1_w, l2_h=config.l2_w,
+            l1_w=config.l1_h, l2_w=config.l2_h,
+        )
     res = solve_h_only(xt, h.T, w0.T, config, mesh=mesh)
     # transpose back: the transposed result's fixed 'w' is the (clamped) H
     return SolveResult(

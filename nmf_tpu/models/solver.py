@@ -392,13 +392,19 @@ def solve_jit(config: SolveConfig, platform: Optional[str] = None):
     return _solve
 
 
-@functools.lru_cache(maxsize=32)
 def _prep_jit(config: SolveConfig):
     """Jitted input prep: clamp (nmf.cu:211) + state/X dtype casts (+ int8
-    column quantization) in one program launch."""
-    sd = jnp.dtype(config.precision.state_dtype)
-    eps = config.eps
-    quant = config.precision.x_dtype == "int8"
+    column quantization) in one program launch.  Keyed by (precision, eps)
+    only — loop parameters (max_iter/thresh/...) don't change the prep
+    program, and each extra compiled program pays this platform's one-off
+    first-dispatch stall."""
+    return _prep_jit_cached(config.precision, config.eps)
+
+
+@functools.lru_cache(maxsize=16)
+def _prep_jit_cached(precision, eps: float):
+    sd = jnp.dtype(precision.state_dtype)
+    quant = precision.x_dtype == "int8"
 
     @jax.jit
     def prep(x, w, h):
@@ -412,7 +418,7 @@ def _prep_jit(config: SolveConfig):
 
             x = quantize_columns(x, eps)
         else:
-            x = x.astype(jnp.dtype(config.precision.x_dtype))
+            x = x.astype(jnp.dtype(precision.x_dtype))
         return x, w, h
 
     return prep

@@ -36,22 +36,30 @@ from ..utils.config import SolveConfig
 __all__ = ["StabilityResult", "rank_stability", "consensus_matrix"]
 
 
+def _consensus_from_host(
+    h_all: np.ndarray, ranks: np.ndarray, rank: int
+) -> np.ndarray:
+    idx = [i for i in range(len(ranks)) if int(ranks[i]) == int(rank)]
+    if not idx:
+        raise ValueError(f"no members with rank {rank} in this result")
+    n = h_all.shape[2]
+    acc = np.zeros((n, n), np.float64)
+    for i in idx:
+        labels = h_all[i, : int(rank), :].argmax(axis=0)
+        acc += labels[:, None] == labels[None, :]
+    return (acc / len(idx)).astype(np.float32)
+
+
 def consensus_matrix(sel: SelectionResult, rank: int) -> np.ndarray:
     """Average connectivity matrix over ``sel``'s members with this rank.
 
     A column's label is its dominant component (argmax over the rank axis
-    of H); two columns are connected when they share a label.
+    of H); two columns are connected when they share a label.  All member
+    factors are fetched in ONE device-to-host transfer (per-member slices
+    would pay this platform's high per-transfer latency R times).
     """
-    idx = [i for i in range(sel.n_members) if int(sel.ranks[i]) == int(rank)]
-    if not idx:
-        raise ValueError(f"no members with rank {rank} in this result")
-    n = sel.results.h.shape[2]
-    acc = np.zeros((n, n), np.float64)
-    for i in idx:
-        _, h = sel.factors(i)
-        labels = np.asarray(h, np.float32).argmax(axis=0)
-        acc += labels[:, None] == labels[None, :]
-    return (acc / len(idx)).astype(np.float32)
+    h_all = np.asarray(sel.results.h, np.float32)
+    return _consensus_from_host(h_all, sel.ranks, rank)
 
 
 def _cophenetic(consensus: np.ndarray) -> float:
@@ -66,9 +74,14 @@ def _cophenetic(consensus: np.ndarray) -> float:
     cond = squareform((d + d.T) / 2.0, checks=False)
     if not np.any(cond):
         return 1.0  # perfectly stable: all restarts agree exactly
+    if np.ptp(cond) == 0.0:
+        # all pairs equally (un)stable: the correlation is 0/0 — there is
+        # no hierarchical structure at all, so report zero stability
+        # evidence rather than NaN (which would poison best_rank)
+        return 0.0
     z = average(cond)
     coph, _ = cophenet(z, cond)
-    return float(coph)
+    return float(coph) if np.isfinite(coph) else 0.0
 
 
 @dataclasses.dataclass
@@ -114,9 +127,13 @@ def rank_stability(
 
     ``init`` should be seed-sensitive ('random', 'scaled', 'nndsvdar') —
     deterministic inits would make every restart identical and report
-    perfect (meaningless) stability.  Memory: O(N^2) per rank host-side.
+    perfect (meaningless) stability.  ``ranks`` are de-duplicated and
+    sorted ascending (the first-drop rule needs an ascending scan).
+    Memory: O(N^2) per rank host-side.
     """
-    ranks = [int(k) for k in ranks]
+    # best_rank's first-drop rule needs an ascending scan; duplicates would
+    # silently double-weight a rank's consensus
+    ranks = sorted({int(k) for k in ranks})
     if not ranks:
         raise ValueError("ranks must be non-empty")
     if n_restarts < 2:
@@ -135,8 +152,10 @@ def rank_stability(
     coph = np.empty(len(ranks), np.float64)
     disp = np.empty(len(ranks), np.float64)
     kept: Dict[int, np.ndarray] = {}
+    # one D2H fetch of every member's factors for the whole study
+    h_all = np.asarray(sweep.results.h, np.float32)
     for j, k in enumerate(ranks):
-        c = consensus_matrix(sweep, k)
+        c = _consensus_from_host(h_all, sweep.ranks, k)
         coph[j] = _cophenetic(c)
         disp[j] = float(np.mean(4.0 * (c - 0.5) ** 2))
         if keep_consensus:

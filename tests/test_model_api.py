@@ -205,3 +205,18 @@ def test_solve_w_only_on_mesh(small_problem):
     np.testing.assert_allclose(
         np.asarray(res_m.w), np.asarray(res_s.w), rtol=5e-5, atol=1e-7
     )
+
+
+def test_solve_w_only_transposes_penalties(small_problem):
+    """l1_w/l2_w penalize the iterated W (not silently dropped)."""
+    from nmf_tpu import SolveConfig, solve_w_only
+
+    x, w, h = small_problem
+    plain = solve_w_only(x, w, h, SolveConfig(max_iter=10, check_every=5))
+    pen = solve_w_only(
+        x, w, h, SolveConfig(max_iter=10, check_every=5, l1_w=0.5)
+    )
+    # the penalty changes the W update (denominator gains +l1_w)
+    assert not np.allclose(np.asarray(pen.w), np.asarray(plain.w))
+    # and shrinks W (larger denominator, multiplicative update)
+    assert np.asarray(pen.w).sum() < np.asarray(plain.w).sum()

@@ -380,3 +380,33 @@ def test_batched_masked_matches_loop(problem):
         batched.solve_batched(
             xs, ws, hs, SolveConfig(max_iter=2, beta=2.0), mask=masks
         )
+
+
+def test_batched_masked_bf16_x_matches_loop(problem):
+    """x_dtype is honored identically by the batched and solo masked paths."""
+    from nmf_tpu.models.masked import solve_masked
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    rng = np.random.RandomState(23)
+    B = 2
+    xs = clamp(rng.rand(B, *x.shape).astype(np.float32))
+    ws = clamp(rng.rand(B, *w.shape).astype(np.float32))
+    hs = clamp(rng.rand(B, *h.shape).astype(np.float32))
+    masks = (rng.rand(B, *x.shape) > 0.3).astype(np.float32)
+    cfg = SolveConfig(
+        max_iter=8, check_every=4,
+        precision=Precision("float32", "float32", "bfloat16"),
+    )
+    res = batched.solve_batched(xs, ws, hs, cfg, mask=masks)
+    for b in range(B):
+        ref = solve_masked(xs[b], ws[b], hs[b], masks[b], cfg)
+        np.testing.assert_allclose(
+            np.asarray(res.w[b]), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+        )
+    # int8 masked in-memory raises cleanly in both entry points
+    cfg8 = SolveConfig(max_iter=2, precision=Precision(x_dtype="int8"))
+    with pytest.raises(NotImplementedError):
+        solve_masked(xs[0], ws[0], hs[0], masks[0], cfg8)
+    with pytest.raises(NotImplementedError):
+        batched.solve_batched(xs, ws, hs, cfg8, mask=masks)

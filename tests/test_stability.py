@@ -76,3 +76,24 @@ def test_rank_stability_validation(planted_problem):
         rank_stability(planted_problem, ranks=[3], n_restarts=1)
     with pytest.raises(ValueError):
         rank_stability(planted_problem, ranks=[3], n_restarts=4, init="nndsvda")
+
+
+def test_rank_stability_sorts_and_dedupes_ranks(planted_problem):
+    a = rank_stability(planted_problem, ranks=[5, 3, 3], n_restarts=4,
+                       config=CFG, seed=1)
+    b = rank_stability(planted_problem, ranks=[3, 5], n_restarts=4,
+                       config=CFG, seed=1)
+    np.testing.assert_array_equal(a.ranks, [3, 5])
+    np.testing.assert_allclose(a.cophenetic, b.cophenetic)
+
+
+def test_cophenetic_degenerate_consensus_is_finite():
+    from nmf_tpu.models.stability import _cophenetic
+
+    # uniformly unstable: all off-diagonal 0.5 -> no structure, not NaN
+    c = np.full((4, 4), 0.5, np.float32)
+    np.fill_diagonal(c, 1.0)
+    v = _cophenetic(c)
+    assert np.isfinite(v) and v == 0.0
+    # perfectly stable stays 1.0
+    assert _cophenetic(np.ones((4, 4), np.float32)) == 1.0
