@@ -516,6 +516,7 @@ def cmd_separate(args) -> int:
         hop=args.hop,
         config=config,
         seed=args.seed,
+        n_restarts=args.restarts,
     )
     import os
 
@@ -686,6 +687,13 @@ def build_parser() -> argparse.ArgumentParser:
     sep.add_argument("--n-fft", type=int, default=1024)
     sep.add_argument("--hop", type=int, default=256)
     sep.add_argument("--seed", type=int, default=0)
+    sep.add_argument(
+        "--restarts",
+        type=int,
+        default=1,
+        help="factorize from N seeded inits in one compiled batch and keep "
+        "the lowest-divergence decomposition",
+    )
     _add_solver_flags(sep)
     sep.set_defaults(fn=cmd_separate, thresh=1e-5)
 

@@ -154,11 +154,17 @@ def separate(
     hop: int = 256,
     config: Optional[SolveConfig] = None,
     seed: int = 0,
+    n_restarts: int = 1,
 ) -> SeparationResult:
     """Decompose audio into ``n_components`` sources (paper pipeline).
 
     magnitude STFT -> KL-NMF -> per-component Wiener mask
     ``(w_k h_k) / (W H)`` applied to the complex STFT -> ISTFT.
+
+    ``n_restarts > 1`` factorizes from several seeded inits in one compiled
+    batch and keeps the lowest-divergence decomposition (NMF is non-convex;
+    spectrogram dims are small enough that extra members are nearly free —
+    see :func:`nmf_tpu.solve_restarts`).
     """
     audio = np.asarray(audio, np.float32)
     if audio.ndim != 1:
@@ -167,8 +173,26 @@ def separate(
 
     spec = _stft_np(audio, n_fft, hop)        # complex (bins, frames), host
     mag = np.abs(spec).astype(np.float32)
-    w0, h0 = scaled_random_init(mag, n_components, seed=seed)
-    res = solve(mag, w0, h0, config)          # the accelerator does the NMF
+    if n_restarts > 1:
+        from .selection import solve_restarts
+        from .solver import SolveResult
+
+        sel = solve_restarts(
+            mag, rank=n_components, n_restarts=n_restarts, config=config,
+            seed=seed,
+        )
+        b = sel.best_index
+        res = SolveResult(
+            w=sel.results.w[b], h=sel.results.h[b],
+            iterations=sel.results.iterations[b],
+            cost=sel.results.cost[b],
+            cost_history=sel.results.cost_history[b],
+            num_checks=sel.results.num_checks[b],
+            converged=sel.results.converged[b],
+        )
+    else:
+        w0, h0 = scaled_random_init(mag, n_components, seed=seed)
+        res = solve(mag, w0, h0, config)      # the accelerator does the NMF
 
     sources = _masked_sources(
         np.asarray(res.w), np.asarray(res.h), spec, n_fft, hop, int(audio.shape[0])

@@ -104,3 +104,17 @@ def test_np_and_jnp_stft_agree():
     a_np = _istft_np(s_np, 512, 128, length=audio.shape[0])
     a_j = np.asarray(istft(jnp.asarray(s_j), 512, 128, length=audio.shape[0]))
     np.testing.assert_allclose(a_np, a_j, rtol=1e-3, atol=1e-4)
+
+
+def test_separate_restarts_keeps_best(two_tone_audio):
+    from nmf_tpu import kl_divergence
+    from nmf_tpu.models.separation import stft as _stft
+
+    audio, sr = two_tone_audio
+    cfg = SolveConfig(max_iter=30, check_every=10)
+    single = separate(audio, n_components=4, config=cfg, seed=0)
+    multi = separate(audio, n_components=4, config=cfg, seed=0, n_restarts=4)
+    assert multi.sources.shape == single.sources.shape
+    # restarts can only match or beat the seed-0 divergence (seed 0 is
+    # member 0 of the batch)
+    assert float(multi.solve_result.cost) <= float(single.solve_result.cost) + 1e-4
