@@ -223,7 +223,8 @@ class NMF:
     (relative cost-change threshold; 0 = exactly max_iter iterations),
     ``random_state`` (seed), ``solver`` ('mu' = multiplicative updates, the
     reference algorithm; 'cd'/'hals' = HALS coordinate descent, Frobenius
-    only — sklearn's default).
+    only — sklearn's default), and ``alpha_W`` / ``alpha_H`` / ``l1_ratio``
+    (regularization with sklearn's exact dimension scaling; KL-MU family).
 
     Extra knobs: ``precision`` (fp32 / bf16 MXU policy), ``backend``,
     ``check_every``, ``n_restarts`` (fit from several seeded inits in one
@@ -253,9 +254,15 @@ class NMF:
         solver: str = "mu",
         mesh=None,
         n_restarts: int = 1,
+        alpha_W: float = 0.0,
+        alpha_H="same",
+        l1_ratio: float = 0.0,
     ):
         self.mesh = mesh
         self.n_restarts = int(n_restarts)
+        self.alpha_W = float(alpha_W)
+        self.alpha_H = alpha_H
+        self.l1_ratio = float(l1_ratio)
         self.n_components = int(n_components)
         self.init = init
         self.beta_loss = float(beta_loss)
@@ -271,7 +278,25 @@ class NMF:
         self.reconstruction_err_: Optional[float] = None
         self.n_iter_: Optional[int] = None
 
-    def _config(self, max_iter: Optional[int] = None) -> SolveConfig:
+    def _config(
+        self,
+        max_iter: Optional[int] = None,
+        shape: Optional[tuple] = None,
+    ) -> SolveConfig:
+        # sklearn's exact regularization scaling (sklearn/decomposition/
+        # _nmf.py _compute_regularization): the W penalties scale with the
+        # number of features and H's with the number of samples.  In our
+        # X = W @ H orientation samples are rows (M) and features columns
+        # (N): l1_W = N * alpha_W * l1_ratio, l2_W = N * alpha_W *
+        # (1 - l1_ratio), and symmetrically for H with M.
+        l1_w = l2_w = l1_h = l2_h = 0.0
+        alpha_h = self.alpha_W if self.alpha_H == "same" else float(self.alpha_H)
+        if shape is not None and (self.alpha_W or alpha_h):
+            m, n = shape
+            l1_w = n * self.alpha_W * self.l1_ratio
+            l2_w = n * self.alpha_W * (1.0 - self.l1_ratio)
+            l1_h = m * alpha_h * self.l1_ratio
+            l2_h = m * alpha_h * (1.0 - self.l1_ratio)
         return SolveConfig(
             max_iter=self.max_iter if max_iter is None else max_iter,
             thresh=self.tol,
@@ -280,6 +305,7 @@ class NMF:
             backend=self.backend,
             beta=self.beta_loss,
             algorithm=self.solver,
+            l1_w=l1_w, l2_w=l2_w, l1_h=l1_h, l2_h=l2_h,
         )
 
     def _init_factors(self, x: np.ndarray):
@@ -328,7 +354,7 @@ class NMF:
                 x,
                 rank=self.n_components,
                 n_restarts=self.n_restarts,
-                config=self._config(),
+                config=self._config(shape=x.shape),
                 seed=self.random_state,
                 init=init,
                 mesh=mesh,
@@ -347,9 +373,9 @@ class NMF:
         if self.mesh is not None:
             from ..parallel.sharded import solve_sharded
 
-            res = solve_sharded(x, w0, h0, self._config(), mesh=self.mesh)
+            res = solve_sharded(x, w0, h0, self._config(shape=x.shape), mesh=self.mesh)
         else:
-            res = solve(x, w0, h0, self._config())
+            res = solve(x, w0, h0, self._config(shape=x.shape))
         self.w_ = np.asarray(res.w)
         self.components_ = np.asarray(res.h)
         self.reconstruction_err_ = float(res.cost)
@@ -378,7 +404,7 @@ class NMF:
             from .streaming import transform_out_of_core
 
             res = transform_out_of_core(
-                x, self.w_, h0=h0, config=self._config(max_iter),
+                x, self.w_, h0=h0, config=self._config(max_iter),  # shape unknown for streamed X
                 mesh=self.mesh, seed=self.random_state,
             )
             return res.h
@@ -387,7 +413,10 @@ class NMF:
         if h0 is None:
             rng = np.random.RandomState(self.random_state)
             h0 = rng.rand(k, x.shape[1]).astype(np.float32)
-        res = solve_h_only(x, self.w_, h0, self._config(max_iter), mesh=self.mesh)
+        res = solve_h_only(
+            x, self.w_, h0, self._config(max_iter, shape=x.shape),
+            mesh=self.mesh,
+        )
         return np.asarray(res.h)
 
     def inverse_transform(self, h) -> np.ndarray:

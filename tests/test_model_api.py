@@ -220,3 +220,40 @@ def test_solve_w_only_transposes_penalties(small_problem):
     assert not np.allclose(np.asarray(pen.w), np.asarray(plain.w))
     # and shrinks W (larger denominator, multiplicative update)
     assert np.asarray(pen.w).sum() < np.asarray(plain.w).sum()
+
+
+def test_nmf_estimator_sklearn_alpha_scaling(small_problem):
+    """alpha_W/alpha_H/l1_ratio map to the solver penalties with sklearn's
+    exact dimension scaling (l1_W = n_features*alpha_W*l1_ratio, ...)."""
+    from nmf_tpu import SolveConfig, solve
+    from nmf_tpu.models.init import nndsvd_init
+
+    x, _, _ = small_problem
+    m, n = x.shape
+    model = NMF(
+        n_components=5, max_iter=20, init="nndsvda", random_state=0,
+        alpha_W=0.1, l1_ratio=0.5,
+    )
+    model.fit(x)
+    w0, h0 = nndsvd_init(x, 5, variant="nndsvda", seed=0)
+    ref = solve(
+        x, w0, h0,
+        SolveConfig(
+            max_iter=20,
+            l1_w=n * 0.1 * 0.5, l2_w=n * 0.1 * 0.5,
+            l1_h=m * 0.1 * 0.5, l2_h=m * 0.1 * 0.5,
+        ),
+    )
+    np.testing.assert_allclose(model.w_, np.asarray(ref.w), rtol=1e-6)
+    # alpha_H overrides independently; alpha_H=0 drops the H penalties
+    m2 = NMF(
+        n_components=5, max_iter=20, init="nndsvda", random_state=0,
+        alpha_W=0.1, alpha_H=0.0, l1_ratio=1.0,
+    )
+    m2.fit(x)
+    ref2 = solve(
+        x, w0, h0, SolveConfig(max_iter=20, l1_w=n * 0.1, l2_w=0.0),
+    )
+    np.testing.assert_allclose(m2.w_, np.asarray(ref2.w), rtol=1e-6)
+    # and the penalties really changed the fit
+    assert not np.allclose(model.w_, m2.w_)
