@@ -125,3 +125,11 @@ print(
     f"{'stability':14s} " +
     "  ".join(f"K={k}:coph={c:.3f}" for k, c in zip(stab.ranks, stab.cophenetic))
 )
+
+# --- online NMF: one-pass streaming dictionary learning --------------------
+onl = nt.solve_online(x, w0, nt.SolveConfig(), block_n=128, inner_iters=15,
+                      passes=2)
+print(
+    f"{'online':14s} pass costs {[round(sum(p), 1) for p in onl.block_costs]}"
+    f"  (W learned in one stream/pass; rho<1 tracks drift)"
+)

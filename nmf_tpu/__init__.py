@@ -22,6 +22,7 @@ from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_d
 from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
 from .models.nmf import NMF, solve_h_only, solve_w_only
+from .models.online import OnlineResult, solve_online
 from .models.separation import separate
 from .models.masked import solve_masked
 from .models.streaming import TransformResult, solve_out_of_core, transform_out_of_core
@@ -59,6 +60,8 @@ __all__ = [
     "solve",
     "solve_h_only",
     "solve_w_only",
+    "solve_online",
+    "OnlineResult",
     "NMF",
     "separate",
     "solve_masked",

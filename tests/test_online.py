@@ -1,0 +1,117 @@
+"""Online (one-pass streaming) dictionary learning."""
+
+import numpy as np
+import pytest
+
+from nmf_tpu import SolveConfig, solve, solve_h_only, solve_online
+from nmf_tpu.io import binio
+
+from oracle import clamp
+
+
+@pytest.fixture(scope="module")
+def planted():
+    rng = np.random.RandomState(5)
+    m, k, n = 96, 8, 1200
+    wt = rng.rand(m, k).astype(np.float32)
+    ht = rng.rand(k, n).astype(np.float32)
+    x = (wt @ ht + 0.02 * rng.rand(m, n)).astype(np.float32)
+    w0 = rng.rand(m, k).astype(np.float32)
+    return x, w0
+
+
+def _refit_cost(x, w):
+    """Quality metric for a learned dictionary: KL after an H-only refit."""
+    rng = np.random.RandomState(9)
+    h0 = rng.rand(w.shape[1], x.shape[1]).astype(np.float32)
+    res = solve_h_only(x, w, h0, SolveConfig(max_iter=80, check_every=80))
+    return float(res.cost)
+
+
+def test_online_learns_batch_quality_dictionary(planted):
+    x, w0 = planted
+    res = solve_online(
+        x, w0, SolveConfig(), block_n=200, inner_iters=25, passes=3, seed=1
+    )
+    assert res.w.shape == w0.shape
+    assert np.all(res.w >= 0) and np.isfinite(res.w).all()
+    # batch reference: a full alternating solve with a comparable budget
+    rng = np.random.RandomState(2)
+    h0 = rng.rand(w0.shape[1], x.shape[1]).astype(np.float32)
+    batch = solve(x, w0, h0, SolveConfig(max_iter=75, check_every=75))
+    online_q = _refit_cost(x, res.w)
+    batch_q = _refit_cost(x, np.asarray(batch.w))
+    init_q = _refit_cost(x, clamp(w0))
+    # the streamed dictionary must close most of the init->batch gap
+    assert online_q < init_q
+    assert (online_q - batch_q) / (init_q - batch_q + 1e-12) < 0.35, (
+        f"online refit {online_q:.2f} vs batch {batch_q:.2f} "
+        f"(init {init_q:.2f})"
+    )
+
+
+def test_online_learning_curve_improves_across_passes(planted):
+    x, w0 = planted
+    res = solve_online(
+        x, w0, SolveConfig(), block_n=300, inner_iters=15, passes=2, seed=0
+    )
+    assert res.passes == 2
+    assert len(res.block_costs) == 2
+    assert sum(res.block_costs[1]) < sum(res.block_costs[0])
+    assert res.learning_curve.shape == (2 * len(res.blocks),)
+
+
+def test_online_bin_source_matches_array(planted, tmp_path):
+    x, w0 = planted
+    path = str(tmp_path / "X.bin")
+    binio.write_matrix(x, path)
+    cfg = SolveConfig()
+    a = solve_online(x, w0, cfg, block_n=256, inner_iters=5, seed=3)
+    b = solve_online(path, w0, cfg, block_n=256, inner_iters=5, seed=3)
+    np.testing.assert_array_equal(a.w, b.w)
+
+
+def test_online_forgetting_tracks_drift():
+    """With rho < 1 the dictionary adapts to a distribution shift; with
+    rho = 1 the stale history holds it back."""
+    rng = np.random.RandomState(11)
+    m, k, n_half = 64, 4, 600
+    w_a = rng.rand(m, k).astype(np.float32)
+    w_b = rng.rand(m, k).astype(np.float32)  # the post-shift dictionary
+    h1 = rng.rand(k, n_half).astype(np.float32)
+    h2 = rng.rand(k, n_half).astype(np.float32)
+    x = np.concatenate([w_a @ h1, w_b @ h2], axis=1).astype(np.float32)
+    x_late = np.ascontiguousarray(x[:, n_half:])
+    w0 = rng.rand(m, k).astype(np.float32)
+    cfg = SolveConfig()
+    kw = dict(block_n=100, inner_iters=20, seed=0)
+    adaptive = solve_online(x, w0, cfg, rho=0.5, **kw)
+    static = solve_online(x, w0, cfg, rho=1.0, **kw)
+    # judged on the LATE data only, forgetting must help
+    assert _refit_cost(x_late, adaptive.w) < _refit_cost(x_late, static.w)
+
+
+def test_online_x_dtypes(planted):
+    from nmf_tpu.utils.config import Precision
+
+    x, w0 = planted
+    ref = solve_online(x, w0, SolveConfig(), block_n=400, inner_iters=5)
+    for xd in ("bfloat16", "int8"):
+        cfg = SolveConfig(precision=Precision(x_dtype=xd))
+        res = solve_online(x, w0, cfg, block_n=400, inner_iters=5)
+        assert np.isfinite(res.w).all()
+        # lossy storage: dictionary close, not equal
+        rel = np.abs(res.w - ref.w).max() / ref.w.max()
+        assert rel < 0.05, f"{xd}: {rel}"
+
+
+def test_online_validation(planted):
+    x, w0 = planted
+    with pytest.raises(NotImplementedError):
+        solve_online(x, w0, SolveConfig(beta=2.0))
+    with pytest.raises(ValueError):
+        solve_online(x, w0, SolveConfig(), rho=0.0)
+    with pytest.raises(ValueError):
+        solve_online(x, w0, SolveConfig(), inner_iters=0)
+    with pytest.raises(ValueError):
+        solve_online(x, w0[:-1], SolveConfig())
