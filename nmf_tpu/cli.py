@@ -150,6 +150,62 @@ def _state_as_result(state, w_out, h_out):
     )
 
 
+def _cmd_run_online(args) -> int:
+    """run with --online: one-pass streaming dictionary learning, then an
+    out-of-core transform for the activations (X streamed, never loaded)."""
+    from .models.init import random_init
+    from .models.online import solve_online
+    from .models.streaming import BinColumnSource, transform_out_of_core
+
+    if args.strict_compat or args.checkpoint_dir or args.mask or args.mesh:
+        print(
+            "error: --online is a single-device streaming learner (no "
+            "--strict-compat / --checkpoint-dir / --mask / --mesh)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.W or args.H:
+        w0 = binio.read_matrix(args.W) if args.W else None
+        if w0 is None or args.H:
+            print(
+                "error: --online takes an optional W init only (H is "
+                "produced by the post-pass transform)",
+                file=sys.stderr,
+            )
+            return 2
+    elif args.rank:
+        src = BinColumnSource(args.X)
+        m, _ = src.shape
+        w0, _ = random_init(m, args.rank, 1, seed=args.seed)
+    else:
+        print("error: provide a W init or --rank", file=sys.stderr)
+        return 2
+    config = _config_from(args)
+    logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
+    with logger.timed() as t:
+        res = solve_online(
+            args.X, w0, config, block_n=args.block_n,
+            inner_iters=args.online_inner_iters, rho=args.online_rho,
+            passes=args.online_passes, seed=args.seed,
+        )
+        tr = transform_out_of_core(
+            args.X, res.w, config=config, block_n=args.block_n,
+            seed=args.seed,
+        )
+    w_path, h_path = args.output
+    binio.write_matrix(res.w, w_path)
+    binio.write_matrix(tr.h, h_path)
+    if not args.quiet:
+        sums = [round(sum(p), 4) for p in res.block_costs]
+        print(
+            f"[nmf] online: {res.passes} pass(es) over {len(res.blocks)} "
+            f"blocks (per-pass cost sums {sums}); transform cost "
+            f"{tr.cost:.6g}; {t.seconds:.2f}s; wrote {w_path}, {h_path}",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def _cmd_run_out_of_core(args) -> int:
     """run with --out-of-core: X streamed from its .bin, never fully loaded."""
     from .models.streaming import BinColumnSource, solve_out_of_core
@@ -215,13 +271,23 @@ def _cmd_run_out_of_core(args) -> int:
 
 
 def cmd_run(args) -> int:
-    if args.restarts > 1 and args.out_of_core:
+    if args.restarts > 1 and (args.out_of_core or args.online):
         print(
             "error: --restarts batches whole in-memory solves "
-            "(no --out-of-core)",
+            "(no --out-of-core / --online)",
             file=sys.stderr,
         )
         return 2
+    if args.online and args.out_of_core:
+        print(
+            "error: pick one streaming mode — --out-of-core (full "
+            "alternating solve, one X stream per iteration) or --online "
+            "(one-pass dictionary learning)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.online:
+        return _cmd_run_online(args)
     if args.out_of_core:
         return _cmd_run_out_of_core(args)
     x = binio.read_matrix(args.X)
@@ -652,6 +718,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="init strategy when --rank is used",
     )
     run.add_argument("--seed", type=int, default=0)
+    run.add_argument(
+        "--online",
+        action="store_true",
+        help="one-pass streaming dictionary learning over X's columns "
+        "(unbounded streams; memory independent of N), then an "
+        "out-of-core transform for H; see also --online-passes/--online-"
+        "rho/--online-inner-iters",
+    )
+    run.add_argument("--online-passes", type=int, default=1)
+    run.add_argument(
+        "--online-rho",
+        type=float,
+        default=1.0,
+        help="forgetting factor in (0,1]; <1 tracks distribution drift",
+    )
+    run.add_argument("--online-inner-iters", type=int, default=20)
     run.add_argument(
         "--restarts",
         type=int,

@@ -657,3 +657,25 @@ def test_cli_transform_out_of_core(cli_fixtures):
     x = binio.read_matrix(p["X"])
     w = binio.read_matrix(p["W"])
     assert h.shape == (w.shape[1], x.shape[1])
+
+
+def test_cli_run_online(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Won.bin"), str(tmp_path / "Hon.bin")
+    rc = cli_main(
+        ["run", p["X"], "-o", wout, hout, "--rank", "6", "--online",
+         "--online-passes", "2", "--block-n", "64", "--max-iter", "20", "-q"]
+    )
+    assert rc == 0
+    x = binio.read_matrix(p["X"])
+    w = binio.read_matrix(wout)
+    h = binio.read_matrix(hout)
+    assert w.shape == (x.shape[0], 6) and h.shape == (6, x.shape[1])
+    assert np.isfinite(w).all() and np.isfinite(h).all()
+    # flag conflicts error cleanly
+    assert cli_main(
+        ["run", p["X"], "--rank", "6", "--online", "--out-of-core", "-q"]
+    ) == 2
+    assert cli_main(
+        ["run", p["X"], p["W"], p["H"], "--online", "-q"]
+    ) == 2
