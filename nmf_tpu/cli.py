@@ -164,6 +164,26 @@ def _cmd_run_online(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if not (0.0 < args.online_rho <= 1.0):
+        print(
+            f"error: --online-rho must be in (0, 1], got {args.online_rho}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.online_passes < 1 or args.online_inner_iters < 1:
+        print(
+            "error: --online-passes and --online-inner-iters must be >= 1",
+            file=sys.stderr,
+        )
+        return 2
+    if args.rank and args.init != "random" and not (args.W or args.H):
+        print(
+            "error: --online streams X (global statistics for "
+            f"--init {args.init} are unavailable); use --init random or "
+            "provide a W init file",
+            file=sys.stderr,
+        )
+        return 2
     if args.W or args.H:
         w0 = binio.read_matrix(args.W) if args.W else None
         if w0 is None or args.H:
@@ -192,15 +212,29 @@ def _cmd_run_online(args) -> int:
             args.X, res.w, config=config, block_n=args.block_n,
             seed=args.seed,
         )
+    if args.validate:
+        from .utils.guards import validate_input
+
+        validate_input("W", res.w)
+        validate_input("H", tr.h)
+    logger.report_raw(
+        {
+            "mode": "online",
+            "shape": list(BinColumnSource(args.X).shape),
+            "rank": int(res.w.shape[1]),
+            "passes": res.passes,
+            "blocks": len(res.blocks),
+            "pass_cost_sums": [round(sum(p), 6) for p in res.block_costs],
+            "transform_cost": float(tr.cost),
+            "seconds": t.seconds,
+        }
+    )
     w_path, h_path = args.output
     binio.write_matrix(res.w, w_path)
     binio.write_matrix(tr.h, h_path)
     if not args.quiet:
-        sums = [round(sum(p), 4) for p in res.block_costs]
         print(
-            f"[nmf] online: {res.passes} pass(es) over {len(res.blocks)} "
-            f"blocks (per-pass cost sums {sums}); transform cost "
-            f"{tr.cost:.6g}; {t.seconds:.2f}s; wrote {w_path}, {h_path}",
+            f"[nmf] online: wrote {w_path}, {h_path}",
             file=sys.stderr,
         )
     return 0

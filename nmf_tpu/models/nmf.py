@@ -363,7 +363,7 @@ class NMF:
             w_b, h_b = sel.factors(best)
             self.w_ = np.asarray(w_b)
             self.components_ = np.asarray(h_b)
-            self.reconstruction_err_ = sel.best_cost
+            self.reconstruction_err_ = self._pure_err(x, sel.best_cost)
             self.n_iter_ = int(sel.iterations[best])
             return self.w_
         if w0 is None or h0 is None:
@@ -378,9 +378,18 @@ class NMF:
             res = solve(x, w0, h0, self._config(shape=x.shape))
         self.w_ = np.asarray(res.w)
         self.components_ = np.asarray(res.h)
-        self.reconstruction_err_ = float(res.cost)
+        self.reconstruction_err_ = self._pure_err(x, float(res.cost))
         self.n_iter_ = int(res.iterations)
         return self.w_
+
+    def _pure_err(self, x: np.ndarray, solver_cost: float) -> float:
+        """sklearn's ``reconstruction_err_`` is the PURE beta-divergence; the
+        solver's cost includes the L1/L2 penalty terms when regularization
+        is on, so recompute the divergence from the fitted factors then."""
+        alpha_h = self.alpha_W if self.alpha_H == "same" else float(self.alpha_H)
+        if not self.alpha_W and not alpha_h:
+            return solver_cost
+        return -self.score(x)
 
     def transform(
         self,
@@ -401,10 +410,14 @@ class NMF:
         if self.w_ is None:
             raise RuntimeError("transform() before fit()")
         if out_of_core:
-            from .streaming import transform_out_of_core
+            from .streaming import _as_source, transform_out_of_core
 
+            # the regularization scaling needs the GLOBAL dims; sources
+            # know their shape without loading any data
+            shape = _as_source(x).shape
             res = transform_out_of_core(
-                x, self.w_, h0=h0, config=self._config(max_iter),  # shape unknown for streamed X
+                x, self.w_, h0=h0,
+                config=self._config(max_iter, shape=shape),
                 mesh=self.mesh, seed=self.random_state,
             )
             return res.h

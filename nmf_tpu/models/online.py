@@ -68,10 +68,11 @@ def _online_jit(config: SolveConfig, inner_iters: int):
 
     from ..ops.elementwise import eps_clamp
     from ..ops.divergence import kl_divergence
-    from ..ops.mu import matmul, update_h
+    from ..ops.mu import _recon_ratio, matmul, update_h
 
     eps, prec = config.eps, config.precision
     quant = prec.x_dtype == "int8"
+    track = bool(config.track_cost)
     _f32 = jnp.float32
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -86,8 +87,11 @@ def _online_jit(config: SolveConfig, inner_iters: int):
             lambda _, hh: update_h(w, hh, x_b, eps, prec),
             h0_b,
         )
-        cost = kl_divergence(x_b, w, h, eps)
-        z = x_b / eps_clamp(matmul(w, h, prec), eps)
+        # the learning-curve cost is optional: it is an extra HIGHEST-
+        # precision reconstruction pass plus a per-block host fetch
+        cost = kl_divergence(x_b, w, h, eps) if track else jnp.float32(jnp.nan)
+        # same clamp-site source of truth as update_h/update_w (mu.py)
+        z = _recon_ratio(w, h, x_b, eps, prec)
         a = rho * a + matmul(z, h, prec, transpose_b=True)
         c = rho * c + jnp.sum(h, axis=1, dtype=_f32)
         w = (w * (a / eps_clamp(c, eps)[None, :])).astype(w.dtype)
@@ -162,6 +166,7 @@ def solve_online(
     a = jnp.zeros((m, k), jnp.float32)
     c = jnp.zeros((k,), jnp.float32)
     rho_j = jnp.asarray(rho, jnp.float32)
+    track = bool(config.track_cost)
     all_costs: List[List[float]] = []
     for p in range(passes):
         pass_costs: List[float] = []
@@ -172,10 +177,12 @@ def solve_online(
             w, a, c, cost = fn(w, a, c, x_dev, h0_dev, rho_j)
             if idx + 1 < len(blocks):
                 inflight = _put(idx + 1)  # overlaps this block's compute
-            if pend is not None:
-                pass_costs.append(float(pend))
-            pend = cost
-        pass_costs.append(float(pend))
+            if track:
+                if pend is not None:
+                    pass_costs.append(float(pend))  # drains idx-1
+                pend = cost
+        if track:
+            pass_costs.append(float(pend))
         all_costs.append(pass_costs)
     return OnlineResult(
         w=np.asarray(w, np.float32),

@@ -222,3 +222,15 @@ class MetricsLogger:
             with open(self.jsonl_path, "a") as f:
                 f.write(rep.to_json() + "\n")
         return rep
+
+    def report_raw(self, record: dict) -> None:
+        """Emit a free-form record (drivers whose run shape does not fit a
+        single SolveResult — e.g. the online learner's pass structure)."""
+        import json as _json
+
+        if self.verbose:
+            self.stream.write(f"[nmf] {_json.dumps(record)}\n")
+            self.stream.flush()
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(_json.dumps(record) + "\n")

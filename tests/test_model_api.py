@@ -257,3 +257,38 @@ def test_nmf_estimator_sklearn_alpha_scaling(small_problem):
     np.testing.assert_allclose(m2.w_, np.asarray(ref2.w), rtol=1e-6)
     # and the penalties really changed the fit
     assert not np.allclose(model.w_, m2.w_)
+
+
+def test_reconstruction_err_is_pure_divergence_under_alpha(small_problem):
+    """sklearn semantics: reconstruction_err_ excludes the penalty terms."""
+    from nmf_tpu import kl_divergence
+
+    x, _, _ = small_problem
+    model = NMF(
+        n_components=5, max_iter=20, init="nndsvda", random_state=0,
+        alpha_W=0.2, l1_ratio=0.5,
+    )
+    model.fit(x)
+    pure = float(
+        kl_divergence(
+            jnp.asarray(clamp(x)), jnp.asarray(model.w_),
+            jnp.asarray(model.components_),
+        )
+    )
+    assert model.reconstruction_err_ == pytest.approx(pure, rel=1e-6)
+
+
+def test_transform_out_of_core_honors_alpha(small_problem):
+    """The streamed transform solves the SAME penalized problem as the
+    in-memory one (the penalties scale by the global dims either way)."""
+    x, _, _ = small_problem
+    model = NMF(
+        n_components=4, max_iter=20, init="nndsvda", random_state=0,
+        alpha_W=0.5, l1_ratio=0.5,
+    )
+    model.fit(x)
+    rng = np.random.RandomState(0)
+    h0 = rng.rand(4, x.shape[1]).astype(np.float32)
+    h_mem = model.transform(x, h0=h0, max_iter=20)
+    h_ooc = model.transform(x, h0=h0, max_iter=20, out_of_core=True)
+    np.testing.assert_allclose(h_ooc, h_mem, rtol=5e-5, atol=1e-7)

@@ -664,7 +664,8 @@ def test_cli_run_online(cli_fixtures):
     wout, hout = str(tmp_path / "Won.bin"), str(tmp_path / "Hon.bin")
     rc = cli_main(
         ["run", p["X"], "-o", wout, hout, "--rank", "6", "--online",
-         "--online-passes", "2", "--block-n", "64", "--max-iter", "20", "-q"]
+         "--init", "random", "--online-passes", "2", "--block-n", "64",
+         "--max-iter", "20", "-q"]
     )
     assert rc == 0
     x = binio.read_matrix(p["X"])
@@ -678,4 +679,15 @@ def test_cli_run_online(cli_fixtures):
     ) == 2
     assert cli_main(
         ["run", p["X"], p["W"], p["H"], "--online", "-q"]
+    ) == 2
+    # non-random generated inits need all of X; streamed X forbids them
+    assert cli_main(["run", p["X"], "--rank", "6", "--online", "-q"]) == 2
+    # bad hyper-parameters: one-line errors, not tracebacks
+    assert cli_main(
+        ["run", p["X"], "--rank", "6", "--online", "--init", "random",
+         "--online-rho", "0", "-q"]
+    ) == 2
+    assert cli_main(
+        ["run", p["X"], "--rank", "6", "--online", "--init", "random",
+         "--online-passes", "0", "-q"]
     ) == 2

@@ -107,9 +107,6 @@ def test_np_and_jnp_stft_agree():
 
 
 def test_separate_restarts_keeps_best(two_tone_audio):
-    from nmf_tpu import kl_divergence
-    from nmf_tpu.models.separation import stft as _stft
-
     audio, sr = two_tone_audio
     cfg = SolveConfig(max_iter=30, check_every=10)
     single = separate(audio, n_components=4, config=cfg, seed=0)
