@@ -62,6 +62,69 @@ class OnlineResult:
 
 
 @functools.lru_cache(maxsize=8)
+def _online_sharded_jit(config: SolveConfig, inner_iters: int, mesh):
+    """Mesh block update: W/A row-sharded, the block's X tiled, H col-
+    sharded, c replicated — the same K-sized psums as the batch solvers
+    (H's update psums over 'mr'; the A/c statistics psum over 'mc')."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.elementwise import eps_clamp
+    from ..ops.mu import _recon_ratio, matmul
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from ..parallel.sharded import kl_partial, update_h_sharded
+
+    eps, prec = config.eps, config.precision
+    quant = prec.x_dtype == "int8"
+    track = bool(config.track_cost)
+    _f32 = jnp.float32
+
+    def block_update(w, a, c, x_b, h0_b, rho):
+        if quant:
+            from ..ops.quant import dequantize
+
+            x_b = dequantize(x_b[0], x_b[1])
+        h = jax.lax.fori_loop(
+            0,
+            inner_iters,
+            lambda _, hh: update_h_sharded(w, hh, x_b, eps, prec),
+            h0_b,
+        )
+        if track:
+            cost = jax.lax.psum(
+                kl_partial(x_b, w, h, eps), (ROW_AXIS, COL_AXIS)
+            )
+        else:
+            cost = jnp.float32(jnp.nan)
+        z = _recon_ratio(w, h, x_b, eps, prec)
+        num = jax.lax.psum(matmul(z, h, prec, transpose_b=True), COL_AXIS)
+        a = rho * a + num
+        c = rho * c + jax.lax.psum(jnp.sum(h, axis=1, dtype=_f32), COL_AXIS)
+        w = (w * (a / eps_clamp(c, eps)[None, :])).astype(w.dtype)
+        return w, a, c, cost
+
+    x_spec = (
+        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
+        if quant
+        else P(ROW_AXIS, COL_AXIS)
+    )
+    return jax.jit(
+        jax.shard_map(
+            block_update,
+            mesh=mesh,
+            in_specs=(
+                P(ROW_AXIS, None), P(ROW_AXIS, None), P(), x_spec,
+                P(None, COL_AXIS), P(),
+            ),
+            out_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), P(), P()),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def _online_jit(config: SolveConfig, inner_iters: int):
     import jax
     import jax.numpy as jnp
@@ -110,6 +173,7 @@ def solve_online(
     rho: float = 1.0,
     passes: int = 1,
     seed: int = 0,
+    mesh=None,
 ) -> OnlineResult:
     """One-pass streaming dictionary learning (see module docstring).
 
@@ -118,7 +182,15 @@ def solve_online(
     ``inner_iters`` H iterations fit each block's activations before its
     statistics are folded in; ``passes`` > 1 re-streams the source (with
     the accumulators carried over) for finite corpora.  X storage honors
-    ``precision.x_dtype`` (f32 / bf16 / int8 wire bytes).
+    ``precision.x_dtype`` (f32 / bf16 / int8 wire bytes).  With
+    ``track_cost=False`` the per-block learning-curve costs (an extra
+    reconstruction pass + a host fetch each) are skipped and
+    ``block_costs`` comes back empty.
+
+    With ``mesh`` the learner runs on the canonical ('mr', 'mc') layout —
+    W and the A statistics row-sharded for the whole run, each block's
+    collectives the usual K-sized psums — an M (and stream) far beyond one
+    chip.
     """
     import jax
     import jax.numpy as jnp
@@ -147,6 +219,23 @@ def solve_online(
     xd = config.precision.x_dtype
     quant = xd == "int8"
     bn = block_n if block_n is not None else pick_block_n(m, n)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+        r, cdev = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+        if m % r or n % cdev:
+            raise ValueError(
+                f"global dims (M={m}, N={n}) must divide the mesh "
+                f"{dict(mesh.shape)}"
+            )
+        bn = max(cdev, (bn // cdev) * cdev)
+        x_t = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
+        w_t = NamedSharding(mesh, P(ROW_AXIS, None))
+        h_t = NamedSharding(mesh, P(None, COL_AXIS))
+        rep_t = NamedSharding(mesh, P())
+        sc_t = NamedSharding(mesh, P(COL_AXIS))
     blocks: List[Tuple[int, int]] = [
         (j, min(j + bn, n)) for j in range(0, n, bn)
     ]
@@ -154,17 +243,40 @@ def solve_online(
     def _put(idx):
         x_np = _host_prep(source.columns(*blocks[idx]), eps, xd)
         if quant:
-            x_dev = (jnp.asarray(x_np[0]), jnp.asarray(x_np[1]))
+            if mesh is not None:
+                x_dev = (
+                    jax.device_put(x_np[0], x_t),
+                    jax.device_put(x_np[1], sc_t),
+                )
+            else:
+                x_dev = (jnp.asarray(x_np[0]), jnp.asarray(x_np[1]))
         else:
-            x_dev = jnp.asarray(x_np)
+            x_dev = (
+                jax.device_put(x_np, x_t) if mesh is not None
+                else jnp.asarray(x_np)
+            )
         rng = np.random.RandomState(seed + idx)
-        h0 = rng.rand(k, blocks[idx][1] - blocks[idx][0]).astype(np.float32)
-        return x_dev, jnp.asarray(np.maximum(h0, np.float32(eps)), sd)
+        h0 = np.maximum(
+            rng.rand(k, blocks[idx][1] - blocks[idx][0]).astype(np.float32),
+            np.float32(eps),
+        )
+        h_dev = (
+            jax.device_put(h0, h_t) if mesh is not None else jnp.asarray(h0)
+        )
+        return x_dev, h_dev.astype(sd)
 
-    fn = _online_jit(config, int(inner_iters))
-    w = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
-    a = jnp.zeros((m, k), jnp.float32)
-    c = jnp.zeros((k,), jnp.float32)
+    if mesh is not None:
+        fn = _online_sharded_jit(config, int(inner_iters), mesh)
+        w = jnp.maximum(
+            jax.device_put(w0, w_t).astype(sd), jnp.asarray(eps, sd)
+        )
+        a = jax.device_put(jnp.zeros((m, k), jnp.float32), w_t)
+        c = jax.device_put(jnp.zeros((k,), jnp.float32), rep_t)
+    else:
+        fn = _online_jit(config, int(inner_iters))
+        w = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
+        a = jnp.zeros((m, k), jnp.float32)
+        c = jnp.zeros((k,), jnp.float32)
     rho_j = jnp.asarray(rho, jnp.float32)
     track = bool(config.track_cost)
     all_costs: List[List[float]] = []

@@ -115,3 +115,44 @@ def test_online_validation(planted):
         solve_online(x, w0, SolveConfig(), inner_iters=0)
     with pytest.raises(ValueError):
         solve_online(x, w0[:-1], SolveConfig())
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_online_on_mesh_matches_single_device(planted, shape):
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w0 = planted
+    mesh = make_mesh(shape=shape)
+    kw = dict(block_n=300, inner_iters=10, passes=2, seed=2)
+    single = solve_online(x, w0, SolveConfig(), **kw)
+    meshed = solve_online(x, w0, SolveConfig(), mesh=mesh, **kw)
+    np.testing.assert_allclose(meshed.w, single.w, rtol=5e-5,
+                               atol=1e-6 * float(single.w.max()))
+    np.testing.assert_allclose(
+        np.asarray(meshed.block_costs), np.asarray(single.block_costs),
+        rtol=1e-5,
+    )
+
+
+def test_online_int8_on_mesh(planted):
+    from nmf_tpu.parallel.mesh import make_mesh
+    from nmf_tpu.utils.config import Precision
+
+    x, w0 = planted
+    cfg = SolveConfig(precision=Precision(x_dtype="int8"))
+    mesh = make_mesh(shape=(2, 2))
+    kw = dict(block_n=400, inner_iters=5, seed=1)
+    single = solve_online(x, w0, cfg, **kw)
+    meshed = solve_online(x, w0, cfg, mesh=mesh, **kw)
+    np.testing.assert_allclose(meshed.w, single.w, rtol=5e-5,
+                               atol=1e-6 * float(single.w.max()))
+
+
+def test_online_no_cost_tracking(planted):
+    x, w0 = planted
+    res = solve_online(
+        x, w0, SolveConfig(track_cost=False), block_n=400, inner_iters=5
+    )
+    assert res.block_costs == [[]]
+    assert res.learning_curve.shape == (0,)
+    assert np.isfinite(res.w).all()

@@ -194,3 +194,24 @@ def test_podscale_int8_h_only_lowers():
     ac = jax.ShapeDtypeStruct((), np.float32, sharding=rep)
     lowered = fn.lower((codes, sc), aw, ah, ac)
     assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
+
+
+def test_podscale_online_block_lowers():
+    """The online learner's sharded block update partitions at config-5
+    shapes (W/A row-sharded, block X tiled, c replicated)."""
+    from nmf_tpu.models.online import _online_sharded_jit
+
+    mesh = make_mesh(shape=(4, 2))
+    xs, ws, hs, _ = nmf_shardings(mesh)
+    rep = NamedSharding(mesh, P())
+    cfg = SolveConfig()
+    fn = _online_sharded_jit(cfg, 20, mesh)
+    bn = 8192
+    aw = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
+    aa = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
+    ac = jax.ShapeDtypeStruct((K,), np.float32, sharding=rep)
+    ax = jax.ShapeDtypeStruct((M, bn), np.float32, sharding=xs)
+    ah = jax.ShapeDtypeStruct((K, bn), np.float32, sharding=hs)
+    ar = jax.ShapeDtypeStruct((), np.float32, sharding=rep)
+    lowered = fn.lower(aw, aa, ac, ax, ah, ar)
+    assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
