@@ -23,6 +23,7 @@ from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
 from .models.nmf import NMF, solve_h_only, solve_w_only
 from .models.online import OnlineResult, solve_online
+from .models.semi import solve_semi
 from .models.separation import separate
 from .models.masked import solve_masked
 from .models.streaming import TransformResult, solve_out_of_core, transform_out_of_core
@@ -61,6 +62,7 @@ __all__ = [
     "solve_h_only",
     "solve_w_only",
     "solve_online",
+    "solve_semi",
     "OnlineResult",
     "NMF",
     "separate",

@@ -3,6 +3,7 @@
 from .init import nndsvd_init, random_init, scaled_random_init
 from .nmf import NMF, solve_h_only, solve_w_only
 from .online import OnlineResult, solve_online
+from .semi import solve_semi
 from .streaming import TransformResult, solve_out_of_core, transform_out_of_core
 from .strict import solve_strict
 from .sparse import SparseX, solve_sparse, sparse_from_dense
@@ -24,6 +25,7 @@ __all__ = [
     "solve_h_only",
     "solve_w_only",
     "solve_online",
+    "solve_semi",
     "OnlineResult",
     "solve_out_of_core",
     "transform_out_of_core",

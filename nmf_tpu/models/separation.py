@@ -155,6 +155,8 @@ def separate(
     config: Optional[SolveConfig] = None,
     seed: int = 0,
     n_restarts: int = 1,
+    w_template=None,
+    adapt_template: bool = False,
 ) -> SeparationResult:
     """Decompose audio into ``n_components`` sources (paper pipeline).
 
@@ -165,6 +167,14 @@ def separate(
     batch and keeps the lowest-divergence decomposition (NMF is non-convex;
     spectrogram dims are small enough that extra members are nearly free —
     see :func:`nmf_tpu.solve_restarts`).
+
+    ``w_template`` ((n_fft//2+1, F) spectral templates, e.g. drum basis
+    vectors learned from solo recordings — the paper's actual drum-
+    extraction workflow, pdf section 2) seeds the FIRST F components and
+    freezes them while the remaining ``n_components - F`` adapt to the
+    rest of the mix (:func:`nmf_tpu.solve_semi`); sources[0:F] are then
+    the template-attributed stems.  ``adapt_template=True`` uses the
+    templates as a warm start but lets them train too.
     """
     audio = np.asarray(audio, np.float32)
     if audio.ndim != 1:
@@ -173,7 +183,32 @@ def separate(
 
     spec = _stft_np(audio, n_fft, hop)        # complex (bins, frames), host
     mag = np.abs(spec).astype(np.float32)
-    if n_restarts > 1:
+    if w_template is not None:
+        from .semi import solve_semi
+
+        if n_restarts > 1:
+            raise ValueError(
+                "w_template fixes the initialization; restarts need free "
+                "seeded inits (use one or the other)"
+            )
+        w_template = np.asarray(w_template, np.float32)
+        n_bins = n_fft // 2 + 1
+        if w_template.ndim != 2 or w_template.shape[0] != n_bins:
+            raise ValueError(
+                f"w_template must be ({n_bins}, F) for n_fft={n_fft}, got "
+                f"{w_template.shape}"
+            )
+        f = w_template.shape[1]
+        if f > n_components:
+            raise ValueError(
+                f"{f} template columns exceed n_components={n_components}"
+            )
+        w_rand, h0 = scaled_random_init(mag, n_components, seed=seed)
+        w0 = np.concatenate([w_template, w_rand[:, f:]], axis=1)
+        res = solve_semi(
+            mag, w0, h0, config, n_frozen=0 if adapt_template else f
+        )
+    elif n_restarts > 1:
         from .selection import solve_restarts
         from .solver import SolveResult
 

@@ -41,6 +41,7 @@ __all__ = [
     "build_sharded_solver",
     "build_sharded_masked_solver",
     "build_sharded_h_solver",
+    "build_sharded_semi_solver",
 ]
 
 _F32 = jnp.float32
@@ -397,16 +398,10 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
     return _build_sharded_solver_cached(config, mesh, bool(fused))
 
 
-@functools.lru_cache(maxsize=32)
-def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
-    """(implementation behind build_sharded_solver — see its docstring)
-
-    Exposed separately so callers can AOT-lower/compile it (e.g. validating
-    the SPMD partitioning of pod-scale shapes with abstract inputs before any
-    memory is allocated — see tests/test_podscale.py).
-    """
+def _sharded_family_fns(config: SolveConfig, mesh: Mesh, fused: bool):
+    """Per-family (step_fn, cost_fn) for the canonical mesh layout (shared
+    by the full solver and the semi-adaptive wrapper)."""
     eps, precision = config.eps, config.precision
-    quant = precision.x_dtype == "int8"
     if config.algorithm == "hals":
         step_fn = functools.partial(
             hals_step_sharded, eps=eps, precision=precision
@@ -435,13 +430,26 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
         )
         cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
-    if quant:
+    if precision.x_dtype == "int8":
         # local shard dequant: uint8 codes x per-column scales fuse into the
         # consuming elementwise ops (scales shard over 'mc' with the columns)
         from ..models.solver import _dequant_wrap_cost, _dequant_wrap_step
 
         step_fn = _dequant_wrap_step(step_fn)
         cost_fn = _dequant_wrap_cost(cost_fn)
+    return step_fn, cost_fn
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
+    """(implementation behind build_sharded_solver — see its docstring)
+
+    Exposed separately so callers can AOT-lower/compile it (e.g. validating
+    the SPMD partitioning of pod-scale shapes with abstract inputs before any
+    memory is allocated — see tests/test_podscale.py).
+    """
+    quant = config.precision.x_dtype == "int8"
+    step_fn, cost_fn = _sharded_family_fns(config, mesh, fused)
 
     def local_solve(x_loc, w_loc, h_loc, initial_cost):
         return run_checked_loop(
@@ -649,6 +657,62 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
             local_solve,
             mesh=mesh,
             in_specs=(x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(2,),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh):
+    """Semi-adaptive solve on the mesh: dictionary columns under the frozen
+    mask keep their initial values while the rest train (models.semi).  The
+    frozen template shards like W; the (K,) column mask is replicated."""
+    if config.algorithm == "hals":
+        raise NotImplementedError(
+            "HALS's in-place W sweep reads columns mid-update; frozen "
+            "columns need the MU families"
+        )
+    quant = config.precision.x_dtype == "int8"
+    step_fn, cost_fn = _sharded_family_fns(config, mesh, fused=False)
+
+    def local_solve(x_loc, w_loc, h_loc, mk, initial_cost):
+        # frozen source = the initial local dictionary shard (W therefore
+        # not donated: its pre-loop value stays live for the whole run)
+        w_frz_loc = w_loc
+
+        def step(w, h, x):
+            w2, h2 = step_fn(w, h, x)
+            w2 = jnp.where(mk[None, :], w_frz_loc, w2).astype(w2.dtype)
+            return w2, h2
+
+        return run_checked_loop(
+            x_loc, w_loc, h_loc, config, step, cost_fn,
+            all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
+            initial_cost=initial_cost,
+            live_emit=_emit_live_origin,
+        )
+
+    out_specs = SolveResult(
+        w=P(ROW_AXIS, None),
+        h=P(None, COL_AXIS),
+        iterations=P(),
+        cost=P(),
+        cost_history=P(),
+        num_checks=P(),
+        converged=P(),
+    )
+    x_spec = (
+        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+    )
+    return jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(
+                x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P(), P(),
+            ),
             out_specs=out_specs,
             check_vma=False,
         ),

@@ -115,3 +115,42 @@ def test_separate_restarts_keeps_best(two_tone_audio):
     # restarts can only match or beat the seed-0 divergence (seed 0 is
     # member 0 of the batch)
     assert float(multi.solve_result.cost) <= float(single.solve_result.cost) + 1e-4
+
+
+def test_separate_with_frozen_templates(two_tone_audio):
+    """The paper's drum-template workflow: learn templates from one signal,
+    freeze them while separating a mix — the template stems capture their
+    source."""
+    from nmf_tpu.models.separation import separate, stft
+
+    audio, sr = two_tone_audio
+    n_fft, hop = 512, 128
+    cfg = SolveConfig(max_iter=40, check_every=10)
+    # learn 2 'template' components from the mixture itself (stand-in for
+    # solo training audio), then re-separate with them frozen + 2 free
+    base = separate(audio, n_components=2, n_fft=n_fft, hop=hop, config=cfg)
+    templates = base.w  # (bins, 2)
+    res = separate(
+        audio, n_components=4, n_fft=n_fft, hop=hop, config=cfg,
+        w_template=templates,
+    )
+    # frozen columns preserved exactly (post-clamp)
+    np.testing.assert_array_equal(
+        res.w[:, :2], np.maximum(templates, np.float32(2.2204e-16))
+    )
+    assert res.sources.shape[0] == 4
+    # adapt_template=True trains them instead
+    res2 = separate(
+        audio, n_components=4, n_fft=n_fft, hop=hop, config=cfg,
+        w_template=templates, adapt_template=True,
+    )
+    assert not np.allclose(res2.w[:, :2], res.w[:, :2])
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        separate(audio, n_components=1, n_fft=n_fft, hop=hop,
+                 w_template=templates, config=cfg)
+    with _pytest.raises(ValueError):
+        separate(audio, n_components=4, n_fft=n_fft, hop=hop,
+                 w_template=templates, n_restarts=2, config=cfg)
