@@ -133,3 +133,8 @@ print(
     f"{'online':14s} pass costs {[round(sum(p), 1) for p in onl.block_costs]}"
     f"  (W learned in one stream/pass; rho<1 tracks drift)"
 )
+
+# --- semi-adaptive NMF: frozen template columns (paper's drum workflow) ----
+semi = nt.solve_semi(x, w0, h0, nt.SolveConfig(max_iter=30), n_frozen=4)
+frozen_ok = bool(np.all(np.asarray(semi.w)[:, :4] == np.maximum(w0[:, :4], 2.2204e-16)))
+print(f"{'semi-adaptive':14s} cost {float(semi.cost):.4f}  (4 frozen template cols intact: {frozen_ok})")
