@@ -157,13 +157,19 @@ def _cmd_run_online(args) -> int:
     from .models.online import solve_online
     from .models.streaming import BinColumnSource, transform_out_of_core
 
-    if args.strict_compat or args.checkpoint_dir or args.mask or args.mesh:
+    if args.strict_compat or args.checkpoint_dir or args.mask:
         print(
-            "error: --online is a single-device streaming learner (no "
-            "--strict-compat / --checkpoint-dir / --mask / --mesh)",
+            "error: --online composes with --mesh only (no --strict-compat "
+            "/ --checkpoint-dir / --mask)",
             file=sys.stderr,
         )
         return 2
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        r_, c_ = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(shape=(r_, c_))
     if not (0.0 < args.online_rho <= 1.0):
         print(
             f"error: --online-rho must be in (0, 1], got {args.online_rho}",
@@ -206,11 +212,11 @@ def _cmd_run_online(args) -> int:
         res = solve_online(
             args.X, w0, config, block_n=args.block_n,
             inner_iters=args.online_inner_iters, rho=args.online_rho,
-            passes=args.online_passes, seed=args.seed,
+            passes=args.online_passes, seed=args.seed, mesh=mesh,
         )
         tr = transform_out_of_core(
             args.X, res.w, config=config, block_n=args.block_n,
-            seed=args.seed,
+            seed=args.seed, mesh=mesh,
         )
     if args.validate:
         from .utils.guards import validate_input

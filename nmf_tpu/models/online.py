@@ -230,6 +230,15 @@ def solve_online(
                 f"global dims (M={m}, N={n}) must divide the mesh "
                 f"{dict(mesh.shape)}"
             )
+        if block_n is not None and block_n % cdev:
+            # silently rounding would cut the stream into DIFFERENT blocks
+            # than a single-device run with the same arguments (per-block
+            # seeded inits -> a genuinely different learned W)
+            raise ValueError(
+                f"block_n={block_n} must be a multiple of the mesh column "
+                f"count {cdev} (block partitions define the learning "
+                f"trajectory)"
+            )
         bn = max(cdev, (bn // cdev) * cdev)
         x_t = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
         w_t = NamedSharding(mesh, P(ROW_AXIS, None))

@@ -13,9 +13,9 @@ the W update is computed normally and the frozen columns are then restored
 to their initial (clamped) values.  For the multiplicative families this
 is exact — each W column's update reads only pre-update values — so a run
 with ``n_frozen == K`` is trajectory-identical to ``solve_h_only`` and
-``n_frozen == 0`` to ``solve``.  HALS is excluded: its in-place W sweep
-reads columns mid-update, so freezing after the sweep would leak
-intermediate values into the free columns.
+``n_frozen == 0`` to ``solve`` (same backend resolution included).  HALS
+is excluded: its in-place W sweep reads columns mid-update, so freezing
+after the sweep would leak intermediate values into the free columns.
 
 By convention the frozen columns are the FIRST ``n_frozen`` of ``w0``
 (order your template columns first).
@@ -23,6 +23,7 @@ By convention the frozen columns are the FIRST ``n_frozen`` of ``w0``
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -30,7 +31,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .solver import SolveResult, _cost_fn, _prep_jit, resolve_step_fn, run_checked_loop
+from .solver import (
+    SolveResult,
+    _cost_fn,
+    _default_platform,
+    _prep_jit,
+    maybe_live_chunked,
+    resolve_step_fn,
+    run_checked_loop,
+)
 from ..utils.config import SolveConfig
 
 __all__ = ["solve_semi"]
@@ -43,10 +52,10 @@ def _semi_jit(config: SolveConfig, platform: Optional[str]):
     step_fn = resolve_step_fn(config, platform)
     cost_fn = _cost_fn(config, platform)
 
-    @jax.jit
+    # h donated as in solve_jit; w is NOT — its pre-loop value is the
+    # frozen source and must stay live for the whole run
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def _solve(x, w, h, mk, initial_cost):
-        # the frozen source IS the initial dictionary (w is therefore not
-        # donated: its pre-loop value stays live for the whole run)
         w_frz = w
 
         def step(w_, h_, x_):
@@ -72,8 +81,8 @@ def solve_semi(
     """Factorize with the first ``n_frozen`` dictionary columns fixed.
 
     MU families only (KL, beta, penalized — HALS raises, see module
-    docstring); composes with meshes (frozen template row-sharded like W)
-    and the f32/bf16/int8 X storage tiers.
+    docstring); composes with meshes (the frozen shard is the initial
+    local W shard) and the f32/bf16/int8 X storage tiers.
     """
     config.validate()
     if config.algorithm == "hals":
@@ -92,19 +101,61 @@ def solve_semi(
     x, w0, h0 = _prep_jit(config)(x, w0, h0)
     mk = jnp.asarray(np.arange(k) < int(n_frozen))
     c0 = jnp.asarray(jnp.nan, _F32)
+    quant = config.precision.x_dtype == "int8"
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import shard_problem
-        from ..parallel.sharded import build_sharded_semi_solver
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS, shard_problem
+        from ..parallel.sharded import _use_fused, build_sharded_semi_solver
 
+        fused = (
+            (not quant)
+            and config.algorithm == "mu"
+            and _use_fused(
+                config,
+                sx[0] // mesh.shape[ROW_AXIS],
+                k,
+                sx[1] // mesh.shape[COL_AXIS],
+            )
+        )
         x, w0, h0 = shard_problem(x, w0, h0, mesh)
         mk = jax.device_put(mk, NamedSharding(mesh, P()))
-        return build_sharded_semi_solver(config, mesh)(x, w0, h0, mk, c0)
-    try:
-        platform = list(
-            (x[0] if isinstance(x, tuple) else x).devices()
-        )[0].platform
-    except AttributeError:
-        platform = jax.default_backend()
+
+        def make_fn(c):
+            fn = build_sharded_semi_solver(c, mesh, fused)
+            return lambda x_, w_, h_, c0_: fn(x_, w_, h_, mk, c0_)
+
+        fallback = maybe_live_chunked(make_fn, x, w0, h0, config, mesh)
+        if fallback is not None:
+            return fallback
+        return build_sharded_semi_solver(config, mesh, fused)(
+            x, w0, h0, mk, c0
+        )
+    platform = _default_platform(x)
+    if (
+        platform == "tpu"
+        and config.beta == 1.0
+        and not config.regularized
+        and config.backend in ("auto", "autotune")
+        and not quant
+    ):
+        # same measured per-shape backend policy as solve(): keeps the
+        # documented n_frozen=0 == solve endpoint kernel-identical
+        from ..utils import autotune
+
+        if config.backend == "autotune":
+            choice = autotune.pick_backend(config, sw[0], k, sh[1])
+        else:
+            choice = autotune.rule_pick(
+                sw[0], k, sh[1], config.precision.matmul_dtype
+            )
+        config = dataclasses.replace(config, backend=choice)
+
+    def make_fn(c):
+        fn = _semi_jit(c, platform)
+        return lambda x_, w_, h_, c0_: fn(x_, w_, h_, mk, c0_)
+
+    fallback = maybe_live_chunked(make_fn, x, w0, h0, config)
+    if fallback is not None:
+        return fallback
     return _semi_jit(config, platform)(x, w0, h0, mk, c0)

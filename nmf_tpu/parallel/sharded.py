@@ -665,17 +665,19 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=8)
-def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh):
+def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
     """Semi-adaptive solve on the mesh: dictionary columns under the frozen
     mask keep their initial values while the rest train (models.semi).  The
-    frozen template shards like W; the (K,) column mask is replicated."""
+    frozen source is the initial local W shard; the (K,) column mask is
+    replicated.  ``fused`` picks the fused Pallas KL step exactly as the
+    full sharded solver does (the freeze applies after the step)."""
     if config.algorithm == "hals":
         raise NotImplementedError(
             "HALS's in-place W sweep reads columns mid-update; frozen "
             "columns need the MU families"
         )
     quant = config.precision.x_dtype == "int8"
-    step_fn, cost_fn = _sharded_family_fns(config, mesh, fused=False)
+    step_fn, cost_fn = _sharded_family_fns(config, mesh, fused=fused)
 
     def local_solve(x_loc, w_loc, h_loc, mk, initial_cost):
         # frozen source = the initial local dictionary shard (W therefore

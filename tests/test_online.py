@@ -156,3 +156,13 @@ def test_online_no_cost_tracking(planted):
     assert res.block_costs == [[]]
     assert res.learning_curve.shape == (0,)
     assert np.isfinite(res.w).all()
+
+
+def test_online_mesh_rejects_indivisible_block_n(planted):
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w0 = planted
+    with pytest.raises(ValueError, match="multiple of the mesh column"):
+        solve_online(
+            x, w0, SolveConfig(), block_n=301, mesh=make_mesh(shape=(4, 2))
+        )

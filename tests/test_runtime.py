@@ -691,3 +691,16 @@ def test_cli_run_online(cli_fixtures):
         ["run", p["X"], "--rank", "6", "--online", "--init", "random",
          "--online-passes", "0", "-q"]
     ) == 2
+
+
+def test_cli_run_online_mesh(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Wom.bin"), str(tmp_path / "Hom.bin")
+    # small_problem is 96x130: mesh 2x1 divides it; block 26 divides cols
+    rc = cli_main(
+        ["run", p["X"], "-o", wout, hout, "--rank", "6", "--online",
+         "--init", "random", "--mesh", "2x1", "--block-n", "26",
+         "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    assert binio.read_matrix(wout).shape[1] == 6

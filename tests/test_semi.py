@@ -105,3 +105,36 @@ def test_semi_validation(problem):
         solve_semi(x, w, h, CFG, n_frozen=w.shape[1] + 1)
     with pytest.raises(ValueError):
         solve_semi(x, w, h, CFG, n_frozen=-1)
+
+
+def test_semi_live_metrics_and_chunked_fallback(problem, monkeypatch):
+    """Live metrics stream per check, and the chunked host-driven fallback
+    (platforms that reject in-jit callbacks) yields identical results."""
+    import jax
+
+    import nmf_tpu.models.solver as solver_mod
+    from nmf_tpu.utils import metrics as m
+
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=30, check_every=10, live_metrics=True)
+    events = []
+    m.set_live_handler(lambda it, c, r: events.append(it))
+    try:
+        res = solve_semi(x, w, h, cfg, n_frozen=3)
+        jax.effects_barrier()
+    finally:
+        m.set_live_handler(None)
+    assert events == [10, 20, 30]
+    # now force the chunked fallback and demand identical factors
+    monkeypatch.setattr(
+        solver_mod, "host_callbacks_supported", lambda p=None: False
+    )
+    events2 = []
+    m.set_live_handler(lambda it, c, r: events2.append(it))
+    try:
+        res2 = solve_semi(x, w, h, cfg, n_frozen=3)
+    finally:
+        m.set_live_handler(None)
+    assert events2 == [10, 20, 30]
+    np.testing.assert_array_equal(np.asarray(res2.w), np.asarray(res.w))
+    np.testing.assert_array_equal(np.asarray(res2.h), np.asarray(res.h))
