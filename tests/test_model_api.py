@@ -292,3 +292,23 @@ def test_transform_out_of_core_honors_alpha(small_problem):
     h_mem = model.transform(x, h0=h0, max_iter=20)
     h_ooc = model.transform(x, h0=h0, max_iter=20, out_of_core=True)
     np.testing.assert_allclose(h_ooc, h_mem, rtol=5e-5, atol=1e-7)
+
+
+def test_public_api_is_documented():
+    """Every top-level export appears in docs/API.md (doc-drift guard)."""
+    import os
+
+    import nmf_tpu
+
+    path = os.path.join(
+        os.path.dirname(nmf_tpu.__file__), "..", "docs", "API.md"
+    )
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("docs/ not present (installed package)")
+    doc = open(path).read()
+    missing = [
+        n for n in nmf_tpu.__all__ if n != "__version__" and n not in doc
+    ]
+    assert not missing, f"undocumented exports: {missing}"
