@@ -680,6 +680,7 @@ def solve_out_of_core(
     resume: bool = True,
     mesh=None,
     mask=None,
+    n_frozen: int = 0,
 ) -> "SolveResult":
     """Factorize ``x ~= w @ h`` with X streamed from the host per iteration.
 
@@ -709,7 +710,9 @@ def solve_out_of_core(
     sweep's global X H^T / H H^T products accumulated blockwise) — each
     both single-device and on meshes, and each composable with int8 X
     storage (each device dequantizes its (codes, scales) block shards
-    in-register).
+    in-register).  ``n_frozen`` keeps the first template columns of W
+    fixed (the streamed counterpart of :func:`nmf_tpu.solve_semi`; MU
+    families).
     """
     import jax
     import jax.numpy as jnp
@@ -723,6 +726,11 @@ def solve_out_of_core(
         )
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be >= 1")
+    if n_frozen and config.algorithm == "hals":
+        raise NotImplementedError(
+            "HALS's in-place W sweep reads columns mid-update; frozen "
+            "columns need the MU families (see models.semi)"
+        )
 
     source = _as_source(x)
     m, n = source.shape
@@ -852,6 +860,24 @@ def solve_out_of_core(
     w = jnp.maximum(
         jax.device_put(w0, w_target).astype(sd), jnp.asarray(eps, sd)
     )
+    if n_frozen:
+        # template columns (models.semi) also stream: restore them after
+        # every W epilogue.  Resume-safe: checkpointed W's frozen columns
+        # never changed, so the restored W IS the frozen source.
+        if not (0 <= int(n_frozen) <= k):
+            raise ValueError(f"n_frozen must be in [0, {k}], got {n_frozen}")
+        _mk = jnp.asarray(np.arange(k) < int(n_frozen))
+        if mesh is not None:
+            _mk = jax.device_put(_mk, rep_target)
+        # a COPY: the loop's w buffer is donated into the epilogue each
+        # iteration, so the frozen source needs its own storage
+        _w_frz = w + jnp.zeros((), w.dtype)
+
+        _freeze = jax.jit(
+            lambda w_new, mk_, wf: jnp.where(mk_[None, :], wf, w_new).astype(
+                w_new.dtype
+            )
+        )
     if h_blocks_resumed is not None:
         h_blocks = [
             jnp.maximum(hb.astype(sd), jnp.asarray(eps, sd))
@@ -970,6 +996,8 @@ def solve_out_of_core(
                 inflight = put(idx + 1)  # prefetch overlaps this block's math
             h_blocks[idx], a1, a2 = step_acc(w, h_blocks[idx], x_dev, a1, a2)
         w = w_epilogue(w, a1, a2)
+        if n_frozen:
+            w = _freeze(w, _mk, _w_frz)
         it += 1
 
         if need_cost and (it % check_every == 0 or it == max_iter):

@@ -704,3 +704,45 @@ def test_streamed_int8_families_on_mesh(problem, kind):
         np.asarray(single.cost_history),
         rtol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# streamed semi-adaptive (frozen template columns)
+# ---------------------------------------------------------------------------
+
+
+def test_streamed_semi_matches_in_memory(problem):
+    from nmf_tpu import solve_semi
+
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=10)
+    ref = solve_semi(x, w, h, cfg, n_frozen=4)
+    res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256, n_frozen=4)
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.h), np.asarray(ref.h), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_array_equal(np.asarray(res.w)[:, :4], clamp(w)[:, :4])
+
+
+def test_streamed_semi_on_mesh(problem):
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=15, check_every=5)
+    mesh = make_mesh(shape=(4, 2))
+    res_m = streaming.solve_out_of_core(
+        x, w, h, cfg, block_n=250, n_frozen=3, mesh=mesh
+    )
+    res_s = streaming.solve_out_of_core(x, w, h, cfg, block_n=250, n_frozen=3)
+    np.testing.assert_allclose(
+        np.asarray(res_m.w), np.asarray(res_s.w), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(res_m.w)[:, :3], clamp(w)[:, :3])
+    with pytest.raises(NotImplementedError):
+        streaming.solve_out_of_core(
+            x, w, h, SolveConfig(max_iter=2, beta=2.0, algorithm="hals"),
+            n_frozen=2,
+        )
