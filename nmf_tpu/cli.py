@@ -292,6 +292,7 @@ def _cmd_run_out_of_core(args) -> int:
             checkpoint_every=args.checkpoint_every,
             mesh=mesh,
             mask=mask_source,
+            n_frozen=args.freeze,
         )
     logger.report(res, (m, n), t.seconds, check_every=config.check_every)
     if args.validate:
@@ -380,6 +381,13 @@ def cmd_run(args) -> int:
         r, c = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=(r, c))
 
+    if args.freeze and (args.strict_compat or args.checkpoint_dir):
+        print(
+            "error: --freeze composes with the plain / --mesh / "
+            "--out-of-core solvers only",
+            file=sys.stderr,
+        )
+        return 2
     if args.restarts > 1:
         if not args.rank or args.W or args.H:
             print(
@@ -388,10 +396,10 @@ def cmd_run(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.strict_compat or args.checkpoint_dir or mask is not None:
+        if args.strict_compat or args.checkpoint_dir or mask is not None or args.freeze:
             print(
                 "error: --restarts composes with --mesh only (no "
-                "--strict-compat / --checkpoint-dir / --mask)",
+                "--strict-compat / --checkpoint-dir / --mask / --freeze)",
                 file=sys.stderr,
             )
             return 2
@@ -496,10 +504,23 @@ def cmd_run(args) -> int:
             )
     else:
         if mask is not None:
+            if args.freeze:
+                print(
+                    "error: --freeze is not implemented for masked solves",
+                    file=sys.stderr,
+                )
+                return 2
             from .models.masked import solve_masked
 
             with logger.timed() as t:
                 res = solve_masked(x, w0, h0, mask, config, mesh=mesh)
+        elif args.freeze:
+            from .models.semi import solve_semi
+
+            with logger.timed() as t:
+                res = solve_semi(
+                    x, w0, h0, config, n_frozen=args.freeze, mesh=mesh
+                )
         elif mesh is not None:
             from .parallel.sharded import solve_sharded
 
@@ -774,6 +795,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="forgetting factor in (0,1]; <1 tracks distribution drift",
     )
     run.add_argument("--online-inner-iters", type=int, default=20)
+    run.add_argument(
+        "--freeze",
+        type=int,
+        default=0,
+        metavar="N",
+        help="keep the FIRST N dictionary columns of W fixed while the rest "
+        "train (template-based fitting; order template columns first); "
+        "works in-memory, with --mesh, and with --out-of-core",
+    )
     run.add_argument(
         "--restarts",
         type=int,

@@ -704,3 +704,25 @@ def test_cli_run_online_mesh(cli_fixtures):
     )
     assert rc == 0
     assert binio.read_matrix(wout).shape[1] == 6
+
+
+def test_cli_run_freeze(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Wf.bin"), str(tmp_path / "Hf.bin")
+    rc = cli_main(
+        ["run", p["X"], p["W"], p["H"], "-o", wout, hout, "--freeze", "3",
+         "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    w_in = binio.read_matrix(p["W"])
+    w_out = binio.read_matrix(wout)
+    eps = np.float32(2.2204e-16)
+    np.testing.assert_array_equal(w_out[:, :3], np.maximum(w_in[:, :3], eps))
+    assert not np.allclose(w_out[:, 3:], np.maximum(w_in[:, 3:], eps))
+    # conflicts
+    assert cli_main(
+        ["run", p["X"], p["W"], p["H"], "--freeze", "2", "--strict-compat", "-q"]
+    ) == 2
+    assert cli_main(
+        ["run", p["X"], "--rank", "4", "--restarts", "2", "--freeze", "1", "-q"]
+    ) == 2
