@@ -157,10 +157,10 @@ def _cmd_run_online(args) -> int:
     from .models.online import solve_online
     from .models.streaming import BinColumnSource, transform_out_of_core
 
-    if args.strict_compat or args.checkpoint_dir or args.mask:
+    if args.strict_compat or args.checkpoint_dir or args.mask or args.freeze:
         print(
             "error: --online composes with --mesh only (no --strict-compat "
-            "/ --checkpoint-dir / --mask)",
+            "/ --checkpoint-dir / --mask / --freeze)",
             file=sys.stderr,
         )
         return 2
@@ -873,9 +873,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
-    except NotImplementedError as e:
-        # unsupported feature combination (e.g. --x-dtype int8 on a mesh):
-        # a clean one-line error beats a traceback
+    except (NotImplementedError, ValueError) as e:
+        # unsupported feature combination or invalid argument (e.g. a
+        # shape mismatch, --freeze out of range): a clean one-line error
+        # beats a traceback
         print(f"error: {e}", file=sys.stderr)
         return 2
 

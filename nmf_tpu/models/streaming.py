@@ -651,6 +651,21 @@ def _sharded_block_fns(
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _freeze_jit():
+    """One persistent jitted frozen-column restore (per-call jit wrappers
+    would re-trace/re-compile on every solve; compiles are 10-60 s remote
+    round trips on this platform)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def freeze(w_new, mk, wf):
+        return jnp.where(mk[None, :], wf, w_new).astype(w_new.dtype)
+
+    return freeze
+
+
 def _host_prep(blk: np.ndarray, eps: float, xd):
     """Load-time clamp (nmf.cu:211) + storage-dtype cast, on the host so the
     wire carries the final bytes (bf16 halves them; int8 quarters them —
@@ -872,12 +887,7 @@ def solve_out_of_core(
         # a COPY: the loop's w buffer is donated into the epilogue each
         # iteration, so the frozen source needs its own storage
         _w_frz = w + jnp.zeros((), w.dtype)
-
-        _freeze = jax.jit(
-            lambda w_new, mk_, wf: jnp.where(mk_[None, :], wf, w_new).astype(
-                w_new.dtype
-            )
-        )
+        _freeze = _freeze_jit()
     if h_blocks_resumed is not None:
         h_blocks = [
             jnp.maximum(hb.astype(sd), jnp.asarray(eps, sd))

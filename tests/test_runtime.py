@@ -439,16 +439,17 @@ def test_guards_reject_negative_and_nan(small_problem):
         guards.validate_input("X", bad)
 
 
-def test_cli_validate_flag_rejects_bad_input(cli_fixtures):
-    from nmf_tpu.utils import guards
-
+def test_cli_validate_flag_rejects_bad_input(cli_fixtures, capsys):
     tmp_path, p = cli_fixtures
     x = binio.read_matrix(p["X"])
     x[0, 0] = -5.0
     bad = str(tmp_path / "bad.bin")
     binio.write_matrix(x, bad)
-    with pytest.raises(guards.GuardError):
-        cli_main(["run", bad, p["W"], p["H"], "--max-iter", "1", "-q", "--validate"])
+    # GuardError is a ValueError: the CLI reports it as a clean one-line
+    # error with a nonzero exit (not a traceback)
+    rc = cli_main(["run", bad, p["W"], p["H"], "--max-iter", "1", "-q", "--validate"])
+    assert rc == 2
+    assert "negative" in capsys.readouterr().err.lower()
 
 
 def test_checkpointed_thresh_matches_plain_solve(tmp_path, small_problem):
@@ -725,4 +726,19 @@ def test_cli_run_freeze(cli_fixtures):
     ) == 2
     assert cli_main(
         ["run", p["X"], "--rank", "4", "--restarts", "2", "--freeze", "1", "-q"]
+    ) == 2
+
+
+def test_cli_freeze_value_errors_are_clean(cli_fixtures, capsys):
+    _, p = cli_fixtures
+    # out-of-range freeze: one-line error, not a traceback
+    rc = cli_main(
+        ["run", p["X"], p["W"], p["H"], "--freeze", "999", "-q"]
+    )
+    assert rc == 2
+    assert "n_frozen" in capsys.readouterr().err
+    # --online rejects --freeze explicitly
+    assert cli_main(
+        ["run", p["X"], "--rank", "4", "--online", "--init", "random",
+         "--freeze", "2", "-q"]
     ) == 2
