@@ -26,7 +26,7 @@ host.  N here is the number of data columns — the consensus matrices are
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

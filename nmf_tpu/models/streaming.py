@@ -46,7 +46,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 import os
 from typing import List, Optional, Tuple, Union
 
