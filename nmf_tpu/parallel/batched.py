@@ -33,6 +33,35 @@ __all__ = ["solve_batched"]
 _F32 = jnp.float32
 
 
+def _batched_prep_jit(config: SolveConfig):
+    """Batched counterpart of models.solver._prep_jit: clamp + dtype casts
+    (+ per-member column quantization — codes [B,M,N], scales [B,N]) in ONE
+    program launch.  Keyed by (precision, eps) only — loop parameters do
+    not change the prep program."""
+    return _batched_prep_jit_cached(config.precision, config.eps)
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_prep_jit_cached(precision, eps: float):
+    sd = jnp.dtype(precision.state_dtype)
+    quant = precision.x_dtype == "int8"
+
+    @jax.jit
+    def prep(x, w, h):
+        w = jnp.maximum(w.astype(sd), jnp.asarray(eps, sd))
+        h = jnp.maximum(h.astype(sd), jnp.asarray(eps, sd))
+        x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
+        if quant:
+            from ..ops.quant import quantize_columns
+
+            x = jax.vmap(lambda xi: quantize_columns(xi, eps))(x)
+        else:
+            x = x.astype(jnp.dtype(precision.x_dtype))
+        return x, w, h
+
+    return prep
+
+
 @functools.lru_cache(maxsize=16)
 def _batched_jit(config: SolveConfig, platform: Optional[str]):
     if config.live_metrics:
@@ -106,36 +135,33 @@ def solve_batched(
                 "streaming path's storage format)"
             )
     sd = jnp.dtype(config.precision.state_dtype)
-    x = jnp.asarray(x, _F32)
-    w0 = jnp.asarray(w0, sd)
-    h0 = jnp.asarray(h0, sd)
-    if x.ndim != 3 or w0.ndim != 3 or h0.ndim != 3:
+    sx, sw, sh = jnp.shape(x), jnp.shape(w0), jnp.shape(h0)
+    if len(sx) != 3 or len(sw) != 3 or len(sh) != 3:
         raise ValueError("solve_batched expects 3-D [batch, rows, cols] arrays")
-    if not (x.shape[0] == w0.shape[0] == h0.shape[0]):
+    if not (sx[0] == sw[0] == sh[0]):
         raise ValueError(
-            f"batch sizes disagree: X{x.shape[0]} W{w0.shape[0]} H{h0.shape[0]}"
+            f"batch sizes disagree: X{sx[0]} W{sw[0]} H{sh[0]}"
         )
-    if x.shape[1:] != (w0.shape[1], h0.shape[2]) or w0.shape[2] != h0.shape[1]:
-        raise ValueError(
-            f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}"
-        )
+    if sx[1:] != (sw[1], sh[2]) or sw[2] != sh[1]:
+        raise ValueError(f"shape mismatch: X{sx} vs W{sw} @ H{sh}")
     if mask is not None:
         mask = jnp.asarray(mask, _F32)
-        if mask.shape != x.shape:
-            raise ValueError(f"mask shape {mask.shape} != X shape {x.shape}")
+        if mask.shape != sx:
+            raise ValueError(f"mask shape {mask.shape} != X shape {sx}")
     if clamp_inputs:
-        x = jnp.maximum(x, jnp.asarray(config.eps, _F32))
-        w0 = jnp.maximum(w0, jnp.asarray(config.eps, sd))
-        h0 = jnp.maximum(h0, jnp.asarray(config.eps, sd))
-    if quant:
-        # per-member column quantization: codes [B,M,N] + scales [B,N];
-        # the per-problem (codes, scales) pair flows through the vmapped
-        # solver's dequant wrappers (models.solver._dequant_wrap_step)
-        from ..ops.quant import quantize_columns
-
-        x = jax.vmap(lambda xi: quantize_columns(xi, config.eps))(x)
+        # one program launch for clamp + casts (+ per-member int8
+        # quantization) — eager per-op dispatches are tunnel RPCs here
+        x, w0, h0 = _batched_prep_jit(config)(x, w0, h0)
     else:
-        x = x.astype(jnp.dtype(config.precision.x_dtype))
+        x = jnp.asarray(x, _F32)
+        w0 = jnp.asarray(w0, sd)
+        h0 = jnp.asarray(h0, sd)
+        if quant:
+            from ..ops.quant import quantize_columns
+
+            x = jax.vmap(lambda xi: quantize_columns(xi, config.eps))(x)
+        else:
+            x = x.astype(jnp.dtype(config.precision.x_dtype))
 
     platform = None
     if config.backend in ("auto", "autotune") and config.beta == 1.0:
