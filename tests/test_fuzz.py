@@ -65,3 +65,39 @@ def test_fuzz_rank_sweep_members_equal_solo_solves(trial):
             res.costs[i], float(ref.cost), rtol=1e-5,
             err_msg=f"shape=({m},{n}) ranks={ranks} member={i}",
         )
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_cross_solver_consistency(trial):
+    """The same problem through four independent code paths — in-memory,
+    streamed, mesh-sharded, and semi(n_frozen=0) — lands on the same
+    factors (block/collective summation-order noise only)."""
+    from nmf_tpu import solve_out_of_core, solve_semi
+    from nmf_tpu.parallel import solve_sharded
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(3000 + trial)
+    # dims divisible by the 4x2 mesh; ragged streaming blocks on purpose
+    m = 8 * int(rng.randint(2, 16))
+    n = 4 * int(rng.randint(8, 60))
+    k = int(rng.randint(2, 12))
+    iters = int(rng.randint(2, 12))
+    x = rng.rand(m, n).astype(np.float32)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    cfg = SolveConfig(max_iter=iters, check_every=max(1, iters))
+    ref = solve(x, w, h, cfg)
+    outs = {
+        "streamed": solve_out_of_core(x, w, h, cfg, block_n=max(4, n // 3)),
+        "sharded": solve_sharded(x, w, h, cfg, mesh=make_mesh(shape=(4, 2))),
+        "semi0": solve_semi(x, w, h, cfg, n_frozen=0),
+    }
+    for name, res in outs.items():
+        np.testing.assert_allclose(
+            np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7,
+            err_msg=f"{name} diverged at ({m},{k},{n}) iters={iters}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7,
+            err_msg=f"{name} diverged at ({m},{k},{n}) iters={iters}",
+        )
