@@ -222,6 +222,43 @@ def bench_restarts(r, m, k, n, dtype="bfloat16", long=400):
     return row
 
 
+def bench_transform_ooc(m, k, n, iters=50, block_n=2048):
+    """Serving throughput: stream-once H-only inference against a fixed W.
+
+    Unlike solve_out_of_core (one X stream per ITERATION, link-bound) the
+    transform visits each block once, so the metric is columns/second of
+    end-to-end wall time — transfers, per-block solves (``iters`` H
+    updates), and the H download all included."""
+    import jax
+
+    import nmf_tpu as nt
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(m, n).astype(np.float32)
+    w = np.maximum(rng.rand(m, k).astype(np.float32), np.float32(2.2204e-16))
+    cfg = nt.SolveConfig(
+        max_iter=iters, check_every=iters,
+        precision=nt.Precision("bfloat16"),
+    )
+    # warm the per-width programs, then time end-to-end (this IS the
+    # serving path: host source -> device solves -> host H)
+    nt.transform_out_of_core(x[:, : 2 * block_n], w, config=cfg, block_n=block_n)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = nt.transform_out_of_core(x, w, config=cfg, block_n=block_n)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "shape": f"{m}x{n} k={k}",
+        "dtype": "bfloat16",
+        "iters_per_block": iters,
+        "block_n": block_n,
+        "seconds": best,
+        "columns_per_sec": n / best,
+        "total_cost": float(res.cost),
+    }
+
+
 def precision_study(m, k, n, iters=100):
     """Config 3: fp32 vs bf16-matmul/fp32-accum — speed and cost agreement."""
     import nmf_tpu as nt
@@ -397,6 +434,11 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
     cfgs["oocore_2048x8192_k128"] = ooc
+
+    print("== out-of-core transform (serving) ==", file=sys.stderr)
+    tro = bench_transform_ooc(2048, 128, 16384)
+    cfgs["transform_ooc_2048x16384_k128"] = tro
+    print(json.dumps(tro), file=sys.stderr)
 
     print("== tile-sparse (clustered 8% occupancy) ==", file=sys.stderr)
     tsrow = bench_tile_sparse(8192, 128, 8192)
