@@ -25,7 +25,7 @@ from .models.nmf import NMF, solve_h_only, solve_w_only
 from .models.online import OnlineResult, solve_online
 from .models.semi import solve_semi
 from .models.separation import separate
-from .models.masked import solve_masked
+from .models.masked import solve_masked, solve_masked_h_only
 from .models.streaming import TransformResult, solve_out_of_core, transform_out_of_core
 from .models.strict import solve_strict
 from .models.init import nndsvd_init, random_init, scaled_random_init
@@ -67,6 +67,7 @@ __all__ = [
     "NMF",
     "separate",
     "solve_masked",
+    "solve_masked_h_only",
     "solve_out_of_core",
     "transform_out_of_core",
     "TransformResult",

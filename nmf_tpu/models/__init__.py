@@ -1,6 +1,7 @@
 """Model zoo: the KL-MU solver (reference parity), estimator API, extensions."""
 
 from .init import nndsvd_init, random_init, scaled_random_init
+from .masked import solve_masked_h_only
 from .nmf import NMF, solve_h_only, solve_w_only
 from .online import OnlineResult, solve_online
 from .semi import solve_semi
@@ -24,6 +25,7 @@ __all__ = [
     "NMF",
     "solve_h_only",
     "solve_w_only",
+    "solve_masked_h_only",
     "solve_online",
     "solve_semi",
     "OnlineResult",

@@ -97,6 +97,169 @@ def _masked_jit(config: SolveConfig):
     return _solve
 
 
+@functools.lru_cache(maxsize=8)
+def _masked_h_only_jit(config: SolveConfig):
+    """Jitted masked H-only solve: W fixed, H iterates on the observed
+    entries only (missing-data inference, e.g. scoring a partially-observed
+    new column against a learned dictionary)."""
+    eps, prec = config.eps, config.precision
+    pens = dict(l1_h=config.l1_h, l2_h=config.l2_h)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def _solve(x, w, h, mask):
+        def step(w_, h_, x_):
+            # the H half of mu_step_masked (same clamp sites)
+            z = mask * (x_ / eps_clamp(matmul(w_, h_, prec), eps))
+            numer = matmul(w_, z, prec, transpose_a=True)
+            denom = (
+                eps_clamp(matmul(w_, mask, prec, transpose_a=True), eps)
+                + pens["l1_h"] + pens["l2_h"] * h_.astype(_F32)
+            )
+            return w_, (h_ * (numer / denom)).astype(h_.dtype)
+
+        def cost(x_, w_, h_):
+            # H-side penalties only (the W penalties are not part of an
+            # H-only objective — mirrors models.nmf._h_only_jit)
+            return masked_kl(x_, w_, h_, mask, eps, **pens)
+
+        return run_checked_loop(x, w, h, config, step, cost)
+
+    return _solve
+
+
+@functools.lru_cache(maxsize=8)
+def _masked_h_only_sharded_jit(config: SolveConfig, mesh):
+    """Mesh masked H-only: the mask shards like X; both K-sized mask-GEMMs
+    psum over 'mr' (W fixed/replicated over 'mc')."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from ..parallel.sharded import _emit_live_origin, masked_kl_partial
+
+    eps, prec = config.eps, config.precision
+    l1_h, l2_h = config.l1_h, config.l2_h
+    r = mesh.shape[ROW_AXIS]
+
+    def step(w, h, xm):
+        x, m_loc = xm
+        z = m_loc * (x / eps_clamp(matmul(w, h, prec), eps))
+        numer = jax.lax.psum(
+            matmul(w, z, prec, transpose_a=True), ROW_AXIS
+        )
+        denom = (
+            eps_clamp(
+                jax.lax.psum(
+                    matmul(w, m_loc, prec, transpose_a=True), ROW_AXIS
+                ),
+                eps,
+            )
+            + l1_h + l2_h * h.astype(_F32)
+        )
+        return w, (h * (numer / denom)).astype(h.dtype)
+
+    def cost(xm, w, h):
+        x, m_loc = xm
+        part = masked_kl_partial(x, w, h, m_loc, eps)
+        hf = h.astype(_F32)
+        # replication-normalized over 'mr' (H is replicated there)
+        part = part + (
+            l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
+        ) / r
+        return part
+
+    def local_solve(xm_loc, w_loc, h_loc, initial_cost):
+        from ..models.solver import run_checked_loop as _loop
+
+        return _loop(
+            xm_loc, w_loc, h_loc, config, step, cost,
+            all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
+            initial_cost=initial_cost,
+            live_emit=_emit_live_origin,
+        )
+
+    from ..models.solver import SolveResult as _SR
+
+    out_specs = _SR(
+        w=P(ROW_AXIS, None), h=P(None, COL_AXIS), iterations=P(), cost=P(),
+        cost_history=P(), num_checks=P(), converged=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(
+                (P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, COL_AXIS)),
+                P(ROW_AXIS, None), P(None, COL_AXIS), P(),
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(2,),
+    )
+
+
+def solve_masked_h_only(
+    x, w, h0, mask, config: SolveConfig = SolveConfig(), mesh=None
+) -> SolveResult:
+    """Iterate only the H half of the masked update with W fixed.
+
+    The missing-data inference path: score partially-observed NEW columns
+    against a learned dictionary (``mask`` 0 = missing, or real-valued
+    confidence weights), e.g. cold-start scoring in a recommender.  Same
+    loop/convergence machinery as :func:`nmf_tpu.solve_h_only`; composes
+    with L1/L2 H-penalties and meshes (mask shards like X).
+    """
+    config.validate()
+    if config.beta != 1.0 or config.algorithm != "mu":
+        raise NotImplementedError(
+            "masked solve implements the KL (beta=1) MU family"
+        )
+    if config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "masked in-memory solves take dense f32/bf16 X"
+        )
+    sd = jnp.dtype(config.precision.state_dtype)
+    x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
+    x = x.astype(jnp.dtype(config.precision.x_dtype))
+    w = jnp.maximum(jnp.asarray(w, sd), config.eps)
+    h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
+    mask = jnp.asarray(mask, _F32)
+    if mask.shape != x.shape:
+        raise ValueError(f"mask shape {mask.shape} != X shape {x.shape}")
+    if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
+        raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
+    from .solver import maybe_live_chunked
+
+    if mesh is not None:
+        from ..parallel.mesh import nmf_shardings
+
+        xs, ws, hs, _ = nmf_shardings(mesh)
+        x = jax.device_put(x, xs)
+        mask = jax.device_put(mask, xs)
+        w = jax.device_put(w, ws)
+        h0 = jax.device_put(h0, hs)
+
+        def make_fn(c):
+            fn = _masked_h_only_sharded_jit(c, mesh)
+            return lambda x_, w_, h_, c0: fn((x_, mask), w_, h_, c0)
+
+        fallback = maybe_live_chunked(make_fn, x, w, h0, config, mesh)
+        if fallback is not None:
+            return fallback
+        return _masked_h_only_sharded_jit(config, mesh)(
+            (x, mask), w, h0, jnp.asarray(jnp.nan, _F32)
+        )
+
+    def make_fn(c):
+        fn = _masked_h_only_jit(c)
+        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask)
+
+    fallback = maybe_live_chunked(make_fn, x, w, h0, config)
+    if fallback is not None:
+        return fallback
+    return _masked_h_only_jit(config)(x, w, h0, mask)
+
+
 def solve_masked(
     x,
     w0,

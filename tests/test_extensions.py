@@ -184,3 +184,56 @@ def test_masked_reg_zero_penalties_identical(masked_problem):
         x, w, h, mask, SolveConfig(max_iter=10, l1_w=0.0, l2_h=0.0)
     )
     np.testing.assert_array_equal(np.asarray(a.w), np.asarray(b.w))
+
+
+# ---------------------------------------------------------------------------
+# masked H-only (missing-data inference)
+# ---------------------------------------------------------------------------
+
+
+def test_masked_h_only_matches_full_masked_h_half(small_problem):
+    """With a full mask the masked H-only solve equals plain solve_h_only;
+    with a partial mask the masked entries are excluded from the fit."""
+    from nmf_tpu import SolveConfig, solve_h_only, solve_masked_h_only
+
+    x, w, h = small_problem
+    cfg = SolveConfig(max_iter=15, check_every=5)
+    ones = np.ones_like(x)
+    res_full = solve_masked_h_only(x, w, h, ones, cfg)
+    ref = solve_h_only(x, w, h, cfg)
+    # denominator reduction order differs (mask-GEMM vs factor sum):
+    # summation-noise tolerance, not exact equality
+    np.testing.assert_allclose(
+        np.asarray(res_full.h), np.asarray(ref.h), rtol=5e-5, atol=1e-6
+    )
+    # partial mask: garbage in the masked entries must not change H
+    rng = np.random.RandomState(31)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    x_garbage = np.array(x)
+    x_garbage[mask == 0] = 1e6
+    a = solve_masked_h_only(x, w, h, mask, cfg)
+    b = solve_masked_h_only(x_garbage, w, h, mask, cfg)
+    np.testing.assert_allclose(
+        np.asarray(a.h), np.asarray(b.h), rtol=1e-6, atol=1e-8
+    )
+    assert not np.allclose(np.asarray(a.h), np.asarray(ref.h))
+
+
+def test_masked_h_only_on_mesh(small_problem):
+    from nmf_tpu import SolveConfig, solve_masked_h_only
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = small_problem
+    rng = np.random.RandomState(32)
+    mask = (rng.rand(*x.shape) > 0.25).astype(np.float32)
+    cfg = SolveConfig(max_iter=10, check_every=5, l1_h=0.01)
+    single = solve_masked_h_only(x, w, h, mask, cfg)
+    meshed = solve_masked_h_only(
+        x, w, h, mask, cfg, mesh=make_mesh(shape=(2, 2))
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.h), np.asarray(single.h), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(meshed.cost), float(single.cost), rtol=1e-5
+    )

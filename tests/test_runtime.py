@@ -742,3 +742,30 @@ def test_cli_freeze_value_errors_are_clean(cli_fixtures, capsys):
         ["run", p["X"], "--rank", "4", "--online", "--init", "random",
          "--freeze", "2", "-q"]
     ) == 2
+
+
+@pytest.mark.parametrize("kind", ["beta2", "hals", "reg"])
+def test_checkpointed_solve_families(tmp_path, small_problem, kind):
+    """Checkpoint/resume is family-agnostic: an interrupted beta / HALS /
+    penalized run resumes to the same factors as a straight run."""
+    x, w, h = small_problem
+    if kind == "beta2":
+        cfg = SolveConfig(max_iter=20, check_every=10, beta=2.0)
+    elif kind == "hals":
+        cfg = SolveConfig(max_iter=20, check_every=10, beta=2.0, algorithm="hals")
+    else:
+        cfg = SolveConfig(max_iter=20, check_every=10, l1_h=0.02)
+    from nmf_tpu.models.solver import solve as _solve
+
+    ref = _solve(x, w, h, cfg)
+    d = str(tmp_path / f"ck_{kind}")
+    import dataclasses
+
+    ckpt.solve_with_checkpoints(
+        x, w, h, dataclasses.replace(cfg, max_iter=10), d, every=10
+    )
+    state = ckpt.solve_with_checkpoints(x, w, h, cfg, d, every=10)
+    assert state.iteration == 20
+    np.testing.assert_allclose(
+        np.asarray(state.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )

@@ -746,3 +746,23 @@ def test_streamed_semi_on_mesh(problem):
             x, w, h, SolveConfig(max_iter=2, beta=2.0, algorithm="hals"),
             n_frozen=2,
         )
+
+
+def test_streamed_masked_checkpoint_resume(problem, tmp_path):
+    """Masked streaming composes with checkpoint/resume."""
+    x, w, h = problem
+    rng = np.random.RandomState(41)
+    mask = (rng.rand(*x.shape) > 0.25).astype(np.float32)
+    cfg = SolveConfig(max_iter=20, check_every=10)
+    ref = streaming.solve_out_of_core(x, w, h, cfg, block_n=256, mask=mask)
+    d = str(tmp_path / "ckm")
+    streaming.solve_out_of_core(
+        x, w, h, SolveConfig(max_iter=10, check_every=10),
+        block_n=256, mask=mask, checkpoint_dir=d, checkpoint_every=10,
+    )
+    res = streaming.solve_out_of_core(
+        x, w, h, cfg, block_n=256, mask=mask, checkpoint_dir=d,
+        checkpoint_every=10,
+    )
+    assert int(res.iterations) == 20
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
