@@ -27,7 +27,7 @@ from ..ops.mu import matmul
 from ..utils.config import Precision, SolveConfig
 from .solver import SolveResult, run_checked_loop
 
-__all__ = ["mu_step_masked", "masked_kl", "solve_masked"]
+__all__ = ["mu_step_masked", "masked_kl", "solve_masked", "solve_masked_h_only"]
 
 _F32 = jnp.float32
 
@@ -98,6 +98,48 @@ def _masked_jit(config: SolveConfig):
 
 
 @functools.lru_cache(maxsize=8)
+def _masked_prep_jit_cached(precision, eps: float):
+    """One-launch masked input prep (the masked twin of solver._prep_jit:
+    eager per-op dispatches are tunnel RPCs on this platform)."""
+    sd = jnp.dtype(precision.state_dtype)
+
+    @jax.jit
+    def prep(x, w, h, mask):
+        w = jnp.maximum(w.astype(sd), jnp.asarray(eps, sd))
+        h = jnp.maximum(h.astype(sd), jnp.asarray(eps, sd))
+        # honor the X storage dtype like every other solver (bf16 halves
+        # the dominant HBM stream; the masked quotient promotes to f32)
+        x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
+        x = x.astype(jnp.dtype(precision.x_dtype))
+        return x, w, h, mask.astype(_F32)
+
+    return prep
+
+
+def _masked_validate_and_prep(x, w0, h0, mask, config: SolveConfig):
+    """Shared by solve_masked and solve_masked_h_only: family/shape checks
+    plus the one-launch clamp/cast prep."""
+    config.validate()
+    if config.beta != 1.0 or config.algorithm != "mu":
+        raise NotImplementedError(
+            "masked solve implements the KL (beta=1) MU family"
+        )
+    if config.precision.x_dtype == "int8":
+        raise NotImplementedError(
+            "masked in-memory solves take dense f32/bf16 X (int8 X is the "
+            "streaming path's storage format — use solve_out_of_core)"
+        )
+    sx, sw, sh = jnp.shape(x), jnp.shape(w0), jnp.shape(h0)
+    if jnp.shape(mask) != sx:
+        raise ValueError(f"mask shape {jnp.shape(mask)} != X shape {sx}")
+    if sx != (sw[0], sh[1]) or sw[1] != sh[0]:
+        raise ValueError(f"shape mismatch: X{sx} vs W{sw} @ H{sh}")
+    return _masked_prep_jit_cached(config.precision, config.eps)(
+        x, w0, h0, mask
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def _masked_h_only_jit(config: SolveConfig):
     """Jitted masked H-only solve: W fixed, H iterates on the observed
     entries only (missing-data inference, e.g. scoring a partially-observed
@@ -129,73 +171,9 @@ def _masked_h_only_jit(config: SolveConfig):
 
 @functools.lru_cache(maxsize=8)
 def _masked_h_only_sharded_jit(config: SolveConfig, mesh):
-    """Mesh masked H-only: the mask shards like X; both K-sized mask-GEMMs
-    psum over 'mr' (W fixed/replicated over 'mc')."""
-    from jax.sharding import PartitionSpec as P
+    from ..parallel.sharded import build_sharded_masked_h_solver
 
-    from ..parallel.mesh import COL_AXIS, ROW_AXIS
-    from ..parallel.sharded import _emit_live_origin, masked_kl_partial
-
-    eps, prec = config.eps, config.precision
-    l1_h, l2_h = config.l1_h, config.l2_h
-    r = mesh.shape[ROW_AXIS]
-
-    def step(w, h, xm):
-        x, m_loc = xm
-        z = m_loc * (x / eps_clamp(matmul(w, h, prec), eps))
-        numer = jax.lax.psum(
-            matmul(w, z, prec, transpose_a=True), ROW_AXIS
-        )
-        denom = (
-            eps_clamp(
-                jax.lax.psum(
-                    matmul(w, m_loc, prec, transpose_a=True), ROW_AXIS
-                ),
-                eps,
-            )
-            + l1_h + l2_h * h.astype(_F32)
-        )
-        return w, (h * (numer / denom)).astype(h.dtype)
-
-    def cost(xm, w, h):
-        x, m_loc = xm
-        part = masked_kl_partial(x, w, h, m_loc, eps)
-        hf = h.astype(_F32)
-        # replication-normalized over 'mr' (H is replicated there)
-        part = part + (
-            l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
-        ) / r
-        return part
-
-    def local_solve(xm_loc, w_loc, h_loc, initial_cost):
-        from ..models.solver import run_checked_loop as _loop
-
-        return _loop(
-            xm_loc, w_loc, h_loc, config, step, cost,
-            all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
-            initial_cost=initial_cost,
-            live_emit=_emit_live_origin,
-        )
-
-    from ..models.solver import SolveResult as _SR
-
-    out_specs = _SR(
-        w=P(ROW_AXIS, None), h=P(None, COL_AXIS), iterations=P(), cost=P(),
-        cost_history=P(), num_checks=P(), converged=P(),
-    )
-    return jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(
-                (P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, COL_AXIS)),
-                P(ROW_AXIS, None), P(None, COL_AXIS), P(),
-            ),
-            out_specs=out_specs,
-            check_vma=False,
-        ),
-        donate_argnums=(2,),
-    )
+    return build_sharded_masked_h_solver(config, mesh)
 
 
 def solve_masked_h_only(
@@ -209,25 +187,7 @@ def solve_masked_h_only(
     loop/convergence machinery as :func:`nmf_tpu.solve_h_only`; composes
     with L1/L2 H-penalties and meshes (mask shards like X).
     """
-    config.validate()
-    if config.beta != 1.0 or config.algorithm != "mu":
-        raise NotImplementedError(
-            "masked solve implements the KL (beta=1) MU family"
-        )
-    if config.precision.x_dtype == "int8":
-        raise NotImplementedError(
-            "masked in-memory solves take dense f32/bf16 X"
-        )
-    sd = jnp.dtype(config.precision.state_dtype)
-    x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
-    x = x.astype(jnp.dtype(config.precision.x_dtype))
-    w = jnp.maximum(jnp.asarray(w, sd), config.eps)
-    h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
-    mask = jnp.asarray(mask, _F32)
-    if mask.shape != x.shape:
-        raise ValueError(f"mask shape {mask.shape} != X shape {x.shape}")
-    if x.shape != (w.shape[0], h0.shape[1]) or w.shape[1] != h0.shape[0]:
-        raise ValueError(f"shape mismatch: X{x.shape} vs W{w.shape} @ H{h0.shape}")
+    x, w, h0, mask = _masked_validate_and_prep(x, w, h0, mask, config)
     from .solver import maybe_live_chunked
 
     if mesh is not None:
@@ -279,26 +239,7 @@ def solve_masked(
     over the ('mr', 'mc') mesh and the denominator mask-GEMMs psum with the
     numerators (parallel.sharded.build_sharded_masked_solver).
     """
-    config.validate()
-    if config.beta != 1.0 or config.algorithm != "mu":
-        raise NotImplementedError("masked solve implements the KL (beta=1) MU family")
-    if config.precision.x_dtype == "int8":
-        raise NotImplementedError(
-            "masked in-memory solves take dense f32/bf16 X (int8 X is the "
-            "streaming path's storage format — use solve_out_of_core)"
-        )
-    sd = jnp.dtype(config.precision.state_dtype)
-    x = jnp.maximum(jnp.asarray(x, _F32), config.eps)
-    # honor the X storage dtype like every other solver (bf16 halves the
-    # dominant HBM stream; the masked quotient promotes back to f32)
-    x = x.astype(jnp.dtype(config.precision.x_dtype))
-    w0 = jnp.maximum(jnp.asarray(w0, sd), config.eps)
-    h0 = jnp.maximum(jnp.asarray(h0, sd), config.eps)
-    mask = jnp.asarray(mask, _F32)
-    if mask.shape != x.shape:
-        raise ValueError(f"mask shape {mask.shape} != X shape {x.shape}")
-    if x.shape != (w0.shape[0], h0.shape[1]) or w0.shape[1] != h0.shape[0]:
-        raise ValueError(f"shape mismatch: X{x.shape} vs W{w0.shape} @ H{h0.shape}")
+    x, w0, h0, mask = _masked_validate_and_prep(x, w0, h0, mask, config)
     if mesh is not None:
         from ..parallel.mesh import nmf_shardings
 

@@ -42,6 +42,7 @@ __all__ = [
     "build_sharded_masked_solver",
     "build_sharded_h_solver",
     "build_sharded_semi_solver",
+    "build_sharded_masked_h_solver",
 ]
 
 _F32 = jnp.float32
@@ -714,6 +715,67 @@ def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh, fused: bool = Fal
             mesh=mesh,
             in_specs=(
                 x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P(), P(),
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(2,),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
+    """Mesh masked H-only (models.masked.solve_masked_h_only): the mask
+    shards like X; both K-sized mask-GEMMs psum over 'mr' (W fixed,
+    replicated over 'mc')."""
+    eps, prec = config.eps, config.precision
+    l1_h, l2_h = config.l1_h, config.l2_h
+    r = mesh.shape[ROW_AXIS]
+
+    def step(w, h, xm):
+        x, m_loc = xm
+        z = m_loc * (x / eps_clamp(matmul(w, h, prec), eps))
+        numer = jax.lax.psum(matmul(w, z, prec, transpose_a=True), ROW_AXIS)
+        denom = (
+            eps_clamp(
+                jax.lax.psum(
+                    matmul(w, m_loc, prec, transpose_a=True), ROW_AXIS
+                ),
+                eps,
+            )
+            + l1_h + l2_h * h.astype(_F32)
+        )
+        return w, (h * (numer / denom)).astype(h.dtype)
+
+    def cost(xm, w, h):
+        x, m_loc = xm
+        part = masked_kl_partial(x, w, h, m_loc, eps)
+        hf = h.astype(_F32)
+        # H-side penalties only, replication-normalized over 'mr'
+        part = part + (
+            l1_h * jnp.sum(jnp.abs(hf)) + 0.5 * l2_h * jnp.sum(hf * hf)
+        ) / r
+        return part
+
+    def local_solve(xm_loc, w_loc, h_loc, initial_cost):
+        return run_checked_loop(
+            xm_loc, w_loc, h_loc, config, step, cost,
+            all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
+            initial_cost=initial_cost,
+            live_emit=_emit_live_origin,
+        )
+
+    out_specs = SolveResult(
+        w=P(ROW_AXIS, None), h=P(None, COL_AXIS), iterations=P(), cost=P(),
+        cost_history=P(), num_checks=P(), converged=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(
+                (P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, COL_AXIS)),
+                P(ROW_AXIS, None), P(None, COL_AXIS), P(),
             ),
             out_specs=out_specs,
             check_vma=False,
