@@ -397,6 +397,7 @@ class NMF:
         h0=None,
         max_iter: Optional[int] = None,
         out_of_core: bool = False,
+        mask=None,
     ) -> np.ndarray:
         """Solve for H against the learned W... for NEW columns of data.
 
@@ -406,9 +407,30 @@ class NMF:
         With ``out_of_core`` the columns are streamed
         (:func:`nmf_tpu.transform_out_of_core`): ``x`` may also be a
         ``.bin`` path or memmap far larger than device memory.
+
+        ``mask`` (same shape as ``x``; 0 = missing) scores partially
+        observed columns — only the observed entries drive the fit
+        (:func:`nmf_tpu.solve_masked_h_only`; in-memory only).
         """
         if self.w_ is None:
             raise RuntimeError("transform() before fit()")
+        if mask is not None:
+            if out_of_core:
+                raise NotImplementedError(
+                    "masked transforms are in-memory (load the observed "
+                    "columns)"
+                )
+            from .masked import solve_masked_h_only
+
+            x = np.asarray(x, np.float32)
+            if h0 is None:
+                rng = np.random.RandomState(self.random_state)
+                h0 = rng.rand(self.n_components, x.shape[1]).astype(np.float32)
+            res = solve_masked_h_only(
+                x, self.w_, h0, mask,
+                self._config(max_iter, shape=x.shape), mesh=self.mesh,
+            )
+            return np.asarray(res.h)
         if out_of_core:
             from .streaming import _as_source, transform_out_of_core
 

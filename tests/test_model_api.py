@@ -312,3 +312,24 @@ def test_public_api_is_documented():
         n for n in nmf_tpu.__all__ if n != "__version__" and n not in doc
     ]
     assert not missing, f"undocumented exports: {missing}"
+
+
+def test_nmf_transform_masked(small_problem):
+    x, _, _ = small_problem
+    model = NMF(n_components=6, max_iter=20, random_state=1)
+    model.fit(x)
+    rng = np.random.RandomState(5)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    h0 = rng.rand(6, x.shape[1]).astype(np.float32)
+    h_m = model.transform(x, h0=h0, max_iter=15, mask=mask)
+    # equals the direct masked h-only solve
+    from nmf_tpu import solve_masked_h_only
+
+    ref = solve_masked_h_only(
+        x, model.w_, h0, mask, model._config(15, shape=x.shape)
+    )
+    np.testing.assert_array_equal(h_m, np.asarray(ref.h))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        model.transform(x, mask=mask, out_of_core=True)
