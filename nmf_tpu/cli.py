@@ -574,7 +574,30 @@ def cmd_transform(args) -> int:
         r, c = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=(r, c))
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
-    if args.out_of_core:
+    if args.mask and args.out_of_core:
+        print(
+            "error: masked transforms are in-memory (load the observed "
+            "columns; drop --out-of-core)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.mask:
+        from .models.masked import solve_masked_h_only
+
+        x = binio.read_matrix(args.X)
+        mask = binio.read_matrix(args.mask)
+        if h0 is None:
+            rng = np.random.RandomState(args.seed)
+            h0 = rng.rand(w.shape[1], x.shape[1]).astype(np.float32)
+        with logger.timed() as t:
+            res = solve_masked_h_only(x, w, h0, mask, config, mesh=mesh)
+        logger.report(res, x.shape, t.seconds, check_every=config.check_every)
+        if args.validate:
+            from .utils.guards import validate_result
+
+            validate_result(res)
+        h_out = np.asarray(res.h)
+    elif args.out_of_core:
         from .models.streaming import transform_out_of_core
 
         with logger.timed() as t:
@@ -826,6 +849,11 @@ def build_parser() -> argparse.ArgumentParser:
         "-o", "--output", default="Hout.bin", help="output H path"
     )
     tr.add_argument("--h0", help="optional warm-start H .bin")
+    tr.add_argument(
+        "--mask",
+        help="observed-data mask .bin (same shape as X): score partially "
+        "observed columns — missing entries never drive the fit",
+    )
     tr.add_argument("--seed", type=int, default=0)
     _add_solver_flags(tr)
     tr.set_defaults(fn=cmd_transform)

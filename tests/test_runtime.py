@@ -769,3 +769,28 @@ def test_checkpointed_solve_families(tmp_path, small_problem, kind):
     np.testing.assert_allclose(
         np.asarray(state.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
     )
+
+
+def test_cli_transform_masked(cli_fixtures):
+    tmp_path, p = cli_fixtures
+    x = binio.read_matrix(p["X"])
+    rng = np.random.RandomState(7)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    mpath = str(tmp_path / "mask.bin")
+    binio.write_matrix(mask, mpath)
+    hout = str(tmp_path / "Hm.bin")
+    rc = cli_main(
+        ["transform", p["X"], p["W"], "-o", hout, "--h0", p["H"],
+         "--mask", mpath, "--max-iter", "10", "-q"]
+    )
+    assert rc == 0
+    from nmf_tpu import SolveConfig, solve_masked_h_only
+
+    ref = solve_masked_h_only(
+        x, binio.read_matrix(p["W"]), binio.read_matrix(p["H"]), mask,
+        SolveConfig(max_iter=10),
+    )
+    np.testing.assert_array_equal(binio.read_matrix(hout), np.asarray(ref.h))
+    assert cli_main(
+        ["transform", p["X"], p["W"], "--mask", mpath, "--out-of-core", "-q"]
+    ) == 2
