@@ -110,7 +110,12 @@ def _mask_factors(w, h, mk):
 
 
 @functools.lru_cache(maxsize=8)
-def _selection_jit(config: SolveConfig, platform: Optional[str], masked: bool):
+def _selection_jit(
+    config: SolveConfig,
+    platform: Optional[str],
+    masked: bool,
+    n_frozen: int = 0,
+):
     if config.live_metrics:
         # one callback per member per check is noise, not observability
         config = dataclasses.replace(config, live_metrics=False)
@@ -118,16 +123,25 @@ def _selection_jit(config: SolveConfig, platform: Optional[str], masked: bool):
     cost_fn = _cost_fn(config, platform)
 
     def one(x, w, h, mk):
-        if masked:
-            def sf(w_, h_, x_):
-                return _mask_factors(*step_fn(w_, h_, x_), mk)
-        else:
-            sf = step_fn
+        # template columns (models.semi semantics): frozen source is each
+        # member's initial dictionary, so W is not donated when frozen
+        w_frz = w
+        fz = jnp.arange(w.shape[1]) < n_frozen
+
+        def sf(w_, h_, x_):
+            w2, h2 = step_fn(w_, h_, x_)
+            if masked:
+                w2, h2 = _mask_factors(w2, h2, mk)
+            if n_frozen:
+                w2 = jnp.where(fz[None, :], w_frz, w2).astype(w2.dtype)
+            return w2, h2
+
         return run_checked_loop(x, w, h, config, sf, cost_fn)
 
     # x shared across members (in_axes=None): one HBM copy, R solves
+    donate = (2,) if n_frozen else (1, 2)
     return jax.jit(
-        jax.vmap(one, in_axes=(None, 0, 0, 0)), donate_argnums=(1, 2)
+        jax.vmap(one, in_axes=(None, 0, 0, 0)), donate_argnums=donate
     )
 
 
@@ -139,6 +153,7 @@ def _solve_selection(
     config: SolveConfig,
     mesh,
     clamp_inputs: bool,
+    n_frozen: int = 0,
 ) -> SelectionResult:
     config.validate()
     # final costs are the selection signal — always track them
@@ -148,6 +163,17 @@ def _solve_selection(
     sd = jnp.dtype(config.precision.state_dtype)
     r, kmax = w0s.shape[0], w0s.shape[2]
     masked = bool(np.any(ranks < kmax))
+    if n_frozen:
+        if config.algorithm == "hals":
+            raise NotImplementedError(
+                "HALS's in-place W sweep reads columns mid-update; frozen "
+                "columns need the MU families"
+            )
+        if not (0 < n_frozen <= int(np.min(ranks))):
+            raise ValueError(
+                f"n_frozen must be in [1, min(ranks)={int(np.min(ranks))}], "
+                f"got {n_frozen}"
+            )
     if masked and config.algorithm == "hals":
         raise NotImplementedError(
             "rank sweeps need exact-zero-preserving updates; HALS's "
@@ -211,7 +237,9 @@ def _solve_selection(
         # can differ from the default one (mixed CPU-mesh/TPU sessions)
         platform = list(mesh.devices.flat)[0].platform
 
-    res = _selection_jit(config, platform, masked)(x, w0s, h0s, mks_j)
+    res = _selection_jit(config, platform, masked, int(n_frozen))(
+        x, w0s, h0s, mks_j
+    )
     return SelectionResult(results=res, ranks=np.asarray(ranks, np.int64))
 
 
@@ -248,6 +276,7 @@ def solve_restarts(
     h0s=None,
     mesh=None,
     clamp_inputs: bool = True,
+    n_frozen: int = 0,
 ) -> SelectionResult:
     """Solve one problem from ``n_restarts`` initializations; pick the best.
 
@@ -263,6 +292,10 @@ def solve_restarts(
 
     Returns a :class:`SelectionResult`; ``result.best`` is the lowest-cost
     (W, H).
+
+    ``n_frozen`` keeps each member's FIRST columns of W fixed at their
+    initial values (:func:`nmf_tpu.solve_semi` semantics) — restart only
+    the free columns of a template-seeded dictionary.
 
     Like :func:`nmf_tpu.solve`, the member state buffers are donated to the
     compiled program; with ``clamp_inputs=False`` and device-resident
@@ -288,7 +321,9 @@ def solve_restarts(
             raise ValueError("n_restarts must be >= 1")
         ranks = np.full((n_restarts,), int(rank), np.int64)
         w0s, h0s = _member_inits(np.asarray(x, np.float32), ranks, init, seed)
-    return _solve_selection(x, w0s, h0s, ranks, config, mesh, clamp_inputs)
+    return _solve_selection(
+        x, w0s, h0s, ranks, config, mesh, clamp_inputs, n_frozen=n_frozen
+    )
 
 
 def solve_rank_sweep(

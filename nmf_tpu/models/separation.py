@@ -184,13 +184,6 @@ def separate(
     spec = _stft_np(audio, n_fft, hop)        # complex (bins, frames), host
     mag = np.abs(spec).astype(np.float32)
     if w_template is not None:
-        from .semi import solve_semi
-
-        if n_restarts > 1:
-            raise ValueError(
-                "w_template fixes the initialization; restarts need free "
-                "seeded inits (use one or the other)"
-            )
         w_template = np.asarray(w_template, np.float32)
         n_bins = n_fft // 2 + 1
         if w_template.ndim != 2 or w_template.shape[0] != n_bins:
@@ -203,11 +196,41 @@ def separate(
             raise ValueError(
                 f"{f} template columns exceed n_components={n_components}"
             )
-        w_rand, h0 = scaled_random_init(mag, n_components, seed=seed)
-        w0 = np.concatenate([w_template, w_rand[:, f:]], axis=1)
-        res = solve_semi(
-            mag, w0, h0, config, n_frozen=0 if adapt_template else f
-        )
+        if n_restarts > 1:
+            # restart only the FREE columns: templates frozen, each member
+            # re-seeds the adaptive remainder (selection.n_frozen)
+            from .selection import solve_restarts
+            from .solver import SolveResult
+
+            inits = [
+                scaled_random_init(mag, n_components, seed=seed + s)
+                for s in range(n_restarts)
+            ]
+            w0s = np.stack(
+                [np.concatenate([w_template, w[:, f:]], axis=1) for w, _ in inits]
+            )
+            h0s = np.stack([h for _, h in inits])
+            sel = solve_restarts(
+                mag, w0s=w0s, h0s=h0s, config=config,
+                n_frozen=0 if adapt_template else f,
+            )
+            b = sel.best_index
+            res = SolveResult(
+                w=sel.results.w[b], h=sel.results.h[b],
+                iterations=sel.results.iterations[b],
+                cost=sel.results.cost[b],
+                cost_history=sel.results.cost_history[b],
+                num_checks=sel.results.num_checks[b],
+                converged=sel.results.converged[b],
+            )
+        else:
+            from .semi import solve_semi
+
+            w_rand, h0 = scaled_random_init(mag, n_components, seed=seed)
+            w0 = np.concatenate([w_template, w_rand[:, f:]], axis=1)
+            res = solve_semi(
+                mag, w0, h0, config, n_frozen=0 if adapt_template else f
+            )
     elif n_restarts > 1:
         from .selection import solve_restarts
         from .solver import SolveResult

@@ -156,3 +156,33 @@ def test_restarts_validation_errors(problem):
     mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
     with pytest.raises(ValueError):
         solve_restarts(problem, rank=4, n_restarts=3, mesh=mesh)
+
+
+def test_restarts_with_frozen_template_columns(problem):
+    """n_frozen: each member keeps its initial first columns fixed (the
+    per-member frozen source), matching solve_semi member by member."""
+    from nmf_tpu import solve_semi
+
+    x = problem
+    rng = np.random.RandomState(9)
+    R, k, f = 3, 6, 2
+    template = rng.rand(64, f).astype(np.float32)
+    w0s = np.stack([
+        np.concatenate([template, rng.rand(64, k - f).astype(np.float32)], axis=1)
+        for _ in range(R)
+    ])
+    h0s = rng.rand(R, k, 80).astype(np.float32)
+    cfg = SolveConfig(max_iter=12, check_every=6)
+    sel = solve_restarts(x, w0s=w0s, h0s=h0s, config=cfg, n_frozen=f)
+    clamped_t = np.maximum(template, np.float32(2.2204e-16))
+    for i in range(R):
+        w_i = np.asarray(sel.results.w[i])
+        np.testing.assert_array_equal(w_i[:, :f], clamped_t)
+        ref = solve_semi(x, w0s[i], h0s[i], cfg, n_frozen=f)
+        np.testing.assert_allclose(
+            w_i, np.asarray(ref.w), rtol=5e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(sel.costs[i], float(ref.cost), rtol=1e-5)
+    # validation
+    with pytest.raises(ValueError):
+        solve_restarts(x, w0s=w0s, h0s=h0s, config=cfg, n_frozen=k + 1)

@@ -151,6 +151,14 @@ def test_separate_with_frozen_templates(two_tone_audio):
     with _pytest.raises(ValueError):
         separate(audio, n_components=1, n_fft=n_fft, hop=hop,
                  w_template=templates, config=cfg)
-    with _pytest.raises(ValueError):
-        separate(audio, n_components=4, n_fft=n_fft, hop=hop,
-                 w_template=templates, n_restarts=2, config=cfg)
+    # templates + restarts: only the FREE columns re-seed per member
+    res3 = separate(
+        audio, n_components=4, n_fft=n_fft, hop=hop, config=cfg,
+        w_template=templates, n_restarts=3,
+    )
+    np.testing.assert_array_equal(
+        res3.w[:, :2], np.maximum(templates, np.float32(2.2204e-16))
+    )
+    assert res3.sources.shape[0] == 4
+    # best-of-restarts can only match or beat the single seeded run
+    assert float(res3.solve_result.cost) <= float(res.solve_result.cost) + 1e-3
