@@ -195,3 +195,36 @@ def test_edge_shapes(m, k, n):
     hist = np.asarray(res.cost_history)[: int(res.num_checks)]
     # absolute term: perfect fits sit at cost ~0 with f32 rounding noise
     assert np.all(np.diff(hist) <= np.abs(hist[:-1]) * 1e-5 + 1e-6)
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [(1, 1, 8), (8, 1, 1), (1, 2, 1), (4, 8, 5), (3, 10, 200)],
+)
+def test_solver_boundary_shapes(m, k, n):
+    """Degenerate and overcomplete (K > min(M, N)) shapes stay finite and
+    match the NumPy oracle — the reference's planner rejected tall reduces
+    (nmf.cu:67-69); XLA has no such limit."""
+    from oracle import np_solve
+
+    rng = np.random.RandomState(m * 100 + k * 10 + n)
+    x = rng.rand(m, n).astype(np.float32)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    res = solve(x, w, h, SolveConfig(max_iter=5, check_every=5))
+    wn, hn = np_solve(x, w, h, 5)
+    assert np.isfinite(float(res.cost))
+    np.testing.assert_allclose(np.asarray(res.w), wn, rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.h), hn, rtol=5e-4, atol=1e-6)
+
+
+def test_solver_constant_x():
+    """A constant X (rank 1) drives the cost to ~0 and stays finite."""
+    x = np.full((16, 20), 3.0, np.float32)
+    rng = np.random.RandomState(0)
+    w = rng.rand(16, 2).astype(np.float32)
+    h = rng.rand(2, 20).astype(np.float32)
+    res = solve(x, w, h, SolveConfig(max_iter=1000, check_every=200))
+    recon = np.asarray(res.w) @ np.asarray(res.h)
+    assert np.isfinite(float(res.cost))
+    np.testing.assert_allclose(recon, x, rtol=1e-3)
