@@ -436,14 +436,9 @@ def cmd_run(args) -> int:
             )
         b = sel.best_index
         w_b, h_b = sel.best
-        res = SolveResult(
-            w=w_b, h=h_b,
-            iterations=sel.results.iterations[b],
-            cost=sel.results.cost[b],
-            cost_history=sel.results.cost_history[b],
-            num_checks=sel.results.num_checks[b],
-            converged=sel.results.converged[b],
-        )
+        import dataclasses as _dc
+
+        res = _dc.replace(sel.best_solve_result(), w=w_b, h=h_b)
         logger.report(res, x.shape, t.seconds, check_every=config.check_every)
         if args.validate:
             from .utils.guards import validate_result
@@ -581,23 +576,7 @@ def cmd_transform(args) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.mask:
-        from .models.masked import solve_masked_h_only
-
-        x = binio.read_matrix(args.X)
-        mask = binio.read_matrix(args.mask)
-        if h0 is None:
-            rng = np.random.RandomState(args.seed)
-            h0 = rng.rand(w.shape[1], x.shape[1]).astype(np.float32)
-        with logger.timed() as t:
-            res = solve_masked_h_only(x, w, h0, mask, config, mesh=mesh)
-        logger.report(res, x.shape, t.seconds, check_every=config.check_every)
-        if args.validate:
-            from .utils.guards import validate_result
-
-            validate_result(res)
-        h_out = np.asarray(res.h)
-    elif args.out_of_core:
+    if args.out_of_core:
         from .models.streaming import transform_out_of_core
 
         with logger.timed() as t:
@@ -622,14 +601,21 @@ def cmd_transform(args) -> int:
                 file=sys.stderr,
             )
     else:
-        from .models.nmf import solve_h_only
-
+        # one shared in-memory scaffold; only the solve call differs by mask
         x = binio.read_matrix(args.X)
         if h0 is None:
             rng = np.random.RandomState(args.seed)
             h0 = rng.rand(w.shape[1], x.shape[1]).astype(np.float32)
         with logger.timed() as t:
-            res = solve_h_only(x, w, h0, config, mesh=mesh)
+            if args.mask:
+                from .models.masked import solve_masked_h_only
+
+                mask = binio.read_matrix(args.mask)
+                res = solve_masked_h_only(x, w, h0, mask, config, mesh=mesh)
+            else:
+                from .models.nmf import solve_h_only
+
+                res = solve_h_only(x, w, h0, config, mesh=mesh)
         logger.report(res, x.shape, t.seconds, check_every=config.check_every)
         if args.validate:
             from .utils.guards import validate_result

@@ -423,6 +423,7 @@ class NMF:
             from .masked import solve_masked_h_only
 
             x = np.asarray(x, np.float32)
+            mask = np.asarray(mask, np.float32)
             if h0 is None:
                 rng = np.random.RandomState(self.random_state)
                 h0 = rng.rand(self.n_components, x.shape[1]).astype(np.float32)

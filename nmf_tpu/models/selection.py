@@ -103,6 +103,13 @@ class SelectionResult:
     def best_cost(self) -> float:
         return float(self.costs[self.best_index])
 
+    def best_solve_result(self) -> SolveResult:
+        """The lowest-cost member as a single-problem :class:`SolveResult`
+        (factors at the embedding width; use :attr:`best` for cropped
+        factors)."""
+        b = self.best_index
+        return jax.tree_util.tree_map(lambda a: a[b], self.results)
+
 
 def _mask_factors(w, h, mk):
     # mk: [Kmax] {0,1}; zero the unused rank slots (cast-free: mk in state dtype)

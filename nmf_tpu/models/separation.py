@@ -214,15 +214,7 @@ def separate(
                 mag, w0s=w0s, h0s=h0s, config=config,
                 n_frozen=0 if adapt_template else f,
             )
-            b = sel.best_index
-            res = SolveResult(
-                w=sel.results.w[b], h=sel.results.h[b],
-                iterations=sel.results.iterations[b],
-                cost=sel.results.cost[b],
-                cost_history=sel.results.cost_history[b],
-                num_checks=sel.results.num_checks[b],
-                converged=sel.results.converged[b],
-            )
+            res = sel.best_solve_result()
         else:
             from .semi import solve_semi
 
@@ -239,15 +231,7 @@ def separate(
             mag, rank=n_components, n_restarts=n_restarts, config=config,
             seed=seed,
         )
-        b = sel.best_index
-        res = SolveResult(
-            w=sel.results.w[b], h=sel.results.h[b],
-            iterations=sel.results.iterations[b],
-            cost=sel.results.cost[b],
-            cost_history=sel.results.cost_history[b],
-            num_checks=sel.results.num_checks[b],
-            converged=sel.results.converged[b],
-        )
+        res = sel.best_solve_result()
     else:
         w0, h0 = scaled_random_init(mag, n_components, seed=seed)
         res = solve(mag, w0, h0, config)      # the accelerator does the NMF
