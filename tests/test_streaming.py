@@ -766,3 +766,24 @@ def test_streamed_masked_checkpoint_resume(problem, tmp_path):
     )
     assert int(res.iterations) == 20
     np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+
+
+def test_streamed_semi_checkpoint_resume(problem, tmp_path):
+    """Frozen template columns survive checkpoint/resume: an interrupted
+    streamed semi run resumes to the straight-run factors with the
+    templates still intact."""
+    x, w, h = problem
+    cfg = SolveConfig(max_iter=20, check_every=10)
+    ref = streaming.solve_out_of_core(x, w, h, cfg, block_n=256, n_frozen=4)
+    d = str(tmp_path / "cksemi")
+    streaming.solve_out_of_core(
+        x, w, h, SolveConfig(max_iter=10, check_every=10),
+        block_n=256, n_frozen=4, checkpoint_dir=d, checkpoint_every=10,
+    )
+    res = streaming.solve_out_of_core(
+        x, w, h, cfg, block_n=256, n_frozen=4, checkpoint_dir=d,
+        checkpoint_every=10,
+    )
+    assert int(res.iterations) == 20
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+    np.testing.assert_array_equal(np.asarray(res.w)[:, :4], clamp(w)[:, :4])
