@@ -1067,6 +1067,7 @@ def transform_out_of_core(
     block_n: Optional[int] = None,
     mesh=None,
     seed: int = 0,
+    mask=None,
 ) -> TransformResult:
     """Solve H against a FIXED W with X streamed from the host (inference).
 
@@ -1088,6 +1089,9 @@ def transform_out_of_core(
     bf16 / int8 X storage (the wire carries the storage bytes), and meshes
     (per-block sharded H-only solves on the canonical layout) — including
     int8 on meshes (shard-local dequantization, as in :func:`solve_h_only`).
+    ``mask`` (array / ``.bin`` path / source, same shape as X) streams
+    alongside X for missing-data scoring — the stream-once counterpart of
+    :func:`nmf_tpu.solve_masked_h_only` (KL family; dense f32/bf16 X).
     """
     import jax
     import jax.numpy as jnp
@@ -1099,6 +1103,21 @@ def transform_out_of_core(
     quant = config.precision.x_dtype == "int8"
     source = _as_source(x)
     m, n = source.shape
+    mask_source = None
+    if mask is not None:
+        if config.beta != 1.0 or config.algorithm != "mu":
+            raise NotImplementedError(
+                "masked transforms implement the KL (beta=1) MU family"
+            )
+        if quant:
+            raise NotImplementedError(
+                "masked transforms take dense f32/bf16 X"
+            )
+        mask_source = _as_source(mask)
+        if mask_source.shape != (m, n):
+            raise ValueError(
+                f"mask shape {mask_source.shape} != X shape {(m, n)}"
+            )
     w = np.asarray(w, np.float32)
     if w.ndim != 2 or w.shape[0] != m:
         raise ValueError(f"W {w.shape} does not match X {(m, n)}")
@@ -1141,10 +1160,20 @@ def transform_out_of_core(
                 choice = "jnp"
             return dataclasses.replace(config, backend=choice)
 
-        from .nmf import _h_only_jit
+        if mask_source is not None:
+            from .masked import _masked_h_only_jit
 
-        def _solve_block(x_dev, h_dev, width):
-            return _h_only_jit(_cfg_for(width), platform)(x_dev, w_dev, h_dev)
+            def _solve_block(x_dev, h_dev, width):
+                x_only, m_dev = x_dev
+                return _masked_h_only_jit(config)(x_only, w_dev, h_dev, m_dev)
+
+        else:
+            from .nmf import _h_only_jit
+
+            def _solve_block(x_dev, h_dev, width):
+                return _h_only_jit(_cfg_for(width), platform)(
+                    x_dev, w_dev, h_dev
+                )
 
     def _gen_h0(idx):
         j0, j1 = blocks[idx]
@@ -1176,6 +1205,8 @@ def transform_out_of_core(
                 x_dev = (jnp.asarray(x_np[0]), jnp.asarray(x_np[1]))
             else:
                 x_dev = jnp.asarray(x_np)
+            if mask_source is not None:
+                x_dev = (x_dev, jnp.asarray(mask_source.columns(j0, j1)))
             return x_dev, jnp.asarray(_gen_h0(idx), sd)
 
         inflight = _put(0)
@@ -1193,9 +1224,15 @@ def transform_out_of_core(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.mesh import COL_AXIS, nmf_shardings
-        from .nmf import _h_only_sharded_jit
 
-        solver = _h_only_sharded_jit(config, mesh)
+        if mask_source is not None:
+            from .masked import _masked_h_only_sharded_jit
+
+            solver = _masked_h_only_sharded_jit(config, mesh)
+        else:
+            from .nmf import _h_only_sharded_jit
+
+            solver = _h_only_sharded_jit(config, mesh)
         xs_t, ws_t, hs_t, _ = nmf_shardings(mesh)
         scales_t = NamedSharding(mesh, P(COL_AXIS))
         # W crosses the link ONCE for the whole run (it is fixed)
@@ -1210,6 +1247,11 @@ def transform_out_of_core(
                 )
             else:
                 x_s = jax.device_put(x_np, xs_t)
+            if mask_source is not None:
+                x_s = (
+                    x_s,
+                    jax.device_put(mask_source.columns(*blocks[idx]), xs_t),
+                )
             return x_s, jax.device_put(_gen_h0(idx), hs_t).astype(sd)
 
         inflight = _put_mesh(0)

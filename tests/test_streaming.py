@@ -787,3 +787,42 @@ def test_streamed_semi_checkpoint_resume(problem, tmp_path):
     assert int(res.iterations) == 20
     np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
     np.testing.assert_array_equal(np.asarray(res.w)[:, :4], clamp(w)[:, :4])
+
+
+def test_transform_ooc_masked_matches_in_memory(problem, tmp_path):
+    """Masked streamed transform == solve_masked_h_only (same warm start),
+    from arrays and from .bin sources, single-device and on meshes."""
+    from nmf_tpu import SolveConfig, solve_masked_h_only
+    from nmf_tpu.models.streaming import transform_out_of_core
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w0, h0 = problem
+    w = _fit_w(problem)
+    rng = np.random.RandomState(51)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    cfg = SolveConfig(max_iter=15, check_every=15)
+    ref = solve_masked_h_only(x, w, h0, mask, cfg)
+    res = transform_out_of_core(x, w, h0=h0, config=cfg, block_n=256, mask=mask)
+    np.testing.assert_allclose(res.h, np.asarray(ref.h), rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(res.cost, float(ref.cost), rtol=1e-5)
+    # .bin sources for both X and the mask
+    xp, mp = str(tmp_path / "X.bin"), str(tmp_path / "M.bin")
+    binio.write_matrix(x, xp)
+    binio.write_matrix(mask, mp)
+    res_f = transform_out_of_core(xp, w, h0=h0, config=cfg, block_n=256, mask=mp)
+    np.testing.assert_array_equal(res_f.h, res.h)
+    # mesh
+    res_m = transform_out_of_core(
+        x, w, h0=h0, config=cfg, block_n=250, mask=mask,
+        mesh=make_mesh(shape=(4, 2)),
+    )
+    np.testing.assert_allclose(res_m.h, res.h, rtol=5e-5, atol=1e-7)
+    # guards
+    with pytest.raises(NotImplementedError):
+        transform_out_of_core(
+            x, w, config=SolveConfig(beta=2.0), mask=mask, block_n=256
+        )
+    with pytest.raises(ValueError):
+        transform_out_of_core(
+            x, w, config=cfg, mask=mask[:, :-1], block_n=256
+        )
