@@ -4,8 +4,10 @@ A from-scratch JAX/XLA/Pallas rebuild with the capabilities of the reference
 CUDA library (``recoord/nmf-gpu``): KL-divergence Lee-Seung multiplicative
 updates, byte-compatible ``.bin`` I/O, fixed-iteration determinism — plus the
 things the reference lacked: convergence checking, batched (vmap) and
-mesh-sharded (shard_map) execution, checkpoint/resume, metrics, a CLI, and a
-beta-divergence model family.
+mesh-sharded (shard_map) execution, out-of-core and online streaming,
+masked/penalized/HALS/beta-divergence/semi-adaptive model families, model
+selection (restarts, rank sweeps, consensus stability), checkpoint/resume,
+metrics, and a CLI.  See docs/MATRIX.md for the full family x mode map.
 
 Quick start::
 
