@@ -134,3 +134,30 @@ def test_beta1_step_matches_kl_step(small_problem):
     w2, h2 = mu_step_beta(w, h, x, 1.0)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=2e-5)
+
+
+@pytest.mark.parametrize("beta", [0.0, 0.5, 1.5, 2.0])
+def test_beta_mu_step_matches_numpy_oracle(small_problem, beta):
+    """An independent NumPy beta-MU implementation (textbook Fevotte 2011
+    form, same clamp sites as ops.mu._beta_ratios) agrees elementwise."""
+    EPSV = 2.2204e-16
+
+    def np_beta_step(w, h, x, b):
+        def ratios(w, h):
+            y = np.maximum(w @ h, EPSV)
+            return x * y ** (b - 2.0), y ** (b - 1.0)
+
+        num, den = ratios(w, h)
+        h = h * (w.T @ num) / np.maximum(w.T @ den, EPSV)
+        num, den = ratios(w, h)
+        w = w * (num @ h.T) / np.maximum(den @ h.T, EPSV)
+        return w, h
+
+    x, w, h = (clamp(np.asarray(a, np.float64)) for a in small_problem)
+    wn, hn = np_beta_step(w.copy(), h.copy(), x, beta)
+    wj, hj = mu_step_beta(
+        jnp.asarray(w, jnp.float32), jnp.asarray(h, jnp.float32),
+        jnp.asarray(x, jnp.float32), beta,
+    )
+    np.testing.assert_allclose(np.asarray(wj), wn, rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(hj), hn, rtol=2e-4, atol=1e-7)
