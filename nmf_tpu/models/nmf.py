@@ -236,8 +236,8 @@ class NMF:
     Attributes after ``fit``: ``components_`` (H, K x N in sklearn's
     convention of components-by-features when fitting X as samples x
     features... here we keep the reference's X = W @ H orientation:
-    ``components_`` is H), ``reconstruction_err_`` (final divergence),
-    ``n_iter_``.
+    ``components_`` is H), ``reconstruction_err_`` (the RAW final
+    divergence D — note sklearn reports ``sqrt(2*D)``), ``n_iter_``.
     """
 
     def __init__(
