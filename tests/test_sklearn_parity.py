@@ -110,3 +110,46 @@ def test_alpha_regularization_matches_sklearn_scaling(data):
     plain.fit(x.astype(np.float32), w0=w0.astype(np.float32),
               h0=h0.astype(np.float32))
     assert np.abs(model.w_).sum() < np.abs(plain.w_).sum()
+
+
+def test_frobenius_mu_reaches_sklearn_objective(data):
+    x, w0, h0 = data
+    iters = 120
+    sk = SkNMF(
+        n_components=6, init="custom", solver="mu", beta_loss="frobenius",
+        max_iter=iters, tol=0.0,
+    )
+    w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+    fro_sk = float(np.linalg.norm(x - w_sk @ sk.components_))
+    model = NMF(n_components=6, beta_loss=2.0, max_iter=iters, tol=0.0)
+    model.fit(x.astype(np.float32), w0=w0.astype(np.float32),
+              h0=h0.astype(np.float32))
+    fro_us = float(np.linalg.norm(x - model.w_ @ model.components_))
+    assert fro_us <= fro_sk * 1.02, f"ours {fro_us:.4f} vs sklearn {fro_sk:.4f}"
+
+
+def test_transform_reaches_sklearn_objective(data):
+    """sklearn.transform solves new ROWS against its fixed components_
+    (its W direction) — the counterpart of our solve_w_only."""
+    x, w0, h0 = data
+    sk = SkNMF(
+        n_components=6, init="custom", solver="mu",
+        beta_loss="kullback-leibler", max_iter=100, tol=0.0,
+    )
+    sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+    h_fit = np.asarray(sk.components_)          # (K, n_features), fixed
+    x_new = np.roll(x, 13, axis=0)[:40].copy()  # 40 new "samples" (rows)
+    w_sk = sk.transform(x_new)                  # (40, K), its own iters
+    cost_sk = _kl(x_new, w_sk, h_fit)
+    from nmf_tpu import solve_w_only
+
+    rng = np.random.RandomState(0)
+    w0_new = rng.rand(40, 6).astype(np.float32)
+    res = solve_w_only(
+        x_new.astype(np.float32), w0_new, h_fit.astype(np.float32),
+        SolveConfig(max_iter=200, check_every=200),
+    )
+    cost_us = _kl(x_new, np.asarray(res.w), h_fit)
+    assert cost_us <= cost_sk * 1.02, (
+        f"ours {cost_us:.4f} vs sklearn {cost_sk:.4f}"
+    )
