@@ -227,6 +227,8 @@ class NMF:
     (regularization with sklearn's exact dimension scaling; KL-MU family).
 
     Extra knobs: ``precision`` (fp32 / bf16 MXU policy), ``backend``,
+    ``accelerate`` (safeguarded Nesterov-extrapolated updates — 4-6x fewer
+    iterations to the same converged cost, monotone by construction),
     ``check_every``, ``n_restarts`` (fit from several seeded inits in one
     compiled batch — :func:`nmf_tpu.solve_restarts` — and keep the
     lowest-cost factorization), and ``mesh`` — a ('mr','mc') device mesh that routes
@@ -257,8 +259,10 @@ class NMF:
         alpha_W: float = 0.0,
         alpha_H="same",
         l1_ratio: float = 0.0,
+        accelerate: bool = False,
     ):
         self.mesh = mesh
+        self.accelerate = bool(accelerate)
         self.n_restarts = int(n_restarts)
         self.alpha_W = float(alpha_W)
         self.alpha_H = alpha_H
@@ -306,6 +310,7 @@ class NMF:
             beta=self.beta_loss,
             algorithm=self.solver,
             l1_w=l1_w, l2_w=l2_w, l1_h=l1_h, l2_h=l2_h,
+            accelerate=self.accelerate,
         )
 
     def _init_factors(self, x: np.ndarray):

@@ -185,7 +185,7 @@ def solve_online(
     ``precision.x_dtype`` (f32 / bf16 / int8 wire bytes).  With
     ``track_cost=False`` the per-block learning-curve costs (an extra
     reconstruction pass + a host fetch each) are skipped and
-    ``block_costs`` comes back empty.
+    ``block_costs`` holds one empty list per pass.
 
     With ``mesh`` the learner runs on the canonical ('mr', 'mc') layout —
     W and the A statistics row-sharded for the whole run, each block's

@@ -200,7 +200,6 @@ def separate(
             # restart only the FREE columns: templates frozen, each member
             # re-seeds the adaptive remainder (selection.n_frozen)
             from .selection import solve_restarts
-            from .solver import SolveResult
 
             inits = [
                 scaled_random_init(mag, n_components, seed=seed + s)
@@ -225,7 +224,6 @@ def separate(
             )
     elif n_restarts > 1:
         from .selection import solve_restarts
-        from .solver import SolveResult
 
         sel = solve_restarts(
             mag, rank=n_components, n_restarts=n_restarts, config=config,

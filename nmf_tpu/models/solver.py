@@ -309,6 +309,11 @@ def run_checked_loop(
     overrides the emitter (the sharded solver gates it to mesh coordinate
     (0,0) so a pod prints once per check, not once per device).
     """
+    if config.accelerate:
+        return _run_accel_loop(
+            x, w, h, config, step_fn, cost_fn, all_reduce, initial_cost,
+            live_emit if live_emit is not None else _emit_live_single,
+        )
     max_iter = int(config.max_iter)
     check_every = int(config.check_every)
     thresh = float(config.thresh)
@@ -365,6 +370,133 @@ def run_checked_loop(
     w, h, it, _, cost, chk, hist, done = jax.lax.while_loop(cond, body, init)
     return SolveResult(
         w=w, h=h, iterations=it, cost=cost, cost_history=hist,
+        num_checks=chk, converged=done,
+    )
+
+
+def _run_accel_loop(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    config: SolveConfig,
+    step_fn: StepFn,
+    cost_fn: CostFn,
+    all_reduce: Callable[[jnp.ndarray], jnp.ndarray],
+    initial_cost: Optional[jnp.ndarray],
+    emit: Callable,
+) -> SolveResult:
+    """Safeguarded Nesterov-extrapolated solve loop (``config.accelerate``).
+
+    Each base step runs from an extrapolated point
+    ``Y_k = X_k + m * (X_k - X_{k-1})`` (clamped to eps — a negative or zero
+    entry would be absorbing under multiplicative updates); the recorded
+    iterate stays the un-extrapolated step output.  Every ``check_every``
+    block the cost — the SAME per-check divergence the plain loop computes —
+    gates acceptance: a block whose cost increased is thrown away and redone
+    with plain steps from the block-start state, which restores MU's
+    monotone-descent guarantee by construction, so the recorded cost history
+    is non-increasing for the monotone families (KL/beta>=1 MU, HALS).  The
+    momentum coefficient adapts: ``accel_grow``x on accept (capped at
+    ``accel_momentum_max``), ``accel_shrink``x on reject.  Measured 4-6x
+    fewer iterations than plain MU to the same converged cost at config-2
+    dims (benchmarks/RESULTS.md), with zero rejections in practice.
+
+    Works for every family that flows through :func:`run_checked_loop`:
+    ``all_reduce`` keeps the acceptance predicate replicated on a mesh
+    exactly like the convergence predicate, and the extrapolation is
+    factor-shaped elementwise work (no extra communication).  Under ``vmap``
+    (batched/restart solvers) the reject branch lowers to a ``select`` so
+    each block pays accel + plain work; with rejections rare the accepted
+    path alone already nets ~2x there.
+
+    A NaN/Inf escape inside an extrapolated block (possible at extreme
+    momentum) fails the ``cost <= prev`` acceptance and lands in the plain
+    redo, so divergence cannot propagate.
+    """
+    max_iter = int(config.max_iter)
+    check_every = int(config.check_every)
+    thresh = float(config.thresh)
+    n_slots = max(config.num_checks, 1)
+    eps = config.eps
+    m0 = jnp.asarray(config.accel_momentum, _F32)
+    m_max = jnp.asarray(config.accel_momentum_max, _F32)
+    grow = jnp.asarray(config.accel_grow, _F32)
+    shrink = jnp.asarray(config.accel_shrink, _F32)
+
+    def _extrap(new, old, m):
+        e = new.astype(_F32) + m * (new.astype(_F32) - old.astype(_F32))
+        return jnp.maximum(e, jnp.asarray(eps, _F32)).astype(new.dtype)
+
+    def accel_one(_, carry):
+        wp, hp, we, he, m = carry
+        wn, hn = step_fn(we, he, x)
+        return (wn, hn, _extrap(wn, wp, m), _extrap(hn, hp, m), m)
+
+    def plain_one(_, wh):
+        return step_fn(wh[0], wh[1], x)
+
+    def body(carry):
+        wn, hn, we, he, m, it, prev_cost, cost, chk, hist, done = carry
+        chunk = jnp.minimum(check_every, max_iter - it)
+        wn0, hn0 = wn, hn
+        wn1, hn1, we1, he1, _ = jax.lax.fori_loop(
+            0, chunk, accel_one, (wn, hn, we, he, m)
+        )
+        c1 = all_reduce(cost_fn(x, wn1, hn1)).astype(_F32)
+
+        def _accept(_):
+            return wn1, hn1, we1, he1, jnp.minimum(m * grow, m_max), c1
+
+        def _reject(_):
+            w2, h2 = jax.lax.fori_loop(0, chunk, plain_one, (wn0, hn0))
+            c2 = all_reduce(cost_fn(x, w2, h2)).astype(_F32)
+            return w2, h2, w2, h2, m * shrink, c2
+
+        wn, hn, we, he, m, c = jax.lax.cond(c1 <= cost, _accept, _reject, None)
+        it = it + chunk
+        prev_cost = cost
+        cost = c
+        hist = hist.at[chk].set(cost)
+        rel = jnp.abs(prev_cost - cost) / jnp.abs(cost)
+        if thresh > 0.0:
+            done = rel < thresh
+        if config.live_metrics:
+            emit(it, cost, rel)
+        chk = chk + 1
+        return (wn, hn, we, he, m, it, prev_cost, cost, chk, hist, done)
+
+    def cond(carry):
+        it, done = carry[5], carry[10]
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    # The acceptance test needs a real baseline: seed it with the supplied
+    # initial cost (resumed segments) or one up-front cost evaluation.
+    c_given = (
+        jnp.asarray(jnp.nan, _F32)
+        if initial_cost is None
+        else jnp.asarray(initial_cost, _F32)
+    )
+    c0 = jnp.where(
+        jnp.isnan(c_given), all_reduce(cost_fn(x, w, h)).astype(_F32), c_given
+    )
+    init = (
+        w,
+        h,
+        w,
+        h,
+        m0,
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, _F32),
+        c0,
+        jnp.zeros((), jnp.int32),
+        jnp.full((n_slots,), jnp.nan, _F32),
+        jnp.zeros((), jnp.bool_),
+    )
+    wn, hn, _, _, _, it, _, cost, chk, hist, done = jax.lax.while_loop(
+        cond, body, init
+    )
+    return SolveResult(
+        w=wn, h=hn, iterations=it, cost=cost, cost_history=hist,
         num_checks=chk, converged=done,
     )
 

@@ -1180,7 +1180,9 @@ def transform_out_of_core(
         if h0 is not None:
             return np.maximum(h0[:, j0:j1], np.float32(eps))
         rng = np.random.RandomState(seed + idx)
-        return rng.rand(k, j1 - j0).astype(np.float32)
+        # clamp like every other random-init entry path: an exact-zero entry
+        # is an absorbing state under multiplicative updates
+        return np.maximum(rng.rand(k, j1 - j0).astype(np.float32), np.float32(eps))
 
     # ---- the single pass: solve block idx while block idx+1 transfers
     # and block idx-1's result drains; at most ~3 blocks are device-live,

@@ -113,6 +113,22 @@ class SolveConfig:
     l1_h: float = 0.0
     l2_w: float = 0.0
     l2_h: float = 0.0
+    # Safeguarded Nesterov-extrapolated updates (models/solver.py
+    # ``_run_accel_loop``): each step runs the base update from an
+    # extrapolated point  Y_k = X_k + momentum * (X_k - X_{k-1}),  and every
+    # ``check_every`` block is accepted only if the (already-computed) cost
+    # did not increase — else the block is redone with plain updates, which
+    # restores the MU monotonicity guarantee by construction.  Measured
+    # 4-6x fewer iterations to plain-MU's converged cost (benchmarks/
+    # RESULTS.md).  The momentum coefficient adapts: *grow on accept (capped
+    # at momentum_max), *shrink on reject.  This beats the convergence
+    # behaviour the reference documented and lost (README.md:40-54, dead
+    # kernels matrix.cu:505-640) rather than just restoring it.
+    accelerate: bool = False
+    accel_momentum: float = 0.5
+    accel_momentum_max: float = 0.95
+    accel_grow: float = 1.05
+    accel_shrink: float = 0.5
 
     def validate(self) -> None:
         if self.max_iter < 0:
@@ -133,6 +149,17 @@ class SolveConfig:
             raise ValueError("regularization strengths must be >= 0")
         if self.regularized and self.beta != 1.0:
             raise ValueError("regularization is implemented for the KL (beta=1) family")
+        if self.accelerate:
+            if not (0.0 <= self.accel_momentum <= self.accel_momentum_max):
+                raise ValueError(
+                    "need 0 <= accel_momentum <= accel_momentum_max"
+                )
+            if self.accel_momentum_max >= 1.0:
+                raise ValueError("accel_momentum_max must be < 1")
+            if self.accel_grow < 1.0:
+                raise ValueError("accel_grow must be >= 1")
+            if not (0.0 < self.accel_shrink <= 1.0):
+                raise ValueError("accel_shrink must be in (0, 1]")
         if self.live_metrics and not (self.track_cost or self.thresh > 0):
             raise ValueError(
                 "live_metrics streams the per-check cost; enable track_cost "

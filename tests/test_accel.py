@@ -1,0 +1,219 @@
+"""Safeguarded Nesterov-accelerated solver (``SolveConfig.accelerate``).
+
+The acceleration beats the convergence behaviour the reference documented
+and lost (README.md:40-54; dead convergence kernels matrix.cu:505-640):
+same per-check cost/predicate machinery, 4-6x fewer iterations to the same
+converged cost, with MU's monotone-descent guarantee restored by the
+block-level accept/redo safeguard.
+"""
+
+import numpy as np
+import pytest
+
+from nmf_tpu import SolveConfig, solve
+from nmf_tpu.utils.config import Precision
+
+
+def _monotone(hist, tol=1e-6):
+    hist = np.asarray(hist, np.float64)
+    return bool(np.all(np.diff(hist) <= tol * np.abs(hist[:-1])))
+
+
+def _problem(m=192, k=12, n=384, seed=0):
+    rng = np.random.RandomState(seed)
+    eps = np.float32(2.2204e-16)
+    x = np.maximum(rng.rand(m, n).astype(np.float32), eps)
+    w0 = rng.rand(m, k).astype(np.float32)
+    h0 = rng.rand(k, n).astype(np.float32)
+    return x, w0, h0
+
+
+def test_accel_monotone_and_beats_plain_at_equal_budget():
+    x, w0, h0 = _problem()
+    budget = 800
+    plain = solve(x, w0, h0, SolveConfig(max_iter=budget, check_every=25))
+    accel = solve(
+        x, w0, h0, SolveConfig(max_iter=budget, check_every=25, accelerate=True)
+    )
+    hist = np.asarray(accel.cost_history)[: int(accel.num_checks)]
+    assert _monotone(hist)
+    # strictly better cost at the same iteration budget
+    assert float(accel.cost) <= float(plain.cost)
+    # and the plain solve's final cost was reached in well under half the
+    # budget (prototype measured ~2.6x at these dims; assert a safe 1.5x)
+    reach = np.argmax(hist <= float(plain.cost))
+    assert hist[reach] <= float(plain.cost)
+    assert (reach + 1) * 25 <= budget / 1.5
+
+
+def test_accel_thresh_stop_converges_earlier_to_equal_or_better_cost():
+    x, w0, h0 = _problem(m=256, k=16, n=1000)
+    cfg = dict(max_iter=4000, check_every=25, thresh=1e-5)
+    plain = solve(x, w0, h0, SolveConfig(**cfg))
+    accel = solve(x, w0, h0, SolveConfig(**cfg, accelerate=True))
+    assert bool(plain.converged) and bool(accel.converged)
+    assert int(accel.iterations) <= int(plain.iterations)
+    # equal-or-better final cost (non-identifiable problem: cost is the bar)
+    assert float(accel.cost) <= float(plain.cost) * (1 + 1e-5)
+
+
+def test_accel_first_block_seeds_baseline_cost():
+    """With no initial_cost the loop seeds the acceptance baseline with one
+    up-front cost eval — the first block must still be guarded (monotone
+    from the very first recorded check)."""
+    x, w0, h0 = _problem(seed=3)
+    res = solve(
+        x, w0, h0,
+        SolveConfig(max_iter=100, check_every=10, accelerate=True,
+                    # extreme momentum to force early rejections
+                    accel_momentum=0.95, accel_grow=1.0),
+    )
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    assert _monotone(hist)
+    assert np.all(np.isfinite(hist))
+
+
+def test_accel_rejection_path_recovers():
+    """Momentum pinned at the max with no shrink headroom still cannot make
+    the recorded history increase: rejected blocks are redone plain."""
+    x, w0, h0 = _problem(seed=7)
+    res = solve(
+        x, w0, h0,
+        SolveConfig(max_iter=400, check_every=20, accelerate=True,
+                    accel_momentum=0.9, accel_momentum_max=0.9,
+                    accel_grow=1.0, accel_shrink=1.0),
+    )
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    assert _monotone(hist)
+    assert np.all(np.isfinite(hist))
+
+
+def test_accel_determinism_contract_kept():
+    """thresh=0 still runs exactly max_iter iterations."""
+    x, w0, h0 = _problem()
+    res = solve(
+        x, w0, h0, SolveConfig(max_iter=37, check_every=10, accelerate=True)
+    )
+    assert int(res.iterations) == 37
+    assert not bool(res.converged)
+
+
+def test_accel_resume_initial_cost_baseline():
+    """A supplied initial_cost is used as the first acceptance baseline
+    (segment-resume path): history stays monotone across the seam."""
+    x, w0, h0 = _problem()
+    cfg = SolveConfig(max_iter=200, check_every=25, accelerate=True)
+    first = solve(x, w0, h0, dataclass_replace(cfg, max_iter=100))
+    second = solve(
+        np.asarray(x), np.asarray(first.w), np.asarray(first.h),
+        dataclass_replace(cfg, max_iter=100),
+        initial_cost=float(first.cost),
+    )
+    h1 = np.asarray(first.cost_history)[: int(first.num_checks)]
+    h2 = np.asarray(second.cost_history)[: int(second.num_checks)]
+    assert _monotone(np.concatenate([h1, h2]))
+
+
+def dataclass_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+@pytest.mark.parametrize(
+    "family_kw",
+    [
+        dict(beta=2.0),                       # Frobenius MU
+        dict(l1_h=0.01, l2_w=0.01),           # regularized KL
+        dict(algorithm="hals", beta=2.0),     # HALS coordinate descent
+        dict(precision=Precision("bfloat16")),
+        dict(precision=Precision(state_dtype="bfloat16")),
+        dict(precision=Precision(x_dtype="int8")),
+    ],
+    ids=["frobenius", "regularized", "hals", "bf16-mm", "bf16-state", "int8-x"],
+)
+def test_accel_families_monotone(family_kw):
+    x, w0, h0 = _problem(m=96, k=8, n=160)
+    res = solve(
+        x, w0, h0,
+        SolveConfig(max_iter=200, check_every=25, accelerate=True, **family_kw),
+    )
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    # bf16 per-check costs carry rounding; allow commensurate slack
+    tol = 1e-3 if "bfloat16" in str(family_kw) else 1e-6
+    assert _monotone(hist, tol=tol)
+    assert np.isfinite(float(res.cost))
+
+
+def test_accel_sharded_matches_single_device():
+    import jax
+
+    from nmf_tpu.parallel.mesh import make_mesh
+    from nmf_tpu.parallel.sharded import solve_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w0, h0 = _problem(m=256, k=16, n=512)
+    cfg = SolveConfig(max_iter=200, check_every=25, accelerate=True)
+    single = solve(x, w0, h0, cfg)
+    for shape in [(4, 2), (2, 4), (8, 1)]:
+        sharded = solve_sharded(x, w0, h0, cfg, mesh=make_mesh(shape))
+        rel = abs(float(single.cost) - float(sharded.cost)) / abs(
+            float(single.cost)
+        )
+        assert rel < 5e-5, (shape, rel)
+        hist = np.asarray(sharded.cost_history)[: int(sharded.num_checks)]
+        assert _monotone(hist)
+
+
+def test_accel_batched_vmap_path():
+    from nmf_tpu.parallel.batched import solve_batched
+
+    x1, w0, h0 = _problem(m=96, k=8, n=160, seed=0)
+    x2, _, _ = _problem(m=96, k=8, n=160, seed=1)
+    xb = np.stack([x1, x2])
+    wb = np.stack([w0, w0])
+    hb = np.stack([h0, h0])
+    cfg = SolveConfig(max_iter=150, check_every=25, accelerate=True)
+    res = solve_batched(xb, wb, hb, cfg)
+    costs = np.asarray(res.cost)
+    assert np.all(np.isfinite(costs))
+    for b in range(2):
+        hist = np.asarray(res.cost_history)[b][: int(np.asarray(res.num_checks)[b])]
+        assert _monotone(hist)
+    # member 0 must equal the single solve of the same problem
+    single = solve(x1, w0, h0, cfg)
+    rel = abs(costs[0] - float(single.cost)) / abs(float(single.cost))
+    assert rel < 5e-5
+
+
+def test_accel_masked_and_semi_smoke():
+    from nmf_tpu.models.masked import solve_masked
+    from nmf_tpu.models.semi import solve_semi
+
+    x, w0, h0 = _problem(m=96, k=8, n=160)
+    cfg = SolveConfig(max_iter=100, check_every=25, accelerate=True)
+    mask = (np.random.RandomState(0).rand(*x.shape) > 0.3).astype(np.float32)
+    rm = solve_masked(x, w0, h0, mask, cfg)
+    hist = np.asarray(rm.cost_history)[: int(rm.num_checks)]
+    assert _monotone(hist) and np.isfinite(float(rm.cost))
+
+    rs = solve_semi(x, w0, h0, cfg, n_frozen=3)
+    hist = np.asarray(rs.cost_history)[: int(rs.num_checks)]
+    assert _monotone(hist) and np.isfinite(float(rs.cost))
+    # frozen templates must survive extrapolation untouched
+    np.testing.assert_array_equal(
+        np.asarray(rs.w)[:, :3],
+        np.maximum(w0[:, :3], np.float32(2.2204e-16)),
+    )
+
+
+def test_accel_config_validation():
+    with pytest.raises(ValueError):
+        SolveConfig(accelerate=True, accel_momentum=1.2).validate()
+    with pytest.raises(ValueError):
+        SolveConfig(accelerate=True, accel_momentum_max=1.0).validate()
+    with pytest.raises(ValueError):
+        SolveConfig(accelerate=True, accel_grow=0.5).validate()
+    with pytest.raises(ValueError):
+        SolveConfig(accelerate=True, accel_shrink=0.0).validate()
