@@ -117,8 +117,8 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
             0, n_steps, lambda _, wh: step(wh[0], wh[1], x), (w, h)
         )
 
-    def _measure_best(rounds):
-        best = float("inf")
+    def _measure(rounds):
+        times = []
         for _ in range(rounds):
             t0 = time.perf_counter()
             _sync(run(w, h, x, short))
@@ -126,11 +126,11 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
             t0 = time.perf_counter()
             _sync(run(w, h, x, long))
             t_long = time.perf_counter() - t0
-            best = min(best, (t_long - t_short) / (long - short))
-        return best
+            times.append((t_long - t_short) / (long - short))
+        return times
 
     _sync(run(w, h, x, 3))  # compile + warm
-    best = _measure_best(3)
+    times = _measure(3)
     peak = peak_tflops(dtype)
 
     def _tflops(per):
@@ -138,17 +138,25 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
 
     # a result above the device peak is physically impossible — the
     # long/short differencing mis-measured (block_until_ready is unreliable
-    # on this platform); take the MEDIAN-grade re-measurement and flag if
-    # it still exceeds the peak rather than reporting bogus numbers
+    # on this platform); re-measure and flag if it still exceeds the peak
+    # rather than reporting bogus numbers
     suspect = None
-    if peak is not None and _tflops(best) > peak:
-        best = max(best, _measure_best(3))
-        if _tflops(best) > peak:
+    if peak is not None and _tflops(min(times)) > peak:
+        times += _measure(3)
+        if _tflops(min(times)) > peak:
             suspect = f"exceeds {peak:.0f} TF/s device peak; timing unreliable"
-    tflops = _tflops(best)
+    # keep only physically-possible repeats for the summary stats (an
+    # impossible sub-peak time is a sync artifact, not a measurement)
+    valid = [t for t in times if peak is None or _tflops(t) <= peak] or times
+    med = float(np.median(valid))
+    tflops = _tflops(med)
     out = {
-        "ms_per_iter": best * 1e3,
-        "iters_per_sec": 1.0 / best,
+        # headline stats are the session MEDIAN (best-of flatters on a
+        # shared chip with +-2x noise; see benchmarks/RESULTS.md)
+        "ms_per_iter": med * 1e3,
+        "iters_per_sec": 1.0 / med,
+        "best_iters_per_sec": 1.0 / min(valid),
+        "repeat_iters_per_sec": [1.0 / t for t in valid],
         "achieved_tflops": tflops,
         "fraction_of_peak": (tflops / peak) if peak else None,
     }
@@ -221,6 +229,132 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
     }
 
 
+ARCHIVE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks", "archive.jsonl"
+)
+
+
+def archive_append(entry: dict, path: str = ARCHIVE_PATH) -> None:
+    """Append one measurement record (ALL repeats, not best-of) to the
+    cross-session archive.  Headline numbers in RESULTS.md are medians over
+    this archive — single-session numbers on this shared chip swing +-2x
+    (CLAUDE.md), so no rule table or tile choice may be retuned from one
+    session's data."""
+    entry = dict(entry, ts=time.time())
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass  # read-only checkout: bench still reports, just doesn't archive
+
+
+def archive_stats(
+    metric: str, backend: str, device_kind: str, path: str = ARCHIVE_PATH
+) -> dict:
+    """Median + IQR of iters/s pooled over every archived repeat for this
+    (metric, backend, device_kind), and the number of contributing sessions."""
+    pool, sessions = [], 0
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if (
+                    rec.get("metric") == metric
+                    and rec.get("backend") == backend
+                    and rec.get("device_kind") == device_kind
+                ):
+                    reps = rec.get("repeat_iters_per_sec") or []
+                    if reps:
+                        pool.extend(reps)
+                        sessions += 1
+    except OSError:
+        return {}
+    if not pool:
+        return {}
+    q25, med, q75 = np.percentile(pool, [25, 50, 75])
+    return {
+        "archive_median_iters_per_sec": round(float(med), 3),
+        "archive_iqr_iters_per_sec": round(float(q75 - q25), 3),
+        "archive_sessions": sessions,
+        "archive_repeats": len(pool),
+    }
+
+
+def run_converge(dtype: str, backend: str) -> dict:
+    """Time-to-solution benchmark (BASELINE config 2: 1025x4000 rank 32,
+    converge to 1e-5 rel-change): plain MU vs the safeguarded accelerated
+    solver (``SolveConfig.accelerate``).
+
+    Reports both the stop-criterion iteration counts and the
+    equal-final-cost comparison (iterations/wall-time for the accelerated
+    run to first reach plain MU's converged cost) — the honest metric, since
+    a better optimizer keeps making progress and so triggers the rel-change
+    stop later at a lower cost.
+    """
+    import dataclasses
+    import jax
+
+    from nmf_tpu.models.solver import solve
+    from nmf_tpu.utils.config import Precision, SolveConfig
+
+    m, k, n = 1025, 32, 4000
+    rng = np.random.RandomState(0)
+    eps = np.float32(2.2204e-16)
+    x = np.maximum(rng.rand(m, n).astype(np.float32), eps)
+    w0 = rng.rand(m, k).astype(np.float32)
+    h0 = rng.rand(k, n).astype(np.float32)
+    check = 25
+    cfg_p = SolveConfig(
+        max_iter=6000, thresh=1e-5, check_every=check,
+        precision=Precision(dtype), backend=backend,
+    )
+    cfg_a = dataclasses.replace(cfg_p, accelerate=True)
+
+    def _timed(cfg):
+        # warm the EXACT config (jit keys on it) and SYNC the warm run: its
+        # execution + this platform's one-off first-dispatch stall must not
+        # drain into the timed run (block_until_ready no-ops here)
+        warm = solve(x, w0, h0, cfg)
+        np.asarray(jax.device_get(warm.w[:1, :1]))
+        t0 = time.perf_counter()
+        res = solve(x, w0, h0, cfg)
+        np.asarray(jax.device_get(res.w[:1, :1]))
+        dt = time.perf_counter() - t0
+        return res, dt
+
+    plain, t_p = _timed(cfg_p)
+    accel, t_a = _timed(cfg_a)
+    hist_a = np.asarray(accel.cost_history)[: int(accel.num_checks)]
+    it_p, it_a = int(plain.iterations), int(accel.iterations)
+    cost_p, cost_a = float(plain.cost), float(accel.cost)
+    reached = np.nonzero(hist_a <= cost_p)[0]
+    it_a_to_cost = (int(reached[0]) + 1) * check if reached.size else None
+    sec_per_it_a = t_a / max(it_a, 1)
+    out = {
+        "plain_iters": it_p,
+        "plain_cost": cost_p,
+        "plain_seconds": round(t_p, 4),
+        "accel_iters": it_a,
+        "accel_cost": cost_a,
+        "accel_seconds": round(t_a, 4),
+        "accel_iters_to_plain_cost": it_a_to_cost,
+        "iters_speedup_to_plain_cost": (
+            round(it_p / it_a_to_cost, 3) if it_a_to_cost else None
+        ),
+        "wall_speedup_to_plain_cost": (
+            round(t_p / (sec_per_it_a * it_a_to_cost), 3)
+            if it_a_to_cost
+            else None
+        ),
+        "final_cost_rel_gap": (cost_a - cost_p) / abs(cost_p),
+    }
+    return out
+
+
 def _np_oracle_mu(x, w, h, iters):
     """Independent NumPy restatement of nmf.cu:118-176 (clean, zero-pad-free
     semantics — the same oracle as tests/oracle.py)."""
@@ -238,23 +372,72 @@ def _np_oracle_mu(x, w, h, iters):
     return w, h, cost
 
 
+def _np_oracle_mu_padded(x, w, h, iters):
+    """NumPy oracle of the reference algorithm INCLUDING its padding
+    artifacts (PAD_MULT-32 buffers, clamps/sums over padded extents —
+    matrix.cu:191, 277-278, 396-397): the strict-mode parity target."""
+    from nmf_tpu.models.strict import pad_to_mult
+
+    eps = np.float32(2.2204e-16)
+    m, k = w.shape
+    n = h.shape[1]
+    xp = np.maximum(pad_to_mult(x), eps)
+    wp = np.maximum(pad_to_mult(w), eps)
+    hp = np.maximum(pad_to_mult(h), eps)
+    for _ in range(iters):
+        z = xp / np.maximum(wp @ hp, eps)
+        sumw = np.maximum(wp.sum(axis=0, dtype=np.float32), eps)
+        hp = hp * (wp.T @ z) / sumw[:, None]
+        z = xp / np.maximum(wp @ hp, eps)
+        sumh = np.maximum(hp.sum(axis=1, dtype=np.float32), eps)
+        wp = wp * (z @ hp.T) / sumh[None, :]
+    y = np.maximum(wp @ hp, eps)
+    cost = float(
+        np.sum(xp * (np.log(xp) - np.log(y)) - xp + y, dtype=np.float64)
+    )
+    return wp[:m, :k], hp[:k, :n], cost
+
+
+# The full user-selectable numerics matrix, one gate row per cell.
+# Cost tolerances are vs the clean NumPy oracle unless stated; the factor
+# threshold gates pallas-vs-jnp W drift — LOOSE by design (200
+# multiplicative iterations amplify rounding-order differences on a
+# non-identifiable problem; bf16's measured backend drift is ~0.08, so the
+# 0.5 gate is a drift ALARM, not an accuracy spec).
+_CHECK_CELLS = [
+    # name, Precision kwargs, cost_tol, cost_ref, backend_cost_tol, w_tol
+    ("float32", dict(matmul_dtype="float32"), 1e-4, "oracle", 1e-5, 1e-2),
+    ("float32_fast", dict(matmul_dtype="float32_fast"), 1e-4, "f32_jnp", 1e-4, 1e-1),
+    ("bfloat16", dict(matmul_dtype="bfloat16"), 1e-3, "oracle", 1e-3, 5e-1),
+    ("x_bfloat16", dict(matmul_dtype="bfloat16", x_dtype="bfloat16"), 1e-2, "oracle", 1e-3, 5e-1),
+    ("x_int8", dict(matmul_dtype="float32", x_dtype="int8"), 1e-2, "oracle", 1e-3, 5e-1),
+    # state_bfloat16 CARRIES the factors in bf16: each backend injects its
+    # own ~2^-8 rounding per iteration into a non-identifiable system, so
+    # backend trajectories legitimately diverge to different equally-good
+    # minima (measured W maxrel 1.5 on chip at cost agreement 4e-5).  The
+    # factor gate is therefore catastrophic-only; the cost gates stay tight.
+    ("state_bfloat16", dict(matmul_dtype="bfloat16", state_dtype="bfloat16"), 1e-2, "oracle", 1e-3, 10.0),
+]
+
+
 def run_check(quick: bool = False) -> dict:
     """Hardware numerics gate: compiled-Pallas == jnp == NumPy oracle ON THE
-    ACTUAL DEVICE at the reference regression dims, across precision
-    policies.  Emits the HWPARITY artifact (driver-committed each round).
+    ACTUAL DEVICE at the reference regression dims, across EVERY
+    user-selectable numerics cell (the reference's device-executed
+    regression, test_output.sh:5-18, generalized to the policy matrix).
+    Emits the HWPARITY artifact (driver-committed each round).
 
-    Gates (booleans in the artifact):
-      * f32:  each backend's final cost within 1e-4 of the oracle (the
-        BASELINE parity bar) and pallas-vs-jnp cost within 1e-5.
-      * float32_fast: cost within 1e-4 of the exact-f32 jnp run.
-      * bf16: cost within 1e-3 of the oracle.
-    Factor deviations are reported unthresholded (200 multiplicative
-    iterations amplify rounding-order differences; cost is the meaningful
-    parity metric for a non-identifiable factorization).
+    Per cell: each backend's final cost is gated against the NumPy oracle
+    (or the exact-f32 jnp run for float32_fast, whose whole point is
+    f32-grade agreement), backend-vs-backend cost agreement is gated, and
+    the pallas-vs-jnp W deviation is gated by a loose per-tier drift alarm
+    (see _CHECK_CELLS).  A final `strict` row runs the padded-EPS
+    replication mode against its own padded NumPy oracle.
     """
     import jax
 
     from nmf_tpu.models.solver import solve
+    from nmf_tpu.models.strict import solve_strict
     from nmf_tpu.utils.config import Precision, SolveConfig
 
     if quick:
@@ -268,15 +451,14 @@ def run_check(quick: bool = False) -> dict:
     _, _, oracle_cost = _np_oracle_mu(x, w0, h0, iters)
 
     on_tpu = jax.default_backend() == "tpu"
-    backends = ("jnp", "pallas") if on_tpu else ("jnp",)
 
-    def _run(policy, backend):
+    def _run(prec_kwargs, backend):
         cfg = SolveConfig(
             max_iter=iters, check_every=iters,
-            precision=Precision(policy), backend=backend,
+            precision=Precision(**prec_kwargs), backend=backend,
         )
         res = solve(x, w0, h0, cfg)
-        return float(res.cost), np.asarray(res.w)
+        return float(res.cost), np.asarray(res.w, np.float32)
 
     def _maxrel(a, b):
         return float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-30)))
@@ -290,39 +472,49 @@ def run_check(quick: bool = False) -> dict:
         "policies": {},
     }
     f32_jnp_cost = None
-    for policy in ("float32", "float32_fast", "bfloat16"):
+    for name, prec_kwargs, cost_tol, cost_ref, be_tol, w_tol in _CHECK_CELLS:
+        backends = ("jnp", "pallas") if on_tpu else ("jnp",)
         entry = {}
-        costs = {}
-        ws = {}
+        costs, ws = {}, {}
         for backend in backends:
-            c, wres = _run(policy, backend)
+            c, wres = _run(prec_kwargs, backend)
             costs[backend], ws[backend] = c, wres
             entry[f"{backend}_cost"] = c
             entry[f"{backend}_cost_vs_oracle_rel"] = abs(c - oracle_cost) / abs(
                 oracle_cost
             )
-        if policy == "float32":
+        if name == "float32":
             f32_jnp_cost = costs["jnp"]
+        ref_cost = oracle_cost if cost_ref == "oracle" else f32_jnp_cost
+        checks = [
+            abs(costs[b] - ref_cost) / abs(ref_cost) <= cost_tol
+            for b in backends
+        ]
         if len(backends) == 2:
             entry["pallas_vs_jnp_cost_rel"] = abs(
                 costs["pallas"] - costs["jnp"]
             ) / abs(costs["jnp"])
             entry["pallas_vs_jnp_w_maxrel"] = _maxrel(ws["pallas"], ws["jnp"])
-        # gates
-        if policy == "float32":
-            entry["ok"] = all(
-                entry[f"{b}_cost_vs_oracle_rel"] <= 1e-4 for b in backends
-            ) and entry.get("pallas_vs_jnp_cost_rel", 0.0) <= 1e-5
-        elif policy == "float32_fast":
-            entry["ok"] = all(
-                abs(costs[b] - f32_jnp_cost) / abs(f32_jnp_cost) <= 1e-4
-                for b in backends
-            )
-        else:
-            entry["ok"] = all(
-                entry[f"{b}_cost_vs_oracle_rel"] <= 1e-3 for b in backends
-            )
-        out["policies"][policy] = entry
+            entry["w_drift_threshold"] = w_tol
+            checks.append(entry["pallas_vs_jnp_cost_rel"] <= be_tol)
+            checks.append(entry["pallas_vs_jnp_w_maxrel"] <= w_tol)
+        entry["ok"] = bool(all(checks))
+        out["policies"][name] = entry
+
+    # strict padded-EPS replication vs its own padded oracle (f32 class)
+    _, _, strict_oracle_cost = _np_oracle_mu_padded(x, w0, h0, iters)
+    sres = solve_strict(
+        x, w0, h0, SolveConfig(max_iter=iters, check_every=iters)
+    )
+    strict_rel = abs(float(sres.cost) - strict_oracle_cost) / abs(
+        strict_oracle_cost
+    )
+    out["policies"]["strict"] = {
+        "cost": float(sres.cost),
+        "padded_oracle_cost": strict_oracle_cost,
+        "cost_vs_padded_oracle_rel": strict_rel,
+        "ok": bool(strict_rel <= 1e-4),
+    }
     out["ok"] = all(e["ok"] for e in out["policies"].values())
     return out
 
@@ -330,7 +522,14 @@ def run_check(quick: bool = False) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--workload", choices=list(WORKLOADS) + ["oocore"], default="flagship"
+        "--workload",
+        choices=list(WORKLOADS) + ["oocore", "converge"],
+        default="flagship",
+    )
+    ap.add_argument(
+        "--no-archive",
+        action="store_true",
+        help="skip appending this run's repeats to benchmarks/archive.jsonl",
     )
     ap.add_argument(
         "--check",
@@ -364,6 +563,26 @@ def main(argv=None) -> int:
 
     if args.check:
         print(json.dumps(run_check(quick=args.quick)))
+        return 0
+
+    if args.workload == "converge":
+        backend = "auto" if args.backend == "best" else args.backend
+        stats = run_converge(args.dtype, backend)
+        record = {
+            "metric": f"converge_iters_speedup[1025x4000 rank 32 {args.dtype} thresh 1e-5]",
+            # headline: iterations to reach plain MU's converged cost
+            "value": stats["iters_speedup_to_plain_cost"],
+            "unit": "x fewer iterations",
+            # baseline = plain MU (the reference algorithm), so speedup IS
+            # the vs_baseline ratio
+            "vs_baseline": stats["iters_speedup_to_plain_cost"],
+            "baseline_kind": "plain MU on the same chip/config (reference algorithm)",
+            "device": str(jax.devices()[0]),
+            "device_kind": jax.devices()[0].device_kind,
+            "backend": backend,
+            **stats,
+        }
+        print(json.dumps(record))
         return 0
 
     if args.workload == "oocore":
@@ -415,12 +634,16 @@ def main(argv=None) -> int:
         baseline_ips = REFERENCE_GFLOPS * 1e9 / flops_per_iter(m, k, n)
         baseline_kind = "derived (reference CUDA sustained 141 GFLOP/s)"
 
+    metric = f"mu_iters_per_sec[{args.workload} {m}x{n} rank {k} {args.dtype}]"
+    device_kind = jax.devices()[0].device_kind
     record = {
-        "metric": f"mu_iters_per_sec[{args.workload} {m}x{n} rank {k} {args.dtype}]",
+        "metric": metric,
+        # session MEDIAN of the repeats (best-of flatters +-2x chip noise)
         "value": round(stats["iters_per_sec"], 3),
         "unit": "iters/s",
         "vs_baseline": round(stats["iters_per_sec"] / baseline_ips, 2),
         "ms_per_iter": round(stats["ms_per_iter"], 4),
+        "best_iters_per_sec": round(stats["best_iters_per_sec"], 3),
         "achieved_tflops": round(stats["achieved_tflops"], 3),
         "fraction_of_peak": (
             round(stats["fraction_of_peak"], 4)
@@ -430,10 +653,23 @@ def main(argv=None) -> int:
         "baseline_iters_per_sec": round(baseline_ips, 4),
         "baseline_kind": baseline_kind,
         "device": str(jax.devices()[0]),
+        "device_kind": device_kind,
         "backend": backend_used,
     }
     if stats.get("suspect"):
         record["suspect"] = stats["suspect"]
+    if not args.no_archive:
+        archive_append(
+            {
+                "metric": metric,
+                "backend": backend_used,
+                "device_kind": device_kind,
+                "repeat_iters_per_sec": [
+                    round(v, 3) for v in stats["repeat_iters_per_sec"]
+                ],
+            }
+        )
+        record.update(archive_stats(metric, backend_used, device_kind))
     print(json.dumps(record))
     return 0
 

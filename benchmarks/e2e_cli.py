@@ -1,0 +1,208 @@
+"""On-hardware CLI end-to-end check: the reference's own test flow
+(test_output.sh:1-21 — run the BINARY over FILES on the DEVICE), generalized.
+
+Drives the user-facing pipeline through subprocesses on whatever device the
+environment provides (the real TPU under the driver):
+
+  gen -> run (fixed-iteration determinism contract)
+      -> run --thresh (early convergence)
+      -> run --checkpoint-dir, killed after the first segment, resumed
+      -> run --accelerate
+      -> transform (H-only inference against the learned dictionary)
+
+Asserts output .bin headers/shapes, cost parity between the resumed and
+straight runs, and writes ONE JSON artifact (default E2E_r03.json at the
+repo root) recording commands, costs, timings and the md5 of every output.
+
+    python benchmarks/e2e_cli.py [--out E2E_r03.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import re
+import struct
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+PLATFORM = None  # set from --platform; exported to CLI subprocesses
+
+
+def _env():
+    env = dict(os.environ)
+    if PLATFORM:
+        env["NMF_TPU_PLATFORM"] = PLATFORM
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    pp = env.get("PYTHONPATH", "")
+    parts = [REPO] + ([pp] if pp else [])
+    if os.path.isdir("/root/.axon_site") and "/root/.axon_site" not in pp:
+        parts.append("/root/.axon_site")  # keep the TPU plugin importable
+    env["PYTHONPATH"] = ":".join(parts)
+    return env
+
+
+def _run(args, cwd, timeout=1800):
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "nmf_tpu", *args],
+        cwd=cwd, env=_env(), capture_output=True, text=True, timeout=timeout,
+    )
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"nmf_tpu {' '.join(args)} failed ({proc.returncode}):\n"
+            f"{proc.stdout}\n{proc.stderr}"
+        )
+    return proc.stdout + proc.stderr, dt
+
+
+def _bin_header(path):
+    with open(path, "rb") as f:
+        rows, cols = struct.unpack("ii", f.read(8))
+    return rows, cols, os.path.getsize(path)
+
+
+def _md5(path):
+    return hashlib.md5(open(path, "rb").read()).hexdigest()
+
+
+def _final_cost(stdout):
+    # the run logger prints per-check lines ending with the final cost
+    m = re.findall(r"cost[= ]([0-9.eE+-]+)", stdout)
+    return float(m[-1]) if m else None
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=os.path.join(REPO, "E2E_r03.json"))
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="50 iterations instead of the reference 200 (smoke runs)",
+    )
+    ap.add_argument(
+        "--platform",
+        help="pin the CLI subprocesses to a backend (e.g. cpu) via "
+        "NMF_TPU_PLATFORM; default: the environment's device (real TPU "
+        "under the driver)",
+    )
+    args = ap.parse_args(argv)
+    global PLATFORM
+    PLATFORM = args.platform
+    iters = 50 if args.quick else 200
+
+    art = {"artifact": "e2e_cli", "steps": [], "ok": True,
+           "platform_forced": args.platform, "iters": iters}
+    try:
+        import jax
+
+        art["device"] = str(jax.devices()[0])
+        art["device_kind"] = jax.devices()[0].device_kind
+    except Exception:
+        art["device"] = "unknown"
+
+    with tempfile.TemporaryDirectory() as d:
+        def step(name, cli_args, outputs=(), extra=None):
+            out, dt = _run(cli_args, d)
+            rec = {"step": name, "args": cli_args, "seconds": round(dt, 2)}
+            cost = _final_cost(out)
+            if cost is not None:
+                rec["final_cost"] = cost
+            for path in outputs:
+                full = os.path.join(d, path)
+                rows, cols, size = _bin_header(full)
+                assert size == 8 + rows * cols * 4, (path, rows, cols, size)
+                rec[path] = {
+                    "shape": [rows, cols], "md5": _md5(full), "bytes": size,
+                }
+            if extra:
+                rec.update(extra)
+            art["steps"].append(rec)
+            return rec
+
+        # 1. fixture generation (matrix_export.py semantics, seed 0)
+        step("gen", ["gen", "."], outputs=["X.bin", "W.bin", "H.bin"])
+
+        # 2. the reference flow: fixed iterations, file-in/file-out
+        r_run = step(
+            "run",
+            ["run", "X.bin", "W.bin", "H.bin", "-o", "Wout.bin", "Hout.bin",
+             "--max-iter", str(iters), "--thresh", "0",
+             "--check-every", "25"],
+            outputs=["Wout.bin", "Hout.bin"],
+        )
+        # determinism contract: re-run must be byte-identical
+        r_rep = step(
+            "run-repeat",
+            ["run", "X.bin", "W.bin", "H.bin", "-o", "Wout2.bin", "Hout2.bin",
+             "--max-iter", str(iters), "--thresh", "0",
+             "--check-every", "25"],
+            outputs=["Wout2.bin", "Hout2.bin"],
+        )
+        det = (
+            r_run["Wout.bin"]["md5"] == r_rep["Wout2.bin"]["md5"]
+            and r_run["Hout.bin"]["md5"] == r_rep["Hout2.bin"]["md5"]
+        )
+        art["deterministic_rerun"] = det
+        art["ok"] &= det
+
+        # 3. thresholded convergence stops early
+        step(
+            "run-thresh",
+            ["run", "X.bin", "W.bin", "H.bin", "-o", "Wt.bin", "Ht.bin",
+             "--max-iter", "2000", "--thresh", "1e-3", "--check-every", "25"],
+            outputs=["Wt.bin"],
+        )
+
+        # 4. checkpoint -> "kill" (stop after segment) -> resume == straight
+        ck = os.path.join(d, "ck")
+        step(
+            "run-ckpt-first-segment",
+            ["run", "X.bin", "W.bin", "H.bin", "-o", "Wc0.bin", "Hc0.bin",
+             "--max-iter", str(iters // 2), "--thresh", "0",
+             "--checkpoint-dir", ck, "--checkpoint-every", str(iters // 2)],
+        )
+        r_res = step(
+            "run-ckpt-resume",
+            ["run", "X.bin", "W.bin", "H.bin", "-o", "Wc.bin", "Hc.bin",
+             "--max-iter", str(iters), "--thresh", "0",
+             "--checkpoint-dir", ck, "--checkpoint-every", str(iters // 2)],
+            outputs=["Wc.bin", "Hc.bin"],
+        )
+        resume_match = r_res["Wc.bin"]["md5"] == r_run["Wout.bin"]["md5"]
+        art["resume_equals_straight_run"] = resume_match
+        # bit-identity of resume vs straight holds on a fixed stack
+        art["ok"] &= resume_match
+
+        # 5. accelerated solver through the CLI
+        step(
+            "run-accelerate",
+            ["run", "X.bin", "W.bin", "H.bin", "-o", "Wa.bin", "Ha.bin",
+             "--max-iter", str(iters), "--thresh", "0", "--accelerate"],
+            outputs=["Wa.bin"],
+        )
+
+        # 6. H-only inference against the learned dictionary
+        step(
+            "transform",
+            ["transform", "X.bin", "Wout.bin", "-o", "Hnew.bin",
+             "--max-iter", "30"],
+            outputs=["Hnew.bin"],
+        )
+
+    with open(args.out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({"artifact": "e2e_cli", "ok": art["ok"],
+                      "out": args.out, "device": art.get("device")}))
+    return 0 if art["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,8 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import nmf_tpu as nt
 
+# NMF_TPU_EXAMPLE_QUICK=1 shrinks sizes so the test suite can execute this
+# example as a smoke test (tests/test_examples.py); code paths identical
+QUICK = bool(os.environ.get("NMF_TPU_EXAMPLE_QUICK"))
+
 rng = np.random.RandomState(0)
-m, k, n = 256, 16, 400
+m, k, n = (128, 8, 200) if QUICK else (256, 16, 400)
 x = rng.rand(m, n).astype(np.float32)
 w0 = rng.rand(m, k).astype(np.float32)
 h0 = rng.rand(k, n).astype(np.float32)
@@ -119,7 +123,8 @@ print(
 
 # --- consensus-clustering rank selection (Brunet et al. 2004) --------------
 stab = nt.rank_stability(
-    x, ranks=[4, 8], n_restarts=6, config=nt.SolveConfig(max_iter=60), seed=1
+    x, ranks=[4, 8], n_restarts=2 if QUICK else 6,
+    config=nt.SolveConfig(max_iter=20 if QUICK else 60), seed=1,
 )
 print(
     f"{'stability':14s} " +

@@ -37,12 +37,18 @@ def main():
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     rng = np.random.RandomState(0)
+    if os.environ.get("NMF_TPU_EXAMPLE_QUICK"):
+        args.rows, args.cols, args.rank = 512, 256, 16
     x = rng.rand(args.rows, args.cols).astype(np.float32)
     w0 = rng.rand(args.rows, args.rank).astype(np.float32)
     h0 = rng.rand(args.rank, args.cols).astype(np.float32)
 
+    quick = bool(os.environ.get("NMF_TPU_EXAMPLE_QUICK"))
     res = nt.solve_sharded(
-        x, w0, h0, nt.SolveConfig(max_iter=100, thresh=1e-4, check_every=25),
+        x, w0, h0,
+        nt.SolveConfig(
+            max_iter=20 if quick else 100, thresh=1e-4, check_every=25
+        ),
         mesh=mesh,
     )
     print(
@@ -55,10 +61,13 @@ def main():
 
     n_dev = len(jax.devices())
     bmesh = Mesh(np.asarray(jax.devices()), ("batch",))
-    xs = rng.rand(n_dev, 512, 256).astype(np.float32)
-    ws = rng.rand(n_dev, 512, 16).astype(np.float32)
-    hs = rng.rand(n_dev, 16, 256).astype(np.float32)
-    bres = nt.solve_batched(xs, ws, hs, nt.SolveConfig(max_iter=50), mesh=bmesh)
+    bm, bn = (128, 64) if quick else (512, 256)
+    xs = rng.rand(n_dev, bm, bn).astype(np.float32)
+    ws = rng.rand(n_dev, bm, 16).astype(np.float32)
+    hs = rng.rand(n_dev, 16, bn).astype(np.float32)
+    bres = nt.solve_batched(
+        xs, ws, hs, nt.SolveConfig(max_iter=20 if quick else 50), mesh=bmesh
+    )
     print(f"batched: {n_dev} problems, costs {np.asarray(bres.cost).round(2)}")
 
 

@@ -37,6 +37,7 @@ from .models.sparse import SparseX, solve_sparse, sparse_from_dense
 from .models.sparse_tiled import (
     TileSparseX,
     solve_sparse_tiled,
+    solve_sparse_tiled_batched,
     tiles_from_coo,
     tiles_from_dense,
 )
@@ -87,6 +88,7 @@ __all__ = [
     "SparseX",
     "sparse_from_dense",
     "solve_sparse_tiled",
+    "solve_sparse_tiled_batched",
     "TileSparseX",
     "tiles_from_coo",
     "tiles_from_dense",

@@ -15,6 +15,7 @@ the reference values as defaults, plus the subsystems the reference lacked
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -894,6 +895,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # NMF_TPU_PLATFORM=cpu forces a backend from the environment: on this
+    # platform the JAX_PLATFORMS env var is overridden by the site module,
+    # and subprocess-driven tests (benchmarks/e2e_cli.py) have no other way
+    # to pin the CLI to the CPU backend.
+    plat = os.environ.get("NMF_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

@@ -81,17 +81,46 @@ def masked_kl(
     return total
 
 
+def _put_x(x, mesh, xs):
+    """Place X on the mesh: dense arrays shard (mr, mc); a quantized
+    (codes, scales) pair shards codes like X and scales along 'mc' (the
+    per-column scales live with their columns — same layout as
+    parallel.sharded's dense solver)."""
+    if not isinstance(x, tuple):
+        return jax.device_put(x, xs)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..parallel.mesh import COL_AXIS
+
+    return (
+        jax.device_put(x[0], xs),
+        jax.device_put(x[1], NamedSharding(mesh, PartitionSpec(COL_AXIS))),
+    )
+
+
+def _dq_or_id(precision):
+    """Identity for dense X; in-register dequant for (codes, scales) X —
+    XLA fuses the uint8 multiply into the consuming elementwise ops, so
+    int8-stored X never re-materializes at f32 in HBM."""
+    if precision.x_dtype != "int8":
+        return lambda xx: xx
+    from ..ops.quant import dequantize
+
+    return lambda xx: dequantize(xx[0], xx[1])
+
+
 @functools.lru_cache(maxsize=8)
 def _masked_jit(config: SolveConfig):
     eps, prec = config.eps, config.precision
     pens = dict(
         l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
     )
+    dq = _dq_or_id(prec)
 
     @jax.jit
     def _solve(x, w, h, mask):
-        step = lambda w, h, xx: mu_step_masked(w, h, xx, mask, eps, prec, **pens)
-        cost = lambda xx, w, h: masked_kl(xx, w, h, mask, eps, **pens)
+        step = lambda w, h, xx: mu_step_masked(w, h, dq(xx), mask, eps, prec, **pens)
+        cost = lambda xx, w, h: masked_kl(dq(xx), w, h, mask, eps, **pens)
         return run_checked_loop(x, w, h, config, step, cost)
 
     return _solve
@@ -102,6 +131,7 @@ def _masked_prep_jit_cached(precision, eps: float):
     """One-launch masked input prep (the masked twin of solver._prep_jit:
     eager per-op dispatches are tunnel RPCs on this platform)."""
     sd = jnp.dtype(precision.state_dtype)
+    quant = precision.x_dtype == "int8"
 
     @jax.jit
     def prep(x, w, h, mask):
@@ -110,8 +140,18 @@ def _masked_prep_jit_cached(precision, eps: float):
         # honor the X storage dtype like every other solver (bf16 halves
         # the dominant HBM stream; the masked quotient promotes to f32)
         x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
-        x = x.astype(jnp.dtype(precision.x_dtype))
-        return x, w, h, mask.astype(_F32)
+        mask = mask.astype(_F32)
+        if quant:
+            from ..ops.quant import quantize_columns
+
+            # zero the unobserved entries BEFORE quantization: masked values
+            # may be garbage and must not poison the per-column scales (the
+            # update multiplies them by 0 regardless, so exact-0 codes are
+            # the faithful storage)
+            x = quantize_columns(jnp.where(mask > 0, x, 0.0), eps)
+        else:
+            x = x.astype(jnp.dtype(precision.x_dtype))
+        return x, w, h, mask
 
     return prep
 
@@ -123,11 +163,6 @@ def _masked_validate_and_prep(x, w0, h0, mask, config: SolveConfig):
     if config.beta != 1.0 or config.algorithm != "mu":
         raise NotImplementedError(
             "masked solve implements the KL (beta=1) MU family"
-        )
-    if config.precision.x_dtype == "int8":
-        raise NotImplementedError(
-            "masked in-memory solves take dense f32/bf16 X (int8 X is the "
-            "streaming path's storage format — use solve_out_of_core)"
         )
     sx, sw, sh = jnp.shape(x), jnp.shape(w0), jnp.shape(h0)
     if jnp.shape(mask) != sx:
@@ -146,10 +181,12 @@ def _masked_h_only_jit(config: SolveConfig):
     new column against a learned dictionary)."""
     eps, prec = config.eps, config.precision
     pens = dict(l1_h=config.l1_h, l2_h=config.l2_h)
+    dq = _dq_or_id(prec)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def _solve(x, w, h, mask):
-        def step(w_, h_, x_):
+        def step(w_, h_, x_raw):
+            x_ = dq(x_raw)
             # the H half of mu_step_masked (same clamp sites)
             z = mask * (x_ / eps_clamp(matmul(w_, h_, prec), eps))
             numer = matmul(w_, z, prec, transpose_a=True)
@@ -162,7 +199,7 @@ def _masked_h_only_jit(config: SolveConfig):
         def cost(x_, w_, h_):
             # H-side penalties only (the W penalties are not part of an
             # H-only objective — mirrors models.nmf._h_only_jit)
-            return masked_kl(x_, w_, h_, mask, eps, **pens)
+            return masked_kl(dq(x_), w_, h_, mask, eps, **pens)
 
         return run_checked_loop(x, w, h, config, step, cost)
 
@@ -194,7 +231,7 @@ def solve_masked_h_only(
         from ..parallel.mesh import nmf_shardings
 
         xs, ws, hs, _ = nmf_shardings(mesh)
-        x = jax.device_put(x, xs)
+        x = _put_x(x, mesh, xs)
         mask = jax.device_put(mask, xs)
         w = jax.device_put(w, ws)
         h0 = jax.device_put(h0, hs)
@@ -244,7 +281,7 @@ def solve_masked(
         from ..parallel.mesh import nmf_shardings
 
         xs, ws, hs, rep = nmf_shardings(mesh)
-        x = jax.device_put(x, xs)
+        x = _put_x(x, mesh, xs)
         w0 = jax.device_put(w0, ws)
         h0 = jax.device_put(h0, hs)
         mask = jax.device_put(mask, xs)

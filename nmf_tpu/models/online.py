@@ -202,6 +202,12 @@ def solve_online(
         raise NotImplementedError(
             "online NMF implements the reference KL (beta=1) MU family"
         )
+    if config.accelerate:
+        raise NotImplementedError(
+            "online learning's per-block statistics folding has no global "
+            "cost to safeguard an extrapolated step against; accelerate=True "
+            "applies to the full-solve families"
+        )
     if not (0.0 < rho <= 1.0):
         raise ValueError(f"rho must be in (0, 1], got {rho}")
     if inner_iters < 1:

@@ -28,10 +28,14 @@ The per-member convergence semantics are those of the batched solver: with
 vmapped while_loop masks finished members); with ``thresh == 0`` every
 member runs exactly ``max_iter`` iterations.
 
-HALS is supported for restarts but not for true rank sweeps: its in-place
-coordinate sweep updates each rank row *before* the next row reads it, so a
-masked row would be visible un-masked mid-sweep; a rank<Kmax member under
-HALS therefore raises instead of silently solving a different problem.
+HALS rank sweeps are exact for the same reason as MU's: with both the masked
+W columns and H rows exactly zero, a masked rank's coordinate-descent
+gradient is exactly zero (``wtx[k] = 0``, ``wtw[k] @ h = 0``), so zero is a
+fixed point of the in-place sweep and active ranks read only zero
+contributions from masked ones — the masked member IS the lower-rank HALS
+problem (up to GEMM reduction-order rounding).  Frozen (template) columns
+remain MU-only: a frozen column is NONZERO and would be read mid-sweep
+before the end-of-step re-pin.
 """
 
 from __future__ import annotations
@@ -181,12 +185,14 @@ def _solve_selection(
                 f"n_frozen must be in [1, min(ranks)={int(np.min(ranks))}], "
                 f"got {n_frozen}"
             )
-    if masked and config.algorithm == "hals":
-        raise NotImplementedError(
-            "rank sweeps need exact-zero-preserving updates; HALS's "
-            "coordinate sweep reads rank rows mid-update (use algorithm="
-            "'mu', or one solve_restarts call per rank)"
-        )
+    # Rank sweeps need exact-zero-preserving updates.  MU preserves them
+    # multiplicatively; HALS preserves them too: with BOTH the masked W
+    # columns and H rows exactly zero, a masked rank's CD gradient is
+    # exactly zero (wtx[k] = 0^T X = 0, wtw[k] @ h = 0 and hht[:, k] = 0),
+    # so max(0 + 0/eps, 0) = 0 is a fixed point of the in-place sweep and
+    # active ranks read only zero contributions from masked ones — verified
+    # bitwise in tests/test_selection.py::test_rank_sweep_hals*.  The
+    # post-step re-mask below stays as numerical belt-and-braces.
 
     x = jnp.asarray(x, _F32)
     w0s = jnp.asarray(w0s, sd)
@@ -353,7 +359,8 @@ def solve_rank_sweep(
 
     ``result.costs`` over ``result.ranks`` is the model-selection curve;
     ``result.factors(i)`` returns member i's factors cropped to its rank.
-    MU families only (KL, beta, penalized); HALS raises for rank < max.
+    All families: MU (KL, beta, penalized) and HALS (whose CD sweep also
+    preserves the exact-zero embedding — module docstring).
     """
     ranks = np.asarray(list(ranks), np.int64)
     if ranks.size == 0:

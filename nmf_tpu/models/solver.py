@@ -258,6 +258,23 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
     prev = float(jnp.asarray(initial_cost)) if initial_cost is not None else float("nan")
     converged = False
     base = dataclasses.replace(config, live_metrics=False)
+    tail = max_iter % check_every
+    if 0 < tail < max_iter:
+        # The per-chunk programs are jit-keyed on max_iter, so a short tail
+        # chunk is a SECOND compiled program — on this platform a 10-60 s
+        # (sometimes minutes) remote compile that would otherwise stall the
+        # solve right before its final check.  Warm it NOW, next to the main
+        # segment's compile, where the user expects compile latency.  The
+        # warm inputs are fresh copies ("+ 0"), so segment-fn donation
+        # cannot consume the live state; its rem-iteration compute cost is
+        # noise next to the compile it fronts.
+        tail_fn = make_segment_fn(dataclasses.replace(base, max_iter=tail))
+        tail_fn(
+            x,
+            jnp.asarray(w) + 0,
+            jnp.asarray(h) + 0,
+            jnp.asarray(jnp.nan, _F32),
+        )
     while it < max_iter and not converged:
         chunk = min(check_every, max_iter - it)
         seg_fn = make_segment_fn(dataclasses.replace(base, max_iter=chunk))

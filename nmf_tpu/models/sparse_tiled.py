@@ -49,6 +49,7 @@ from ..utils.config import SolveConfig
 __all__ = [
     "TileSparseX",
     "solve_sparse_tiled",
+    "solve_sparse_tiled_batched",
     "tiles_from_coo",
     "tiles_from_dense",
 ]
@@ -140,6 +141,27 @@ def tiles_from_dense(x, tile: Tuple[int, int] = (_TILE, _TILE)) -> TileSparseX:
     return tiles_from_coo(x[rows, cols], rows, cols, x.shape, tile)
 
 
+def _quantize_tiles_np(tiles, eps: float):
+    """Per-TILE uint8 quantization: codes + one f32 scale per tile such that
+    ``tile ~= codes * scale``.
+
+    Per-tile scales beat the dense path's per-column scales when magnitudes
+    vary across the matrix (each tile's error bound is its OWN max/510, not
+    the global column peak's) — the natural granularity for tile storage.
+    All-zero (padding) tiles get scale eps/255 and all-zero codes, so they
+    dequantize to exact zeros and stay inert.
+    """
+    tiles = np.asarray(tiles, np.float32)
+    tmax = tiles.max(axis=(1, 2))
+    scales = (np.maximum(tmax, np.float32(eps)) / np.float32(255.0)).astype(
+        np.float32
+    )
+    v = tiles * (np.float32(1.0) / scales)[:, None, None]
+    v += np.float32(0.5)
+    np.clip(v, 0, 255, out=v)
+    return v.astype(np.uint8), scales
+
+
 def _pad_tiles_np(tiles, rows, cols, multiple: int):
     """Pad the tile list to a count multiple with zero tiles at block (0,0)."""
     t = tiles.shape[0]
@@ -155,7 +177,9 @@ def _pad_tiles_np(tiles, rows, cols, multiple: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
+def _tiled_fns(
+    config: SolveConfig, chunk: int, pallas: bool = False, batched: bool = False
+):
     """Jitted solve program for tile-sparse KL-MU (single device).
 
     With ``pallas`` the numerator sweeps run the scalar-prefetch Pallas
@@ -172,27 +196,37 @@ def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
 
     eps = config.eps
     prec = config.precision
+    quant = prec.x_dtype == "int8"
     _f32 = jnp.float32
     mmd = jnp.dtype(prec.mm_input_dtype)
     pmm = prec.lax_matmul_precision()
     phi = jax.lax.Precision.HIGHEST  # cost reconstruction never drifts
 
-    def _chunked(tiles, rows, cols):
+    def _chunked(tiles, rows, cols, scales=None):
         n_chunks = tiles.shape[0] // chunk
-        return (
+        out = (
             tiles.reshape(n_chunks, chunk, *tiles.shape[1:]),
             rows.reshape(n_chunks, chunk),
             cols.reshape(n_chunks, chunk),
         )
+        if scales is not None:
+            out = out + (scales.reshape(n_chunks, chunk),)
+        return out
 
-    def _z(t, wt, ht):
+    def _dq(t, s):
+        """Tile-chunk payload -> f32 values (uint8 codes x per-tile scales
+        dequantize in-register; XLA fuses the multiply into the consumer)."""
+        tf = t.astype(_f32)
+        return tf * s[:, None, None] if quant else tf
+
+    def _z(t, s, wt, ht):
         """Z = X_t / clamp(W_i H_j) for a gathered tile chunk, f32."""
         y = jnp.einsum(
             "tbk,tkn->tbn", wt, ht, precision=pmm, preferred_element_type=_f32
         )
-        return t.astype(_f32) / eps_clamp(y, eps)
+        return _dq(t, s) / eps_clamp(y, eps)
 
-    def _sweep(w, h, tiles, rows, cols, target: str):
+    def _sweep(w, h, tiles, rows, cols, scales, target: str):
         """Accumulate the numerator GEMMs over occupied-tile chunks.
 
         target 'h': sum W_i^T Z_t into col-block j -> (K, Np)
@@ -203,13 +237,14 @@ def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
         mb, nb = w.shape[0] // bm, h.shape[1] // bn
         wb = w.reshape(mb, bm, k).astype(mmd)
         hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(mmd)  # (Nb, K, bn)
-        ts, rs, cs = _chunked(tiles, rows, cols)
+        chunks = _chunked(tiles, rows, cols, scales)
 
         def body(acc, inp):
-            t, r, c = inp
+            t, r, c = inp[0], inp[1], inp[2]
+            s = inp[3] if quant else None
             wt = wb[r]                      # (chunk, bm, K)
             ht = hb[c]                      # (chunk, K, bn)
-            z = _z(t, wt, ht).astype(mmd)
+            z = _z(t, s, wt, ht).astype(mmd)
             if target == "h":
                 contrib = jnp.einsum(
                     "tbk,tbn->tkn", wt, z,
@@ -226,10 +261,10 @@ def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
 
         if target == "h":
             acc0 = jnp.zeros((nb, k, bn), _f32)
-            acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+            acc, _ = jax.lax.scan(body, acc0, chunks)
             return acc.transpose(1, 0, 2).reshape(k, nb * bn)
         acc0 = jnp.zeros((mb, bm, k), _f32)
-        acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+        acc, _ = jax.lax.scan(body, acc0, chunks)
         return acc.reshape(mb * bm, k)
 
     if pallas:
@@ -250,15 +285,16 @@ def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
 
     else:
 
-        def step(w, h, tx: TileSparseX):
+        def step(w, h, xarg):
             """One full MU iteration in reference order (H half, then W half
             with the new H; nmf.cu:118-176), X read only at its occupied
             tiles."""
-            numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "h")
+            tx, scales = xarg if quant else (xarg, None)
+            numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, scales, "h")
             sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_f32), eps)
             h = (h * (numer / sum_w[:, None])).astype(h.dtype)
 
-            numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, "w")
+            numer = _sweep(w, h, tx.tiles, tx.rows, tx.cols, scales, "w")
             sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_f32), eps)
             w = (w * (numer / sum_h[None, :])).astype(w.dtype)
             return w, h
@@ -266,16 +302,22 @@ def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
     def cost(xarg, w, h):
         """KL with the x -> 0 limit at zeros: the '+y' mass of the WHOLE
         matrix is colsum(W) . rowsum(H); occupied tiles add x*log(x/y) - x."""
-        tx = xarg[0] if pallas else xarg
+        if pallas:
+            tx, scales = xarg[0], None
+        elif quant:
+            tx, scales = xarg
+        else:
+            tx, scales = xarg, None
         k = w.shape[1]
         bm, bn = tx.tiles.shape[1:]
         mb, nb = w.shape[0] // bm, h.shape[1] // bn
         wb = w.reshape(mb, bm, k).astype(_f32)
         hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(_f32)
-        ts, rs, cs = _chunked(tx.tiles, tx.rows, tx.cols)
+        chunks = _chunked(tx.tiles, tx.rows, tx.cols, scales)
 
         def body(acc, inp):
-            t, r, c = inp
+            t, r, c = inp[0], inp[1], inp[2]
+            s = inp[3] if quant else None
             y = eps_clamp(
                 jnp.einsum(
                     "tbk,tkn->tbn", wb[r], hb[c],
@@ -283,7 +325,7 @@ def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
                 ),
                 eps,
             )
-            tf = t.astype(_f32)
+            tf = _dq(t, s)
             term = jnp.where(
                 tf > 0,
                 tf * (jnp.log(jnp.maximum(tf, eps)) - jnp.log(y)) - tf,
@@ -291,11 +333,21 @@ def _tiled_fns(config: SolveConfig, chunk: int, pallas: bool = False):
             )
             return acc + jnp.sum(term), None
 
-        x_part, _ = jax.lax.scan(body, jnp.float32(0.0), (ts, rs, cs))
+        x_part, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
         total_y = jnp.dot(
             jnp.sum(w, axis=0, dtype=_f32), jnp.sum(h, axis=1, dtype=_f32)
         )
         return x_part + total_y
+
+    if batched:
+        # vmap over independent problems: ONE compiled program whose member
+        # sweeps become batched MXU contractions.  jnp path only — vmapped
+        # Pallas serializes the member axis as an outer grid dimension
+        # (parallel/batched.py has the measurements).
+        def one(tx, w, h):
+            return run_checked_loop(tx, w, h, config, step, cost)
+
+        return jax.jit(jax.vmap(one), donate_argnums=(1, 2))
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def solve_fn(tx, w, h, initial_cost):
@@ -376,30 +428,45 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
 
     eps = config.eps
     prec = config.precision
+    quant = prec.x_dtype == "int8"
     _f32 = jnp.float32
     mmd = jnp.dtype(prec.mm_input_dtype)
     pmm = prec.lax_matmul_precision()
     phi = jax.lax.Precision.HIGHEST
 
-    def _sweep_local(w, h, tiles, rows, cols, target: str):
+    def _dq(t, s):
+        tf = t.astype(_f32)
+        return tf * s[:, None, None] if quant else tf
+
+    def _chunk_xs(tiles, rows, cols, scales):
+        bm, bn = tiles.shape[1:]
+        n_chunks = tiles.shape[0] // chunk
+        out = (
+            tiles.reshape(n_chunks, chunk, bm, bn),
+            rows.reshape(n_chunks, chunk),
+            cols.reshape(n_chunks, chunk),
+        )
+        if quant:
+            out = out + (scales.reshape(n_chunks, chunk),)
+        return out
+
+    def _sweep_local(w, h, tiles, rows, cols, scales, target: str):
         k = w.shape[1]
         bm, bn = tiles.shape[1:]
         mb, nb = w.shape[0] // bm, h.shape[1] // bn
         wb = w.reshape(mb, bm, k).astype(mmd)
         hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(mmd)
-        n_chunks = tiles.shape[0] // chunk
-        ts = tiles.reshape(n_chunks, chunk, bm, bn)
-        rs = rows.reshape(n_chunks, chunk)
-        cs = cols.reshape(n_chunks, chunk)
+        chunks = _chunk_xs(tiles, rows, cols, scales)
 
         def body(acc, inp):
-            t, r, c = inp
+            t, r, c = inp[0], inp[1], inp[2]
+            s = inp[3] if quant else None
             wt, ht = wb[r], hb[c]
             y = jnp.einsum(
                 "tbk,tkn->tbn", wt, ht,
                 precision=pmm, preferred_element_type=_f32,
             )
-            z = (t.astype(_f32) / eps_clamp(y, eps)).astype(mmd)
+            z = (_dq(t, s) / eps_clamp(y, eps)).astype(mmd)
             if target == "h":
                 contrib = jnp.einsum(
                     "tbk,tbn->tkn", wt, z,
@@ -414,16 +481,23 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
 
         if target == "h":
             acc0 = jnp.zeros((nb, k, bn), _f32)
-            acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+            acc, _ = jax.lax.scan(body, acc0, chunks)
             return acc.transpose(1, 0, 2).reshape(k, nb * bn)
         acc0 = jnp.zeros((mb, bm, k), _f32)
-        acc, _ = jax.lax.scan(body, acc0, (ts, rs, cs))
+        acc, _ = jax.lax.scan(body, acc0, chunks)
         return acc.reshape(mb * bm, k)
 
+    def _unpack(tx):
+        if quant:
+            tiles, scales, rows, cols = tx
+        else:
+            (tiles, rows, cols), scales = tx, None
+        return tiles, rows, cols, scales
+
     def step(w, h, tx):
-        tiles, rows, cols = tx
+        tiles, rows, cols, scales = _unpack(tx)
         numer = jax.lax.psum(
-            _sweep_local(w, h, tiles, rows, cols, "h"), ROW_AXIS
+            _sweep_local(w, h, tiles, rows, cols, scales, "h"), ROW_AXIS
         )
         sum_w = eps_clamp(
             jax.lax.psum(jnp.sum(w, axis=0, dtype=_f32), ROW_AXIS), eps
@@ -431,7 +505,7 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
         h = (h * (numer / sum_w[:, None])).astype(h.dtype)
 
         numer = jax.lax.psum(
-            _sweep_local(w, h, tiles, rows, cols, "w"), COL_AXIS
+            _sweep_local(w, h, tiles, rows, cols, scales, "w"), COL_AXIS
         )
         sum_h = eps_clamp(
             jax.lax.psum(jnp.sum(h, axis=1, dtype=_f32), COL_AXIS), eps
@@ -440,19 +514,17 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
         return w, h
 
     def cost(tx, w, h):
-        tiles, rows, cols = tx
+        tiles, rows, cols, scales = _unpack(tx)
         k = w.shape[1]
         bm, bn = tiles.shape[1:]
         mb, nb = w.shape[0] // bm, h.shape[1] // bn
         wb = w.reshape(mb, bm, k).astype(_f32)
         hb = h.reshape(k, nb, bn).transpose(1, 0, 2).astype(_f32)
-        n_chunks = tiles.shape[0] // chunk
-        ts = tiles.reshape(n_chunks, chunk, bm, bn)
-        rs = rows.reshape(n_chunks, chunk)
-        cs = cols.reshape(n_chunks, chunk)
+        chunks = _chunk_xs(tiles, rows, cols, scales)
 
         def body(acc, inp):
-            t, r, c = inp
+            t, r, c = inp[0], inp[1], inp[2]
+            s = inp[3] if quant else None
             y = eps_clamp(
                 jnp.einsum(
                     "tbk,tkn->tbn", wb[r], hb[c],
@@ -460,7 +532,7 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
                 ),
                 eps,
             )
-            tf = t.astype(_f32)
+            tf = _dq(t, s)
             term = jnp.where(
                 tf > 0,
                 tf * (jnp.log(jnp.maximum(tf, eps)) - jnp.log(y)) - tf,
@@ -468,7 +540,7 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
             )
             return acc + jnp.sum(term), None
 
-        x_loc, _ = jax.lax.scan(body, jnp.float32(0.0), (ts, rs, cs))
+        x_loc, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
         # x-part psums over both axes (tiles are disjoint across devices);
         # the '+y' mass comes from globally-psummed K-sized factor sums and
         # is computed replicated — counted exactly once
@@ -493,12 +565,14 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
         num_checks=P(),
         converged=P(),
     )
+    tile_axis = P((ROW_AXIS, COL_AXIS))
+    x_spec = (tile_axis,) * (4 if quant else 3)
     return jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
             in_specs=(
-                (P((ROW_AXIS, COL_AXIS)), P((ROW_AXIS, COL_AXIS)), P((ROW_AXIS, COL_AXIS))),
+                x_spec,
                 P(ROW_AXIS, None),
                 P(None, COL_AXIS),
                 P(),
@@ -518,6 +592,7 @@ def solve_sparse_tiled(
     chunk: int = _CHUNK,
     tile: Tuple[int, int] = (_TILE, _TILE),
     mesh=None,
+    initial_cost: float = float("nan"),
 ) -> "SolveResult":
     """Factorize a tile-sparse X (TileSparseX, or anything dense-like whose
     nonzeros define one).  Zero entries are exact zeros (module docstring);
@@ -525,7 +600,13 @@ def solve_sparse_tiled(
 
     With ``mesh`` the solve shards the canonical ('mr','mc') layout (each
     device owns its block-range's tiles; numerators psum like the dense
-    sharded solver).
+    sharded solver).  ``precision.x_dtype='int8'`` stores tiles as uint8
+    codes with PER-TILE f32 scales (error bound: each tile's own max/510 —
+    finer than the dense path's per-column scales; jnp scan path, since
+    Mosaic's uint8 conversion is ~1000x slower than the math it feeds).
+    ``initial_cost`` seeds the convergence baseline for resumed segments
+    (:func:`nmf_tpu.utils.checkpoint.solve_with_checkpoints` routes
+    TileSparseX inputs here).
     """
     import jax
     import jax.numpy as jnp
@@ -535,8 +616,6 @@ def solve_sparse_tiled(
         raise NotImplementedError(
             "tile-sparse solve implements the KL (beta=1) MU family"
         )
-    if config.precision.x_dtype == "int8":
-        raise NotImplementedError("tile-sparse X supports float32/bfloat16 tiles")
     tx = x if isinstance(x, TileSparseX) else tiles_from_dense(x, tile)
     m, n = tx.shape
     bm, bn = tx.tile_shape
@@ -582,11 +661,23 @@ def solve_sparse_tiled(
             tiles_np, rows_np, cols_np, mb, nb, mesh, int(chunk)
         )
         both = NamedSharding(mesh, P((ROW_AXIS, COL_AXIS)))
-        tx_dev = (
-            jax.device_put(tiles_np.astype(xd), both),
-            jax.device_put(rows_np, both),
-            jax.device_put(cols_np, both),
-        )
+        quant = config.precision.x_dtype == "int8"
+        if quant:
+            # per-tile uint8 codes + scales (order-stable: quantization is
+            # per tile, so partition/pad order does not change any value)
+            codes, scales = _quantize_tiles_np(tiles_np, config.eps)
+            tx_dev = (
+                jax.device_put(codes, both),
+                jax.device_put(scales, both),
+                jax.device_put(rows_np, both),
+                jax.device_put(cols_np, both),
+            )
+        else:
+            tx_dev = (
+                jax.device_put(tiles_np.astype(xd), both),
+                jax.device_put(rows_np, both),
+                jax.device_put(cols_np, both),
+            )
         w_dev = jax.device_put(
             w_pad.astype(sd), NamedSharding(mesh, P(ROW_AXIS, None))
         )
@@ -594,7 +685,7 @@ def solve_sparse_tiled(
             h_pad.astype(sd), NamedSharding(mesh, P(None, COL_AXIS))
         )
         fn = _tiled_sharded_fns(config, int(chunk), mesh)
-        res = fn(tx_dev, w_dev, h_dev, jnp.asarray(jnp.nan, jnp.float32))
+        res = fn(tx_dev, w_dev, h_dev, jnp.asarray(initial_cost, jnp.float32))
     else:
         if int(tx.tiles.shape[0]) % int(chunk):
             tiles_a, rows_a, cols_a = _pad_tiles_np(
@@ -607,15 +698,27 @@ def solve_sparse_tiled(
             # already chunk-aligned: device-resident tile arrays pass
             # through without a host round trip
             tiles_a, rows_a, cols_a = tx.tiles, tx.rows, tx.cols
+        quant = config.precision.x_dtype == "int8"
+        scales_dev = None
+        if quant:
+            codes, scales = _quantize_tiles_np(
+                np.asarray(tiles_a, np.float32), config.eps
+            )
+            tiles_dev = jnp.asarray(codes)
+            scales_dev = jnp.asarray(scales)
+        else:
+            tiles_dev = jnp.asarray(tiles_a, xd)
         tx_dev = TileSparseX(
-            tiles=jnp.asarray(tiles_a, xd),
+            tiles=tiles_dev,
             rows=jnp.asarray(rows_a, jnp.int32),
             cols=jnp.asarray(cols_a, jnp.int32),
             shape=(mp, np_),
         )
         from ..ops.pallas import tile_sparse as ts
 
-        use_pallas = (
+        # int8 tiles take the jnp scan (same call as the dense path: Mosaic's
+        # uint8 conversion is ~1000x slower than the math it feeds)
+        use_pallas = (not quant) and (
             ts.supported(k, bm, bn, config.precision)
             if config.backend == "pallas"
             else (
@@ -636,6 +739,8 @@ def solve_sparse_tiled(
                 jnp.asarray(a) for a in ts.sweep_plan(rows_h, cols_h, mb, "row")
             )
             xarg = (tx_dev, plan_h, plan_w)
+        elif quant:
+            xarg = (tx_dev, scales_dev)
         else:
             xarg = tx_dev
         fn = _tiled_fns(config, int(chunk), pallas=use_pallas)
@@ -643,8 +748,112 @@ def solve_sparse_tiled(
             xarg,
             jnp.asarray(w_pad, sd),
             jnp.asarray(h_pad, sd),
-            jnp.asarray(jnp.nan, jnp.float32),
+            jnp.asarray(initial_cost, jnp.float32),
         )
     if (mp, np_) != (m, n):
         res = dataclasses.replace(res, w=res.w[:m], h=res.h[:, :n])
+    return res
+
+
+def solve_sparse_tiled_batched(
+    xs,
+    w0s,
+    h0s,
+    config: SolveConfig = SolveConfig(),
+    chunk: int = _CHUNK,
+    tile: Tuple[int, int] = (_TILE, _TILE),
+) -> "SolveResult":
+    """B independent tile-sparse factorizations in ONE compiled program.
+
+    ``xs`` is a sequence of problems (TileSparseX or dense-like) sharing one
+    logical shape; ``w0s``/``h0s`` are (B, M, K) / (B, K, N).  Member tile
+    lists are padded to a common chunk-aligned count with inert zero tiles,
+    stacked, and the solve vmaps over the member axis — the tile sweeps
+    become batched MXU contractions exactly like :func:`nmf_tpu.solve_batched`
+    does for dense members.  Returns the batched
+    :class:`~nmf_tpu.models.solver.SolveResult` (member axis first).
+    Per-member convergence follows the batched solver's semantics (the
+    vmapped while_loop masks finished members).
+    """
+    import jax.numpy as jnp
+
+    from .solver import SolveResult  # noqa: F401  (return type)
+
+    config.validate()
+    if config.beta != 1.0 or config.regularized or config.algorithm != "mu":
+        raise NotImplementedError(
+            "tile-sparse solve implements the KL (beta=1) MU family"
+        )
+    txs = [
+        x if isinstance(x, TileSparseX) else tiles_from_dense(x, tile)
+        for x in xs
+    ]
+    if not txs:
+        raise ValueError("xs must be non-empty")
+    shape = txs[0].shape
+    tshape = txs[0].tile_shape
+    if any(t.shape != shape or t.tile_shape != tshape for t in txs):
+        raise ValueError("all members must share one logical and tile shape")
+    w0s = np.asarray(w0s, np.float32)
+    h0s = np.asarray(h0s, np.float32)
+    b = len(txs)
+    m, n = shape
+    bm, bn = tshape
+    k = w0s.shape[2]
+    if w0s.shape != (b, m, k) or h0s.shape != (b, k, n):
+        raise ValueError(
+            f"member shapes disagree: {b} problems of X{shape} vs "
+            f"W{w0s.shape} @ H{h0s.shape}"
+        )
+    mb, nb = -(-m // bm), -(-n // bn)
+    mp, np_ = mb * bm, nb * bn
+    t_max = max(max(int(t.tiles.shape[0]) for t in txs), 1)
+    t_max = -(-t_max // int(chunk)) * int(chunk)
+    tiles_list, rows_list, cols_list = [], [], []
+    for t in txs:
+        tl, rl, cl = _pad_tiles_np(
+            np.asarray(t.tiles, np.float32),
+            np.asarray(t.rows, np.int32),
+            np.asarray(t.cols, np.int32),
+            t_max,
+        )
+        # _pad_tiles_np pads to a multiple of t_max, which IS t_max here
+        tiles_list.append(tl[:t_max])
+        rows_list.append(rl[:t_max])
+        cols_list.append(cl[:t_max])
+    tiles_b = np.stack(tiles_list)
+    rows_b = np.stack(rows_list)
+    cols_b = np.stack(cols_list)
+
+    sd = jnp.dtype(config.precision.state_dtype)
+    quant = config.precision.x_dtype == "int8"
+    w_pad = np.zeros((b, mp, k), np.float32)
+    h_pad = np.zeros((b, k, np_), np.float32)
+    w_pad[:, :m] = np.maximum(w0s, np.float32(config.eps))
+    h_pad[:, :, :n] = np.maximum(h0s, np.float32(config.eps))
+
+    if quant:
+        codes, scales = _quantize_tiles_np(
+            tiles_b.reshape(b * t_max, bm, bn), config.eps
+        )
+        tx_dev = TileSparseX(
+            tiles=jnp.asarray(codes.reshape(b, t_max, bm, bn)),
+            rows=jnp.asarray(rows_b),
+            cols=jnp.asarray(cols_b),
+            shape=(mp, np_),
+        )
+        xarg = (tx_dev, jnp.asarray(scales.reshape(b, t_max)))
+    else:
+        xd = jnp.dtype(config.precision.x_dtype)
+        tx_dev = TileSparseX(
+            tiles=jnp.asarray(tiles_b, xd),
+            rows=jnp.asarray(rows_b),
+            cols=jnp.asarray(cols_b),
+            shape=(mp, np_),
+        )
+        xarg = tx_dev
+    fn = _tiled_fns(config, int(chunk), pallas=False, batched=True)
+    res = fn(xarg, jnp.asarray(w_pad, sd), jnp.asarray(h_pad, sd))
+    if (mp, np_) != (m, n):
+        res = dataclasses.replace(res, w=res.w[:, :m], h=res.h[:, :, :n])
     return res

@@ -734,6 +734,12 @@ def solve_out_of_core(
     from .solver import SolveResult
 
     config.validate()
+    if config.accelerate:
+        raise NotImplementedError(
+            "the out-of-core driver streams X once per iteration, so the "
+            "accelerated loop's reject-and-redo safeguard would re-stream a "
+            "whole check block; use the in-memory solvers for accelerate=True"
+        )
     if mask is not None and config.beta != 1.0:
         raise NotImplementedError(
             "masked streaming implements the (optionally penalized) KL family"

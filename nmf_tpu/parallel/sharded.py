@@ -500,17 +500,21 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
 def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
     """Jitted shard_map solver for masked KL-MU (see models.masked)."""
     eps, precision = config.eps, config.precision
+    quant = precision.x_dtype == "int8"
     pens = dict(
         l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
     )
     repl = dict(n_row=mesh.shape[ROW_AXIS], n_col=mesh.shape[COL_AXIS])
+    from ..models.masked import _dq_or_id
+
+    dq = _dq_or_id(precision)
 
     def local_solve(x_loc, w_loc, h_loc, mask_loc, initial_cost):
         step = lambda w, h, xx: mu_step_sharded_masked(
-            w, h, xx, mask_loc, eps, precision, **pens
+            w, h, dq(xx), mask_loc, eps, precision, **pens
         )
         cost = lambda xx, w, h: masked_kl_partial(
-            xx, w, h, mask_loc, eps, **pens, **repl
+            dq(xx), w, h, mask_loc, eps, **pens, **repl
         )
         return run_checked_loop(
             x_loc, w_loc, h_loc, config, step, cost,
@@ -528,12 +532,15 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
         num_checks=P(),
         converged=P(),
     )
+    x_spec = (
+        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+    )
     return jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
             in_specs=(
-                P(ROW_AXIS, COL_AXIS),
+                x_spec,
                 P(ROW_AXIS, None),
                 P(None, COL_AXIS),
                 P(ROW_AXIS, COL_AXIS),
@@ -729,11 +736,15 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
     shards like X; both K-sized mask-GEMMs psum over 'mr' (W fixed,
     replicated over 'mc')."""
     eps, prec = config.eps, config.precision
+    quant = prec.x_dtype == "int8"
     l1_h, l2_h = config.l1_h, config.l2_h
     r = mesh.shape[ROW_AXIS]
+    from ..models.masked import _dq_or_id
+
+    dq = _dq_or_id(prec)
 
     def step(w, h, xm):
-        x, m_loc = xm
+        x, m_loc = dq(xm[0]), xm[1]
         z = m_loc * (x / eps_clamp(matmul(w, h, prec), eps))
         numer = jax.lax.psum(matmul(w, z, prec, transpose_a=True), ROW_AXIS)
         denom = (
@@ -748,7 +759,7 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
         return w, (h * (numer / denom)).astype(h.dtype)
 
     def cost(xm, w, h):
-        x, m_loc = xm
+        x, m_loc = dq(xm[0]), xm[1]
         part = masked_kl_partial(x, w, h, m_loc, eps)
         hf = h.astype(_F32)
         # H-side penalties only, replication-normalized over 'mr'
@@ -769,12 +780,15 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
         w=P(ROW_AXIS, None), h=P(None, COL_AXIS), iterations=P(), cost=P(),
         cost_history=P(), num_checks=P(), converged=P(),
     )
+    x_spec = (
+        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+    )
     return jax.jit(
         jax.shard_map(
             local_solve,
             mesh=mesh,
             in_specs=(
-                (P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, COL_AXIS)),
+                (x_spec, P(ROW_AXIS, COL_AXIS)),
                 P(ROW_AXIS, None), P(None, COL_AXIS), P(),
             ),
             out_specs=out_specs,

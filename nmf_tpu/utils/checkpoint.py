@@ -368,6 +368,64 @@ def solve_with_checkpoints(
             check_iterations = list(state.check_iterations or [])
 
     # ---- one-time placement + clamp (the single H2D of X for this run) ----
+    from ..models.sparse_tiled import TileSparseX
+
+    tiled = isinstance(x, TileSparseX)
+    if tiled:
+        # tile-sparse X: no dense placement/clamp (zeros are EXACT zeros by
+        # that solver's contract); each segment re-places the tile arrays —
+        # block-aligned shapes keep W/H device-resident across segments
+        from ..models.sparse_tiled import solve_sparse_tiled
+
+        x_dev = x
+        w_dev = jnp.maximum(jnp.asarray(w, sd), jnp.asarray(config.eps, sd))
+        h_dev = jnp.maximum(jnp.asarray(h, sd), jnp.asarray(config.eps, sd))
+        del w, h
+        it = start_iter
+        last_cost = cost_history[-1] if cost_history else float("nan")
+        state = None
+        while it < config.max_iter and not converged:
+            seg = min(every, config.max_iter - it)
+            seg_cfg = dataclasses.replace(config, max_iter=seg)
+            res = solve_sparse_tiled(
+                x_dev, w_dev, h_dev, seg_cfg, mesh=mesh,
+                initial_cost=last_cost,
+            )
+            w_dev, h_dev = res.w, res.h
+            seg_iters = int(res.iterations)
+            n_checks = int(res.num_checks)
+            seg_hist = [
+                float(c) for c in np.asarray(res.cost_history)[:n_checks]
+            ]
+            check_iterations.extend(
+                it + min((i + 1) * config.check_every, seg_iters)
+                for i in range(n_checks)
+            )
+            it += seg_iters
+            cost_history.extend(seg_hist)
+            if seg_hist:
+                last_cost = seg_hist[-1]
+            converged = bool(res.converged)
+            if sharded_checkpoints:
+                state = CheckpointState(
+                    w_dev, h_dev, it, cost_history, converged,
+                    check_iterations,
+                )
+                save_checkpoint_sharded(directory, state, config)
+            else:
+                state = CheckpointState(
+                    np.asarray(res.w), np.asarray(res.h), it, cost_history,
+                    converged, check_iterations,
+                )
+                save_checkpoint(directory, state, config)
+        if state is None:
+            w_out = w_dev if sharded_checkpoints else np.asarray(w_dev)
+            h_out = h_dev if sharded_checkpoints else np.asarray(h_dev)
+            state = CheckpointState(
+                w_out, h_out, it, cost_history, converged, check_iterations
+            )
+        return state
+
     quant = config.precision.x_dtype == "int8"
     eps32 = jnp.asarray(config.eps, _f32)
     if mesh is not None and not quant:

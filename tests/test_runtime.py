@@ -794,3 +794,31 @@ def test_cli_transform_masked(cli_fixtures):
     assert cli_main(
         ["transform", p["X"], p["W"], "--mask", mpath, "--out-of-core", "-q"]
     ) == 2
+
+
+def test_live_chunked_tail_warm(small_problem, monkeypatch):
+    """max_iter not a multiple of check_every: the tail-sized program is
+    warmed UP FRONT (compile latency where the user expects it, not a
+    surprise stall before the final check) with copied inputs — results
+    must equal the non-live solve exactly."""
+    import nmf_tpu.models.solver as solver_mod
+    from nmf_tpu.utils import metrics as m
+
+    x, w, h = small_problem
+    ref = solve(x, w, h, SolveConfig(max_iter=25, check_every=10))
+    monkeypatch.setattr(
+        solver_mod, "host_callbacks_supported", lambda p=None: False
+    )
+    events = []
+    m.set_live_handler(lambda it, c, r: events.append(it))
+    try:
+        res = solve(
+            x, w, h,
+            SolveConfig(max_iter=25, check_every=10, live_metrics=True),
+        )
+    finally:
+        m.set_live_handler(None)
+    assert events == [10, 20, 25]
+    assert int(res.iterations) == 25
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+    np.testing.assert_array_equal(np.asarray(res.h), np.asarray(ref.h))

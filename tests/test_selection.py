@@ -84,13 +84,28 @@ def test_rank_sweep_cost_curve_decreases_with_rank(problem):
     assert c[0] > c[1] > c[2]
 
 
-def test_rank_sweep_rejects_hals(problem):
-    cfg = SolveConfig(max_iter=4, beta=2.0, algorithm="hals")
-    with pytest.raises(NotImplementedError):
-        solve_rank_sweep(problem, [2, 4], config=cfg)
-    # equal ranks (no masking) are fine under HALS
-    res = solve_restarts(problem, rank=4, n_restarts=2, config=cfg)
-    assert np.all(np.isfinite(res.costs))
+def test_rank_sweep_hals_member_equals_lower_rank_solve(problem):
+    """HALS rank sweeps are exact: a masked rank's CD gradient is exactly
+    zero (both factors' masked slots are zero), so the embedded member IS
+    the lower-rank HALS problem (selection.py module docstring)."""
+    x = problem
+    ranks = [3, 6]
+    cfg = SolveConfig(max_iter=12, check_every=12, beta=2.0, algorithm="hals")
+    res = solve_rank_sweep(x, ranks, config=cfg, seed=3)
+    for i, k in enumerate(ranks):
+        w0s, h0s = _member_inits(x, np.asarray(ranks), "scaled", 3)
+        ref = solve(x, w0s[i, :, :k], h0s[i, :k, :], cfg)
+        w_i, h_i = res.factors(i)
+        np.testing.assert_allclose(
+            np.asarray(w_i), np.asarray(ref.w), rtol=5e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(res.costs[i], float(ref.cost), rtol=1e-5)
+        # the embedding slots stayed exactly zero through the in-place sweeps
+        assert np.all(np.asarray(res.results.w[i])[:, k:] == 0.0)
+        assert np.all(np.asarray(res.results.h[i])[k:, :] == 0.0)
+    # restarts (no masking) keep working under HALS too
+    rr = solve_restarts(problem, rank=4, n_restarts=2, config=cfg)
+    assert np.all(np.isfinite(rr.costs))
 
 
 def test_restarts_with_thresh_stop_per_member(problem):

@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# the COO path is deprecated in favor of solve_sparse_tiled; these tests
+# remain its equivalence oracle
+pytestmark = pytest.mark.filterwarnings("ignore::DeprecationWarning")
+
 from nmf_tpu import SolveConfig, solve
 from nmf_tpu.models import sparse as sp
 
