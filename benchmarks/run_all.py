@@ -403,6 +403,13 @@ def main(argv=None) -> int:
     cfgs["ismir_convergence_1e-5"] = conv
     print(json.dumps(conv), file=sys.stderr)
 
+    print("== accelerated convergence (config 2, accelerate=True) ==", file=sys.stderr)
+    import bench as _bench
+
+    acc = _bench.run_converge("bfloat16", "auto")
+    cfgs["ismir_converge_accel_bf16"] = acc
+    print(json.dumps(acc), file=sys.stderr)
+
     print("== precision study (config 3) ==", file=sys.stderr)
     ps = precision_study(10240, 256, 10240, iters=60 if args.quick else 100)
     cfgs["precision_study_10240_k256"] = ps

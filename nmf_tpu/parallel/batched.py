@@ -87,18 +87,19 @@ def _batched_masked_jit(config: SolveConfig):
         import dataclasses
 
         config = dataclasses.replace(config, live_metrics=False)
-    from ..models.masked import masked_kl, mu_step_masked
+    from ..models.masked import _dq_or_id, masked_kl, mu_step_masked
 
     eps, prec = config.eps, config.precision
     pens = dict(
         l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
     )
+    dq = _dq_or_id(prec)  # per-member (codes, scales) dequant for int8 X
 
     def one(x, w, h, mask):
         step = lambda w_, h_, x_: mu_step_masked(
-            w_, h_, x_, mask, eps, prec, **pens
+            w_, h_, dq(x_), mask, eps, prec, **pens
         )
-        cost = lambda x_, w_, h_: masked_kl(x_, w_, h_, mask, eps, **pens)
+        cost = lambda x_, w_, h_: masked_kl(dq(x_), w_, h_, mask, eps, **pens)
         return run_checked_loop(x, w, h, config, step, cost)
 
     return jax.jit(jax.vmap(one), donate_argnums=(1, 2))
@@ -129,11 +130,6 @@ def solve_batched(
             raise NotImplementedError(
                 "masked solve implements the KL (beta=1) MU family"
             )
-        if quant:
-            raise NotImplementedError(
-                "masked batched solves take dense X (int8 X is the "
-                "streaming path's storage format)"
-            )
     sd = jnp.dtype(config.precision.state_dtype)
     sx, sw, sh = jnp.shape(x), jnp.shape(w0), jnp.shape(h0)
     if len(sx) != 3 or len(sw) != 3 or len(sh) != 3:
@@ -148,6 +144,10 @@ def solve_batched(
         mask = jnp.asarray(mask, _F32)
         if mask.shape != sx:
             raise ValueError(f"mask shape {mask.shape} != X shape {sx}")
+    if quant and mask is not None:
+        # zero the unobserved entries BEFORE quantization (garbage must not
+        # poison the per-column scales — same policy as models.masked)
+        x = jnp.where(mask > 0, jnp.asarray(x, _F32), 0.0)
     if clamp_inputs:
         # one program launch for clamp + casts (+ per-member int8
         # quantization) — eager per-op dispatches are tunnel RPCs here

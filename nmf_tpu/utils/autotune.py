@@ -12,7 +12,14 @@ the problem shape.  Measured on TPU v5e (bf16):
 ``backend="auto"`` applies :func:`rule_pick`, derived from those numbers —
 measurement-free, so no extra compiles.  The thresholds live in the
 device-generation table (utils/device.py): they are v5e-measured and serve
-as the architectural default elsewhere.  ``backend="autotune"`` measures
+as the architectural default elsewhere.
+
+Rule-table provenance: the numbers above were measured across round-1/2
+sessions (2 sessions; +-2x shared-chip noise documented in CLAUDE.md), and
+the thresholds are intentionally COARSE for that reason.  Since round 3
+every ``bench.py`` run appends its repeats to ``benchmarks/archive.jsonl``;
+re-derive any threshold only from >= 3 archived sessions of medians
+(``bench.archive_stats``), never from a single session.  ``backend="autotune"`` measures
 both implementations once per (device kind, shape, dtype) via
 :func:`pick_backend` and caches the winner BOTH in-process and on disk
 (``~/.cache/nmf_tpu/autotune.json``, override with ``NMF_TPU_AUTOTUNE_CACHE``)

@@ -157,6 +157,13 @@ def test_hwparity_gate_quick_cpu():
 
     out = bench.run_check(quick=True)
     assert out["ok"], out
-    assert set(out["policies"]) == {"float32", "float32_fast", "bfloat16"}
-    for entry in out["policies"].values():
-        assert entry["jnp_cost_vs_oracle_rel"] < 1e-3
+    # the full user-selectable numerics matrix (round 3), one row per cell
+    assert set(out["policies"]) == {
+        "float32", "float32_fast", "bfloat16",
+        "x_bfloat16", "x_int8", "state_bfloat16", "strict",
+    }
+    for name, entry in out["policies"].items():
+        if name == "strict":
+            assert entry["cost_vs_padded_oracle_rel"] < 1e-3
+        else:
+            assert entry["jnp_cost_vs_oracle_rel"] < 1e-3

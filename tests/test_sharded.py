@@ -404,9 +404,12 @@ def test_batched_masked_bf16_x_matches_loop(problem):
         np.testing.assert_allclose(
             np.asarray(res.w[b]), np.asarray(ref.w), rtol=5e-5, atol=1e-7
         )
-    # int8 masked in-memory raises cleanly in both entry points
-    cfg8 = SolveConfig(max_iter=2, precision=Precision(x_dtype="int8"))
-    with pytest.raises(NotImplementedError):
-        solve_masked(xs[0], ws[0], hs[0], masks[0], cfg8)
-    with pytest.raises(NotImplementedError):
-        batched.solve_batched(xs, ws, hs, cfg8, mask=masks)
+    # int8 masked is supported since round 3 (quantized AFTER zeroing the
+    # unobserved entries): batched members must match the single solver
+    cfg8 = SolveConfig(max_iter=8, check_every=4,
+                       precision=Precision(x_dtype="int8"))
+    res8 = batched.solve_batched(xs, ws, hs, cfg8, mask=masks)
+    ref8 = solve_masked(xs[0], ws[0], hs[0], masks[0], cfg8)
+    np.testing.assert_allclose(
+        np.asarray(res8.w[0]), np.asarray(ref8.w), rtol=5e-5, atol=1e-7
+    )

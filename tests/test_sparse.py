@@ -218,11 +218,12 @@ def test_tiled_rejects_unsupported(tiled_problem):
     x, w, h = tiled_problem
     with pytest.raises(NotImplementedError):
         st.solve_sparse_tiled(x, w, h, SolveConfig(max_iter=2, beta=2.0))
-    with pytest.raises(NotImplementedError):
-        st.solve_sparse_tiled(
-            x, w, h,
-            SolveConfig(max_iter=2, precision=Precision(x_dtype="int8")),
-        )
+    # int8 X is SUPPORTED since round 3 (per-tile scales) — must not raise
+    r8 = st.solve_sparse_tiled(
+        x, w, h,
+        SolveConfig(max_iter=2, precision=Precision(x_dtype="int8")),
+    )
+    assert np.isfinite(float(r8.cost))
     with pytest.raises(ValueError):
         st.solve_sparse_tiled(x, w[:-1], h, SolveConfig(max_iter=2))
 
