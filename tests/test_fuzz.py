@@ -101,3 +101,44 @@ def test_fuzz_cross_solver_consistency(trial):
             np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7,
             err_msg=f"{name} diverged at ({m},{k},{n}) iters={iters}",
         )
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_accelerated_monotone_and_bounded(trial):
+    """Random shapes/scales/momentum schedules: the accelerated solver's
+    recorded history must be non-increasing (the block safeguard's
+    guarantee) and finite, ending at or below the seeded initial cost."""
+    from nmf_tpu import kl_divergence
+
+    rng = np.random.RandomState(3000 + trial)
+    m = int(rng.randint(4, 160))
+    k = int(rng.randint(1, min(m, 20) + 1))
+    n = int(rng.randint(4, 180))
+    iters = int(rng.randint(2, 60))
+    check = int(rng.randint(1, 12))
+    scale = float(10.0 ** rng.uniform(-2, 2))
+    x = np.maximum((rng.rand(m, n) * scale).astype(np.float32), 2.2204e-16)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    cfg = SolveConfig(
+        max_iter=iters, check_every=check, accelerate=True,
+        accel_momentum=float(rng.uniform(0.0, 0.9)),
+        accel_momentum_max=0.95,
+        accel_grow=float(rng.uniform(1.0, 1.2)),
+        accel_shrink=float(rng.uniform(0.2, 1.0)),
+    )
+    res = solve(x, w, h, cfg)
+    hist = np.asarray(res.cost_history)[: int(res.num_checks)]
+    assert int(res.iterations) == iters
+    assert np.all(np.isfinite(hist)), (m, k, n, iters, check, scale)
+    assert np.all(np.diff(hist) <= 1e-6 * np.abs(hist[:-1])), (
+        m, k, n, iters, check, scale, hist,
+    )
+    c0 = float(
+        kl_divergence(
+            np.maximum(x, np.float32(2.2204e-16)),
+            np.maximum(w, np.float32(2.2204e-16)),
+            np.maximum(h, np.float32(2.2204e-16)),
+        )
+    )
+    assert float(res.cost) <= c0 * (1 + 1e-6)
