@@ -124,6 +124,11 @@ class SolveConfig:
     # at momentum_max), *shrink on reject.  This beats the convergence
     # behaviour the reference documented and lost (README.md:40-54, dead
     # kernels matrix.cu:505-640) rather than just restoring it.
+    # Defaults validated by a hardware-independent CPU sweep over
+    # {momentum0 x grow x check_every} on three problem classes (random /
+    # low-rank+noise / spectrogram-like): (0.5, 1.05) is the geometric-mean
+    # best at check_every=25; aggressive growth (1.1) at fine check
+    # granularity can stall the random class and is not the default.
     accelerate: bool = False
     accel_momentum: float = 0.5
     accel_momentum_max: float = 0.95
