@@ -145,9 +145,12 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
         times += _measure(3)
         if _tflops(min(times)) > peak:
             suspect = f"exceeds {peak:.0f} TF/s device peak; timing unreliable"
-    # keep only physically-possible repeats for the summary stats (an
-    # impossible sub-peak time is a sync artifact, not a measurement)
-    valid = [t for t in times if peak is None or _tflops(t) <= peak] or times
+    # keep only physically-possible repeats for the summary stats: positive
+    # (a t_long <= t_short difference is a sync artifact that would turn the
+    # median/best/archive negative) and at-or-below the device peak
+    valid = [
+        t for t in times if t > 0 and (peak is None or _tflops(t) <= peak)
+    ] or [t for t in times if t > 0] or times
     med = float(np.median(valid))
     tflops = _tflops(med)
     out = {

@@ -72,9 +72,14 @@ def make_runner(x, w, h, tile, chunk, backend, dtype):
         return r
 
     def measure(short=200, long=1200):
-        t0 = time.perf_counter(); run(short); ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(long); tl = time.perf_counter() - t0
-        return (long - short) / (tl - ts)  # iters/sec
+        for _ in range(4):
+            t0 = time.perf_counter(); run(short); ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); run(long); tl = time.perf_counter() - t0
+            if tl > ts:  # a non-positive difference is a sync artifact and
+                return (long - short) / (tl - ts)  # must not reach the archive
+        raise RuntimeError(
+            "timing sync failed 4x (t_long <= t_short): platform too noisy"
+        )
 
     # warm both exact configs (jit keys on them; one-off dispatch stall)
     run(200), run(1200)

@@ -259,7 +259,7 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
     converged = False
     base = dataclasses.replace(config, live_metrics=False)
     tail = max_iter % check_every
-    if 0 < tail < max_iter:
+    if 0 < tail < max_iter and thresh == 0.0:
         # The per-chunk programs are jit-keyed on max_iter, so a short tail
         # chunk is a SECOND compiled program — on this platform a 10-60 s
         # (sometimes minutes) remote compile that would otherwise stall the
@@ -267,7 +267,10 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
         # segment's compile, where the user expects compile latency.  The
         # warm inputs are fresh copies ("+ 0"), so segment-fn donation
         # cannot consume the live state; its rem-iteration compute cost is
-        # noise next to the compile it fronts.
+        # noise next to the compile it fronts.  With thresh > 0 the run
+        # usually stops on a check boundary and never reaches the tail, so
+        # the speculative compile is NOT paid there (a non-converging
+        # thresh run that does reach the tail pays it in place).
         tail_fn = make_segment_fn(dataclasses.replace(base, max_iter=tail))
         tail_fn(
             x,
@@ -487,15 +490,22 @@ def _run_accel_loop(
         return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
     # The acceptance test needs a real baseline: seed it with the supplied
-    # initial cost (resumed segments) or one up-front cost evaluation.
-    c_given = (
-        jnp.asarray(jnp.nan, _F32)
-        if initial_cost is None
-        else jnp.asarray(initial_cost, _F32)
-    )
-    c0 = jnp.where(
-        jnp.isnan(c_given), all_reduce(cost_fn(x, w, h)).astype(_F32), c_given
-    )
+    # initial cost (resumed segments) or one up-front cost evaluation.  The
+    # branch must be lazy (lax.cond, not jnp.where) — where would evaluate
+    # the seed reconstruction GEMM on every resumed segment just to discard
+    # it.  The predicate is a replicated scalar, so the cond (and the psum
+    # inside its taken branch) stays uniform across a mesh, exactly like
+    # the reject branch.
+    def _seed_cost():
+        return all_reduce(cost_fn(x, w, h)).astype(_F32)
+
+    if initial_cost is None:
+        c0 = _seed_cost()
+    else:
+        c_given = jnp.asarray(initial_cost, _F32)
+        c0 = jax.lax.cond(
+            jnp.isnan(c_given), _seed_cost, lambda: c_given
+        )
     init = (
         w,
         h,

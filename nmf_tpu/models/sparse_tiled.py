@@ -176,6 +176,31 @@ def _pad_tiles_np(tiles, rows, cols, multiple: int):
     )
 
 
+def _dq_chunk(t, s):
+    """Tile-chunk payload -> f32 values.  ``s`` is the chunk's per-tile
+    scales for uint8 codes (the multiply fuses into the consumer) or None
+    for an already-dense payload.  Shared by the single-device, batched,
+    and sharded factories so the dequant formula lives in ONE place."""
+    import jax.numpy as jnp
+
+    tf = t.astype(jnp.float32)
+    return tf * s[:, None, None] if s is not None else tf
+
+
+def _chunk_arrays(chunk: int, tiles, rows, cols, scales=None):
+    """Reshape the flat tile lists into (n_chunks, chunk, ...) scan inputs
+    (+ scales when quantized).  Shared by all solve factories."""
+    n_chunks = tiles.shape[0] // chunk
+    out = (
+        tiles.reshape(n_chunks, chunk, *tiles.shape[1:]),
+        rows.reshape(n_chunks, chunk),
+        cols.reshape(n_chunks, chunk),
+    )
+    if scales is not None:
+        out = out + (scales.reshape(n_chunks, chunk),)
+    return out
+
+
 @functools.lru_cache(maxsize=16)
 def _tiled_fns(
     config: SolveConfig, chunk: int, pallas: bool = False, batched: bool = False
@@ -202,22 +227,8 @@ def _tiled_fns(
     pmm = prec.lax_matmul_precision()
     phi = jax.lax.Precision.HIGHEST  # cost reconstruction never drifts
 
-    def _chunked(tiles, rows, cols, scales=None):
-        n_chunks = tiles.shape[0] // chunk
-        out = (
-            tiles.reshape(n_chunks, chunk, *tiles.shape[1:]),
-            rows.reshape(n_chunks, chunk),
-            cols.reshape(n_chunks, chunk),
-        )
-        if scales is not None:
-            out = out + (scales.reshape(n_chunks, chunk),)
-        return out
-
-    def _dq(t, s):
-        """Tile-chunk payload -> f32 values (uint8 codes x per-tile scales
-        dequantize in-register; XLA fuses the multiply into the consumer)."""
-        tf = t.astype(_f32)
-        return tf * s[:, None, None] if quant else tf
+    _chunked = functools.partial(_chunk_arrays, chunk)
+    _dq = _dq_chunk
 
     def _z(t, s, wt, ht):
         """Z = X_t / clamp(W_i H_j) for a gathered tile chunk, f32."""
@@ -434,21 +445,8 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
     pmm = prec.lax_matmul_precision()
     phi = jax.lax.Precision.HIGHEST
 
-    def _dq(t, s):
-        tf = t.astype(_f32)
-        return tf * s[:, None, None] if quant else tf
-
-    def _chunk_xs(tiles, rows, cols, scales):
-        bm, bn = tiles.shape[1:]
-        n_chunks = tiles.shape[0] // chunk
-        out = (
-            tiles.reshape(n_chunks, chunk, bm, bn),
-            rows.reshape(n_chunks, chunk),
-            cols.reshape(n_chunks, chunk),
-        )
-        if quant:
-            out = out + (scales.reshape(n_chunks, chunk),)
-        return out
+    _dq = _dq_chunk
+    _chunk_xs = functools.partial(_chunk_arrays, chunk)
 
     def _sweep_local(w, h, tiles, rows, cols, scales, target: str):
         k = w.shape[1]
@@ -608,6 +606,20 @@ def solve_sparse_tiled(
     (:func:`nmf_tpu.utils.checkpoint.solve_with_checkpoints` routes
     TileSparseX inputs here).
     """
+    xarg, w_dev, h_dev, info = _prepare_tiled(x, w0, h0, config, chunk, tile, mesh)
+    res = _run_tiled(xarg, w_dev, h_dev, config, info, initial_cost)
+    return _crop_tiled(res, info)
+
+
+def _prepare_tiled(x, w0, h0, config: SolveConfig, chunk, tile, mesh):
+    """ONE-TIME host->device preparation: tile bucketing / chunk padding /
+    per-tile quantization / device placement (sharded on a mesh), factor
+    padding + clamp, and the Pallas-plan decision.  Shared by
+    :func:`solve_sparse_tiled` and the checkpointed segment driver — the
+    driver calls this once and then runs segments on the returned
+    device-resident payload, so X never re-crosses the host link between
+    segments.  Returns ``(xarg, w_dev, h_dev, info)``.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -634,6 +646,7 @@ def solve_sparse_tiled(
         r, c = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
         mb, nb = -(-mb // r) * r, -(-nb // c) * c
     mp, np_ = mb * bm, nb * bn
+    quant = config.precision.x_dtype == "int8"
 
     if (mp, np_) == (m, n):
         # block-aligned problem: device-resident factors stay on device
@@ -649,6 +662,10 @@ def solve_sparse_tiled(
         w_pad[:m] = np.maximum(np.asarray(w0, np.float32), np.float32(config.eps))
         h_pad[:, :n] = np.maximum(np.asarray(h0, np.float32), np.float32(config.eps))
 
+    info = dict(
+        mesh=mesh, chunk=int(chunk), m=m, n=n, mp=mp, np_=np_,
+        use_pallas=False,
+    )
     if mesh is not None:
         tiles_np = np.asarray(tx.tiles, np.float32)
         rows_np = np.asarray(tx.rows, np.int32)
@@ -661,19 +678,18 @@ def solve_sparse_tiled(
             tiles_np, rows_np, cols_np, mb, nb, mesh, int(chunk)
         )
         both = NamedSharding(mesh, P((ROW_AXIS, COL_AXIS)))
-        quant = config.precision.x_dtype == "int8"
         if quant:
             # per-tile uint8 codes + scales (order-stable: quantization is
             # per tile, so partition/pad order does not change any value)
             codes, scales = _quantize_tiles_np(tiles_np, config.eps)
-            tx_dev = (
+            xarg = (
                 jax.device_put(codes, both),
                 jax.device_put(scales, both),
                 jax.device_put(rows_np, both),
                 jax.device_put(cols_np, both),
             )
         else:
-            tx_dev = (
+            xarg = (
                 jax.device_put(tiles_np.astype(xd), both),
                 jax.device_put(rows_np, both),
                 jax.device_put(cols_np, both),
@@ -684,74 +700,92 @@ def solve_sparse_tiled(
         h_dev = jax.device_put(
             h_pad.astype(sd), NamedSharding(mesh, P(None, COL_AXIS))
         )
-        fn = _tiled_sharded_fns(config, int(chunk), mesh)
-        res = fn(tx_dev, w_dev, h_dev, jnp.asarray(initial_cost, jnp.float32))
-    else:
-        if int(tx.tiles.shape[0]) % int(chunk):
-            tiles_a, rows_a, cols_a = _pad_tiles_np(
-                np.asarray(tx.tiles, np.float32),
-                np.asarray(tx.rows, np.int32),
-                np.asarray(tx.cols, np.int32),
-                int(chunk),
-            )
-        else:
-            # already chunk-aligned: device-resident tile arrays pass
-            # through without a host round trip
-            tiles_a, rows_a, cols_a = tx.tiles, tx.rows, tx.cols
-        quant = config.precision.x_dtype == "int8"
-        scales_dev = None
-        if quant:
-            codes, scales = _quantize_tiles_np(
-                np.asarray(tiles_a, np.float32), config.eps
-            )
-            tiles_dev = jnp.asarray(codes)
-            scales_dev = jnp.asarray(scales)
-        else:
-            tiles_dev = jnp.asarray(tiles_a, xd)
-        tx_dev = TileSparseX(
-            tiles=tiles_dev,
-            rows=jnp.asarray(rows_a, jnp.int32),
-            cols=jnp.asarray(cols_a, jnp.int32),
-            shape=(mp, np_),
-        )
-        from ..ops.pallas import tile_sparse as ts
+        return xarg, w_dev, h_dev, info
 
-        # int8 tiles take the jnp scan (same call as the dense path: Mosaic's
-        # uint8 conversion is ~1000x slower than the math it feeds)
-        use_pallas = (not quant) and (
-            ts.supported(k, bm, bn, config.precision)
-            if config.backend == "pallas"
-            else (
-                config.backend != "jnp"
-                and ts.preferred(k, bm, bn, config.precision)
-            )
+    if int(tx.tiles.shape[0]) % int(chunk):
+        tiles_a, rows_a, cols_a = _pad_tiles_np(
+            np.asarray(tx.tiles, np.float32),
+            np.asarray(tx.rows, np.int32),
+            np.asarray(tx.cols, np.int32),
+            int(chunk),
         )
-        if use_pallas:
-            # sweep plans are host-side index metadata (tiny); the padding
-            # tiles are all-zero and land in block (0,0)'s run, contributing
-            # nothing
-            rows_h = np.asarray(rows_a, np.int32)
-            cols_h = np.asarray(cols_a, np.int32)
-            plan_h = tuple(
-                jnp.asarray(a) for a in ts.sweep_plan(rows_h, cols_h, nb, "col")
-            )
-            plan_w = tuple(
-                jnp.asarray(a) for a in ts.sweep_plan(rows_h, cols_h, mb, "row")
-            )
-            xarg = (tx_dev, plan_h, plan_w)
-        elif quant:
-            xarg = (tx_dev, scales_dev)
-        else:
-            xarg = tx_dev
-        fn = _tiled_fns(config, int(chunk), pallas=use_pallas)
-        res = fn(
-            xarg,
-            jnp.asarray(w_pad, sd),
-            jnp.asarray(h_pad, sd),
-            jnp.asarray(initial_cost, jnp.float32),
+    else:
+        # already chunk-aligned: device-resident tile arrays pass
+        # through without a host round trip
+        tiles_a, rows_a, cols_a = tx.tiles, tx.rows, tx.cols
+    scales_dev = None
+    if quant:
+        codes, scales = _quantize_tiles_np(
+            np.asarray(tiles_a, np.float32), config.eps
         )
-    if (mp, np_) != (m, n):
-        res = dataclasses.replace(res, w=res.w[:m], h=res.h[:, :n])
+        tiles_dev = jnp.asarray(codes)
+        scales_dev = jnp.asarray(scales)
+    else:
+        tiles_dev = jnp.asarray(tiles_a, xd)
+    tx_dev = TileSparseX(
+        tiles=tiles_dev,
+        rows=jnp.asarray(rows_a, jnp.int32),
+        cols=jnp.asarray(cols_a, jnp.int32),
+        shape=(mp, np_),
+    )
+    from ..ops.pallas import tile_sparse as ts
+
+    # int8 tiles take the jnp scan (same call as the dense path: Mosaic's
+    # uint8 conversion is ~1000x slower than the math it feeds)
+    use_pallas = (not quant) and (
+        ts.supported(k, bm, bn, config.precision)
+        if config.backend == "pallas"
+        else (
+            config.backend != "jnp"
+            and ts.preferred(k, bm, bn, config.precision)
+        )
+    )
+    info["use_pallas"] = use_pallas
+    if use_pallas:
+        # sweep plans are host-side index metadata (tiny); the padding
+        # tiles are all-zero and land in block (0,0)'s run, contributing
+        # nothing
+        rows_h = np.asarray(rows_a, np.int32)
+        cols_h = np.asarray(cols_a, np.int32)
+        plan_h = tuple(
+            jnp.asarray(a) for a in ts.sweep_plan(rows_h, cols_h, nb, "col")
+        )
+        plan_w = tuple(
+            jnp.asarray(a) for a in ts.sweep_plan(rows_h, cols_h, mb, "row")
+        )
+        xarg = (tx_dev, plan_h, plan_w)
+    elif quant:
+        xarg = (tx_dev, scales_dev)
+    else:
+        xarg = tx_dev
+    return (
+        xarg,
+        jnp.asarray(w_pad, jnp.dtype(config.precision.state_dtype)),
+        jnp.asarray(h_pad, jnp.dtype(config.precision.state_dtype)),
+        info,
+    )
+
+
+def _run_tiled(xarg, w, h, config: SolveConfig, info, initial_cost):
+    """Run one (segment of a) prepared tile-sparse solve on device-resident
+    inputs; ``w``/``h`` are the PADDED factors and are donated (chain
+    ``res.w``/``res.h`` into the next segment)."""
+    import jax.numpy as jnp
+
+    c0 = jnp.asarray(initial_cost, jnp.float32)
+    if info["mesh"] is not None:
+        fn = _tiled_sharded_fns(config, info["chunk"], info["mesh"])
+    else:
+        fn = _tiled_fns(config, info["chunk"], pallas=info["use_pallas"])
+    return fn(xarg, w, h, c0)
+
+
+def _crop_tiled(res, info):
+    """De-pad the factors to the logical shape (write_matrix-equivalent)."""
+    if (info["mp"], info["np_"]) != (info["m"], info["n"]):
+        return dataclasses.replace(
+            res, w=res.w[: info["m"]], h=res.h[:, : info["n"]]
+        )
     return res
 
 
@@ -799,6 +833,11 @@ def solve_sparse_tiled_batched(
     b = len(txs)
     m, n = shape
     bm, bn = tshape
+    if w0s.ndim != 3 or h0s.ndim != 3:
+        raise ValueError(
+            "solve_sparse_tiled_batched expects 3-D [batch, rows, cols] "
+            f"factors, got W{w0s.shape} H{h0s.shape}"
+        )
     k = w0s.shape[2]
     if w0s.shape != (b, m, k) or h0s.shape != (b, k, n):
         raise ValueError(

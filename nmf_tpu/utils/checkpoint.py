@@ -373,13 +373,29 @@ def solve_with_checkpoints(
     tiled = isinstance(x, TileSparseX)
     if tiled:
         # tile-sparse X: no dense placement/clamp (zeros are EXACT zeros by
-        # that solver's contract); each segment re-places the tile arrays —
-        # block-aligned shapes keep W/H device-resident across segments
-        from ..models.sparse_tiled import solve_sparse_tiled
+        # that solver's contract).  The tile payload and factors are
+        # prepared/placed ONCE; segments chain through the donated PADDED
+        # device factors, so X never re-crosses the host link between
+        # segments and W/H stay device-resident (the single-H2D discipline
+        # the dense branch below keeps).  Checkpoint files store the
+        # CROPPED logical factors (the D2H is inherent to writing a file);
+        # resume re-pads them here.
+        if sharded_checkpoints:
+            raise NotImplementedError(
+                "tile-sparse checkpointing stores the cropped logical "
+                "factors; orbax sharded checkpoints would need padded-shape "
+                "restore plumbing — use the default host checkpoints"
+            )
+        from ..models.sparse_tiled import (
+            _CHUNK,
+            _crop_tiled,
+            _prepare_tiled,
+            _run_tiled,
+        )
 
-        x_dev = x
-        w_dev = jnp.maximum(jnp.asarray(w, sd), jnp.asarray(config.eps, sd))
-        h_dev = jnp.maximum(jnp.asarray(h, sd), jnp.asarray(config.eps, sd))
+        xarg, w_dev, h_dev, info = _prepare_tiled(
+            x, w, h, config, chunk=_CHUNK, tile=x.tile_shape, mesh=mesh
+        )
         del w, h
         it = start_iter
         last_cost = cost_history[-1] if cost_history else float("nan")
@@ -387,11 +403,8 @@ def solve_with_checkpoints(
         while it < config.max_iter and not converged:
             seg = min(every, config.max_iter - it)
             seg_cfg = dataclasses.replace(config, max_iter=seg)
-            res = solve_sparse_tiled(
-                x_dev, w_dev, h_dev, seg_cfg, mesh=mesh,
-                initial_cost=last_cost,
-            )
-            w_dev, h_dev = res.w, res.h
+            res = _run_tiled(xarg, w_dev, h_dev, seg_cfg, info, last_cost)
+            w_dev, h_dev = res.w, res.h  # padded, device-resident, donated on
             seg_iters = int(res.iterations)
             n_checks = int(res.num_checks)
             seg_hist = [
@@ -406,23 +419,18 @@ def solve_with_checkpoints(
             if seg_hist:
                 last_cost = seg_hist[-1]
             converged = bool(res.converged)
-            if sharded_checkpoints:
-                state = CheckpointState(
-                    w_dev, h_dev, it, cost_history, converged,
-                    check_iterations,
-                )
-                save_checkpoint_sharded(directory, state, config)
-            else:
-                state = CheckpointState(
-                    np.asarray(res.w), np.asarray(res.h), it, cost_history,
-                    converged, check_iterations,
-                )
-                save_checkpoint(directory, state, config)
-        if state is None:
-            w_out = w_dev if sharded_checkpoints else np.asarray(w_dev)
-            h_out = h_dev if sharded_checkpoints else np.asarray(h_dev)
+            cropped = _crop_tiled(res, info)
             state = CheckpointState(
-                w_out, h_out, it, cost_history, converged, check_iterations
+                np.asarray(cropped.w), np.asarray(cropped.h), it,
+                cost_history, converged, check_iterations,
+            )
+            save_checkpoint(directory, state, config)
+        if state is None:
+            # resumed run that was already complete: no segment executed
+            state = CheckpointState(
+                np.asarray(w_dev)[: info["m"]],
+                np.asarray(h_dev)[:, : info["n"]],
+                it, cost_history, converged, check_iterations,
             )
         return state
 
