@@ -34,10 +34,20 @@ w = rng.rand(128, 16).astype(np.float32)
 h = rng.rand(16, 160).astype(np.float32)
 mesh = make_mesh()
 res = nt.solve_sharded(x, w, h, nt.SolveConfig(max_iter=20, check_every=5), mesh=mesh)
+# accelerated variant: the block-acceptance predicate is the SAME replicated
+# psum scalar as the convergence predicate — every process must take the
+# same accept/reject branches and land on identical costs
+acc = nt.solve_sharded(
+    x, w, h,
+    nt.SolveConfig(max_iter=20, check_every=5, accelerate=True),
+    mesh=mesh,
+)
+hist = np.asarray(acc.cost_history)[: int(acc.num_checks)]
+mono = bool(np.all(np.diff(hist) <= 1e-6 * np.abs(hist[:-1])))
 print(
     f"RESULT proc={proc} global={len(jax.devices())} "
     f"local={len(jax.local_devices())} iters={int(res.iterations)} "
-    f"cost={float(res.cost):.6f}"
+    f"cost={float(res.cost):.6f} acost={float(acc.cost):.6f} amono={mono}"
 )
 """.replace("@@REPO@@", REPO)
 
@@ -175,3 +185,8 @@ def test_two_process_distributed_solve(tmp_path):
     assert results["0"]["iters"] == results["1"]["iters"] == "20"
     # the psum-replicated convergence scalar is identical across processes
     assert results["0"]["cost"] == results["1"]["cost"]
+    # ...and so is the accelerated solver's (its acceptance predicate is the
+    # same replicated scalar; divergent branch decisions would deadlock or
+    # split the costs)
+    assert results["0"]["acost"] == results["1"]["acost"]
+    assert results["0"]["amono"] == results["1"]["amono"] == "True"
