@@ -76,6 +76,15 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         "in-register; opt-in, lossy for entries far below their column peak)",
     )
     p.add_argument(
+        "--x-quant-rows",
+        type=int,
+        default=0,
+        help="int8-X scale granularity: one scale per (N-row block, column) "
+        "instead of per column — bounds each entry's error by its BLOCK's "
+        "column peak/510; for data whose magnitude varies along the rows. "
+        "In-memory solves only (not --mesh / --out-of-core)",
+    )
+    p.add_argument(
         "--backend",
         choices=["auto", "jnp", "pallas", "autotune"],
         default="auto",
@@ -128,7 +137,11 @@ def _config_from(args) -> SolveConfig:
         max_iter=args.max_iter,
         thresh=args.thresh,
         check_every=args.check_every,
-        precision=Precision(matmul_dtype=args.dtype, x_dtype=args.x_dtype),
+        precision=Precision(
+            matmul_dtype=args.dtype,
+            x_dtype=args.x_dtype,
+            x_quant_rows=getattr(args, "x_quant_rows", 0),
+        ),
         backend=args.backend,
         track_cost=not args.no_cost,
         live_metrics=args.live,

@@ -88,6 +88,12 @@ def _put_x(x, mesh, xs):
     parallel.sharded's dense solver)."""
     if not isinstance(x, tuple):
         return jax.device_put(x, xs)
+    if x[1].ndim != 1:
+        raise NotImplementedError(
+            "per-row-block int8 scales (x_quant_rows) are in-memory "
+            "single-device/batched only — the mesh scale sharding is "
+            "per-column"
+        )
     from jax.sharding import NamedSharding, PartitionSpec
 
     from ..parallel.mesh import COL_AXIS
@@ -142,13 +148,15 @@ def _masked_prep_jit_cached(precision, eps: float):
         x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
         mask = mask.astype(_F32)
         if quant:
-            from ..ops.quant import quantize_columns
+            from ..ops.quant import quantize_policy
 
             # zero the unobserved entries BEFORE quantization: masked values
-            # may be garbage and must not poison the per-column scales (the
-            # update multiplies them by 0 regardless, so exact-0 codes are
-            # the faithful storage)
-            x = quantize_columns(jnp.where(mask > 0, x, 0.0), eps)
+            # may be garbage and must not poison the scales (the update
+            # multiplies them by 0 regardless, so exact-0 codes are the
+            # faithful storage)
+            x = quantize_policy(
+                jnp.where(mask > 0, x, 0.0), eps, precision.x_quant_rows
+            )
         else:
             x = x.astype(jnp.dtype(precision.x_dtype))
         return x, w, h, mask

@@ -198,6 +198,12 @@ def solve_online(
     from .streaming import _as_source, _host_prep, pick_block_n
 
     config.validate()
+    from ..ops.quant import require_column_scales
+
+    require_column_scales(
+        config.precision,
+        "online NMF (per-block quantization is per-column)",
+    )
     if config.beta != 1.0 or config.algorithm != "mu" or config.regularized:
         raise NotImplementedError(
             "online NMF implements the reference KL (beta=1) MU family"

@@ -216,9 +216,10 @@ def _solve_selection(
         w0s, h0s = jax.vmap(_mask_factors)(w0s, h0s, mks_j)
 
     if quant:
-        from ..ops.quant import quantize_columns
+        from ..ops.quant import quantize_policy
 
-        x = quantize_columns(x, eps)  # once: members share the codes
+        # once: members share the codes (per-column or per-row-block scales)
+        x = quantize_policy(x, eps, config.precision.x_quant_rows)
     else:
         x = x.astype(jnp.dtype(config.precision.x_dtype))
 

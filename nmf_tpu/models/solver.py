@@ -123,6 +123,12 @@ def resolve_step_fn(config: SolveConfig, platform: Optional[str] = None) -> Step
         # backend='pallas' still forces the in-register kernels explicitly.
         backend = "pallas" if (plat == "tpu" and not quant) else "jnp"
     if backend == "pallas":
+        if quant and prec.x_quant_rows:
+            raise NotImplementedError(
+                "per-row-block int8 scales take the jnp path (the fused "
+                "kernels' scales operand is per-column); drop "
+                "backend='pallas' or x_quant_rows"
+            )
         from ..ops.pallas import fused_mu  # deferred: keeps CPU import light
 
         if fused_mu.supported():
@@ -571,11 +577,14 @@ def _prep_jit_cached(precision, eps: float):
         h = jnp.maximum(h.astype(sd), jnp.asarray(eps, sd))
         x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
         if quant:
-            # uint8 codes + per-column scales: quarters the dominant HBM
-            # stream; dequantized in-register by the consumers
-            from ..ops.quant import quantize_columns
+            # uint8 codes + per-column (or per-row-block) scales: quarters
+            # the dominant HBM stream; dequantized in-register by consumers
+            from ..ops.quant import quantize_columns, quantize_rowblocks
 
-            x = quantize_columns(x, eps)
+            if precision.x_quant_rows:
+                x = quantize_rowblocks(x, eps, precision.x_quant_rows)
+            else:
+                x = quantize_columns(x, eps)
         else:
             x = x.astype(jnp.dtype(precision.x_dtype))
         return x, w, h
@@ -629,9 +638,15 @@ def solve(
         h0 = jnp.asarray(h0, sd)
         if quant:
             if not isinstance(x, tuple):
-                from ..ops.quant import quantize_columns
+                from ..ops.quant import quantize_columns, quantize_rowblocks
 
-                x = quantize_columns(jnp.asarray(x, _F32), config.eps)
+                if config.precision.x_quant_rows:
+                    x = quantize_rowblocks(
+                        jnp.asarray(x, _F32), config.eps,
+                        config.precision.x_quant_rows,
+                    )
+                else:
+                    x = quantize_columns(jnp.asarray(x, _F32), config.eps)
         else:
             x = jnp.asarray(x, jnp.dtype(config.precision.x_dtype))
     platform = _default_platform(x)

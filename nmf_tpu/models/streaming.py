@@ -734,6 +734,12 @@ def solve_out_of_core(
     from .solver import SolveResult
 
     config.validate()
+    from ..ops.quant import require_column_scales
+
+    require_column_scales(
+        config.precision,
+        "out-of-core streaming (host-side block quantization is per-column)",
+    )
     if config.accelerate:
         raise NotImplementedError(
             "the out-of-core driver streams X once per iteration, so the "
@@ -1103,6 +1109,12 @@ def transform_out_of_core(
     import jax.numpy as jnp
 
     config.validate()
+    from ..ops.quant import require_column_scales
+
+    require_column_scales(
+        config.precision,
+        "out-of-core transform (host-side block quantization is per-column)",
+    )
     if config.live_metrics:
         # per-block restarts of the iteration counter are noise, not signal
         config = dataclasses.replace(config, live_metrics=False)

@@ -27,7 +27,14 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["quantize_columns", "dequantize", "quantize_columns_np"]
+__all__ = [
+    "quantize_columns",
+    "quantize_rowblocks",
+    "quantize_policy",
+    "require_column_scales",
+    "dequantize",
+    "quantize_columns_np",
+]
 
 _F32 = jnp.float32
 
@@ -50,10 +57,77 @@ def quantize_columns(x: jnp.ndarray, eps: float) -> Tuple[jnp.ndarray, jnp.ndarr
     return q, scales
 
 
+def quantize_rowblocks(
+    x: jnp.ndarray, eps: float, rows_per_block: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(row-block, column) quantization: uint8 codes + (R, N) f32 scales
+    where R = ceil(M / rows_per_block) and ``x[i, j] ~= q[i, j] *
+    scales[i // rows_per_block, j]``.
+
+    The finer granularity bounds each entry's error by ITS BLOCK's column
+    peak / 510 instead of the whole column's — for spectrogram-like data
+    whose magnitude varies along the frequency (row) axis this keeps quiet
+    rows accurate where per-column scales crush them (the per-tile analog
+    lives in models/sparse_tiled for tile-sparse X).  Opt-in via
+    ``Precision(x_dtype='int8', x_quant_rows=...)``; jnp path only.
+
+    ``rows_per_block`` is normalized to ``ceil(M / ceil(M / rows_per_block))``
+    (same block count, blocks as even as possible) so :func:`dequantize` can
+    re-derive the block size from shapes alone — without this, M=10 with
+    rows_per_block=8 would quantize as blocks (8, 2) but dequantize as
+    (5, 5), scaling rows 5-7 by the wrong block's peak.
+    """
+    xf = x.astype(_F32)
+    m, n = xf.shape
+    r = -(-m // int(rows_per_block))
+    rb = -(-m // r)  # normalized: dequantize recomputes exactly this
+    pad = r * rb - m
+    xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
+    blocks = xp.reshape(r, rb, n)
+    scales = jnp.maximum(blocks.max(axis=1), eps) / 255.0      # (R, N)
+    inv = (jnp.float32(1.0) / scales)[:, None, :]
+    q = (
+        jnp.clip(jnp.floor(blocks * inv + 0.5), 0, 255)
+        .astype(jnp.uint8)
+        .reshape(r * rb, n)[:m]
+    )
+    return q, scales
+
+
+def quantize_policy(x: jnp.ndarray, eps: float, x_quant_rows: int):
+    """Dispatch on the Precision knob: per-column (x_quant_rows == 0) or
+    per-row-block scales.  One call site per solver entry."""
+    if x_quant_rows:
+        return quantize_rowblocks(x, eps, x_quant_rows)
+    return quantize_columns(x, eps)
+
+
+def require_column_scales(precision, where: str) -> None:
+    """Entry-point guard for solvers whose int8 storage is per-column by
+    construction (mesh scale shardings, streamed host-side block
+    quantization): fail loudly at the boundary instead of silently ignoring
+    ``Precision.x_quant_rows``."""
+    if getattr(precision, "x_quant_rows", 0):
+        raise NotImplementedError(
+            f"per-row-block int8 scales (x_quant_rows) are not supported by "
+            f"{where} — its int8 layout is per-column; drop x_quant_rows or "
+            f"use the in-memory dense/masked/h-only/batched solvers"
+        )
+
+
 def dequantize(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """Reconstruct f32 values (clamped below by scales/255-grade floor is NOT
-    reapplied here; callers clamp where the reference clamps)."""
-    return q.astype(_F32) * scales[None, :]
+    reapplied here; callers clamp where the reference clamps).
+
+    ``scales`` dispatches the layout: 1-D (N,) = per-column; 2-D (R, N) =
+    per-row-block (each code row i scales by ``scales[i // ceil(M/R)]``) —
+    every consumer that funnels through this one function supports both.
+    """
+    if scales.ndim == 1:
+        return q.astype(_F32) * scales[None, :]
+    m = q.shape[0]
+    rb = -(-m // scales.shape[0])
+    return q.astype(_F32) * scales[jnp.arange(m) // rb, :]
 
 
 def quantize_columns_np(x, eps: float):

@@ -52,9 +52,11 @@ def _batched_prep_jit_cached(precision, eps: float):
         h = jnp.maximum(h.astype(sd), jnp.asarray(eps, sd))
         x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
         if quant:
-            from ..ops.quant import quantize_columns
+            from ..ops.quant import quantize_policy
 
-            x = jax.vmap(lambda xi: quantize_columns(xi, eps))(x)
+            x = jax.vmap(
+                lambda xi: quantize_policy(xi, eps, precision.x_quant_rows)
+            )(x)
         else:
             x = x.astype(jnp.dtype(precision.x_dtype))
         return x, w, h
@@ -157,9 +159,13 @@ def solve_batched(
         w0 = jnp.asarray(w0, sd)
         h0 = jnp.asarray(h0, sd)
         if quant:
-            from ..ops.quant import quantize_columns
+            from ..ops.quant import quantize_policy
 
-            x = jax.vmap(lambda xi: quantize_columns(xi, config.eps))(x)
+            x = jax.vmap(
+                lambda xi: quantize_policy(
+                    xi, config.eps, config.precision.x_quant_rows
+                )
+            )(x)
         else:
             x = x.astype(jnp.dtype(config.precision.x_dtype))
 

@@ -101,6 +101,12 @@ def shard_problem(x, w, h, mesh: Mesh):
     """
     xs, ws, hs, _ = nmf_shardings(mesh)
     if isinstance(x, tuple):
+        if x[1].ndim != 1:
+            raise NotImplementedError(
+                "per-row-block int8 scales (2-D scale array) have no mesh "
+                "placement — the canonical layout shards a per-column scale "
+                "vector over 'mc'"
+            )
         x = (
             jax.device_put(x[0], xs),
             jax.device_put(x[1], NamedSharding(mesh, P(COL_AXIS))),

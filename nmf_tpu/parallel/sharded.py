@@ -322,6 +322,10 @@ def solve_sharded(
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
     quant = precision.x_dtype == "int8"
+    if quant:
+        from ..ops.quant import require_column_scales
+
+        require_column_scales(precision, "the dense mesh solver")
 
     sd = jnp.dtype(config.precision.state_dtype)
     xd = jnp.dtype(config.precision.x_dtype)

@@ -447,10 +447,17 @@ def solve_with_checkpoints(
         x_dev, w_dev, h_dev = jnp.asarray(x), jnp.asarray(w), jnp.asarray(h)
     x_dev = jnp.maximum(x_dev.astype(_f32), eps32)
     if quant:
-        # uint8 codes + per-column scales, once for the whole run
-        from ..ops.quant import quantize_columns
+        # uint8 codes + per-column (or per-row-block) scales, once for the
+        # whole run; the mesh path's scale sharding is per-column only
+        from ..ops.quant import quantize_policy, require_column_scales
 
-        x_dev = quantize_columns(x_dev, config.eps)
+        if mesh is not None:
+            require_column_scales(
+                config.precision, "the mesh checkpoint driver"
+            )
+        x_dev = quantize_policy(
+            x_dev, config.eps, config.precision.x_quant_rows
+        )
     else:
         x_dev = x_dev.astype(xd)
     w_dev = jnp.maximum(w_dev.astype(sd), jnp.asarray(config.eps, sd))

@@ -48,6 +48,15 @@ class Precision:
     matmul_dtype: str = "float32"   # "float32" | "float32_fast" | "bfloat16"
     state_dtype: str = "float32"
     x_dtype: str = "float32"        # "float32" | "bfloat16" | "int8"
+    # int8-X scale granularity: 0 = one scale per column (default; the
+    # spectrogram per-frame layout), N > 0 = one scale per (N-row block,
+    # column) — bounds each entry's error by its BLOCK's column peak / 510
+    # instead of the whole column's (ops/quant.quantize_rowblocks).  jnp
+    # path; supported by the in-memory dense/masked/h-only/batched/
+    # selection solvers.  The mesh/streaming/online entries raise (their
+    # int8 layouts are per-column — ops/quant.require_column_scales) and
+    # tile-sparse X ignores it (already per-TILE scales, strictly finer).
+    x_quant_rows: int = 0
 
     def validate(self) -> None:
         if self.matmul_dtype not in ("float32", "float32_fast", "bfloat16"):
@@ -56,6 +65,10 @@ class Precision:
             raise ValueError(f"unsupported state_dtype {self.state_dtype!r}")
         if self.x_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported x_dtype {self.x_dtype!r}")
+        if self.x_quant_rows < 0:
+            raise ValueError("x_quant_rows must be >= 0")
+        if self.x_quant_rows and self.x_dtype != "int8":
+            raise ValueError("x_quant_rows requires x_dtype='int8'")
 
     @property
     def mm_input_dtype(self) -> str:
