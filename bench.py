@@ -414,6 +414,10 @@ _CHECK_CELLS = [
     ("bfloat16", dict(matmul_dtype="bfloat16"), 1e-3, "oracle", 1e-3, 5e-1),
     ("x_bfloat16", dict(matmul_dtype="bfloat16", x_dtype="bfloat16"), 1e-2, "oracle", 1e-3, 5e-1),
     ("x_int8", dict(matmul_dtype="float32", x_dtype="int8"), 1e-2, "oracle", 1e-3, 5e-1),
+    # per-(row-block, column) int8 scales: jnp-only by contract (the fused
+    # kernels' scales operand is per-column; resolve_step_fn raises), so
+    # the backend-agreement legs are skipped automatically below
+    ("x_int8_rowblocks", dict(matmul_dtype="float32", x_dtype="int8", x_quant_rows=64), 1e-2, "oracle", 1e-3, 5e-1),
     # state_bfloat16 CARRIES the factors in bf16: each backend injects its
     # own ~2^-8 rounding per iteration into a non-identifiable system, so
     # backend trajectories legitimately diverge to different equally-good
@@ -476,7 +480,8 @@ def run_check(quick: bool = False) -> dict:
     }
     f32_jnp_cost = None
     for name, prec_kwargs, cost_tol, cost_ref, be_tol, w_tol in _CHECK_CELLS:
-        backends = ("jnp", "pallas") if on_tpu else ("jnp",)
+        jnp_only = bool(prec_kwargs.get("x_quant_rows"))
+        backends = ("jnp", "pallas") if (on_tpu and not jnp_only) else ("jnp",)
         entry = {}
         costs, ws = {}, {}
         for backend in backends:
