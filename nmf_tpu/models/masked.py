@@ -83,24 +83,24 @@ def masked_kl(
 
 def _put_x(x, mesh, xs):
     """Place X on the mesh: dense arrays shard (mr, mc); a quantized
-    (codes, scales) pair shards codes like X and scales along 'mc' (the
-    per-column scales live with their columns — same layout as
-    parallel.sharded's dense solver)."""
+    (codes, scales) pair shards codes like X and scales per the policy —
+    1-D per-column scales along 'mc' with their columns, a 2-D per-
+    (row-block, column) table with its row axis replicated over 'mr'
+    (same layout as parallel.sharded._quant_specs)."""
     if not isinstance(x, tuple):
         return jax.device_put(x, xs)
-    if x[1].ndim != 1:
-        raise NotImplementedError(
-            "per-row-block int8 scales (x_quant_rows) are in-memory "
-            "single-device/batched only — the mesh scale sharding is "
-            "per-column"
-        )
     from jax.sharding import NamedSharding, PartitionSpec
 
     from ..parallel.mesh import COL_AXIS
 
+    spec = (
+        PartitionSpec(COL_AXIS)
+        if x[1].ndim == 1
+        else PartitionSpec(None, COL_AXIS)
+    )
     return (
         jax.device_put(x[0], xs),
-        jax.device_put(x[1], NamedSharding(mesh, PartitionSpec(COL_AXIS))),
+        jax.device_put(x[1], NamedSharding(mesh, spec)),
     )
 
 

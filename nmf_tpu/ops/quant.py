@@ -69,7 +69,9 @@ def quantize_rowblocks(
     whose magnitude varies along the frequency (row) axis this keeps quiet
     rows accurate where per-column scales crush them (the per-tile analog
     lives in models/sparse_tiled for tile-sparse X).  Opt-in via
-    ``Precision(x_dtype='int8', x_quant_rows=...)``; jnp path only.
+    ``Precision(x_dtype='int8', x_quant_rows=...)``; jnp path (single
+    device, batched, and the mesh solvers — parallel.sharded._quant_specs
+    replicates the (R, N) table's block rows over 'mr').
 
     ``rows_per_block`` is normalized to ``ceil(M / ceil(M / rows_per_block))``
     (same block count, blocks as even as possible) so :func:`dequantize` can
@@ -104,14 +106,14 @@ def quantize_policy(x: jnp.ndarray, eps: float, x_quant_rows: int):
 
 def require_column_scales(precision, where: str) -> None:
     """Entry-point guard for solvers whose int8 storage is per-column by
-    construction (mesh scale shardings, streamed host-side block
-    quantization): fail loudly at the boundary instead of silently ignoring
+    construction (streamed/online host-side per-chunk block quantization):
+    fail loudly at the boundary instead of silently ignoring
     ``Precision.x_quant_rows``."""
     if getattr(precision, "x_quant_rows", 0):
         raise NotImplementedError(
             f"per-row-block int8 scales (x_quant_rows) are not supported by "
             f"{where} — its int8 layout is per-column; drop x_quant_rows or "
-            f"use the in-memory dense/masked/h-only/batched solvers"
+            f"use the in-memory / mesh solvers"
         )
 
 

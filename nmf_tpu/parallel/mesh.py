@@ -97,19 +97,18 @@ def shard_problem(x, w, h, mesh: Mesh):
     """Place (X, W, H) onto the mesh with the canonical shardings.
 
     ``x`` may also be a quantized ``(codes, scales)`` pair: the uint8 codes
-    shard like X and the 1-D per-column scale vector shards over 'mc'.
+    shard like X; a 1-D per-column scale vector shards over 'mc', and a 2-D
+    per-(row-block, column) scale table (``Precision.x_quant_rows``) keeps
+    its full block rows on every 'mr' shard — the R x N table is tiny, and
+    replicating the row axis lets each shard gather the block rows its local
+    X rows fall in regardless of shard/block alignment.
     """
     xs, ws, hs, _ = nmf_shardings(mesh)
     if isinstance(x, tuple):
-        if x[1].ndim != 1:
-            raise NotImplementedError(
-                "per-row-block int8 scales (2-D scale array) have no mesh "
-                "placement — the canonical layout shards a per-column scale "
-                "vector over 'mc'"
-            )
+        s_spec = P(COL_AXIS) if x[1].ndim == 1 else P(None, COL_AXIS)
         x = (
             jax.device_put(x[0], xs),
-            jax.device_put(x[1], NamedSharding(mesh, P(COL_AXIS))),
+            jax.device_put(x[1], NamedSharding(mesh, s_spec)),
         )
     else:
         x = jax.device_put(x, xs)

@@ -78,6 +78,42 @@ def _emit_live_origin(it, cost, rel):
     )
 
 
+def _quant_specs(precision):
+    """shard_map PartitionSpec for a quantized (codes, scales) X pair.
+
+    Codes shard like X.  1-D per-column scales shard over 'mc' with their
+    columns.  2-D per-(row-block, column) scales (``Precision.x_quant_rows``)
+    keep their full R block rows on every 'mr' shard (R x N/c f32 is tiny)
+    and shard columns over 'mc' — each shard gathers the block rows its
+    local X rows fall in (see :func:`_dequant_local`), so row-block
+    boundaries need not align with shard boundaries.
+    """
+    scales = P(None, COL_AXIS) if precision.x_quant_rows else P(COL_AXIS)
+    return (P(ROW_AXIS, COL_AXIS), scales)
+
+
+def _dequant_local(xx, n_row_shards: int):
+    """Dequantize a LOCAL (codes, scales) shard inside shard_map.
+
+    1-D scales: plain per-column dequant (the scale vector is sharded with
+    the columns, so the local slice lines up).  2-D (R, N/c) scales: the
+    block table is replicated over 'mr'; this shard's row i is global row
+    ``axis_index('mr') * m_loc + i``, whose block is that divided by
+    ``ceil(M_global / R)`` (the normalized block size quantize_rowblocks
+    guarantees — see ops/quant.py).
+    """
+    from ..ops.quant import dequantize
+
+    q, s = xx
+    if s.ndim == 1:
+        return dequantize(q, s)
+    m_loc = q.shape[0]
+    rb = -(-(m_loc * n_row_shards) // s.shape[0])
+    off = jax.lax.axis_index(ROW_AXIS) * m_loc
+    idx = (off + jnp.arange(m_loc)) // rb
+    return q.astype(_F32) * s[idx, :]
+
+
 def update_h_sharded(
     w, h, x, eps: float, precision: Precision, fused: bool = False
 ):
@@ -322,10 +358,17 @@ def solve_sharded(
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
     quant = precision.x_dtype == "int8"
-    if quant:
-        from ..ops.quant import require_column_scales
-
-        require_column_scales(precision, "the dense mesh solver")
+    if quant and isinstance(x, tuple):
+        # the compiled program's scale PartitionSpec is keyed on the config
+        # (_quant_specs), so a pre-quantized pair must match the knob
+        want = 2 if precision.x_quant_rows else 1
+        if x[1].ndim != want:
+            raise ValueError(
+                f"pre-quantized scales are {x[1].ndim}-D but "
+                f"Precision(x_quant_rows={precision.x_quant_rows}) expects "
+                f"{want}-D — quantize with ops.quant.quantize_policy on the "
+                f"same Precision"
+            )
 
     sd = jnp.dtype(config.precision.state_dtype)
     xd = jnp.dtype(config.precision.x_dtype)
@@ -340,9 +383,9 @@ def solve_sharded(
         h0 = jnp.maximum(jnp.asarray(h0, sd), jnp.asarray(eps, sd))
         x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32))
         if quant:
-            from ..ops.quant import quantize_columns
+            from ..ops.quant import quantize_policy
 
-            x = quantize_columns(x, eps)
+            x = quantize_policy(x, eps, precision.x_quant_rows)
         else:
             x = x.astype(xd)
     else:
@@ -352,11 +395,12 @@ def solve_sharded(
         h0 = jnp.asarray(h0, sd)
         if quant:
             if not isinstance(x, tuple):
-                from ..ops.quant import quantize_columns
+                from ..ops.quant import quantize_policy
 
-                x = quantize_columns(
+                x = quantize_policy(
                     jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32)),
                     eps,
+                    precision.x_quant_rows,
                 )
         else:
             x = jnp.asarray(x, xd)
@@ -372,9 +416,10 @@ def solve_sharded(
         from .mesh import nmf_shardings
 
         xs_, ws_, hs_, _ = nmf_shardings(mesh)
+        _, s_spec = _quant_specs(precision)
         x = (
             jax.device_put(x[0], xs_),
-            jax.device_put(x[1], NamedSharding(mesh, P(COL_AXIS))),
+            jax.device_put(x[1], NamedSharding(mesh, s_spec)),
         )
         w0 = jax.device_put(w0, ws_)
         h0 = jax.device_put(h0, hs_)
@@ -436,12 +481,13 @@ def _sharded_family_fns(config: SolveConfig, mesh: Mesh, fused: bool):
         cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
     if precision.x_dtype == "int8":
-        # local shard dequant: uint8 codes x per-column scales fuse into the
-        # consuming elementwise ops (scales shard over 'mc' with the columns)
-        from ..models.solver import _dequant_wrap_cost, _dequant_wrap_step
-
-        step_fn = _dequant_wrap_step(step_fn)
-        cost_fn = _dequant_wrap_cost(cost_fn)
+        # local shard dequant: uint8 codes x scales fuse into the consuming
+        # elementwise ops (per-column scales shard over 'mc'; per-row-block
+        # scale tables replicate over 'mr' — _dequant_local)
+        n_row = mesh.shape[ROW_AXIS]
+        inner_step, inner_cost = step_fn, cost_fn
+        step_fn = lambda w, h, x: inner_step(w, h, _dequant_local(x, n_row))
+        cost_fn = lambda x, w, h: inner_cost(_dequant_local(x, n_row), w, h)
     return step_fn, cost_fn
 
 
@@ -481,7 +527,7 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
     # w/h donated: the result factors alias the input state buffers, so a
     # chained (segmented) solve never holds two copies of W/H per device.
     x_spec = (
-        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+        _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
     return jax.jit(
         jax.shard_map(
@@ -509,9 +555,12 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
         l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
     )
     repl = dict(n_row=mesh.shape[ROW_AXIS], n_col=mesh.shape[COL_AXIS])
-    from ..models.masked import _dq_or_id
 
-    dq = _dq_or_id(precision)
+    if quant:
+        n_row = mesh.shape[ROW_AXIS]
+        dq = lambda xx: _dequant_local(xx, n_row)
+    else:
+        dq = lambda xx: xx
 
     def local_solve(x_loc, w_loc, h_loc, mask_loc, initial_cost):
         step = lambda w, h, xx: mu_step_sharded_masked(
@@ -537,7 +586,7 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
         converged=P(),
     )
     x_spec = (
-        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+        _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
     return jax.jit(
         jax.shard_map(
@@ -642,14 +691,14 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
         )
 
     if config.precision.x_dtype == "int8":
-        # codes shard like X; per-column scales shard over 'mc'.  Each
-        # device dequantizes its local block in-register per use (XLA fuses
-        # the uint8 cast into the consuming ops; X stays 1/4-size in HBM).
-        from ..models.solver import _dequant_wrap_cost, _dequant_wrap_step
-
-        step = _dequant_wrap_step(step)
-        cost = _dequant_wrap_cost(cost)
-        x_spec = (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
+        # codes shard like X; scales per _quant_specs.  Each device
+        # dequantizes its local block in-register per use (XLA fuses the
+        # uint8 cast into the consuming ops; X stays 1/4-size in HBM).
+        n_row = mesh.shape[ROW_AXIS]
+        inner_step, inner_cost = step, cost
+        step = lambda w, h, x: inner_step(w, h, _dequant_local(x, n_row))
+        cost = lambda x, w, h: inner_cost(_dequant_local(x, n_row), w, h)
+        x_spec = _quant_specs(config.precision)
     else:
         x_spec = P(ROW_AXIS, COL_AXIS)
 
@@ -718,7 +767,7 @@ def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh, fused: bool = Fal
         converged=P(),
     )
     x_spec = (
-        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+        _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
     return jax.jit(
         jax.shard_map(
@@ -743,9 +792,11 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
     quant = prec.x_dtype == "int8"
     l1_h, l2_h = config.l1_h, config.l2_h
     r = mesh.shape[ROW_AXIS]
-    from ..models.masked import _dq_or_id
 
-    dq = _dq_or_id(prec)
+    if quant:
+        dq = lambda xx: _dequant_local(xx, r)
+    else:
+        dq = lambda xx: xx
 
     def step(w, h, xm):
         x, m_loc = dq(xm[0]), xm[1]
@@ -785,7 +836,7 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
         cost_history=P(), num_checks=P(), converged=P(),
     )
     x_spec = (
-        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS)) if quant else P(ROW_AXIS, COL_AXIS)
+        _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
     return jax.jit(
         jax.shard_map(

@@ -448,13 +448,10 @@ def solve_with_checkpoints(
     x_dev = jnp.maximum(x_dev.astype(_f32), eps32)
     if quant:
         # uint8 codes + per-column (or per-row-block) scales, once for the
-        # whole run; the mesh path's scale sharding is per-column only
-        from ..ops.quant import quantize_policy, require_column_scales
+        # whole run; solve_sharded places either layout on the mesh
+        # (parallel.sharded._quant_specs)
+        from ..ops.quant import quantize_policy
 
-        if mesh is not None:
-            require_column_scales(
-                config.precision, "the mesh checkpoint driver"
-            )
         x_dev = quantize_policy(
             x_dev, config.eps, config.precision.x_quant_rows
         )

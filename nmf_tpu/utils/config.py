@@ -53,9 +53,11 @@ class Precision:
     # column) — bounds each entry's error by its BLOCK's column peak / 510
     # instead of the whole column's (ops/quant.quantize_rowblocks).  jnp
     # path; supported by the in-memory dense/masked/h-only/batched/
-    # selection solvers.  The mesh/streaming/online entries raise (their
-    # int8 layouts are per-column — ops/quant.require_column_scales) and
-    # tile-sparse X ignores it (already per-TILE scales, strictly finer).
+    # selection solvers AND the mesh solvers (the R x N scale table
+    # replicates its row axis over 'mr' — parallel.sharded._quant_specs).
+    # The streaming/online entries raise (their per-chunk int8 layouts are
+    # per-column — ops/quant.require_column_scales) and tile-sparse X
+    # ignores it (already per-TILE scales, strictly finer).
     x_quant_rows: int = 0
 
     def validate(self) -> None:

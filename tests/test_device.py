@@ -160,7 +160,8 @@ def test_hwparity_gate_quick_cpu():
     # the full user-selectable numerics matrix (round 3), one row per cell
     assert set(out["policies"]) == {
         "float32", "float32_fast", "bfloat16",
-        "x_bfloat16", "x_int8", "state_bfloat16", "strict",
+        "x_bfloat16", "x_int8", "x_int8_rowblocks", "state_bfloat16",
+        "strict",
     }
     for name, entry in out["policies"].items():
         if name == "strict":

@@ -243,43 +243,88 @@ def test_checkpoint_rowblocks_single_device(tmp_path, problem):
 # ------------------------------------------------------------- boundaries
 
 
-def test_mesh_solvers_raise(problem):
+def _mesh_problem(problem):
+    """Slice the fixture to mesh-divisible dims (96 x 128 over a 2x2 mesh:
+    48-row shards vs 32-row quant blocks — deliberately misaligned, so the
+    local dequant must gather across a block boundary)."""
+    x, w, h = problem
+    return np.asarray(x)[:96, :128], np.asarray(w), np.asarray(h)[:, :128]
+
+
+def test_mesh_solver_matches_single_device(problem):
+    """solve_sharded honors x_quant_rows: the replicated-row-block scale
+    table dequantizes each shard's rows by THEIR blocks, so the mesh run
+    tracks the single-device row-block run to reduction-order noise."""
     from nmf_tpu.parallel import make_mesh, sharded
 
-    x, w, h = problem
-    x = np.asarray(x)[:96, :128]
-    w, h = np.asarray(w), np.asarray(h)[:, :128]
-    cfg = _cfg(32, max_iter=10)
-    with pytest.raises(NotImplementedError, match="x_quant_rows"):
-        sharded.solve_sharded(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+    x, w, h = _mesh_problem(problem)
+    cfg = _cfg(32, max_iter=10, check_every=5)
+    res = sharded.solve_sharded(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+    ref = solve(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(res.cost), float(ref.cost), rtol=5e-5
+    )
 
 
-def test_masked_mesh_raises(problem):
+def test_mesh_solver_rowblocks_differ_from_per_column(problem):
+    """Sanity that the mesh path really dequantized with the BLOCK scales:
+    on row-varying data the row-block mesh solve must differ from the
+    per-column mesh solve (else the 2-D table was misread)."""
+    from nmf_tpu.parallel import make_mesh, sharded
+
+    x, w, h = _mesh_problem(problem)
+    mesh = make_mesh(shape=(2, 2))
+    blk = sharded.solve_sharded(x, w, h, _cfg(32, max_iter=10), mesh=mesh)
+    col = sharded.solve_sharded(x, w, h, _cfg(0, max_iter=10), mesh=mesh)
+    assert not np.allclose(np.asarray(blk.w), np.asarray(col.w), rtol=1e-4)
+
+
+def test_h_only_mesh_rowblocks(problem):
+    from nmf_tpu.models.nmf import solve_h_only
+    from nmf_tpu.parallel import make_mesh
+
+    x, w, h = _mesh_problem(problem)
+    cfg = _cfg(32, max_iter=10, check_every=5)
+    res = solve_h_only(x, w, h, cfg, mesh=make_mesh(shape=(2, 2)))
+    ref = solve_h_only(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7
+    )
+
+
+def test_masked_mesh_rowblocks(problem):
     from nmf_tpu import solve_masked
     from nmf_tpu.parallel import make_mesh
 
-    x, w, h = problem
-    x = np.asarray(x)[:96, :128]
-    w, h = np.asarray(w), np.asarray(h)[:, :128]
-    mask = np.ones_like(x)
-    with pytest.raises(NotImplementedError, match="per-column"):
-        solve_masked(
-            x, w, h, mask, _cfg(32, max_iter=10), mesh=make_mesh(shape=(2, 2))
-        )
+    x, w, h = _mesh_problem(problem)
+    rng = np.random.RandomState(13)
+    mask = (rng.rand(*x.shape) > 0.25).astype(np.float32)
+    cfg = _cfg(32, max_iter=10, check_every=5)
+    res = solve_masked(x, w, h, mask, cfg, mesh=make_mesh(shape=(2, 2)))
+    ref = solve_masked(x, w, h, mask, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
 
 
-def test_shard_problem_raises_on_2d_scales(problem):
+def test_shard_problem_places_2d_scales(problem):
+    """shard_problem replicates the scale table's row axis over 'mr' and
+    shards its columns over 'mc' — so every row shard holds all block rows."""
     from nmf_tpu.parallel import make_mesh
     from nmf_tpu.parallel.mesh import shard_problem
 
-    x, w, h = problem
-    x = np.asarray(x)[:96, :128]
+    x, w, h = _mesh_problem(problem)
     pair = quant.quantize_rowblocks(jnp.asarray(x), EPS, 32)
-    with pytest.raises(NotImplementedError, match="mesh"):
-        shard_problem(
-            pair, np.asarray(w), np.asarray(h)[:, :128],
-            make_mesh(shape=(2, 2)),
-        )
+    mesh = make_mesh(shape=(2, 2))
+    (q, s), _, _ = shard_problem(pair, w, h, mesh)
+    assert q.shape == x.shape and s.shape == (3, x.shape[1])
+    # local scale shards span ALL 3 block rows, half the columns
+    shard_shapes = {sh.data.shape for sh in s.addressable_shards}
+    assert shard_shapes == {(3, x.shape[1] // 2)}
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(pair[1]))
 
 
 def test_streaming_raises(tmp_path, problem):
@@ -336,15 +381,19 @@ def test_cli_x_quant_rows(tmp_path, problem):
     )
 
 
-def test_checkpoint_mesh_raises(tmp_path, problem):
-    from nmf_tpu.parallel import make_mesh
+def test_checkpoint_mesh_rowblocks(tmp_path, problem):
+    """The mesh checkpoint driver honors the policy: segmented sharded
+    solve with row-block int8 X matches the uninterrupted sharded solve."""
+    from nmf_tpu.parallel import make_mesh, sharded
     from nmf_tpu.utils import checkpoint as ckpt
 
-    x, w, h = problem
-    x = np.asarray(x)[:96, :128]
-    w, h = np.asarray(w), np.asarray(h)[:, :128]
-    with pytest.raises(NotImplementedError, match="x_quant_rows"):
-        ckpt.solve_with_checkpoints(
-            x, w, h, _cfg(32, max_iter=20, check_every=10),
-            str(tmp_path / "ck"), every=10, mesh=make_mesh(shape=(2, 2)),
-        )
+    x, w, h = _mesh_problem(problem)
+    cfg = _cfg(32, max_iter=20, check_every=10)
+    mesh = make_mesh(shape=(2, 2))
+    state = ckpt.solve_with_checkpoints(
+        x, w, h, cfg, str(tmp_path / "ck"), every=10, mesh=mesh
+    )
+    ref = sharded.solve_sharded(x, w, h, cfg, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(state.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
