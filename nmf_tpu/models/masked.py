@@ -89,18 +89,15 @@ def _put_x(x, mesh, xs):
     (same layout as parallel.sharded._quant_specs)."""
     if not isinstance(x, tuple):
         return jax.device_put(x, xs)
-    from jax.sharding import NamedSharding, PartitionSpec
+    from jax.sharding import NamedSharding
 
-    from ..parallel.mesh import COL_AXIS
+    from ..parallel.mesh import quant_scale_spec
 
-    spec = (
-        PartitionSpec(COL_AXIS)
-        if x[1].ndim == 1
-        else PartitionSpec(None, COL_AXIS)
-    )
     return (
         jax.device_put(x[0], xs),
-        jax.device_put(x[1], NamedSharding(mesh, spec)),
+        jax.device_put(
+            x[1], NamedSharding(mesh, quant_scale_spec(x[1].ndim))
+        ),
     )
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "make_mesh",
     "factor_shapes",
     "nmf_shardings",
+    "quant_scale_spec",
     "shard_problem",
 ]
 
@@ -69,6 +70,20 @@ def make_mesh(
         raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
     arr = np.asarray(devs[:need]).reshape(shape)
     return Mesh(arr, (ROW_AXIS, COL_AXIS))
+
+
+def quant_scale_spec(ndim: int) -> P:
+    """The ONE definition of quantized-X scale placement on the mesh:
+    a 1-D per-column scale vector shards over 'mc' with its columns; a 2-D
+    per-(row-block, column) table (``Precision.x_quant_rows``) keeps its
+    full R block rows on every 'mr' shard (the R x N/c f32 table is tiny)
+    and shards columns over 'mc'.  Used both config-keyed (the shard_map
+    in_specs in parallel/sharded.py) and data-keyed (the device_put
+    placement here and in models/masked._put_x) — one helper so the two
+    sides cannot diverge."""
+    if ndim not in (1, 2):
+        raise ValueError(f"quantized scales must be 1-D or 2-D, got {ndim}-D")
+    return P(COL_AXIS) if ndim == 1 else P(None, COL_AXIS)
 
 
 def nmf_shardings(mesh: Mesh):
@@ -105,10 +120,11 @@ def shard_problem(x, w, h, mesh: Mesh):
     """
     xs, ws, hs, _ = nmf_shardings(mesh)
     if isinstance(x, tuple):
-        s_spec = P(COL_AXIS) if x[1].ndim == 1 else P(None, COL_AXIS)
         x = (
             jax.device_put(x[0], xs),
-            jax.device_put(x[1], NamedSharding(mesh, s_spec)),
+            jax.device_put(
+                x[1], NamedSharding(mesh, quant_scale_spec(x[1].ndim))
+            ),
         )
     else:
         x = jax.device_put(x, xs)

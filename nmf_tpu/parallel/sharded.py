@@ -87,9 +87,18 @@ def _quant_specs(precision):
     and shard columns over 'mc' — each shard gathers the block rows its
     local X rows fall in (see :func:`_dequant_local`), so row-block
     boundaries need not align with shard boundaries.
+
+    Keyed on the CONFIG (the compiled in_specs must exist before any data
+    does); mesh.quant_scale_spec is the data-keyed twin used by the
+    device_put placement sites — the two must agree, which solve_sharded's
+    pre-quantized-pair ndim check enforces at the boundary.
     """
-    scales = P(None, COL_AXIS) if precision.x_quant_rows else P(COL_AXIS)
-    return (P(ROW_AXIS, COL_AXIS), scales)
+    from .mesh import quant_scale_spec
+
+    return (
+        P(ROW_AXIS, COL_AXIS),
+        quant_scale_spec(2 if precision.x_quant_rows else 1),
+    )
 
 
 def _dequant_local(xx, n_row_shards: int):
@@ -112,6 +121,26 @@ def _dequant_local(xx, n_row_shards: int):
     off = jax.lax.axis_index(ROW_AXIS) * m_loc
     idx = (off + jnp.arange(m_loc)) // rb
     return q.astype(_F32) * s[idx, :]
+
+
+def _dq_local_or_id(quant: bool, n_row_shards: int):
+    """Identity for dense X; shard-local dequant for (codes, scales) X.
+    The one place the masked mesh builders get their dq closure from."""
+    if quant:
+        return lambda xx: _dequant_local(xx, n_row_shards)
+    return lambda xx: xx
+
+
+def _wrap_dequant_local(step_fn, cost_fn, n_row_shards: int):
+    """Wrap a local (step, cost) pair so each use of X dequantizes the
+    shard-local (codes, scales) pair in-register — XLA fuses the uint8
+    cast + scale multiply into the consuming ops, so int8-stored X never
+    re-materializes at f32 in HBM.  The one place the dense/h-only/semi
+    mesh builders get their int8 wiring from."""
+    return (
+        lambda w, h, x: step_fn(w, h, _dequant_local(x, n_row_shards)),
+        lambda x, w, h: cost_fn(_dequant_local(x, n_row_shards), w, h),
+    )
 
 
 def update_h_sharded(
@@ -481,13 +510,9 @@ def _sharded_family_fns(config: SolveConfig, mesh: Mesh, fused: bool):
         cost_fn = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
     if precision.x_dtype == "int8":
-        # local shard dequant: uint8 codes x scales fuse into the consuming
-        # elementwise ops (per-column scales shard over 'mc'; per-row-block
-        # scale tables replicate over 'mr' — _dequant_local)
-        n_row = mesh.shape[ROW_AXIS]
-        inner_step, inner_cost = step_fn, cost_fn
-        step_fn = lambda w, h, x: inner_step(w, h, _dequant_local(x, n_row))
-        cost_fn = lambda x, w, h: inner_cost(_dequant_local(x, n_row), w, h)
+        step_fn, cost_fn = _wrap_dequant_local(
+            step_fn, cost_fn, mesh.shape[ROW_AXIS]
+        )
     return step_fn, cost_fn
 
 
@@ -555,12 +580,7 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
         l1_w=config.l1_w, l1_h=config.l1_h, l2_w=config.l2_w, l2_h=config.l2_h
     )
     repl = dict(n_row=mesh.shape[ROW_AXIS], n_col=mesh.shape[COL_AXIS])
-
-    if quant:
-        n_row = mesh.shape[ROW_AXIS]
-        dq = lambda xx: _dequant_local(xx, n_row)
-    else:
-        dq = lambda xx: xx
+    dq = _dq_local_or_id(quant, repl["n_row"])
 
     def local_solve(x_loc, w_loc, h_loc, mask_loc, initial_cost):
         step = lambda w, h, xx: mu_step_sharded_masked(
@@ -691,13 +711,9 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
         )
 
     if config.precision.x_dtype == "int8":
-        # codes shard like X; scales per _quant_specs.  Each device
-        # dequantizes its local block in-register per use (XLA fuses the
-        # uint8 cast into the consuming ops; X stays 1/4-size in HBM).
-        n_row = mesh.shape[ROW_AXIS]
-        inner_step, inner_cost = step, cost
-        step = lambda w, h, x: inner_step(w, h, _dequant_local(x, n_row))
-        cost = lambda x, w, h: inner_cost(_dequant_local(x, n_row), w, h)
+        # codes shard like X; scales per _quant_specs; dequant is
+        # shard-local and in-register (X stays 1/4-size in HBM)
+        step, cost = _wrap_dequant_local(step, cost, mesh.shape[ROW_AXIS])
         x_spec = _quant_specs(config.precision)
     else:
         x_spec = P(ROW_AXIS, COL_AXIS)
@@ -792,11 +808,7 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
     quant = prec.x_dtype == "int8"
     l1_h, l2_h = config.l1_h, config.l2_h
     r = mesh.shape[ROW_AXIS]
-
-    if quant:
-        dq = lambda xx: _dequant_local(xx, r)
-    else:
-        dq = lambda xx: xx
+    dq = _dq_local_or_id(quant, r)
 
     def step(w, h, xm):
         x, m_loc = dq(xm[0]), xm[1]

@@ -310,6 +310,39 @@ def test_masked_mesh_rowblocks(problem):
     )
 
 
+def test_semi_mesh_rowblocks(problem):
+    """The semi-adaptive (frozen template columns) mesh builder routes
+    through _sharded_family_fns' shared dequant wrap."""
+    from nmf_tpu.models.semi import solve_semi
+    from nmf_tpu.parallel import make_mesh
+
+    x, w, h = _mesh_problem(problem)
+    cfg = _cfg(32, max_iter=10, check_every=5)
+    res = solve_semi(x, w, h, cfg, n_frozen=4, mesh=make_mesh(shape=(2, 2)))
+    ref = solve_semi(x, w, h, cfg, n_frozen=4)
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+
+
+def test_masked_h_only_mesh_rowblocks(problem):
+    """The masked h-only mesh builder's dq closure honors the 2-D table."""
+    from nmf_tpu.models.masked import solve_masked_h_only
+    from nmf_tpu.parallel import make_mesh
+
+    x, w, h = _mesh_problem(problem)
+    rng = np.random.RandomState(17)
+    mask = (rng.rand(*x.shape) > 0.25).astype(np.float32)
+    cfg = _cfg(32, max_iter=10, check_every=5)
+    res = solve_masked_h_only(
+        x, w, h, mask, cfg, mesh=make_mesh(shape=(2, 2))
+    )
+    ref = solve_masked_h_only(x, w, h, mask, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7
+    )
+
+
 def test_shard_problem_places_2d_scales(problem):
     """shard_problem replicates the scale table's row axis over 'mr' and
     shards its columns over 'mc' — so every row shard holds all block rows."""
