@@ -82,9 +82,9 @@ def _online_sharded_jit(config: SolveConfig, inner_iters: int, mesh):
 
     def block_update(w, a, c, x_b, h0_b, rho):
         if quant:
-            from ..ops.quant import dequantize
+            from ..parallel.sharded import _dequant_local
 
-            x_b = dequantize(x_b[0], x_b[1])
+            x_b = _dequant_local(x_b, mesh.shape[ROW_AXIS])
         h = jax.lax.fori_loop(
             0,
             inner_iters,
@@ -104,11 +104,12 @@ def _online_sharded_jit(config: SolveConfig, inner_iters: int, mesh):
         w = (w * (a / eps_clamp(c, eps)[None, :])).astype(w.dtype)
         return w, a, c, cost
 
-    x_spec = (
-        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
-        if quant
-        else P(ROW_AXIS, COL_AXIS)
-    )
+    if quant:
+        from ..parallel.sharded import _quant_specs
+
+        x_spec = _quant_specs(prec)
+    else:
+        x_spec = P(ROW_AXIS, COL_AXIS)
     return jax.jit(
         jax.shard_map(
             block_update,
@@ -198,12 +199,12 @@ def solve_online(
     from .streaming import _as_source, _host_prep, pick_block_n
 
     config.validate()
-    from ..ops.quant import require_column_scales
-
-    require_column_scales(
-        config.precision,
-        "online NMF (per-block quantization is per-column)",
-    )
+    if config.precision.x_quant_rows and config.backend == "pallas":
+        raise NotImplementedError(
+            "per-row-block int8 scales (x_quant_rows) take the jnp path — "
+            "the fused kernels' scales operand is per-column; drop "
+            "backend='pallas' or x_quant_rows"
+        )
     if config.beta != 1.0 or config.algorithm != "mu" or config.regularized:
         raise NotImplementedError(
             "online NMF implements the reference KL (beta=1) MU family"
@@ -252,17 +253,25 @@ def solve_online(
                 f"trajectory)"
             )
         bn = max(cdev, (bn // cdev) * cdev)
+        from ..parallel.mesh import quant_scale_spec
+
         x_t = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
         w_t = NamedSharding(mesh, P(ROW_AXIS, None))
         h_t = NamedSharding(mesh, P(None, COL_AXIS))
         rep_t = NamedSharding(mesh, P())
-        sc_t = NamedSharding(mesh, P(COL_AXIS))
+        sc_t = NamedSharding(
+            mesh,
+            quant_scale_spec(2 if config.precision.x_quant_rows else 1),
+        )
     blocks: List[Tuple[int, int]] = [
         (j, min(j + bn, n)) for j in range(0, n, bn)
     ]
 
     def _put(idx):
-        x_np = _host_prep(source.columns(*blocks[idx]), eps, xd)
+        x_np = _host_prep(
+            source.columns(*blocks[idx]), eps, xd,
+            config.precision.x_quant_rows,
+        )
         if quant:
             if mesh is not None:
                 x_dev = (

@@ -417,21 +417,20 @@ def _sharded_block_fns(
 
     # int8 X storage composes with EVERY family here: each shard dequantizes
     # its (codes, scales) block in-register before the family math; codes
-    # shard like X and the per-column scale vector shards over 'mc'
+    # shard like X, scales per the policy (per-column over 'mc'; a
+    # per-row-block table replicates block rows over 'mr' and each shard
+    # gathers its rows' blocks — parallel.sharded._dequant_local)
     quantized = prec.x_dtype == "int8"
+    from ..parallel.sharded import _dequant_local, _quant_specs
+
+    _n_row = mesh.shape[ROW_AXIS]
 
     def _local_x(x_loc):
         if quantized:
-            from ..ops.quant import dequantize
-
-            return dequantize(x_loc[0], x_loc[1])
+            return _dequant_local(x_loc, _n_row)
         return x_loc
 
-    x_spec = (
-        (P(ROW_AXIS, COL_AXIS), P(COL_AXIS))
-        if quantized
-        else P(ROW_AXIS, COL_AXIS)
-    )
+    x_spec = _quant_specs(prec) if quantized else P(ROW_AXIS, COL_AXIS)
     if config.algorithm == "hals":
         # HALS on the mesh: per block the Gram/cross products psum like the
         # sharded in-memory step (hals_step_sharded); the coordinate sweeps
@@ -665,17 +664,19 @@ def _freeze_jit():
     return freeze
 
 
-def _host_prep(blk: np.ndarray, eps: float, xd):
+def _host_prep(blk: np.ndarray, eps: float, xd, qrows: int = 0):
     """Load-time clamp (nmf.cu:211) + storage-dtype cast, on the host so the
     wire carries the final bytes (bf16 halves them; int8 quarters them —
-    uint8 codes + one f32 scale per column, dequantized in-register on
-    device; columns never span blocks, so block-local scales ARE the global
-    per-column scales)."""
+    uint8 codes + f32 scales, dequantized in-register on device).  A
+    streamed chunk is a column slice spanning ALL M rows, so its per-column
+    scales ARE the global per-column scales, and with ``qrows`` its
+    per-(row-block, column) table is exactly the in-memory layout's table
+    for those columns (``Precision.x_quant_rows``)."""
     blk = np.maximum(blk, np.float32(eps))
     if str(xd) == "int8":
-        from ..ops.quant import quantize_columns_np
+        from ..ops.quant import quantize_policy_np
 
-        return quantize_columns_np(blk, eps)
+        return quantize_policy_np(blk, eps, qrows)
     if str(xd) == "bfloat16":
         import ml_dtypes
 
@@ -734,12 +735,12 @@ def solve_out_of_core(
     from .solver import SolveResult
 
     config.validate()
-    from ..ops.quant import require_column_scales
-
-    require_column_scales(
-        config.precision,
-        "out-of-core streaming (host-side block quantization is per-column)",
-    )
+    if config.precision.x_quant_rows and config.backend == "pallas":
+        raise NotImplementedError(
+            "per-row-block int8 scales (x_quant_rows) take the jnp path — "
+            "the fused kernels' scales operand is per-column; drop "
+            "backend='pallas' or x_quant_rows"
+        )
     if config.accelerate:
         raise NotImplementedError(
             "the out-of-core driver streams X once per iteration, so the "
@@ -816,7 +817,12 @@ def solve_out_of_core(
         h_target = NamedSharding(mesh, P(None, COL_AXIS))
         acc_target = w_target
         rep_target = NamedSharding(mesh, P())
-        scales_target = NamedSharding(mesh, P(COL_AXIS))
+        from ..parallel.mesh import quant_scale_spec
+
+        scales_target = NamedSharding(
+            mesh,
+            quant_scale_spec(2 if config.precision.x_quant_rows else 1),
+        )
     else:
         platform = jax.default_backend()
         step_acc, w_epilogue, cost_block, cost_extra, a2_shape = _block_fns(
@@ -940,7 +946,7 @@ def solve_out_of_core(
     def _put_x(idx: int):
         """Place block idx's X on device; int8 codes come from the host
         cache when budgeted (masked and unmasked runs share this path —
-        on meshes the 1-D scale vector gets its own 'mc' placement)."""
+        on meshes the scales get their own policy placement)."""
         j0, j1 = blocks[idx]
         if not quantized:
             return jax.device_put(
@@ -949,7 +955,10 @@ def solve_out_of_core(
         if idx in _qcache:
             q_np = _qcache[idx]
         else:
-            q_np, s_np = _host_prep(source.columns(j0, j1), eps, xd)
+            q_np, s_np = _host_prep(
+                source.columns(j0, j1), eps, xd,
+                config.precision.x_quant_rows,
+            )
             if idx not in _scales_dev:
                 _scales_dev[idx] = jax.device_put(s_np, scales_target)
             if _qcache_bytes[0] + q_np.nbytes <= _QCACHE_BUDGET:
@@ -1109,12 +1118,6 @@ def transform_out_of_core(
     import jax.numpy as jnp
 
     config.validate()
-    from ..ops.quant import require_column_scales
-
-    require_column_scales(
-        config.precision,
-        "out-of-core transform (host-side block quantization is per-column)",
-    )
     if config.live_metrics:
         # per-block restarts of the iteration counter are noise, not signal
         config = dataclasses.replace(config, live_metrics=False)
@@ -1220,7 +1223,10 @@ def transform_out_of_core(
 
         def _put(idx):
             j0, j1 = blocks[idx]
-            x_np = _host_prep(source.columns(j0, j1), eps, xd)
+            x_np = _host_prep(
+                source.columns(j0, j1), eps, xd,
+                config.precision.x_quant_rows,
+            )
             if quant:
                 x_dev = (jnp.asarray(x_np[0]), jnp.asarray(x_np[1]))
             else:
@@ -1253,13 +1259,21 @@ def transform_out_of_core(
             from .nmf import _h_only_sharded_jit
 
             solver = _h_only_sharded_jit(config, mesh)
+        from ..parallel.mesh import quant_scale_spec
+
         xs_t, ws_t, hs_t, _ = nmf_shardings(mesh)
-        scales_t = NamedSharding(mesh, P(COL_AXIS))
+        scales_t = NamedSharding(
+            mesh,
+            quant_scale_spec(2 if config.precision.x_quant_rows else 1),
+        )
         # W crosses the link ONCE for the whole run (it is fixed)
         w_placed = jax.device_put(w_clamped, ws_t).astype(sd)
 
         def _put_mesh(idx):
-            x_np = _host_prep(source.columns(*blocks[idx]), eps, xd)
+            x_np = _host_prep(
+                source.columns(*blocks[idx]), eps, xd,
+                config.precision.x_quant_rows,
+            )
             if quant:
                 x_s = (
                     jax.device_put(x_np[0], xs_t),

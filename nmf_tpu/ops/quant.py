@@ -31,9 +31,10 @@ __all__ = [
     "quantize_columns",
     "quantize_rowblocks",
     "quantize_policy",
-    "require_column_scales",
     "dequantize",
     "quantize_columns_np",
+    "quantize_rowblocks_np",
+    "quantize_policy_np",
 ]
 
 _F32 = jnp.float32
@@ -104,19 +105,6 @@ def quantize_policy(x: jnp.ndarray, eps: float, x_quant_rows: int):
     return quantize_columns(x, eps)
 
 
-def require_column_scales(precision, where: str) -> None:
-    """Entry-point guard for solvers whose int8 storage is per-column by
-    construction (streamed/online host-side per-chunk block quantization):
-    fail loudly at the boundary instead of silently ignoring
-    ``Precision.x_quant_rows``."""
-    if getattr(precision, "x_quant_rows", 0):
-        raise NotImplementedError(
-            f"per-row-block int8 scales (x_quant_rows) are not supported by "
-            f"{where} — its int8 layout is per-column; drop x_quant_rows or "
-            f"use the in-memory / mesh solvers"
-        )
-
-
 def dequantize(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """Reconstruct f32 values (clamped below by scales/255-grade floor is NOT
     reapplied here; callers clamp where the reference clamps).
@@ -146,3 +134,33 @@ def quantize_columns_np(x, eps: float):
     v += np.float32(0.5)
     np.clip(v, 0, 255, out=v)
     return v.astype(np.uint8), scales
+
+
+def quantize_rowblocks_np(x, eps: float, rows_per_block: int):
+    """NumPy twin of :func:`quantize_rowblocks` (host-side block quantization
+    for the streaming loaders: a streamed column chunk spans ALL M rows, so
+    its per-(row-block, column) scales are exactly the in-memory layout's
+    scales for those columns).  Same op sequence as the jnp version, so
+    codes/scales are bit-identical between the two implementations."""
+    import numpy as np
+
+    xf = np.asarray(x, np.float32)
+    m, n = xf.shape
+    r = -(-m // int(rows_per_block))
+    rb = -(-m // r)  # normalized: dequantize recomputes exactly this
+    pad = r * rb - m
+    xp = np.pad(xf, ((0, pad), (0, 0))) if pad else xf
+    blocks = xp.reshape(r, rb, n)
+    scales = np.maximum(blocks.max(axis=1), np.float32(eps)) / np.float32(255.0)
+    v = blocks * (np.float32(1.0) / scales)[:, None, :]
+    v += np.float32(0.5)
+    np.clip(v, 0, 255, out=v)
+    return v.astype(np.uint8).reshape(r * rb, n)[:m], scales
+
+
+def quantize_policy_np(x, eps: float, x_quant_rows: int):
+    """NumPy twin of :func:`quantize_policy` (the streaming loaders' host
+    side): per-column when ``x_quant_rows == 0``, else per-row-block."""
+    if x_quant_rows:
+        return quantize_rowblocks_np(x, eps, x_quant_rows)
+    return quantize_columns_np(x, eps)

@@ -53,10 +53,12 @@ class Precision:
     # column) — bounds each entry's error by its BLOCK's column peak / 510
     # instead of the whole column's (ops/quant.quantize_rowblocks).  jnp
     # path; supported by the in-memory dense/masked/h-only/batched/
-    # selection solvers AND the mesh solvers (the R x N scale table
-    # replicates its row axis over 'mr' — parallel.sharded._quant_specs).
-    # The streaming/online entries raise (their per-chunk int8 layouts are
-    # per-column — ops/quant.require_column_scales) and tile-sparse X
+    # selection solvers, the mesh solvers (the R x N scale table
+    # replicates its row axis over 'mr' — parallel.sharded._quant_specs),
+    # and the streamed/online entries (a streamed column chunk spans all M
+    # rows, so its per-chunk table IS the in-memory table for those
+    # columns — models/streaming._host_prep).  backend='pallas' raises
+    # (the fused kernels' scales operand is per-column) and tile-sparse X
     # ignores it (already per-TILE scales, strictly finer).
     x_quant_rows: int = 0
 

@@ -360,25 +360,113 @@ def test_shard_problem_places_2d_scales(problem):
     np.testing.assert_array_equal(np.asarray(s), np.asarray(pair[1]))
 
 
-def test_streaming_raises(tmp_path, problem):
-    from nmf_tpu import solve_out_of_core, transform_out_of_core
+def test_streaming_rowblocks_matches_in_memory(problem):
+    """solve_out_of_core honors x_quant_rows: a streamed column chunk spans
+    ALL M rows, so its host-quantized per-(row-block, column) table is
+    exactly the in-memory layout's table for those columns — same codes,
+    same math, tight agreement with the in-memory row-block solve."""
+    from nmf_tpu import solve_out_of_core
 
     x, w, h = problem
-    cfg = _cfg(32, max_iter=10)
-    with pytest.raises(NotImplementedError, match="x_quant_rows"):
-        solve_out_of_core(np.asarray(x), np.asarray(w), np.asarray(h), cfg)
-    with pytest.raises(NotImplementedError, match="x_quant_rows"):
-        transform_out_of_core(np.asarray(x), np.asarray(w), config=cfg)
+    cfg = _cfg(32, max_iter=20, check_every=10)
+    res = solve_out_of_core(
+        np.asarray(x), np.asarray(w), np.asarray(h), cfg, block_n=64
+    )
+    ref = solve(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=1e-5, atol=1e-7
+    )
 
 
-def test_online_raises(problem):
+def test_streaming_rowblocks_on_mesh(problem):
+    """Mesh streaming with row-block scales: each chunk's (R, n_b) table
+    rides the replicated-'mr' placement and shard-local gather; matches
+    the single-device row-block stream."""
+    from nmf_tpu import solve_out_of_core
+    from nmf_tpu.parallel import make_mesh
+
+    x, w, h = _mesh_problem(problem)
+    cfg = _cfg(32, max_iter=10, check_every=5)
+    ref = solve_out_of_core(x, np.asarray(w), np.asarray(h), cfg, block_n=64)
+    res = solve_out_of_core(
+        x, np.asarray(w), np.asarray(h), cfg, block_n=64,
+        mesh=make_mesh(shape=(2, 2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
+    )
+
+
+def test_transform_ooc_rowblocks(problem):
+    """transform_out_of_core honors x_quant_rows; per-block H-only solves
+    of the quantized chunks match the in-memory h-only row-block solve
+    (H columns are independent given fixed W)."""
+    from nmf_tpu import solve_h_only
+    from nmf_tpu.models.streaming import transform_out_of_core
+
+    x, w, h = problem
+    cfg = _cfg(32, max_iter=10, check_every=5)
+    res = transform_out_of_core(
+        np.asarray(x), np.asarray(w), h0=np.asarray(h), config=cfg,
+        block_n=64,
+    )
+    ref = solve_h_only(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.h), np.asarray(ref.h), rtol=5e-5, atol=1e-7
+    )
+
+
+def test_online_rowblocks_degenerate_matches_per_column(problem):
+    """solve_online honors x_quant_rows; rows_per_block >= M degenerates to
+    one block whose codes are bit-identical to per-column quantization, so
+    the learned dictionary matches the per-column online run."""
     from nmf_tpu import solve_online
 
     x, w, _ = problem
+    kw = dict(block_n=64, inner_iters=5, seed=3)
+    col = solve_online(
+        np.asarray(x), np.asarray(w),
+        SolveConfig(precision=Precision(x_dtype="int8")), **kw
+    )
+    one = solve_online(np.asarray(x), np.asarray(w), _cfg(128), **kw)
+    np.testing.assert_allclose(one.w, col.w, rtol=1e-6, atol=1e-9)
+    # fine blocks: runs, finite, and still learns (close to the f32 stream)
+    f32 = solve_online(np.asarray(x), np.asarray(w), SolveConfig(), **kw)
+    fine = solve_online(np.asarray(x), np.asarray(w), _cfg(16), **kw)
+    assert np.isfinite(fine.w).all()
+    assert np.abs(fine.w - f32.w).max() / f32.w.max() < 0.05
+
+
+def test_online_rowblocks_on_mesh(problem):
+    from nmf_tpu import solve_online
+    from nmf_tpu.parallel import make_mesh
+
+    x, w, _ = _mesh_problem(problem)
+    cfg = _cfg(32)
+    kw = dict(block_n=64, inner_iters=5, seed=1)
+    single = solve_online(x, np.asarray(w), cfg, **kw)
+    meshed = solve_online(
+        x, np.asarray(w), cfg, mesh=make_mesh(shape=(2, 2)), **kw
+    )
+    np.testing.assert_allclose(
+        meshed.w, single.w, rtol=5e-5, atol=1e-6 * float(single.w.max())
+    )
+
+
+def test_streaming_pallas_backend_raises(problem):
+    """The fused kernels' scales operand is per-column; the streamed/online
+    entries reject backend='pallas' + x_quant_rows loudly at the boundary."""
+    from nmf_tpu import solve_online, solve_out_of_core
+
+    x, w, h = problem
+    cfg = _cfg(32, max_iter=10, backend="pallas")
     with pytest.raises(NotImplementedError, match="x_quant_rows"):
-        solve_online(
-            np.asarray(x), np.asarray(w), config=_cfg(32, max_iter=10)
-        )
+        solve_out_of_core(np.asarray(x), np.asarray(w), np.asarray(h), cfg)
+    with pytest.raises(NotImplementedError, match="x_quant_rows"):
+        solve_online(np.asarray(x), np.asarray(w), config=cfg)
 
 
 def test_pallas_backend_raises(problem):
