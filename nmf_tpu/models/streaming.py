@@ -650,6 +650,32 @@ def _sharded_block_fns(
 
 
 @functools.lru_cache(maxsize=1)
+def _accel_jits():
+    """Jitted factor-sized helpers for the accelerated streamed loop:
+    ``extrap(new, old, m, eps)`` is the Nesterov extrapolation the in-memory
+    loop applies (solver._run_accel_loop), ``copy`` materializes a buffer
+    that survives later donation (snapshot restores, extrapolation-state
+    seeds).  Neither donates: ``old`` may be a snapshot buffer the reject
+    path still needs.  Both follow their inputs' shardings, so the mesh
+    path reuses them unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def extrap(new, old, m, eps):
+        e = new.astype(jnp.float32) + m * (
+            new.astype(jnp.float32) - old.astype(jnp.float32)
+        )
+        return jnp.maximum(e, eps).astype(new.dtype)
+
+    @jax.jit
+    def copy(a):
+        return a + jnp.zeros((), a.dtype)
+
+    return extrap, copy
+
+
+@functools.lru_cache(maxsize=1)
 def _freeze_jit():
     """One persistent jitted frozen-column restore (per-call jit wrappers
     would re-trace/re-compile on every solve; compiles are 10-60 s remote
@@ -728,6 +754,20 @@ def solve_out_of_core(
     in-register).  ``n_frozen`` keeps the first template columns of W
     fixed (the streamed counterpart of :func:`nmf_tpu.solve_semi`; MU
     families).
+
+    ``config.accelerate`` runs the safeguarded Nesterov-accelerated loop
+    (the host-driven restatement of the in-memory one,
+    solver._run_accel_loop): same extrapolation, same per-check acceptance
+    on the streamed cost, same accept/reject momentum schedule.  Because
+    iterations — not bytes — are what acceleration removes, the ~4x fewer
+    iterations translate directly to ~4x less X traffic on this link-bound
+    path; an accepted check block streams X (check_every + 1) times,
+    exactly the plain loop's volume with cost tracking on.  Extra device
+    memory: two more factor-sized (W, H) copies (snapshot + extrapolation
+    state); X never copies.  Resume note: the momentum restarts at
+    ``accel_momentum`` after a checkpoint restore (the extrapolation pair
+    is not checkpointed state), matching the in-memory segment-chaining
+    behaviour.
     """
     import jax
     import jax.numpy as jnp
@@ -740,12 +780,6 @@ def solve_out_of_core(
             "per-row-block int8 scales (x_quant_rows) take the jnp path — "
             "the fused kernels' scales operand is per-column; drop "
             "backend='pallas' or x_quant_rows"
-        )
-    if config.accelerate:
-        raise NotImplementedError(
-            "the out-of-core driver streams X once per iteration, so the "
-            "accelerated loop's reject-and-redo safeguard would re-stream a "
-            "whole check block; use the in-memory solvers for accelerate=True"
         )
     if mask is not None and config.beta != 1.0:
         raise NotImplementedError(
@@ -1015,43 +1049,144 @@ def solve_out_of_core(
 
     from ..utils.metrics import emit_live
 
-    start_iter = it
-    while it < max_iter and not converged:
-        # ---- one full MU iteration: a single double-buffered sweep ----
+    def _plain_sweep(w_cur):
+        """One full MU iteration: a single double-buffered sweep.  Mutates
+        ``h_blocks`` in place (their buffers are donated) and returns the
+        new W."""
         a1, a2 = _zeros()
         inflight = put(0)
         for idx in range(len(blocks)):
             x_dev = inflight
             if idx + 1 < len(blocks):
                 inflight = put(idx + 1)  # prefetch overlaps this block's math
-            h_blocks[idx], a1, a2 = step_acc(w, h_blocks[idx], x_dev, a1, a2)
-        w = w_epilogue(w, a1, a2)
+            h_blocks[idx], a1, a2 = step_acc(
+                w_cur, h_blocks[idx], x_dev, a1, a2
+            )
+        w_new = w_epilogue(w_cur, a1, a2)
         if n_frozen:
-            w = _freeze(w, _mk, _w_frz)
-        it += 1
+            w_new = _freeze(w_new, _mk, _w_frz)
+        return w_new
 
-        if need_cost and (it % check_every == 0 or it == max_iter):
-            # cost pass: stream X once more (check iterations only)
-            total = 0.0
-            inflight = put(0)
-            for idx in range(len(blocks)):
-                x_dev = inflight
-                if idx + 1 < len(blocks):
-                    inflight = put(idx + 1)
-                total += float(cost_block(w, h_blocks[idx], x_dev))
-            total += float(cost_extra(w))
+    def _cost_pass(w_c, h_list):
+        """Stream X once more and return the full-objective cost (check
+        iterations only; the accelerated loop's acceptance test too)."""
+        total = 0.0
+        inflight = put(0)
+        for idx in range(len(blocks)):
+            x_dev = inflight
+            if idx + 1 < len(blocks):
+                inflight = put(idx + 1)
+            total += float(cost_block(w_c, h_list[idx], x_dev))
+        return total + float(cost_extra(w_c))
+
+    start_iter = it
+    if config.accelerate:
+        # ---- safeguarded Nesterov-accelerated streamed loop ----
+        # The host-driven restatement of solver._run_accel_loop: each sweep
+        # runs from an extrapolated (W, H) pair, the recorded iterate stays
+        # the un-extrapolated sweep output, and every check block the
+        # streamed cost gates acceptance — a rejected block restores the
+        # block-start snapshot and is redone with plain MU, so the recorded
+        # history keeps MU's monotone guarantee.  Streaming-cost accounting:
+        # an accepted block streams X (chunk + 1) times, exactly what the
+        # plain loop streams with cost tracking on; only the (measured-rare)
+        # reject path re-streams its block.  The snapshot/extrapolation
+        # state is factor-sized (W + H twice over) — X never copies.
+        _extrap, _copy = _accel_jits()
+        mom = float(config.accel_momentum)
+        m_hi = float(config.accel_momentum_max)
+        grow = float(config.accel_grow)
+        shrink = float(config.accel_shrink)
+        # Acceptance needs a real baseline: resumed runs reuse their last
+        # recorded check; fresh runs pay one up-front cost stream (the
+        # in-memory loop seeds identically, solver.py _seed_cost).
+        baseline = prev_cost
+        if baseline != baseline:  # NaN
+            baseline = _cost_pass(w, h_blocks)
+        # Extrapolation state starts AT the iterate; copies, because the
+        # sweep donates the extrapolated buffers while the iterate (and the
+        # snapshot aliasing it) must survive the block.
+        w_ex = _copy(w)
+        h_ex = [_copy(hb) for hb in h_blocks]
+        w_snap, h_snap = w, list(h_blocks)
+        last_save = it
+        while it < max_iter and not converged:
+            chunk = min(check_every, max_iter - it)
+            for _ in range(chunk):
+                a1, a2 = _zeros()
+                inflight = put(0)
+                for idx in range(len(blocks)):
+                    x_dev = inflight
+                    if idx + 1 < len(blocks):
+                        inflight = put(idx + 1)
+                    h_new, a1, a2 = step_acc(
+                        w_ex, h_ex[idx], x_dev, a1, a2
+                    )
+                    h_ex[idx] = _extrap(h_new, h_blocks[idx], mom, eps)
+                    h_blocks[idx] = h_new
+                w_new = w_epilogue(w_ex, a1, a2)
+                if n_frozen:
+                    w_new = _freeze(w_new, _mk, _w_frz)
+                w_ex = _extrap(w_new, w, mom, eps)
+                w = w_new
+            it += chunk
+            total = _cost_pass(w, h_blocks)
+            if total <= baseline:
+                mom = min(mom * grow, m_hi)
+            else:
+                # reject (NaN escapes land here too): restore the
+                # block-start snapshot, redo the block with plain MU
+                w = _copy(w_snap)
+                h_blocks[:] = [_copy(hb) for hb in h_snap]
+                for _ in range(chunk):
+                    w = _plain_sweep(w)
+                total = _cost_pass(w, h_blocks)
+                w_ex = _copy(w)
+                h_ex = [_copy(hb) for hb in h_blocks]
+                mom = mom * shrink
+            w_snap, h_snap = w, list(h_blocks)
+            rel = (
+                abs(baseline - total) / abs(total) if total else float("nan")
+            )
             hist_list.append(total)
             labels.append(it)
-            rel = abs(prev_cost - total) / abs(total) if total else float("nan")
+            prev_cost = baseline = total
             if config.live_metrics:
                 emit_live(it, total, rel)
             if thresh > 0.0 and rel < thresh:
                 converged = True
-            prev_cost = total
-        if checkpoint_dir and (
-            (it - start_iter) % checkpoint_every == 0 or it == max_iter or converged
-        ):
-            _save()
+            if checkpoint_dir and (
+                it - last_save >= checkpoint_every
+                or it == max_iter
+                or converged
+            ):
+                _save()
+                last_save = it
+    else:
+        while it < max_iter and not converged:
+            w = _plain_sweep(w)
+            it += 1
+
+            if need_cost and (it % check_every == 0 or it == max_iter):
+                total = _cost_pass(w, h_blocks)
+                hist_list.append(total)
+                labels.append(it)
+                rel = (
+                    abs(prev_cost - total) / abs(total)
+                    if total
+                    else float("nan")
+                )
+                if config.live_metrics:
+                    emit_live(it, total, rel)
+                if thresh > 0.0 and rel < thresh:
+                    converged = True
+                prev_cost = total
+            if checkpoint_dir and (
+                (it - start_iter) % checkpoint_every == 0
+                or it == max_iter
+                or converged
+            ):
+                _save()
 
     n_slots = max(len(hist_list), 1)
     hist = np.full((n_slots,), np.nan, np.float32)

@@ -250,13 +250,14 @@ def test_coo_sparse_deprecation_warning():
         solve_sparse(x, w0, h0, SolveConfig(max_iter=2, check_every=2))
 
 
-def test_stream_drivers_raise_for_accelerate():
+def test_online_raises_for_accelerate():
+    """solve_online stays the one accelerate boundary: a stochastic pass has
+    no global cost to safeguard an extrapolated step against
+    (solve_out_of_core accepts accelerate since round 3 —
+    tests/test_streaming_accel.py)."""
     from nmf_tpu.models.online import solve_online
-    from nmf_tpu.models.streaming import solve_out_of_core
 
-    x, w0, h0 = _dense_problem()
+    x, w0, _ = _dense_problem()
     cfg = SolveConfig(max_iter=4, check_every=2, accelerate=True)
-    with pytest.raises(NotImplementedError, match="accelerate"):
-        solve_out_of_core(x, w0, h0, cfg)
     with pytest.raises(NotImplementedError, match="accelerate"):
         solve_online(x, w0, cfg)
