@@ -189,6 +189,16 @@ def main(argv=None) -> int:
             outputs=["Wa.bin"],
         )
 
+        # 5b. accelerated out-of-core streaming (round-3 late addition):
+        # X streamed from its .bin with the safeguarded accelerated loop
+        step(
+            "run-oocore-accelerate",
+            ["run", "X.bin", "W.bin", "H.bin", "-o", "Wsa.bin", "Hsa.bin",
+             "--max-iter", str(iters // 2), "--thresh", "0",
+             "--out-of-core", "--accelerate"],
+            outputs=["Wsa.bin"],
+        )
+
         # 6. H-only inference against the learned dictionary
         step(
             "transform",

@@ -96,6 +96,17 @@ def main(argv=None) -> int:
     ap.add_argument("--occ", type=float, default=0.08)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--no-archive", action="store_true")
+    ap.add_argument(
+        "--tiles", default=None,
+        help="comma list of tile sizes: tile-SIZE study on ONE dense X "
+        "(clustered at --cluster granularity, so larger tiles pay real "
+        "fill-in — the data-format trade, docs/ROADMAP.md)",
+    )
+    ap.add_argument(
+        "--cluster", type=int, default=None,
+        help="nonzero-cluster granularity of the generated X "
+        "(default: --tile)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -103,21 +114,35 @@ def main(argv=None) -> int:
     import bench  # repo-root bench.py: archive helpers
 
     device_kind = jax.devices()[0].device_kind
-    x, w, h = build_problem(args.m, args.k, args.n, args.tile, args.occ)
+    cluster = args.cluster or args.tile
+    x, w, h = build_problem(args.m, args.k, args.n, cluster, args.occ)
 
-    candidates = [
-        ("pallas", dict(chunk=64, backend="pallas")),
-        ("jnp-c64", dict(chunk=64, backend="jnp")),
-        ("jnp-c128", dict(chunk=128, backend="jnp")),
-        ("jnp-c256", dict(chunk=256, backend="jnp")),
-    ]
+    if args.tiles:
+        sizes = [int(s) for s in args.tiles.split(",")]
+        candidates = []
+        for t in sizes:
+            candidates.append(
+                (f"pallas-t{t}", dict(chunk=64, backend="pallas", tile=t))
+            )
+            candidates.append(
+                (f"jnp-c64-t{t}", dict(chunk=64, backend="jnp", tile=t))
+            )
+    else:
+        candidates = [
+            ("pallas", dict(chunk=64, backend="pallas")),
+            ("jnp-c64", dict(chunk=64, backend="jnp")),
+            ("jnp-c128", dict(chunk=128, backend="jnp")),
+            ("jnp-c256", dict(chunk=256, backend="jnp")),
+        ]
     runners = {}
     occupancy = None
+    occ_by_name = {}
     for name, kw in candidates:
-        measure, tx = make_runner(x, w, h, args.tile, kw["chunk"],
-                                  kw["backend"], args.dtype)
+        measure, tx = make_runner(x, w, h, kw.get("tile", args.tile),
+                                  kw["chunk"], kw["backend"], args.dtype)
         runners[name] = measure
         occupancy = tx.occupancy()
+        occ_by_name[name] = occupancy
 
     rows = {name: [] for name, _ in candidates}
     for r in range(args.rounds):
@@ -125,9 +150,13 @@ def main(argv=None) -> int:
             rows[name].append(runners[name]())
 
     base = candidates[0][0]
+    tile_tag = (
+        f"tiles={args.tiles} cluster={cluster}" if args.tiles
+        else f"tile={args.tile}"
+    )
     out = {
         "metric": f"tile_sparse_iters_per_sec[{args.m}x{args.n} k={args.k} "
-        f"tile={args.tile} occ={occupancy:.3f} {args.dtype}]",
+        f"{tile_tag} occ={occupancy:.3f} {args.dtype}]",
         "device_kind": device_kind,
         "occupancy": occupancy,
         "rounds": args.rounds,
@@ -140,6 +169,7 @@ def main(argv=None) -> int:
             "median_iters_per_sec": round(med, 2),
             "repeats": [round(v, 2) for v in rows[name]],
             "median_ratio_vs_baseline": round(float(np.median(ratios)), 3),
+            "occupancy": round(occ_by_name[name], 4),
         }
         if not args.no_archive:
             bench.archive_append(

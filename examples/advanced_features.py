@@ -68,6 +68,18 @@ print(
     f"(in-memory: {float(ref.cost):.4f})"
 )
 
+# accelerate=True composes: on this link-bound path ~4x fewer iterations
+# to a target cost means ~4x fewer streamed bytes
+res_ooa = nt.solve_out_of_core(
+    xpath, w0, h0,
+    nt.SolveConfig(max_iter=30, check_every=10, accelerate=True),
+    block_n=128,
+)
+print(
+    f"{'ooc+accel':14s} cost {float(res_ooa.cost):.4f}  "
+    f"(<= plain streamed by the monotone safeguard)"
+)
+
 # --- strict reference replication (padded-EPS numerics) --------------------
 res_strict = nt.solve_strict(x, w0, h0, nt.SolveConfig(max_iter=30))
 print(f"{'strict-compat':14s} cost {float(res_strict.cost):.4f}")

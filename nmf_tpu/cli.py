@@ -82,7 +82,8 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
         help="int8-X scale granularity: one scale per (N-row block, column) "
         "instead of per column — bounds each entry's error by its BLOCK's "
         "column peak/510; for data whose magnitude varies along the rows. "
-        "In-memory solves only (not --mesh / --out-of-core)",
+        "Composes with --mesh and --out-of-core (jnp backend; "
+        "--backend pallas keeps per-column scales)",
     )
     p.add_argument(
         "--backend",
