@@ -1101,7 +1101,7 @@ def solve_out_of_core(
         # recorded check; fresh runs pay one up-front cost stream (the
         # in-memory loop seeds identically, solver.py _seed_cost).
         baseline = prev_cost
-        if baseline != baseline:  # NaN
+        if baseline != baseline and it < max_iter and not converged:  # NaN
             baseline = _cost_pass(w, h_blocks)
         # Extrapolation state starts AT the iterate; copies, because the
         # sweep donates the extrapolated buffers while the iterate (and the
