@@ -133,6 +133,26 @@ print(
     f"({len(tr.blocks)} blocks, one X stream total)"
 )
 
+# --- AOT serving artifact: export once, serve anywhere ----------------------
+# one .nmfz packages the H-only solve program (jax.export StableHLO, lowered
+# for TPU and CPU), the dictionary W, and the SolveConfig; a serving process
+# needs only the file — no retracing, no model code
+import tempfile
+
+with tempfile.TemporaryDirectory() as td:
+    art = os.path.join(td, "model.nmfz")
+    nt.save_transform(
+        art, w_learned, n_block=64,
+        config=nt.SolveConfig(max_iter=30, backend="jnp"),
+        platforms=("cpu",) if QUICK else ("tpu", "cpu"),
+    )
+    served = nt.load_transform(art)(x[:, :100])  # 100 cols -> 2 blocks
+    print(
+        f"{'serving':14s} cost {served.cost:.4f}  "
+        f"({os.path.getsize(art)} byte artifact, "
+        f"{len(served.block_iterations)} blocks)"
+    )
+
 # --- consensus-clustering rank selection (Brunet et al. 2004) --------------
 stab = nt.rank_stability(
     x, ranks=[4, 8], n_restarts=2 if QUICK else 6,

@@ -42,6 +42,13 @@ from .models.sparse_tiled import (
     tiles_from_dense,
 )
 from .parallel import make_mesh, solve_batched, solve_sharded
+from .serving import (
+    ServingResult,
+    ServingTransform,
+    export_transform,
+    load_transform,
+    save_transform,
+)
 from .utils.config import Precision, SolveConfig, reference_preset
 
 __version__ = "0.2.0"
@@ -95,6 +102,11 @@ __all__ = [
     "solve_sharded",
     "solve_batched",
     "make_mesh",
+    "export_transform",
+    "save_transform",
+    "load_transform",
+    "ServingTransform",
+    "ServingResult",
     "SolveResult",
     "SolveConfig",
     "Precision",

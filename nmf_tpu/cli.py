@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -653,6 +654,67 @@ def cmd_transform(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Package W + the transform program into a .nmfz serving artifact."""
+    for flag, name in (
+        (getattr(args, "mesh", None), "--mesh"),
+        (getattr(args, "out_of_core", False), "--out-of-core"),
+        (getattr(args, "checkpoint_dir", None), "--checkpoint-dir"),
+        (getattr(args, "live", False), "--live"),
+        (getattr(args, "strict_compat", False), "--strict-compat"),
+    ):
+        if flag:
+            print(
+                f"error: {name} does not apply to an exported program (the "
+                "artifact is a fixed-shape single-device solve; shard/stream "
+                "on the serving side by calling it per block)",
+                file=sys.stderr,
+            )
+            return 2
+    config = _config_from(args)
+    from .serving import save_transform
+
+    w = binio.read_matrix(args.W)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    try:
+        save_transform(args.output, w, args.block_cols, config, platforms)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if not args.quiet:
+        size = os.path.getsize(args.output)
+        print(
+            f"[nmf] exported {args.output}: W {w.shape[0]}x{w.shape[1]}, "
+            f"block {args.block_cols} cols, platforms {','.join(platforms)}, "
+            f"{size} bytes",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Transform new data against an exported artifact (no retracing)."""
+    from .serving import load_transform
+
+    t = load_transform(args.artifact)
+    x = binio.read_matrix(args.X)
+    h0 = binio.read_matrix(args.h0) if args.h0 else None
+    t0 = time.perf_counter()
+    res = t(x, h0=h0, seed=args.seed)
+    dt = time.perf_counter() - t0
+    binio.write_matrix(res.h, args.output)
+    if not args.quiet:
+        print(
+            f"[nmf] serve: {x.shape[1]} cols in "
+            f"{len(res.block_iterations)} blocks of {res.n_block}, "
+            f"iters/block max {res.iterations}, cost {res.cost:.6g}, "
+            f"{dt:.2f}s",
+            file=sys.stderr,
+        )
+        print(f"[nmf] wrote {args.output} {res.h.shape}", file=sys.stderr)
+    return 0
+
+
 def cmd_separate(args) -> int:
     """The paper's application: separate audio into spectral sources."""
     from scipy.io import wavfile
@@ -897,6 +959,45 @@ def build_parser() -> argparse.ArgumentParser:
     batch.add_argument("--seed", type=int, default=0)
     _add_solver_flags(batch)  # --mesh here means a 1-D batch-axis mesh (Nx1)
     batch.set_defaults(fn=cmd_batch)
+
+    exp = sub.add_parser(
+        "export",
+        help="package W + the H-only solve program into a portable serving "
+        "artifact (jax.export StableHLO; runs on TPU and CPU)",
+    )
+    exp.add_argument("W", help="learned dictionary W .bin")
+    exp.add_argument(
+        "-o", "--output", default="model.nmfz", help="artifact output path"
+    )
+    exp.add_argument(
+        "--block-cols",
+        type=int,
+        default=1024,
+        help="columns per exported program invocation (the artifact's "
+        "static X width; serve pads the tail block)",
+    )
+    exp.add_argument(
+        "--platforms",
+        default="tpu,cpu",
+        help="comma-separated jax.export lowering platforms",
+    )
+    _add_solver_flags(exp)
+    exp.set_defaults(fn=cmd_export)
+
+    srv = sub.add_parser(
+        "serve",
+        help="H-only inference from an exported artifact: no W file, no "
+        "retracing — the program and dictionary come from the .nmfz",
+    )
+    srv.add_argument("artifact", help=".nmfz from 'export'")
+    srv.add_argument("X", help="input matrix .bin (new columns)")
+    srv.add_argument(
+        "-o", "--output", default="Hout.bin", help="output H path"
+    )
+    srv.add_argument("--h0", help="optional warm-start H .bin")
+    srv.add_argument("--seed", type=int, default=0)
+    srv.add_argument("--quiet", "-q", action="store_true")
+    srv.set_defaults(fn=cmd_serve)
 
     gen = sub.add_parser("gen", help="write the seed-0 reference fixtures")
     gen.add_argument("directory")

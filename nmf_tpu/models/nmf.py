@@ -33,9 +33,12 @@ __all__ = ["NMF", "solve_h_only", "solve_w_only"]
 _F32 = jnp.float32
 
 
-@functools.lru_cache(maxsize=16)
-def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
-    """Jitted H-only solve: W fixed, H iterates (transform/inference path)."""
+def _h_only_step_cost(config: SolveConfig):
+    """(step, cost) pair for the H-only half-update under ``config``.
+
+    Shared by the jitted transform solver below and by the AOT export path
+    (:mod:`nmf_tpu.serving`), so a serialized serving program runs the exact
+    same update the live library does."""
     eps, prec = config.eps, config.precision
     if config.algorithm == "hals":
         from ..ops.hals import _update_h_hals
@@ -89,6 +92,13 @@ def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
 
         step = _dequant_wrap_step(step)
         cost = _dequant_wrap_cost(cost)
+    return step, cost
+
+
+@functools.lru_cache(maxsize=16)
+def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
+    """Jitted H-only solve: W fixed, H iterates (transform/inference path)."""
+    step, cost = _h_only_step_cost(config)
 
     @jax.jit
     def _solve(x, w, h):

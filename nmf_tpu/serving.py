@@ -1,0 +1,316 @@
+"""AOT-exported transform programs: portable serving artifacts.
+
+The reference has no serving story — its one binary refits W and H from
+scratch per run (nmf.cu:37-45).  Production NMF serving is the opposite
+shape: a FIXED learned dictionary W and a stream of new data blocks to score
+(the paper's own application refits H for new audio against a trained W).
+This module packages that inference path as a self-contained artifact:
+
+  * the H-only solve program (``models/nmf._h_only_step_cost`` — exactly the
+    update the live library runs, nmf.cu:118-146 semantics) is traced at
+    fixed shapes and serialized with :mod:`jax.export` (StableHLO, versioned,
+    multi-platform: one artifact runs on TPU *and* CPU);
+  * the dictionary W and the full :class:`SolveConfig` ride along in the
+    same file, so a serving process needs nothing but the artifact path.
+
+Why AOT export instead of shipping Python + weights:
+
+  * no retracing at serve time — the program is already lowered; with the
+    persistent compilation cache the per-process cost is one cache hit;
+  * version safety — ``jax.export`` artifacts carry StableHLO
+    compatibility guarantees across jax releases, while a pickled closure
+    carries none;
+  * the artifact is consumable from non-Python PJRT runtimes (the StableHLO
+    bytes are standard), which a jitted Python function never is.
+
+Blocking model: the program is exported for a fixed ``(m, n_block)`` X
+shape (XLA programs are static-shape).  :class:`ServingTransform` feeds any
+number of columns by slicing the input into ``n_block``-column chunks and
+zero-padding the tail.  The MU/HALS H half-updates are **column-separable**
+(each H column depends only on its own X column — the numerator
+``W^T (X/WH)`` and denominator touch nothing across columns), so the padded
+tail cannot perturb real columns; padded columns start at the epsilon clamp
+and decay toward it.  The one coupling exception is ``accelerate=True``,
+whose accept/reject predicate is the *global* block cost — supported, but
+tail-padded blocks then see an (eps-level) perturbation of the acceptance
+test, so exact-parity serving should use block-aligned inputs or
+``accelerate=False``.
+
+Unsupported in an export (validated eagerly): ``backend='pallas'`` /
+``'autotune'`` (Mosaic kernels are per-platform; autotune needs a live
+device — the artifact must run everywhere it lowers for), and
+``live_metrics`` (host callbacks cannot be serialized).  ``x_dtype`` int8 /
+bfloat16 work: the cast/quantization prep runs *inside* the program, so the
+serving input is always plain float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import zipfile
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .utils.config import Precision, SolveConfig
+
+__all__ = [
+    "export_transform",
+    "save_transform",
+    "load_transform",
+    "ServingTransform",
+    "ServingResult",
+    "FORMAT_VERSION",
+]
+
+FORMAT_VERSION = 1
+_MAGIC = "nmf_tpu-serving"
+
+
+def _config_to_dict(config: SolveConfig) -> dict:
+    d = dataclasses.asdict(config)
+    return d
+
+
+def _config_from_dict(d: dict) -> SolveConfig:
+    d = dict(d)
+    prec = d.pop("precision")
+    return SolveConfig(precision=Precision(**prec), **d)
+
+
+def _validate_exportable(config: SolveConfig) -> SolveConfig:
+    """Reject config knobs that cannot live inside a serialized program."""
+    config.validate()
+    if config.backend in ("pallas", "autotune"):
+        raise ValueError(
+            "exported programs use the portable XLA path: Mosaic (Pallas) "
+            "kernels lower per-platform and autotune needs a live device — "
+            "use backend='jnp' (or 'auto', which exports the jnp path)"
+        )
+    if config.live_metrics:
+        raise ValueError(
+            "live_metrics streams through a host callback, which cannot be "
+            "serialized into an exported program"
+        )
+    if config.backend == "auto":
+        config = dataclasses.replace(config, backend="jnp")
+    return config
+
+
+def _build_program(config: SolveConfig):
+    """The function that gets exported: prep (clamp/cast/quantize) + the
+    checked H-only solve loop, returning a plain tuple (custom pytree nodes
+    don't survive deserialization in a process that hasn't registered them).
+    """
+    import jax
+
+    from .models.nmf import _h_only_step_cost
+    from .models.solver import _prep_jit, run_checked_loop
+
+    step, cost = _h_only_step_cost(config)
+    prep = _prep_jit(config)
+
+    def program(x, w, h0):
+        x, w, h0 = prep(x, w, h0)
+        res = run_checked_loop(x, w, h0, config, step, cost)
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    return jax.jit(program)
+
+
+def export_transform(
+    w: np.ndarray,
+    n_block: int,
+    config: SolveConfig = SolveConfig(),
+    platforms: Sequence[str] = ("tpu", "cpu"),
+):
+    """Trace + lower the H-only transform at fixed shapes.
+
+    Returns a ``jax.export.Exported``; most callers want
+    :func:`save_transform`, which wraps this in the on-disk artifact.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    config = _validate_exportable(config)
+    w = np.asarray(w, np.float32)
+    if w.ndim != 2:
+        raise ValueError(f"W must be 2-D, got shape {w.shape}")
+    if n_block <= 0:
+        raise ValueError("n_block must be >= 1")
+    m, k = w.shape
+    program = _build_program(config)
+    return jax_export.export(program, platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((m, n_block), jnp.float32),
+        jax.ShapeDtypeStruct((m, k), jnp.float32),
+        jax.ShapeDtypeStruct((k, n_block), jnp.float32),
+    )
+
+
+def save_transform(
+    path: str,
+    w: np.ndarray,
+    n_block: int,
+    config: SolveConfig = SolveConfig(),
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> None:
+    """Write a self-contained serving artifact (zip: meta + program + W)."""
+    import jax
+
+    config = _validate_exportable(config)
+    w = np.asarray(w, np.float32)
+    exported = export_transform(w, n_block, config, platforms)
+    meta = {
+        "magic": _MAGIC,
+        "format_version": FORMAT_VERSION,
+        "m": int(w.shape[0]),
+        "k": int(w.shape[1]),
+        "n_block": int(n_block),
+        "platforms": list(platforms),
+        "config": _config_to_dict(config),
+        "jax_version": jax.__version__,
+    }
+    wbuf = io.BytesIO()
+    np.save(wbuf, w)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=1))
+        zf.writestr("program.bin", exported.serialize())
+        zf.writestr("w.npy", wbuf.getvalue())
+
+
+@dataclasses.dataclass
+class ServingResult:
+    """Per-block transform results assembled back to the full H.
+
+    Blocks are independent solves (column-separable updates), so iteration
+    counts / costs / convergence are reported per block; ``cost`` is the
+    sum of final block costs (== the full-X divergence when every block ran)
+    and ``converged`` is their conjunction.
+    """
+
+    h: np.ndarray                    # (k, n) — padding sliced off
+    block_iterations: np.ndarray     # (n_blocks,) i32
+    block_costs: np.ndarray          # (n_blocks,) f32 final divergence
+    block_converged: np.ndarray      # (n_blocks,) bool
+    n_block: int
+
+    @property
+    def cost(self) -> float:
+        return float(np.sum(self.block_costs))
+
+    @property
+    def converged(self) -> bool:
+        return bool(np.all(self.block_converged))
+
+    @property
+    def iterations(self) -> int:
+        return int(np.max(self.block_iterations))
+
+
+class ServingTransform:
+    """A loaded serving artifact: ``transform = load_transform(p); h =
+    transform(x).h``.
+
+    The call pads X to a whole number of ``n_block``-column chunks (zeros,
+    clamped to eps inside the program; see the module docstring for why the
+    padding cannot perturb real columns) and runs the exported program once
+    per chunk.
+    """
+
+    def __init__(self, exported, w: np.ndarray, config: SolveConfig, meta: dict):
+        import jax
+
+        self._exported = exported
+        self.w = np.asarray(w, np.float32)
+        self.config = config
+        self.meta = dict(meta)
+        self.m = int(meta["m"])
+        self.k = int(meta["k"])
+        self.n_block = int(meta["n_block"])
+        self.platforms = tuple(meta["platforms"])
+        # one jit wrapper: repeat calls reuse the compiled executable
+        self._fn = jax.jit(exported.call)
+        self._w_dev = None
+
+    def __call__(
+        self,
+        x: np.ndarray,
+        h0: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> ServingResult:
+        import jax
+
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2 or x.shape[0] != self.m:
+            raise ValueError(
+                f"X must be ({self.m}, n), got {x.shape} (artifact W is "
+                f"{self.m}x{self.k})"
+            )
+        n = x.shape[1]
+        if n == 0:
+            raise ValueError("X has no columns")
+        eps = np.float32(self.config.eps)
+        if h0 is None:
+            rng = np.random.RandomState(seed)
+            h0 = np.maximum(rng.rand(self.k, n).astype(np.float32), eps)
+        else:
+            h0 = np.asarray(h0, np.float32)
+            if h0.shape != (self.k, n):
+                raise ValueError(
+                    f"h0 must be ({self.k}, {n}), got {h0.shape}"
+                )
+        nb = self.n_block
+        n_pad = (-n) % nb
+        if n_pad:
+            x = np.concatenate([x, np.zeros((self.m, n_pad), np.float32)], axis=1)
+            h0 = np.concatenate(
+                [h0, np.full((self.k, n_pad), eps, np.float32)], axis=1
+            )
+        if self._w_dev is None:
+            self._w_dev = jax.device_put(self.w)
+        hs, iters, costs, convs = [], [], [], []
+        for j0 in range(0, x.shape[1], nb):
+            h, it, cost, _hist, _nchecks, conv = self._fn(
+                x[:, j0 : j0 + nb], self._w_dev, h0[:, j0 : j0 + nb]
+            )
+            hs.append(h)
+            iters.append(it)
+            costs.append(cost)
+            convs.append(conv)
+        h_full = np.concatenate([np.asarray(h, np.float32) for h in hs], axis=1)
+        return ServingResult(
+            h=h_full[:, :n],
+            block_iterations=np.asarray(iters, np.int32),
+            block_costs=np.asarray(costs, np.float32),
+            block_converged=np.asarray(convs, bool),
+            n_block=nb,
+        )
+
+
+def load_transform(path: str) -> ServingTransform:
+    """Load a :func:`save_transform` artifact into a callable."""
+    from jax import export as jax_export
+
+    with zipfile.ZipFile(path, "r") as zf:
+        meta = json.loads(zf.read("meta.json"))
+        if meta.get("magic") != _MAGIC:
+            raise ValueError(f"{path}: not an nmf_tpu serving artifact")
+        if int(meta.get("format_version", -1)) > FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: format v{meta['format_version']} is newer than "
+                f"this library (v{FORMAT_VERSION})"
+            )
+        exported = jax_export.deserialize(zf.read("program.bin"))
+        w = np.load(io.BytesIO(zf.read("w.npy")))
+    config = _config_from_dict(meta["config"])
+    return ServingTransform(exported, w, config, meta)

@@ -1,0 +1,264 @@
+"""AOT serving artifacts (nmf_tpu/serving.py): export → save → load → call.
+
+The reference has no serving path (its binary refits both factors per run,
+nmf.cu:37-45); this is the production analog of its one real application —
+scoring new data against a trained dictionary.  The contract under test:
+
+  * a loaded artifact reproduces ``solve_h_only`` (same config, jnp backend)
+    to float32 round-off on block-aligned inputs, for every exportable
+    family (plain KL, beta, regularized, HALS, accelerate, int8/bf16 X);
+  * tail padding cannot perturb real columns (the H half-update is
+    column-separable — module docstring proof);
+  * unexportable knobs (pallas/autotune backend, live_metrics) raise;
+  * the on-disk format round-trips and rejects foreign/newer files.
+"""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from nmf_tpu.models.nmf import solve_h_only
+from nmf_tpu.serving import (
+    FORMAT_VERSION,
+    ServingResult,
+    export_transform,
+    load_transform,
+    save_transform,
+)
+from nmf_tpu.utils.config import EPS_DEFAULT, Precision, SolveConfig
+
+M, K, NB = 48, 5, 16
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(7)
+    w = rng.rand(M, K).astype(np.float32) + 0.1
+    x = rng.rand(M, 3 * NB).astype(np.float32)
+    h0 = np.maximum(
+        rng.rand(K, 3 * NB).astype(np.float32), np.float32(EPS_DEFAULT)
+    )
+    return w, x, h0
+
+
+def _roundtrip(tmp_path, w, config, n_block=NB, platforms=("cpu",)):
+    path = os.path.join(str(tmp_path), "model.nmfz")
+    save_transform(path, w, n_block, config, platforms=platforms)
+    return load_transform(path)
+
+
+CONFIGS = {
+    "plain-kl": SolveConfig(max_iter=40, backend="jnp"),
+    "thresh": SolveConfig(max_iter=200, thresh=1e-4, check_every=10,
+                          backend="jnp"),
+    "beta-2": SolveConfig(max_iter=40, beta=2.0, backend="jnp"),
+    "reg": SolveConfig(max_iter=40, l1_h=0.01, l2_h=0.1, backend="jnp"),
+    "hals": SolveConfig(max_iter=40, beta=2.0, algorithm="hals",
+                        backend="jnp"),
+    "accel": SolveConfig(max_iter=40, accelerate=True, backend="jnp"),
+    "bf16-x": SolveConfig(
+        max_iter=40, backend="jnp",
+        precision=Precision("bfloat16", "float32", "bfloat16"),
+    ),
+    "int8-x": SolveConfig(
+        max_iter=40, backend="jnp",
+        precision=Precision("float32", "float32", "int8"),
+    ),
+    "int8-rowblocks": SolveConfig(
+        max_iter=40, backend="jnp",
+        precision=Precision("float32", "float32", "int8", x_quant_rows=16),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_matches_solve_h_only(tmp_path, problem, name):
+    """Block-aligned serving == the live library solve, per family."""
+    w, x, h0 = problem
+    config = CONFIGS[name]
+    t = _roundtrip(tmp_path, w, config)
+    res = t(x, h0=h0)
+    if config.thresh == 0:
+        ref_h = np.asarray(solve_h_only(x, w, h0, config).h, np.float32)
+        # different program shapes (full-X vs per-block) reorder f32 dot
+        # reductions; round-off level only
+        np.testing.assert_allclose(
+            res.h, ref_h, rtol=0, atol=2e-5 * ref_h.max()
+        )
+        assert np.all(res.block_iterations == config.max_iter)
+        assert not res.converged
+    else:
+        # thresholded stops are per block (each block's cost is its own
+        # convergence scalar) — compare block-by-block, where the exported
+        # program and the live solver see identical problems
+        for b in range(3):
+            sl = slice(b * NB, (b + 1) * NB)
+            ref = solve_h_only(x[:, sl], w, h0[:, sl], config)
+            ref_h = np.asarray(ref.h, np.float32)
+            np.testing.assert_allclose(
+                res.h[:, sl], ref_h, rtol=0, atol=2e-5 * ref_h.max()
+            )
+            assert res.block_iterations[b] == int(ref.iterations)
+            assert res.block_converged[b] == bool(ref.converged)
+    assert res.h.shape == (K, x.shape[1])
+    assert res.block_iterations.shape == (3,)
+    assert np.isfinite(res.cost)
+
+
+def test_padding_cannot_perturb_real_columns(tmp_path, problem):
+    """Column separability: a tail-padded block returns bitwise-identical
+    H for the real columns (same compiled program, zero-padded extras)."""
+    w, x, h0 = problem
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=30, backend="jnp"))
+    n_cut = 2 * NB + 5  # tail block: 5 real + 11 padded columns
+    full = t(x, h0=h0)
+    cut = t(x[:, :n_cut], h0=h0[:, :n_cut])
+    np.testing.assert_array_equal(cut.h, full.h[:, :n_cut])
+
+
+def test_ragged_and_single_column(tmp_path, problem):
+    w, x, h0 = problem
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=10, backend="jnp"))
+    one = t(x[:, :1], h0=h0[:, :1])
+    assert one.h.shape == (K, 1)
+    assert len(one.block_iterations) == 1
+    with pytest.raises(ValueError, match="no columns"):
+        t(x[:, :0])
+
+
+def test_generated_h0_matches_cli_convention(tmp_path, problem):
+    """h0=None generates the same clamped seed-keyed init the CLI uses, so
+    'serve' and 'transform' agree at equal seeds."""
+    w, x, _ = problem
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=10, backend="jnp"))
+    n = x.shape[1]
+    rng = np.random.RandomState(3)
+    h0 = np.maximum(
+        rng.rand(K, n).astype(np.float32), np.float32(EPS_DEFAULT)
+    )
+    np.testing.assert_array_equal(t(x, seed=3).h, t(x, h0=h0).h)
+
+
+def test_shape_validation(tmp_path, problem):
+    w, x, h0 = problem
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=5, backend="jnp"))
+    with pytest.raises(ValueError, match="X must be"):
+        t(x[:-1])
+    with pytest.raises(ValueError, match="h0 must be"):
+        t(x, h0=h0[:, :-1])
+
+
+def test_unexportable_configs_raise(problem):
+    w, _, _ = problem
+    with pytest.raises(ValueError, match="Mosaic"):
+        export_transform(w, NB, SolveConfig(backend="pallas"))
+    with pytest.raises(ValueError, match="Mosaic"):
+        export_transform(w, NB, SolveConfig(backend="autotune"))
+    with pytest.raises(ValueError, match="callback"):
+        export_transform(w, NB, SolveConfig(live_metrics=True))
+    with pytest.raises(ValueError, match="n_block"):
+        export_transform(w, 0, SolveConfig(backend="jnp"))
+    with pytest.raises(ValueError, match="2-D"):
+        export_transform(w[:, 0], NB, SolveConfig(backend="jnp"))
+
+
+def test_auto_backend_exports_jnp_path(tmp_path, problem):
+    """backend='auto' (the default) must not pull device-dependent picks
+    into the artifact — it pins to the portable jnp path at export time."""
+    w, x, h0 = problem
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=10))  # backend="auto"
+    assert t.config.backend == "jnp"
+    ref = solve_h_only(x, w, h0, SolveConfig(max_iter=10, backend="jnp"))
+    np.testing.assert_allclose(
+        t(x, h0=h0).h, np.asarray(ref.h), rtol=0, atol=1e-5
+    )
+
+
+def test_artifact_metadata_and_rejects(tmp_path, problem):
+    w, _, _ = problem
+    config = SolveConfig(max_iter=12, thresh=1e-3, backend="jnp")
+    t = _roundtrip(tmp_path, w, config)
+    assert (t.m, t.k, t.n_block) == (M, K, NB)
+    assert t.config == config
+    np.testing.assert_array_equal(t.w, w)
+    assert t.meta["format_version"] == FORMAT_VERSION
+
+    bogus = os.path.join(str(tmp_path), "bogus.nmfz")
+    with zipfile.ZipFile(bogus, "w") as zf:
+        zf.writestr("meta.json", '{"magic": "something-else"}')
+    with pytest.raises(ValueError, match="not an nmf_tpu serving artifact"):
+        load_transform(bogus)
+
+    newer = os.path.join(str(tmp_path), "newer.nmfz")
+    with zipfile.ZipFile(newer, "w") as zf:
+        zf.writestr(
+            "meta.json",
+            '{"magic": "nmf_tpu-serving", "format_version": %d}'
+            % (FORMAT_VERSION + 1),
+        )
+    with pytest.raises(ValueError, match="newer"):
+        load_transform(newer)
+
+
+def test_multiplatform_lowering_includes_tpu(problem):
+    """The default artifact lowers for tpu AND cpu from a CPU-only process
+    (cross-platform lowering is the point of jax.export)."""
+    w, _, _ = problem
+    exported = export_transform(
+        w, NB, SolveConfig(max_iter=5, backend="jnp"), platforms=("tpu", "cpu")
+    )
+    assert set(p.lower() for p in exported.platforms) == {"tpu", "cpu"}
+
+
+def test_cli_export_serve_roundtrip(tmp_path, problem):
+    """CLI: export → serve == transform at the same seed/config."""
+    from nmf_tpu import cli
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    wp = os.path.join(str(tmp_path), "W.bin")
+    xp = os.path.join(str(tmp_path), "X.bin")
+    ap = os.path.join(str(tmp_path), "model.nmfz")
+    hs = os.path.join(str(tmp_path), "Hserve.bin")
+    ht = os.path.join(str(tmp_path), "Htr.bin")
+    binio.write_matrix(w, wp)
+    binio.write_matrix(x, xp)
+    assert cli.main([
+        "export", wp, "-o", ap, "--block-cols", str(NB),
+        "--platforms", "cpu", "--max-iter", "20", "-q",
+    ]) == 0
+    assert cli.main(["serve", ap, xp, "-o", hs, "-q"]) == 0
+    assert cli.main([
+        "transform", xp, wp, "-o", ht, "--max-iter", "20",
+        "--backend", "jnp", "-q",
+    ]) == 0
+    a, b = binio.read_matrix(hs), binio.read_matrix(ht)
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-5 * np.abs(b).max())
+
+
+def test_cli_export_rejects_inapplicable_flags(tmp_path, problem):
+    from nmf_tpu import cli
+    from nmf_tpu.io import binio
+
+    w, _, _ = problem
+    wp = os.path.join(str(tmp_path), "W.bin")
+    binio.write_matrix(w, wp)
+    out = os.path.join(str(tmp_path), "m.nmfz")
+    assert cli.main(["export", wp, "-o", out, "--mesh", "2x2"]) == 2
+    assert cli.main(["export", wp, "-o", out, "--backend", "pallas"]) == 2
+    assert not os.path.exists(out)
+
+
+def test_serving_result_aggregates():
+    r = ServingResult(
+        h=np.zeros((2, 3), np.float32),
+        block_iterations=np.asarray([10, 20], np.int32),
+        block_costs=np.asarray([1.5, 2.5], np.float32),
+        block_converged=np.asarray([True, False]),
+        n_block=2,
+    )
+    assert r.cost == 4.0
+    assert r.iterations == 20
+    assert not r.converged
