@@ -662,6 +662,11 @@ def cmd_export(args) -> int:
         (getattr(args, "checkpoint_dir", None), "--checkpoint-dir"),
         (getattr(args, "live", False), "--live"),
         (getattr(args, "strict_compat", False), "--strict-compat"),
+        # --block-n is the STREAMING block flag; the artifact's width is
+        # --block-cols — accepting both silently would let the near-identical
+        # name set nothing
+        (getattr(args, "block_n", None), "--block-n"),
+        (getattr(args, "jsonl", None), "--jsonl"),
     ):
         if flag:
             print(
@@ -675,6 +680,10 @@ def cmd_export(args) -> int:
     from .serving import save_transform
 
     w = binio.read_matrix(args.W)
+    if args.validate:
+        from .utils.guards import validate_input
+
+        validate_input("W", w)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     try:
         save_transform(args.output, w, args.block_cols, config, platforms)

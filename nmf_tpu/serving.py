@@ -74,9 +74,28 @@ def _config_to_dict(config: SolveConfig) -> dict:
     return d
 
 
+def _known_fields(cls, d: dict, what: str) -> dict:
+    """Keep only the fields this library version knows, warning about the
+    rest: a NEWER writer may add SolveConfig knobs without changing the wire
+    format, and an already-deployed reader must keep serving (the dropped
+    knob's default semantics) rather than crash on the unknown keyword."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = sorted(set(d) - names)
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"artifact {what} carries fields this nmf_tpu version does not "
+            f"know and will ignore: {unknown} (written by a newer library?)",
+            stacklevel=3,
+        )
+    return {k: v for k, v in d.items() if k in names}
+
+
 def _config_from_dict(d: dict) -> SolveConfig:
     d = dict(d)
-    prec = d.pop("precision")
+    prec = _known_fields(Precision, d.pop("precision"), "Precision")
+    d = _known_fields(SolveConfig, d, "SolveConfig")
     return SolveConfig(precision=Precision(**prec), **d)
 
 
@@ -127,6 +146,36 @@ def _build_program(config: SolveConfig):
     return jax.jit(program)
 
 
+def _validate_w_shape(w: np.ndarray, n_block: int) -> np.ndarray:
+    w = np.asarray(w, np.float32)
+    if w.ndim != 2:
+        raise ValueError(f"W must be 2-D, got shape {w.shape}")
+    if n_block <= 0:
+        raise ValueError("n_block must be >= 1")
+    return w
+
+
+def _export_validated(w, n_block, config, platforms):
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    platforms = tuple(platforms)
+    if not platforms:
+        raise ValueError(
+            "platforms must name at least one lowering target (jax.export "
+            "would silently fall back to this host's platform, mislabeling "
+            "the artifact)"
+        )
+    m, k = w.shape
+    program = _build_program(config)
+    return jax_export.export(program, platforms=platforms)(
+        jax.ShapeDtypeStruct((m, n_block), jnp.float32),
+        jax.ShapeDtypeStruct((m, k), jnp.float32),
+        jax.ShapeDtypeStruct((k, n_block), jnp.float32),
+    )
+
+
 def export_transform(
     w: np.ndarray,
     n_block: int,
@@ -138,23 +187,9 @@ def export_transform(
     Returns a ``jax.export.Exported``; most callers want
     :func:`save_transform`, which wraps this in the on-disk artifact.
     """
-    import jax
-    import jax.numpy as jnp
-    from jax import export as jax_export
-
     config = _validate_exportable(config)
-    w = np.asarray(w, np.float32)
-    if w.ndim != 2:
-        raise ValueError(f"W must be 2-D, got shape {w.shape}")
-    if n_block <= 0:
-        raise ValueError("n_block must be >= 1")
-    m, k = w.shape
-    program = _build_program(config)
-    return jax_export.export(program, platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((m, n_block), jnp.float32),
-        jax.ShapeDtypeStruct((m, k), jnp.float32),
-        jax.ShapeDtypeStruct((k, n_block), jnp.float32),
-    )
+    w = _validate_w_shape(w, n_block)
+    return _export_validated(w, n_block, config, platforms)
 
 
 def save_transform(
@@ -168,15 +203,17 @@ def save_transform(
     import jax
 
     config = _validate_exportable(config)
-    w = np.asarray(w, np.float32)
-    exported = export_transform(w, n_block, config, platforms)
+    w = _validate_w_shape(w, n_block)
+    exported = _export_validated(w, n_block, config, platforms)
     meta = {
         "magic": _MAGIC,
         "format_version": FORMAT_VERSION,
         "m": int(w.shape[0]),
         "k": int(w.shape[1]),
         "n_block": int(n_block),
-        "platforms": list(platforms),
+        # what the program was actually lowered for (never the raw user
+        # input: the two could drift and mislabel the artifact)
+        "platforms": [str(p) for p in exported.platforms],
         "config": _config_to_dict(config),
         "jax_version": jax.__version__,
     }
@@ -302,6 +339,9 @@ def load_transform(path: str) -> ServingTransform:
     from jax import export as jax_export
 
     with zipfile.ZipFile(path, "r") as zf:
+        members = set(zf.namelist())
+        if "meta.json" not in members:
+            raise ValueError(f"{path}: not an nmf_tpu serving artifact")
         meta = json.loads(zf.read("meta.json"))
         if meta.get("magic") != _MAGIC:
             raise ValueError(f"{path}: not an nmf_tpu serving artifact")
@@ -309,6 +349,11 @@ def load_transform(path: str) -> ServingTransform:
             raise ValueError(
                 f"{path}: format v{meta['format_version']} is newer than "
                 f"this library (v{FORMAT_VERSION})"
+            )
+        missing = {"program.bin", "w.npy"} - members
+        if missing:
+            raise ValueError(
+                f"{path}: truncated artifact (missing {sorted(missing)})"
             )
         exported = jax_export.deserialize(zf.read("program.bin"))
         w = np.load(io.BytesIO(zf.read("w.npy")))

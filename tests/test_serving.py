@@ -202,6 +202,69 @@ def test_artifact_metadata_and_rejects(tmp_path, problem):
         load_transform(newer)
 
 
+def test_empty_platforms_rejected(problem):
+    """jax.export would silently substitute the host platform — the artifact
+    must never be mislabeled."""
+    w, _, _ = problem
+    with pytest.raises(ValueError, match="at least one lowering target"):
+        export_transform(w, NB, SolveConfig(backend="jnp"), platforms=())
+
+
+def test_meta_records_lowered_platforms(tmp_path, problem):
+    """meta.json carries exported.platforms (what the program actually
+    lowered for), not the raw user input."""
+    w, _, _ = problem
+    path = os.path.join(str(tmp_path), "m.nmfz")
+    save_transform(path, w, NB, SolveConfig(backend="jnp"),
+                   platforms=("CPU",))
+    t = load_transform(path)
+    assert [p.lower() for p in t.platforms] == ["cpu"]
+
+
+def test_unknown_config_fields_warn_and_drop(tmp_path, problem):
+    """A NEWER writer may add SolveConfig knobs; a deployed reader keeps
+    serving (default semantics for the unknown knob) instead of crashing."""
+    import json as _json
+    import shutil
+
+    w, x, h0 = problem
+    path = os.path.join(str(tmp_path), "m.nmfz")
+    save_transform(path, w, NB, SolveConfig(max_iter=10, backend="jnp"),
+                   platforms=("cpu",))
+    doctored = os.path.join(str(tmp_path), "newer-writer.nmfz")
+    shutil.copy(path, doctored)
+    with zipfile.ZipFile(path) as zf:
+        meta = _json.loads(zf.read("meta.json"))
+        program = zf.read("program.bin")
+        wnpy = zf.read("w.npy")
+    meta["config"]["some_future_knob"] = 42
+    meta["config"]["precision"]["future_dtype"] = "fp4"
+    with zipfile.ZipFile(doctored, "w") as zf:
+        zf.writestr("meta.json", _json.dumps(meta))
+        zf.writestr("program.bin", program)
+        zf.writestr("w.npy", wnpy)
+    with pytest.warns(UserWarning, match="some_future_knob"):
+        t = load_transform(doctored)
+    assert t.config.max_iter == 10
+    assert t(x[:, :NB], h0=h0[:, :NB]).h.shape == (K, NB)
+
+
+def test_truncated_artifact_raises_valueerror(tmp_path):
+    path = os.path.join(str(tmp_path), "truncated.nmfz")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "meta.json",
+            '{"magic": "nmf_tpu-serving", "format_version": 1}',
+        )
+    with pytest.raises(ValueError, match="truncated artifact"):
+        load_transform(path)
+    empty = os.path.join(str(tmp_path), "empty.nmfz")
+    with zipfile.ZipFile(empty, "w"):
+        pass
+    with pytest.raises(ValueError, match="not an nmf_tpu serving artifact"):
+        load_transform(empty)
+
+
 def test_multiplatform_lowering_includes_tpu(problem):
     """The default artifact lowers for tpu AND cpu from a CPU-only process
     (cross-platform lowering is the point of jax.export)."""
@@ -248,6 +311,9 @@ def test_cli_export_rejects_inapplicable_flags(tmp_path, problem):
     out = os.path.join(str(tmp_path), "m.nmfz")
     assert cli.main(["export", wp, "-o", out, "--mesh", "2x2"]) == 2
     assert cli.main(["export", wp, "-o", out, "--backend", "pallas"]) == 2
+    # --block-n is the STREAMING flag; the artifact width is --block-cols
+    assert cli.main(["export", wp, "-o", out, "--block-n", "64"]) == 2
+    assert cli.main(["export", wp, "-o", out, "--platforms", ","]) == 2
     assert not os.path.exists(out)
 
 
