@@ -35,6 +35,7 @@ def _sync(arrays) -> None:
 
 
 def time_steps(step, w, h, x, short, long, repeats=3):
+    """Per-iteration seconds for each repeat (long/short differencing)."""
     import jax
 
     @jax.jit
@@ -42,7 +43,7 @@ def time_steps(step, w, h, x, short, long, repeats=3):
         return jax.lax.fori_loop(0, n, lambda _, wh: step(wh[0], wh[1], x), (w, h))
 
     _sync(run(w, h, x, 2))
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _sync(run(w, h, x, short))
@@ -50,11 +51,11 @@ def time_steps(step, w, h, x, short, long, repeats=3):
         t0 = time.perf_counter()
         _sync(run(w, h, x, long))
         tl = time.perf_counter() - t0
-        best = min(best, (tl - ts) / (long - short))
-    return best
+        times.append((tl - ts) / (long - short))
+    return times
 
 
-def bench_shape(m, k, n, dtype, backend, short, long):
+def bench_shape(m, k, n, dtype, backend, short, long, workload=None):
     import jax.numpy as jnp
 
     from nmf_tpu.models.solver import resolve_step_fn
@@ -66,12 +67,19 @@ def bench_shape(m, k, n, dtype, backend, short, long):
     h = jnp.asarray(rng.rand(k, n).astype(np.float32))
     cfg = SolveConfig(precision=Precision(dtype), backend=backend, track_cost=False)
     step = resolve_step_fn(cfg)
-    per = time_steps(step, w, h, x, short, long)
+    times = time_steps(step, w, h, x, short, long)
     flops = 8.0 * m * n * k
-    tflops = flops / per / 1e12
     from nmf_tpu.utils.device import chip_spec
 
     peak = chip_spec().peak_tflops(dtype)
+    # same validity filter + MEDIAN headline policy as bench.run_single:
+    # drop sync artifacts (non-positive differences) and above-peak repeats
+    valid = [
+        t for t in times
+        if t > 0 and (peak is None or flops / t / 1e12 <= peak)
+    ] or [t for t in times if t > 0] or times
+    per = float(np.median(valid))
+    tflops = flops / per / 1e12
     row = {
         "shape": f"{m}x{n} k={k}",
         "dtype": dtype,
@@ -85,6 +93,22 @@ def bench_shape(m, k, n, dtype, backend, short, long):
         # (this platform's block_until_ready is unreliable) — flag it so the
         # committed results never present bogus rows as evidence
         row["suspect"] = f"exceeds {peak:.0f} TF/s device peak; re-measure"
+    if workload is not None and "suspect" not in row:
+        # pool with bench.py's archive (identical metric naming) so rule
+        # tables can be retuned from >=3 sessions of medians
+        import jax
+
+        import bench as _bench
+
+        metric = f"mu_iters_per_sec[{workload} {m}x{n} rank {k} {dtype}]"
+        _bench.archive_append(
+            {
+                "metric": metric,
+                "backend": backend,
+                "device_kind": jax.devices()[0].device_kind,
+                "repeat_iters_per_sec": [round(1.0 / t, 3) for t in valid],
+            }
+        )
     return row
 
 
@@ -380,16 +404,16 @@ def main(argv=None) -> int:
 
     print("== speed matrix ==", file=sys.stderr)
     flag_iters = (10, 40) if args.quick else (20, 120)
-    for label, (m, k, n, s, l) in {
-        "regression_4096x350_k128": (4096, 128, 350, 500, 2500),
-        "paper_512x3445_k30": (512, 30, 3445, 500, 2500),
-        "ismir_1025x4000_k32": (1025, 32, 4000, 500, 2500),
-        "flagship_10240x10240_k256": (10240, 256, 10240, *flag_iters),
+    for label, (m, k, n, s, l, wl) in {
+        "regression_4096x350_k128": (4096, 128, 350, 500, 2500, "regression"),
+        "paper_512x3445_k30": (512, 30, 3445, 500, 2500, "paper"),
+        "ismir_1025x4000_k32": (1025, 32, 4000, 500, 2500, "ismir"),
+        "flagship_10240x10240_k256": (10240, 256, 10240, *flag_iters, "flagship"),
     }.items():
         rows = []
         for dtype in ("bfloat16", "float32", "float32_fast"):
             for backend in ("pallas", "jnp"):
-                r = bench_shape(m, k, n, dtype, backend, s, l)
+                r = bench_shape(m, k, n, dtype, backend, s, l, workload=wl)
                 rows.append(r)
                 print(
                     f"{label:28s} {dtype:9s} {backend:6s} "
