@@ -657,7 +657,6 @@ def cmd_transform(args) -> int:
 def cmd_export(args) -> int:
     """Package W + the transform program into a .nmfz serving artifact."""
     for flag, name in (
-        (getattr(args, "mesh", None), "--mesh"),
         (getattr(args, "out_of_core", False), "--out-of-core"),
         (getattr(args, "checkpoint_dir", None), "--checkpoint-dir"),
         (getattr(args, "live", False), "--live"),
@@ -670,15 +669,21 @@ def cmd_export(args) -> int:
     ):
         if flag:
             print(
-                f"error: {name} does not apply to an exported program (the "
-                "artifact is a fixed-shape single-device solve; shard/stream "
-                "on the serving side by calling it per block)",
+                f"error: {name} does not apply to an exported program "
+                "(the artifact is a fixed-shape solve; stream on the "
+                "serving side by calling it per block)",
                 file=sys.stderr,
             )
             return 2
     config = _config_from(args)
     from .serving import save_transform
 
+    # --mesh RxC here means: bake the DISTRIBUTED shard_map solver into the
+    # artifact (traced over an AbstractMesh — no devices needed to export)
+    mesh_shape = None
+    if args.mesh:
+        r, c = (int(v) for v in args.mesh.lower().split("x"))
+        mesh_shape = (r, c)
     w = binio.read_matrix(args.W)
     if args.validate:
         from .utils.guards import validate_input
@@ -686,16 +691,20 @@ def cmd_export(args) -> int:
         validate_input("W", w)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     try:
-        save_transform(args.output, w, args.block_cols, config, platforms)
+        save_transform(
+            args.output, w, args.block_cols, config, platforms,
+            mesh_shape=mesh_shape,
+        )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     if not args.quiet:
         size = os.path.getsize(args.output)
+        mesh_note = f", mesh {args.mesh}" if mesh_shape else ""
         print(
             f"[nmf] exported {args.output}: W {w.shape[0]}x{w.shape[1]}, "
-            f"block {args.block_cols} cols, platforms {','.join(platforms)}, "
-            f"{size} bytes",
+            f"block {args.block_cols} cols, platforms {','.join(platforms)}"
+            f"{mesh_note}, {size} bytes",
             file=sys.stderr,
         )
     return 0
@@ -705,7 +714,13 @@ def cmd_serve(args) -> int:
     """Transform new data against an exported artifact (no retracing)."""
     from .serving import load_transform
 
-    t = load_transform(args.artifact)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        r, c = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(shape=(r, c))
+    t = load_transform(args.artifact, mesh=mesh)
     x = binio.read_matrix(args.X)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
     t0 = time.perf_counter()
@@ -1005,6 +1020,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     srv.add_argument("--h0", help="optional warm-start H .bin")
     srv.add_argument("--seed", type=int, default=0)
+    srv.add_argument(
+        "--mesh",
+        help="serve a mesh artifact on a ROWSxCOLS device mesh (must match "
+        "the shape it was exported for; default: built from all devices)",
+    )
     srv.add_argument("--quiet", "-q", action="store_true")
     srv.set_defaults(fn=cmd_serve)
 

@@ -42,6 +42,14 @@ device — the artifact must run everywhere it lowers for), and
 ``live_metrics`` (host callbacks cannot be serialized).  ``x_dtype`` int8 /
 bfloat16 work: the cast/quantization prep runs *inside* the program, so the
 serving input is always plain float32.
+
+Distributed serving: ``mesh_shape=(rows, cols)`` exports the shard_map
+solver (parallel.sharded) instead — traced over a ``jax.sharding
+.AbstractMesh``, so a single-chip (or chipless) host can export an artifact
+for a pod; loading needs rows*cols devices and the canonical ('mr','mc')
+layout (X blocked, W row-sharded, H column-sharded — `load_transform`
+places the blocks).  int8 X is the one exclusion there (whole-column scale
+layouts cannot be reproduced per shard inside the program).
 """
 
 from __future__ import annotations
@@ -146,16 +154,68 @@ def _build_program(config: SolveConfig):
     return jax.jit(program)
 
 
-def _validate_w_shape(w: np.ndarray, n_block: int) -> np.ndarray:
+def _build_sharded_program(config: SolveConfig, mesh_shape: Tuple[int, int]):
+    """The mesh variant: the shard_map H-only solver (parallel.sharded)
+    traced over an ``AbstractMesh`` — no devices needed at export time, so a
+    single-chip host can export an artifact for a pod.  Input/output
+    shardings are the canonical layout: X blocked ('mr','mc'), W row-sharded,
+    H column-sharded, scalars replicated."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import AbstractMesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .models.solver import _prep_jit
+    from .parallel.sharded import build_sharded_h_solver
+
+    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
+    fn = build_sharded_h_solver(config, am)
+    prep = _prep_jit(config)
+
+    def program(x, w, h0):
+        x, w, h0 = prep(x, w, h0)
+        res = fn(x, w, h0, jnp.asarray(jnp.nan, jnp.float32))
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    def S(spec):
+        return NamedSharding(am, spec)
+
+    return jax.jit(
+        program,
+        in_shardings=(S(P("mr", "mc")), S(P("mr", None)), S(P(None, "mc"))),
+        out_shardings=(
+            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
+        ),
+    )
+
+
+def _validate_w_shape(w: np.ndarray, n_block: int, mesh_shape=None) -> np.ndarray:
     w = np.asarray(w, np.float32)
     if w.ndim != 2:
         raise ValueError(f"W must be 2-D, got shape {w.shape}")
     if n_block <= 0:
         raise ValueError("n_block must be >= 1")
+    if mesh_shape is not None:
+        r, c = (int(v) for v in mesh_shape)
+        if r <= 0 or c <= 0:
+            raise ValueError(f"mesh_shape must be positive, got {mesh_shape}")
+        if w.shape[0] % r or n_block % c:
+            raise ValueError(
+                f"sharded export needs M divisible by mesh rows and n_block "
+                f"by mesh cols: M={w.shape[0]} n_block={n_block} vs "
+                f"mesh {r}x{c}"
+            )
     return w
 
 
-def _export_validated(w, n_block, config, platforms):
+def _export_validated(w, n_block, config, platforms, mesh_shape=None):
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -168,7 +228,17 @@ def _export_validated(w, n_block, config, platforms):
             "the artifact)"
         )
     m, k = w.shape
-    program = _build_program(config)
+    if mesh_shape is None:
+        program = _build_program(config)
+    else:
+        if config.precision.x_dtype == "int8":
+            raise ValueError(
+                "sharded export does not take x_dtype='int8': the exported "
+                "program would have to quantize per shard inside shard_map, "
+                "which cannot reproduce the solver's whole-column scale "
+                "layout — serve int8 single-device, or feed f32/bf16"
+            )
+        program = _build_sharded_program(config, mesh_shape)
     return jax_export.export(program, platforms=platforms)(
         jax.ShapeDtypeStruct((m, n_block), jnp.float32),
         jax.ShapeDtypeStruct((m, k), jnp.float32),
@@ -181,15 +251,21 @@ def export_transform(
     n_block: int,
     config: SolveConfig = SolveConfig(),
     platforms: Sequence[str] = ("tpu", "cpu"),
+    mesh_shape: Optional[Tuple[int, int]] = None,
 ):
     """Trace + lower the H-only transform at fixed shapes.
+
+    With ``mesh_shape=(rows, cols)`` the artifact contains the distributed
+    shard_map solver for an ('mr','mc') device mesh of that shape (traced
+    over an AbstractMesh — exporting needs no devices; serving needs
+    rows*cols of them).
 
     Returns a ``jax.export.Exported``; most callers want
     :func:`save_transform`, which wraps this in the on-disk artifact.
     """
     config = _validate_exportable(config)
-    w = _validate_w_shape(w, n_block)
-    return _export_validated(w, n_block, config, platforms)
+    w = _validate_w_shape(w, n_block, mesh_shape)
+    return _export_validated(w, n_block, config, platforms, mesh_shape)
 
 
 def save_transform(
@@ -198,19 +274,21 @@ def save_transform(
     n_block: int,
     config: SolveConfig = SolveConfig(),
     platforms: Sequence[str] = ("tpu", "cpu"),
+    mesh_shape: Optional[Tuple[int, int]] = None,
 ) -> None:
     """Write a self-contained serving artifact (zip: meta + program + W)."""
     import jax
 
     config = _validate_exportable(config)
-    w = _validate_w_shape(w, n_block)
-    exported = _export_validated(w, n_block, config, platforms)
+    w = _validate_w_shape(w, n_block, mesh_shape)
+    exported = _export_validated(w, n_block, config, platforms, mesh_shape)
     meta = {
         "magic": _MAGIC,
         "format_version": FORMAT_VERSION,
         "m": int(w.shape[0]),
         "k": int(w.shape[1]),
         "n_block": int(n_block),
+        "mesh_shape": list(mesh_shape) if mesh_shape is not None else None,
         # what the program was actually lowered for (never the raw user
         # input: the two could drift and mislabel the artifact)
         "platforms": [str(p) for p in exported.platforms],
@@ -264,7 +342,10 @@ class ServingTransform:
     per chunk.
     """
 
-    def __init__(self, exported, w: np.ndarray, config: SolveConfig, meta: dict):
+    def __init__(
+        self, exported, w: np.ndarray, config: SolveConfig, meta: dict,
+        mesh=None,
+    ):
         import jax
 
         self._exported = exported
@@ -275,9 +356,40 @@ class ServingTransform:
         self.k = int(meta["k"])
         self.n_block = int(meta["n_block"])
         self.platforms = tuple(meta["platforms"])
+        ms = meta.get("mesh_shape")
+        self.mesh_shape = tuple(int(v) for v in ms) if ms else None
+        if self.mesh_shape is None:
+            self.mesh = None
+        else:
+            if mesh is None:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(shape=self.mesh_shape)
+            if tuple(mesh.devices.shape) != self.mesh_shape:
+                raise ValueError(
+                    f"artifact was exported for a "
+                    f"{self.mesh_shape[0]}x{self.mesh_shape[1]} mesh, got "
+                    f"{'x'.join(str(s) for s in mesh.devices.shape)}"
+                )
+            self.mesh = mesh
         # one jit wrapper: repeat calls reuse the compiled executable
         self._fn = jax.jit(exported.call)
         self._w_dev = None
+
+    def _put(self, a, spec_axes):
+        """Place an array for the program: sharded over the mesh axes when
+        the artifact is a mesh program, plain device_put otherwise."""
+        import jax
+
+        if self.mesh is None:
+            return jax.device_put(a)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        row_ax, col_ax = self.mesh.axis_names
+        names = {"mr": row_ax, "mc": col_ax}
+        spec = P(*(names.get(s) for s in spec_axes))
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
 
     def __call__(
         self,
@@ -314,11 +426,13 @@ class ServingTransform:
                 [h0, np.full((self.k, n_pad), eps, np.float32)], axis=1
             )
         if self._w_dev is None:
-            self._w_dev = jax.device_put(self.w)
+            self._w_dev = self._put(self.w, ("mr", None))
         hs, iters, costs, convs = [], [], [], []
         for j0 in range(0, x.shape[1], nb):
             h, it, cost, _hist, _nchecks, conv = self._fn(
-                x[:, j0 : j0 + nb], self._w_dev, h0[:, j0 : j0 + nb]
+                self._put(x[:, j0 : j0 + nb], ("mr", "mc")),
+                self._w_dev,
+                self._put(h0[:, j0 : j0 + nb], (None, "mc")),
             )
             hs.append(h)
             iters.append(it)
@@ -334,8 +448,12 @@ class ServingTransform:
         )
 
 
-def load_transform(path: str) -> ServingTransform:
-    """Load a :func:`save_transform` artifact into a callable."""
+def load_transform(path: str, mesh=None) -> ServingTransform:
+    """Load a :func:`save_transform` artifact into a callable.
+
+    For an artifact exported with ``mesh_shape``, ``mesh`` supplies the
+    device mesh to serve on (shape must match); when omitted, the canonical
+    mesh is built from this process's devices (``parallel.make_mesh``)."""
     from jax import export as jax_export
 
     with zipfile.ZipFile(path, "r") as zf:
@@ -358,4 +476,4 @@ def load_transform(path: str) -> ServingTransform:
         exported = jax_export.deserialize(zf.read("program.bin"))
         w = np.load(io.BytesIO(zf.read("w.npy")))
     config = _config_from_dict(meta["config"])
-    return ServingTransform(exported, w, config, meta)
+    return ServingTransform(exported, w, config, meta, mesh=mesh)

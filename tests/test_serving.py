@@ -309,12 +309,103 @@ def test_cli_export_rejects_inapplicable_flags(tmp_path, problem):
     wp = os.path.join(str(tmp_path), "W.bin")
     binio.write_matrix(w, wp)
     out = os.path.join(str(tmp_path), "m.nmfz")
-    assert cli.main(["export", wp, "-o", out, "--mesh", "2x2"]) == 2
     assert cli.main(["export", wp, "-o", out, "--backend", "pallas"]) == 2
     # --block-n is the STREAMING flag; the artifact width is --block-cols
     assert cli.main(["export", wp, "-o", out, "--block-n", "64"]) == 2
     assert cli.main(["export", wp, "-o", out, "--platforms", ","]) == 2
     assert not os.path.exists(out)
+
+
+MESH_CONFIGS = {
+    "plain-kl": SolveConfig(max_iter=25, backend="jnp"),
+    "hals": SolveConfig(max_iter=25, beta=2.0, algorithm="hals",
+                        backend="jnp"),
+    "reg": SolveConfig(max_iter=25, l1_h=0.01, l2_h=0.1, backend="jnp"),
+    "accel": SolveConfig(max_iter=25, accelerate=True, backend="jnp"),
+    "bf16-x": SolveConfig(
+        max_iter=25, backend="jnp",
+        precision=Precision("bfloat16", "float32", "bfloat16"),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MESH_CONFIGS))
+def test_mesh_artifact_matches_solve_h_only(tmp_path, problem, name):
+    """A mesh_shape artifact (shard_map solver over an AbstractMesh) serves
+    on a real 4x2 device mesh and reproduces the live solve."""
+    w, x, h0 = problem
+    config = MESH_CONFIGS[name]
+    path = os.path.join(str(tmp_path), "mesh.nmfz")
+    save_transform(path, w, NB, config, platforms=("cpu",),
+                   mesh_shape=(4, 2))
+    t = load_transform(path)
+    assert t.mesh_shape == (4, 2)
+    res = t(x, h0=h0)  # 3 blocks, canonical placement handled by the loader
+    ref = solve_h_only(x, w, h0, config)
+    ref_h = np.asarray(ref.h, np.float32)
+    np.testing.assert_allclose(res.h, ref_h, rtol=0, atol=5e-5 * ref_h.max())
+
+
+def test_mesh_artifact_padding_and_shapes(tmp_path, problem):
+    w, x, h0 = problem
+    path = os.path.join(str(tmp_path), "mesh.nmfz")
+    save_transform(path, w, NB, SolveConfig(max_iter=10, backend="jnp"),
+                   platforms=("cpu",), mesh_shape=(2, 4))
+    t = load_transform(path)
+    n_cut = NB + 3  # ragged tail on the mesh path too
+    cut = t(x[:, :n_cut], h0=h0[:, :n_cut])
+    full = t(x, h0=h0)
+    np.testing.assert_array_equal(cut.h, full.h[:, :n_cut])
+
+
+def test_mesh_export_validation(problem):
+    w, _, _ = problem
+    # M=48 not divisible by 5 mesh rows; NB=16 not divisible by 3 cols
+    with pytest.raises(ValueError, match="divisible"):
+        export_transform(w, NB, SolveConfig(backend="jnp"),
+                         platforms=("cpu",), mesh_shape=(5, 1))
+    with pytest.raises(ValueError, match="divisible"):
+        export_transform(w, NB, SolveConfig(backend="jnp"),
+                         platforms=("cpu",), mesh_shape=(1, 3))
+    with pytest.raises(ValueError, match="int8"):
+        export_transform(
+            w, NB,
+            SolveConfig(backend="jnp",
+                        precision=Precision(x_dtype="int8")),
+            platforms=("cpu",), mesh_shape=(4, 2),
+        )
+
+
+def test_mesh_artifact_rejects_wrong_mesh(tmp_path, problem):
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    w, _, _ = problem
+    path = os.path.join(str(tmp_path), "mesh.nmfz")
+    save_transform(path, w, NB, SolveConfig(max_iter=5, backend="jnp"),
+                   platforms=("cpu",), mesh_shape=(4, 2))
+    with pytest.raises(ValueError, match="exported for a 4x2 mesh"):
+        load_transform(path, mesh=make_mesh(shape=(2, 2)))
+
+
+def test_cli_mesh_export_serve(tmp_path, problem):
+    from nmf_tpu import cli
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    wp = os.path.join(str(tmp_path), "W.bin")
+    xp = os.path.join(str(tmp_path), "X.bin")
+    ap = os.path.join(str(tmp_path), "mesh.nmfz")
+    hp = os.path.join(str(tmp_path), "H.bin")
+    binio.write_matrix(w, wp)
+    binio.write_matrix(x, xp)
+    assert cli.main([
+        "export", wp, "-o", ap, "--block-cols", str(NB), "--mesh", "4x2",
+        "--platforms", "cpu", "--max-iter", "15", "-q",
+    ]) == 0
+    assert cli.main(["serve", ap, xp, "-o", hp, "--mesh", "4x2", "-q"]) == 0
+    h = binio.read_matrix(hp)
+    assert h.shape == (K, x.shape[1])
+    assert np.isfinite(h).all()
 
 
 def test_serving_result_aggregates():
