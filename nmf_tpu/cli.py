@@ -859,7 +859,31 @@ def cmd_gen(args) -> int:
 
 
 def cmd_info(args) -> int:
+    import zipfile
+
     for path in args.files:
+        if zipfile.is_zipfile(path):
+            # serving artifact: describe from meta.json without loading the
+            # program (no devices / deserialization needed for 'info')
+            import json as _json
+
+            with zipfile.ZipFile(path) as zf:
+                meta = _json.loads(zf.read("meta.json"))
+            if meta.get("magic") != "nmf_tpu-serving":
+                print(f"{path}: zip, but not an nmf_tpu serving artifact")
+                continue
+            cfg = meta.get("config", {})
+            mesh = meta.get("mesh_shape")
+            mesh_s = f", mesh {mesh[0]}x{mesh[1]}" if mesh else ""
+            print(
+                f"{path}: serving artifact v{meta['format_version']} — "
+                f"W {meta['m']}x{meta['k']}, block {meta['n_block']} cols, "
+                f"platforms {','.join(meta['platforms'])}{mesh_s}, "
+                f"max_iter {cfg.get('max_iter')} thresh {cfg.get('thresh')} "
+                f"{cfg.get('algorithm')}/beta={cfg.get('beta')}, "
+                f"jax {meta.get('jax_version')}"
+            )
+            continue
         a = binio.read_matrix(path)
         print(
             f"{path}: {a.shape[0]}x{a.shape[1]} f32, "

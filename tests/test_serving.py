@@ -408,6 +408,20 @@ def test_cli_mesh_export_serve(tmp_path, problem):
     assert np.isfinite(h).all()
 
 
+def test_cli_info_describes_artifact(tmp_path, problem, capsys):
+    from nmf_tpu import cli
+
+    w, _, _ = problem
+    ap = os.path.join(str(tmp_path), "m.nmfz")
+    save_transform(ap, w, NB, SolveConfig(max_iter=7, backend="jnp"),
+                   platforms=("cpu",))
+    assert cli.main(["info", ap]) == 0
+    out = capsys.readouterr().out
+    assert "serving artifact" in out
+    assert f"W {M}x{K}" in out and f"block {NB} cols" in out
+    assert "max_iter 7" in out
+
+
 def test_serving_result_aggregates():
     r = ServingResult(
         h=np.zeros((2, 3), np.float32),
