@@ -70,6 +70,28 @@ def main():
     )
     print(f"batched: {n_dev} problems, costs {np.asarray(bres.cost).round(2)}")
 
+    # distributed serving artifact: export the shard_map transform for THIS
+    # mesh shape (no devices needed at export time — an AbstractMesh is
+    # traced), then serve new columns on the live mesh from the one file
+    import os as _os
+    import tempfile
+
+    r, c = (int(v) for v in mesh.devices.shape)
+    w_learned = np.asarray(res.w)
+    with tempfile.TemporaryDirectory() as td:
+        art = _os.path.join(td, "mesh-model.nmfz")
+        nt.save_transform(
+            art, w_learned, n_block=args.cols // 2,
+            config=nt.SolveConfig(max_iter=10 if quick else 40,
+                                  backend="jnp"),
+            platforms=(jax.devices()[0].platform,), mesh_shape=(r, c),
+        )
+        served = nt.load_transform(art, mesh=mesh)(x)
+        print(
+            f"mesh serving: {x.shape[1]} cols on the {r}x{c} mesh, "
+            f"cost {served.cost:.4e}"
+        )
+
 
 if __name__ == "__main__":
     main()
