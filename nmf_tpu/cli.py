@@ -721,21 +721,30 @@ def cmd_serve(args) -> int:
         r, c = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(shape=(r, c))
     t = load_transform(args.artifact, mesh=mesh)
-    x = binio.read_matrix(args.X)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
     t0 = time.perf_counter()
-    res = t(x, h0=h0, seed=args.seed)
+    if args.out_of_core:
+        # X streamed off disk block by block, H appended block by block —
+        # host memory stays at one block regardless of N
+        res = t.stream_bin(args.X, out_path=args.output, h0=h0, seed=args.seed)
+        n_cols, shape = None, None
+    else:
+        x = binio.read_matrix(args.X)
+        res = t(x, h0=h0, seed=args.seed)
+        n_cols, shape = x.shape[1], res.h.shape
+        binio.write_matrix(res.h, args.output)
     dt = time.perf_counter() - t0
-    binio.write_matrix(res.h, args.output)
     if not args.quiet:
+        n_note = f"{n_cols} cols in " if n_cols is not None else ""
         print(
-            f"[nmf] serve: {x.shape[1]} cols in "
+            f"[nmf] serve: {n_note}"
             f"{len(res.block_iterations)} blocks of {res.n_block}, "
             f"iters/block max {res.iterations}, cost {res.cost:.6g}, "
             f"{dt:.2f}s",
             file=sys.stderr,
         )
-        print(f"[nmf] wrote {args.output} {res.h.shape}", file=sys.stderr)
+        shape_note = f" {shape}" if shape is not None else " (streamed)"
+        print(f"[nmf] wrote {args.output}{shape_note}", file=sys.stderr)
     return 0
 
 
@@ -1048,6 +1057,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--mesh",
         help="serve a mesh artifact on a ROWSxCOLS device mesh (must match "
         "the shape it was exported for; default: built from all devices)",
+    )
+    srv.add_argument(
+        "--out-of-core",
+        action="store_true",
+        help="stream X from its .bin in column blocks and append H blocks "
+        "to the output as they finish (X and H never load into host memory)",
     )
     srv.add_argument("--quiet", "-q", action="store_true")
     srv.set_defaults(fn=cmd_serve)

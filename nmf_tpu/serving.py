@@ -313,7 +313,8 @@ class ServingResult:
     and ``converged`` is their conjunction.
     """
 
-    h: np.ndarray                    # (k, n) — padding sliced off
+    # (k, n), padding sliced off; None when stream_bin wrote H to disk
+    h: Optional[np.ndarray]
     block_iterations: np.ndarray     # (n_blocks,) i32
     block_costs: np.ndarray          # (n_blocks,) f32 final divergence
     block_converged: np.ndarray      # (n_blocks,) bool
@@ -425,22 +426,104 @@ class ServingTransform:
             h0 = np.concatenate(
                 [h0, np.full((self.k, n_pad), eps, np.float32)], axis=1
             )
-        if self._w_dev is None:
-            self._w_dev = self._put(self.w, ("mr", None))
         hs, iters, costs, convs = [], [], [], []
         for j0 in range(0, x.shape[1], nb):
-            h, it, cost, _hist, _nchecks, conv = self._fn(
-                self._put(x[:, j0 : j0 + nb], ("mr", "mc")),
-                self._w_dev,
-                self._put(h0[:, j0 : j0 + nb], (None, "mc")),
+            h, it, cost, conv = self._solve_block(
+                x[:, j0 : j0 + nb], h0[:, j0 : j0 + nb]
             )
-            hs.append(h)
+            hs.append(np.asarray(h, np.float32))
             iters.append(it)
             costs.append(cost)
             convs.append(conv)
-        h_full = np.concatenate([np.asarray(h, np.float32) for h in hs], axis=1)
+        h_full = np.concatenate(hs, axis=1)
         return ServingResult(
             h=h_full[:, :n],
+            block_iterations=np.asarray(iters, np.int32),
+            block_costs=np.asarray(costs, np.float32),
+            block_converged=np.asarray(convs, bool),
+            n_block=nb,
+        )
+
+    def _solve_block(self, x_blk, h0_blk):
+        """One exported-program dispatch on a full (m, n_block) block."""
+        if self._w_dev is None:
+            self._w_dev = self._put(self.w, ("mr", None))
+        h, it, cost, _hist, _nchecks, conv = self._fn(
+            self._put(x_blk, ("mr", "mc")),
+            self._w_dev,
+            self._put(h0_blk, (None, "mc")),
+        )
+        return h, it, cost, conv
+
+    def stream_bin(
+        self,
+        x_path: str,
+        out_path: Optional[str] = None,
+        h0: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> ServingResult:
+        """Serve a ``.bin`` file in column blocks — X never loads into host
+        memory (the format is column-major, so each block is one contiguous
+        read: models/streaming.BinColumnSource).
+
+        With ``out_path`` the H columns are appended to a ``.bin`` file as
+        each block finishes, so host memory stays at one block regardless of
+        N; the returned result then has ``h=None``.  Block-aligned results
+        are identical to :meth:`__call__` on the loaded matrix (same h0
+        convention, same per-block program)."""
+        import struct
+
+        from .models.streaming import BinColumnSource
+
+        src = BinColumnSource(x_path)
+        m, n = src.shape
+        if m != self.m:
+            raise ValueError(
+                f"{x_path} has {m} rows; artifact W is {self.m}x{self.k}"
+            )
+        if n == 0:
+            raise ValueError(f"{x_path} has no columns")
+        eps = np.float32(self.config.eps)
+        if h0 is None:
+            rng = np.random.RandomState(seed)
+            h0 = np.maximum(rng.rand(self.k, n).astype(np.float32), eps)
+        elif h0.shape != (self.k, n):
+            raise ValueError(f"h0 must be ({self.k}, {n}), got {h0.shape}")
+        nb = self.n_block
+        hs, iters, costs, convs = [], [], [], []
+        fout = open(out_path, "wb") if out_path else None
+        try:
+            if fout is not None:
+                # reference .bin header (rows, cols), column-major payload
+                # appended block by block — exactly write_matrix's layout
+                fout.write(struct.pack("<ii", self.k, n))
+            for j0 in range(0, n, nb):
+                j1 = min(j0 + nb, n)
+                x_blk = src.columns(j0, j1)
+                h0_blk = np.asarray(h0[:, j0:j1], np.float32)
+                if j1 - j0 < nb:
+                    pad = nb - (j1 - j0)
+                    x_blk = np.concatenate(
+                        [x_blk, np.zeros((m, pad), np.float32)], axis=1
+                    )
+                    h0_blk = np.concatenate(
+                        [h0_blk, np.full((self.k, pad), eps, np.float32)],
+                        axis=1,
+                    )
+                h, it, cost, conv = self._solve_block(x_blk, h0_blk)
+                h_np = np.asarray(h, np.float32)[:, : j1 - j0]
+                if fout is not None:
+                    fout.write(np.asfortranarray(h_np).tobytes(order="F"))
+                else:
+                    hs.append(h_np)
+                iters.append(it)
+                costs.append(cost)
+                convs.append(conv)
+        finally:
+            if fout is not None:
+                fout.close()
+        return ServingResult(
+            h=np.concatenate(hs, axis=1) if hs else None,
             block_iterations=np.asarray(iters, np.int32),
             block_costs=np.asarray(costs, np.float32),
             block_converged=np.asarray(convs, bool),

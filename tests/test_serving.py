@@ -408,6 +408,66 @@ def test_cli_mesh_export_serve(tmp_path, problem):
     assert np.isfinite(h).all()
 
 
+def test_stream_bin_matches_in_memory(tmp_path, problem):
+    """stream_bin == __call__ on the loaded matrix (same h0 convention,
+    same per-block program); the out_path variant writes the identical
+    .bin and returns h=None."""
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    x = x[:, : 2 * NB + 5]  # ragged tail through the streaming path too
+    xp = os.path.join(str(tmp_path), "X.bin")
+    binio.write_matrix(x, xp)
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=15, backend="jnp"))
+    mem = t(x, seed=4)
+    streamed = t.stream_bin(xp, seed=4)
+    np.testing.assert_array_equal(streamed.h, mem.h)
+    np.testing.assert_array_equal(
+        streamed.block_iterations, mem.block_iterations
+    )
+    hp = os.path.join(str(tmp_path), "H.bin")
+    disk = t.stream_bin(xp, out_path=hp, seed=4)
+    assert disk.h is None
+    np.testing.assert_array_equal(binio.read_matrix(hp), mem.h)
+    np.testing.assert_array_equal(disk.block_costs, streamed.block_costs)
+
+
+def test_stream_bin_validation(tmp_path, problem):
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    xp = os.path.join(str(tmp_path), "Xbad.bin")
+    binio.write_matrix(x[:-1], xp)  # wrong row count
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=5, backend="jnp"))
+    with pytest.raises(ValueError, match="rows"):
+        t.stream_bin(xp)
+
+
+def test_cli_serve_out_of_core(tmp_path, problem):
+    from nmf_tpu import cli
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    wp = os.path.join(str(tmp_path), "W.bin")
+    xp = os.path.join(str(tmp_path), "X.bin")
+    ap = os.path.join(str(tmp_path), "m.nmfz")
+    h_mem = os.path.join(str(tmp_path), "Hmem.bin")
+    h_str = os.path.join(str(tmp_path), "Hstr.bin")
+    binio.write_matrix(w, wp)
+    binio.write_matrix(x, xp)
+    assert cli.main([
+        "export", wp, "-o", ap, "--block-cols", str(NB),
+        "--platforms", "cpu", "--max-iter", "10", "-q",
+    ]) == 0
+    assert cli.main(["serve", ap, xp, "-o", h_mem, "-q"]) == 0
+    assert cli.main([
+        "serve", ap, xp, "-o", h_str, "--out-of-core", "-q",
+    ]) == 0
+    np.testing.assert_array_equal(
+        binio.read_matrix(h_str), binio.read_matrix(h_mem)
+    )
+
+
 def test_cli_info_describes_artifact(tmp_path, problem, capsys):
     from nmf_tpu import cli
 
