@@ -62,6 +62,14 @@ CONFIGS = {
         max_iter=40, backend="jnp",
         precision=Precision("bfloat16", "float32", "bfloat16"),
     ),
+    "bf16-state": SolveConfig(
+        max_iter=40, backend="jnp",
+        precision=Precision("bfloat16", "bfloat16", "float32"),
+    ),
+    "f32-fast": SolveConfig(
+        max_iter=40, backend="jnp",
+        precision=Precision("float32_fast", "float32", "float32"),
+    ),
     "int8-x": SolveConfig(
         max_iter=40, backend="jnp",
         precision=Precision("float32", "float32", "int8"),
