@@ -9,6 +9,8 @@ environment provides (the real TPU under the driver):
       -> run --checkpoint-dir, killed after the first segment, resumed
       -> run --accelerate
       -> transform (H-only inference against the learned dictionary)
+      -> export -> serve / serve --out-of-core (the .nmfz serving artifact;
+         both must be bit-identical to the live transform at equal shapes)
 
 Asserts output .bin headers/shapes, cost parity between the resumed and
 straight runs, and writes ONE JSON artifact (default E2E_r03.json at the
@@ -199,13 +201,45 @@ def main(argv=None) -> int:
             outputs=["Wsa.bin"],
         )
 
-        # 6. H-only inference against the learned dictionary
-        step(
+        # 6. H-only inference against the learned dictionary (jnp backend:
+        # the serving artifact below exports the portable XLA path, and the
+        # serve-vs-transform bit-parity check needs both on the same path)
+        r_tr = step(
             "transform",
             ["transform", "X.bin", "Wout.bin", "-o", "Hnew.bin",
-             "--max-iter", "30"],
+             "--max-iter", "30", "--thresh", "0", "--backend", "jnp"],
             outputs=["Hnew.bin"],
         )
+
+        # 7. serving artifact: export the learned dictionary + program, then
+        # serve the same data — block width = N so no padding is involved and
+        # the result must be bit-identical to the live transform
+        r_exp_out, r_exp_dt = _run(
+            ["export", "Wout.bin", "-o", "model.nmfz", "--block-cols", "350",
+             "--max-iter", "30", "--thresh", "0", "--backend", "jnp"], d,
+        )
+        art["steps"].append({
+            "step": "export", "seconds": round(r_exp_dt, 2),
+            "model.nmfz": {"bytes": os.path.getsize(os.path.join(d, "model.nmfz"))},
+        })
+        r_srv = step(
+            "serve",
+            ["serve", "model.nmfz", "X.bin", "-o", "Hserve.bin"],
+            outputs=["Hserve.bin"],
+        )
+        serve_match = r_srv["Hserve.bin"]["md5"] == r_tr["Hnew.bin"]["md5"]
+        art["serve_equals_transform"] = serve_match
+        art["ok"] &= serve_match
+        # streamed serving (X read off disk block by block, H appended) must
+        # match the in-memory call bit for bit
+        r_ss = step(
+            "serve-stream",
+            ["serve", "model.nmfz", "X.bin", "-o", "Hss.bin", "--out-of-core"],
+            outputs=["Hss.bin"],
+        )
+        stream_match = r_ss["Hss.bin"]["md5"] == r_srv["Hserve.bin"]["md5"]
+        art["serve_stream_equals_in_memory"] = stream_match
+        art["ok"] &= stream_match
 
     with open(args.out, "w") as f:
         json.dump(art, f, indent=1)

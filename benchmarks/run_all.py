@@ -283,6 +283,60 @@ def bench_transform_ooc(m, k, n, iters=50, block_n=2048):
     }
 
 
+def bench_serving_artifact(m, k, n, iters=50, block_n=2048):
+    """AOT serving: `.nmfz` artifact throughput on the same workload as
+    bench_transform_ooc, so the two rows compare directly.
+
+    The artifact path pays ZERO tracing at serve time (the program is
+    deserialized StableHLO) — the row records export/load/first-dispatch
+    costs separately from the steady-state columns/second.  The exported
+    program is the portable jnp path (serving.py:110-127), while the live
+    transform row may pick a fused backend; compare accordingly."""
+    import tempfile
+
+    import nmf_tpu as nt
+    from nmf_tpu.serving import load_transform, save_transform
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(m, n).astype(np.float32)
+    w = np.maximum(rng.rand(m, k).astype(np.float32), np.float32(2.2204e-16))
+    cfg = nt.SolveConfig(
+        max_iter=iters, check_every=iters, precision=nt.Precision("bfloat16")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "model.nmfz")
+        t0 = time.perf_counter()
+        save_transform(path, w, block_n, cfg)
+        export_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t = load_transform(path)
+        load_s = time.perf_counter() - t0
+        artifact_bytes = os.path.getsize(path)
+        # first dispatch compiles the deserialized program once; steady-state
+        # calls reuse the executable (jit wrapper caches it)
+        t0 = time.perf_counter()
+        t(x[:, : block_n])
+        first_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = t(x)
+            best = min(best, time.perf_counter() - t0)
+    return {
+        "shape": f"{m}x{n} k={k}",
+        "dtype": "bfloat16",
+        "iters_per_block": iters,
+        "block_n": block_n,
+        "artifact_bytes": artifact_bytes,
+        "export_seconds": export_s,
+        "load_seconds": load_s,
+        "first_dispatch_seconds": first_s,
+        "seconds": best,
+        "columns_per_sec": n / best,
+        "total_cost": float(res.cost),
+    }
+
+
 def precision_study(m, k, n, iters=100):
     """Config 3: fp32 vs bf16-matmul/fp32-accum — speed and cost agreement."""
     import nmf_tpu as nt
@@ -470,6 +524,11 @@ def main(argv=None) -> int:
     tro = bench_transform_ooc(2048, 128, 16384)
     cfgs["transform_ooc_2048x16384_k128"] = tro
     print(json.dumps(tro), file=sys.stderr)
+
+    print("== serving artifact (.nmfz, same workload) ==", file=sys.stderr)
+    srv = bench_serving_artifact(2048, 128, 16384)
+    cfgs["serving_artifact_2048x16384_k128"] = srv
+    print(json.dumps(srv), file=sys.stderr)
 
     print("== tile-sparse (clustered 8% occupancy) ==", file=sys.stderr)
     tsrow = bench_tile_sparse(8192, 128, 8192)
