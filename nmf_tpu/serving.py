@@ -426,15 +426,34 @@ class ServingTransform:
             h0 = np.concatenate(
                 [h0, np.full((self.k, n_pad), eps, np.float32)], axis=1
             )
+        # put -> dispatch -> drain pipeline (models/streaming.py's pattern):
+        # block j+1's H2D rides the link while block j computes, and block
+        # j-1's H download drains while block j computes.  Per-block inputs
+        # and programs are identical to the serial loop, so results are
+        # bit-identical — only the scheduling overlaps.
+        starts = list(range(0, x.shape[1], nb))
         hs, iters, costs, convs = [], [], [], []
-        for j0 in range(0, x.shape[1], nb):
-            h, it, cost, conv = self._solve_block(
-                x[:, j0 : j0 + nb], h0[:, j0 : j0 + nb]
-            )
+
+        def _drain(out):
+            h, it, cost, conv = out
             hs.append(np.asarray(h, np.float32))
-            iters.append(it)
-            costs.append(cost)
-            convs.append(conv)
+            iters.append(int(it))
+            costs.append(float(cost))
+            convs.append(bool(conv))
+
+        inflight = self._place_block(x[:, : nb], h0[:, : nb])
+        prev = None
+        for i, j0 in enumerate(starts):
+            out = self._dispatch(inflight)  # async dispatch
+            if i + 1 < len(starts):
+                j1 = starts[i + 1]
+                inflight = self._place_block(
+                    x[:, j1 : j1 + nb], h0[:, j1 : j1 + nb]
+                )
+            if prev is not None:
+                _drain(prev)
+            prev = out
+        _drain(prev)
         h_full = np.concatenate(hs, axis=1)
         return ServingResult(
             h=h_full[:, :n],
@@ -444,14 +463,23 @@ class ServingTransform:
             n_block=nb,
         )
 
-    def _solve_block(self, x_blk, h0_blk):
-        """One exported-program dispatch on a full (m, n_block) block."""
+    def _place_block(self, x_blk, h0_blk):
+        """Start the (async) H2D of one block's inputs."""
+        return (
+            self._put(x_blk, ("mr", "mc")),
+            self._put(h0_blk, (None, "mc")),
+        )
+
+    def _dispatch(self, placed):
+        """One exported-program dispatch on a placed (m, n_block) block.
+
+        Dispatch is asynchronous: the returned arrays are futures, so the
+        caller can enqueue the next block's transfer before fetching."""
         if self._w_dev is None:
             self._w_dev = self._put(self.w, ("mr", None))
+        x_dev, h0_dev = placed
         h, it, cost, _hist, _nchecks, conv = self._fn(
-            self._put(x_blk, ("mr", "mc")),
-            self._w_dev,
-            self._put(h0_blk, (None, "mc")),
+            x_dev, self._w_dev, h0_dev
         )
         return h, it, cost, conv
 
@@ -490,35 +518,58 @@ class ServingTransform:
         elif h0.shape != (self.k, n):
             raise ValueError(f"h0 must be ({self.k}, {n}), got {h0.shape}")
         nb = self.n_block
+        bounds = [(j0, min(j0 + nb, n)) for j0 in range(0, n, nb)]
         hs, iters, costs, convs = [], [], [], []
         fout = open(out_path, "wb") if out_path else None
+
+        def _read_block(idx):
+            """Disk read + padding + async H2D for one block."""
+            j0, j1 = bounds[idx]
+            x_blk = src.columns(j0, j1)
+            h0_blk = np.asarray(h0[:, j0:j1], np.float32)
+            if j1 - j0 < nb:
+                pad = nb - (j1 - j0)
+                x_blk = np.concatenate(
+                    [x_blk, np.zeros((m, pad), np.float32)], axis=1
+                )
+                h0_blk = np.concatenate(
+                    [h0_blk, np.full((self.k, pad), eps, np.float32)],
+                    axis=1,
+                )
+            return self._place_block(x_blk, h0_blk)
+
+        def _drain(idx, out):
+            j0, j1 = bounds[idx]
+            h, it, cost, conv = out
+            h_np = np.asarray(h, np.float32)[:, : j1 - j0]
+            if fout is not None:
+                fout.write(np.asfortranarray(h_np).tobytes(order="F"))
+            else:
+                hs.append(h_np)
+            iters.append(int(it))
+            costs.append(float(cost))
+            convs.append(bool(conv))
+
         try:
             if fout is not None:
                 # reference .bin header (rows, cols), column-major payload
                 # appended block by block — exactly write_matrix's layout
                 fout.write(struct.pack("<ii", self.k, n))
-            for j0 in range(0, n, nb):
-                j1 = min(j0 + nb, n)
-                x_blk = src.columns(j0, j1)
-                h0_blk = np.asarray(h0[:, j0:j1], np.float32)
-                if j1 - j0 < nb:
-                    pad = nb - (j1 - j0)
-                    x_blk = np.concatenate(
-                        [x_blk, np.zeros((m, pad), np.float32)], axis=1
-                    )
-                    h0_blk = np.concatenate(
-                        [h0_blk, np.full((self.k, pad), eps, np.float32)],
-                        axis=1,
-                    )
-                h, it, cost, conv = self._solve_block(x_blk, h0_blk)
-                h_np = np.asarray(h, np.float32)[:, : j1 - j0]
-                if fout is not None:
-                    fout.write(np.asfortranarray(h_np).tobytes(order="F"))
-                else:
-                    hs.append(h_np)
-                iters.append(it)
-                costs.append(cost)
-                convs.append(conv)
+            # same put -> dispatch -> drain pipeline as __call__: block
+            # idx+1's disk read and H2D, and block idx-1's H append, both
+            # overlap block idx's on-device solve; per-block inputs are
+            # unchanged, so the output bytes are identical to the serial
+            # loop's
+            inflight = _read_block(0)
+            prev = None
+            for idx in range(len(bounds)):
+                out = self._dispatch(inflight)
+                if idx + 1 < len(bounds):
+                    inflight = _read_block(idx + 1)
+                if prev is not None:
+                    _drain(idx - 1, prev)
+                prev = out
+            _drain(len(bounds) - 1, prev)
         finally:
             if fout is not None:
                 fout.close()
