@@ -475,10 +475,51 @@ class NMF:
             raise RuntimeError("inverse_transform() before fit()")
         return np.asarray(self.w_ @ np.asarray(h, np.float32))
 
-    def score(self, x) -> float:
-        """Negative divergence of the fit (higher is better, sklearn-style)."""
+    def score(self, x, y=None) -> float:
+        """Negative divergence of the fit (higher is better, sklearn-style).
+
+        ``y`` is accepted and ignored (the supervised-signature convention
+        sklearn's model-selection utilities call with)."""
         import jax.numpy as jnp
 
         x = jnp.maximum(jnp.asarray(x, _F32), 2.2204e-16)
         d = beta_divergence(x, jnp.asarray(self.w_), jnp.asarray(self.components_), self.beta_loss)
         return -float(d)
+
+    # -- sklearn estimator protocol (clone / GridSearchCV / Pipeline) ------
+    # every __init__ parameter, by its __init__ name
+    _param_names = (
+        "n_components", "init", "beta_loss", "max_iter", "tol",
+        "check_every", "random_state", "precision", "backend", "solver",
+        "mesh", "n_restarts", "alpha_W", "alpha_H", "l1_ratio", "accelerate",
+    )
+
+    def get_params(self, deep: bool = True) -> dict:
+        """All constructor parameters (``sklearn.base.clone`` contract).
+
+        ``solver`` comes back normalized ('cd' is stored as its alias
+        'hals'), which clone accepts — both construct the same estimator."""
+        return {name: getattr(self, name) for name in self._param_names}
+
+    def set_params(self, **params) -> "NMF":
+        for name, value in params.items():
+            if name not in self._param_names:
+                raise ValueError(
+                    f"invalid parameter {name!r} for NMF; valid: "
+                    f"{sorted(self._param_names)}"
+                )
+            if name == "solver":
+                value = {"cd": "hals"}.get(value, value)
+            setattr(self, name, value)
+        return self
+
+    def __sklearn_tags__(self):
+        # sklearn >= 1.6 asks estimators for capability tags; delegate to
+        # BaseEstimator's defaults (unbound — this class does not inherit
+        # from sklearn, which stays an optional dependency)
+        from sklearn.base import BaseEstimator
+
+        tags = BaseEstimator.__sklearn_tags__(self)
+        tags.estimator_type = None  # unsupervised transformer
+        tags.input_tags.positive_only = True
+        return tags

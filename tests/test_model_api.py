@@ -333,3 +333,43 @@ def test_nmf_transform_masked(small_problem):
 
     with _pytest.raises(NotImplementedError):
         model.transform(x, mask=mask, out_of_core=True)
+
+
+def test_nmf_sklearn_clone_and_params(small_problem):
+    """get_params/set_params satisfy sklearn.base.clone (the contract
+    Pipeline and the model-selection utilities build on)."""
+    from sklearn.base import clone
+
+    est = NMF(n_components=4, init="random", max_iter=10, solver="cd",
+              alpha_W=0.1, l1_ratio=0.5, accelerate=True)
+    params = est.get_params()
+    assert params["n_components"] == 4
+    assert params["solver"] == "hals"      # 'cd' normalizes to its alias
+    assert params["accelerate"] is True
+    dup = clone(est)
+    assert dup.get_params() == params
+    assert dup.components_ is None         # clone is unfitted
+    est.set_params(max_iter=7, solver="cd")
+    assert est.max_iter == 7 and est.solver == "hals"
+    with pytest.raises(ValueError, match="invalid parameter"):
+        est.set_params(bogus=1)
+
+
+def test_nmf_gridsearchcv_integration(small_problem):
+    """The estimator runs under GridSearchCV end to end: clone per
+    candidate/fold, fit, then score(X, y=None) on the held-out split."""
+    from sklearn.model_selection import GridSearchCV
+
+    x, _, _ = small_problem
+    gs = GridSearchCV(
+        NMF(n_components=3, init="random", max_iter=8, check_every=8),
+        {"n_components": [2, 3]},
+        cv=2,
+        error_score="raise",
+    )
+    gs.fit(x)
+    assert gs.best_params_["n_components"] in (2, 3)
+    assert np.isfinite(gs.best_score_)
+    # refit best estimator is usable
+    h = gs.best_estimator_.transform(x[:, :16], max_iter=5)
+    assert h.shape == (gs.best_params_["n_components"], 16)
