@@ -723,14 +723,18 @@ def cmd_serve(args) -> int:
     t = load_transform(args.artifact, mesh=mesh)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
     t0 = time.perf_counter()
+    prefetch = not args.no_prefetch
     if args.out_of_core:
         # X streamed off disk block by block, H appended block by block —
         # host memory stays at one block regardless of N
-        res = t.stream_bin(args.X, out_path=args.output, h0=h0, seed=args.seed)
+        res = t.stream_bin(
+            args.X, out_path=args.output, h0=h0, seed=args.seed,
+            prefetch=prefetch,
+        )
         n_cols, shape = None, None
     else:
         x = binio.read_matrix(args.X)
-        res = t(x, h0=h0, seed=args.seed)
+        res = t(x, h0=h0, seed=args.seed, prefetch=prefetch)
         n_cols, shape = x.shape[1], res.h.shape
         binio.write_matrix(res.h, args.output)
     dt = time.perf_counter() - t0
@@ -1063,6 +1067,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="stream X from its .bin in column blocks and append H blocks "
         "to the output as they finish (X and H never load into host memory)",
+    )
+    srv.add_argument(
+        "--no-prefetch",
+        action="store_true",
+        help="serve blocks strictly serially (one block's inputs+outputs "
+        "on device at a time) instead of overlapping the next block's "
+        "transfer with the current solve — for artifacts whose block "
+        "nearly fills device memory",
     )
     srv.add_argument("--quiet", "-q", action="store_true")
     srv.set_defaults(fn=cmd_serve)

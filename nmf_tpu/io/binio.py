@@ -29,6 +29,7 @@ __all__ = [
     "read_matrix",
     "write_matrix",
     "read_header",
+    "pack_header",
     "MAGICLESS_HEADER_BYTES",
 ]
 
@@ -37,6 +38,13 @@ __all__ = [
 # likewise.  We pin little-endian for portability.)
 _HEADER = struct.Struct("<II")
 MAGICLESS_HEADER_BYTES = _HEADER.size  # 8
+
+
+def pack_header(rows: int, cols: int) -> bytes:
+    """The 8-byte (rows, cols) header — for streaming writers that append
+    the payload themselves (serving.stream_bin); write_matrix covers the
+    whole-array case."""
+    return _HEADER.pack(rows, cols)
 
 
 def read_header(f: BinaryIO) -> Tuple[int, int]:

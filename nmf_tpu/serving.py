@@ -29,12 +29,14 @@ number of columns by slicing the input into ``n_block``-column chunks and
 zero-padding the tail.  The MU/HALS H half-updates are **column-separable**
 (each H column depends only on its own X column — the numerator
 ``W^T (X/WH)`` and denominator touch nothing across columns), so the padded
-tail cannot perturb real columns; padded columns start at the epsilon clamp
-and decay toward it.  The one coupling exception is ``accelerate=True``,
-whose accept/reject predicate is the *global* block cost — supported, but
-tail-padded blocks then see an (eps-level) perturbation of the acceptance
-test, so exact-parity serving should use block-aligned inputs or
-``accelerate=False``.
+tail cannot perturb real columns' values at any given iteration; padded
+columns start at the epsilon clamp and decay toward it.  Two knobs couple
+columns through block-GLOBAL scalars and therefore see an (eps-level)
+perturbation from the padding: ``thresh > 0`` (the convergence predicate is
+the block cost, so a padded tail block's stop iteration can shift by one
+check) and ``accelerate=True`` (the accept/reject predicate is the block
+cost).  Both are supported; exact-parity serving under either should use
+block-aligned inputs.
 
 Unsupported in an export (validated eagerly): ``backend='pallas'`` /
 ``'autotune'`` (Mosaic kernels are per-platform; autotune needs a live
@@ -397,9 +399,8 @@ class ServingTransform:
         x: np.ndarray,
         h0: Optional[np.ndarray] = None,
         seed: int = 0,
+        prefetch: bool = True,
     ) -> ServingResult:
-        import jax
-
         x = np.asarray(x, np.float32)
         if x.ndim != 2 or x.shape[0] != self.m:
             raise ValueError(
@@ -410,58 +411,91 @@ class ServingTransform:
         if n == 0:
             raise ValueError("X has no columns")
         eps = np.float32(self.config.eps)
-        if h0 is None:
-            rng = np.random.RandomState(seed)
-            h0 = np.maximum(rng.rand(self.k, n).astype(np.float32), eps)
-        else:
+        if h0 is not None:
             h0 = np.asarray(h0, np.float32)
             if h0.shape != (self.k, n):
                 raise ValueError(
                     f"h0 must be ({self.k}, {n}), got {h0.shape}"
                 )
         nb = self.n_block
-        n_pad = (-n) % nb
-        if n_pad:
-            x = np.concatenate([x, np.zeros((self.m, n_pad), np.float32)], axis=1)
-            h0 = np.concatenate(
-                [h0, np.full((self.k, n_pad), eps, np.float32)], axis=1
-            )
-        # put -> dispatch -> drain pipeline (models/streaming.py's pattern):
-        # block j+1's H2D rides the link while block j computes, and block
-        # j-1's H download drains while block j computes.  Per-block inputs
-        # and programs are identical to the serial loop, so results are
-        # bit-identical — only the scheduling overlaps.
-        starts = list(range(0, x.shape[1], nb))
+        bounds = [(j0, min(j0 + nb, n)) for j0 in range(0, n, nb)]
         hs, iters, costs, convs = [], [], [], []
 
-        def _drain(out):
+        def _place(idx):
+            j0, j1 = bounds[idx]
+            return self._place_block(
+                *self._pad_block(
+                    x[:, j0:j1], self._h0_block(h0, seed, idx, j0, j1, eps),
+                    eps,
+                )
+            )
+
+        def _drain(idx, out):
+            j0, j1 = bounds[idx]
             h, it, cost, conv = out
-            hs.append(np.asarray(h, np.float32))
+            hs.append(np.asarray(h, np.float32)[:, : j1 - j0])
             iters.append(int(it))
             costs.append(float(cost))
             convs.append(bool(conv))
 
-        inflight = self._place_block(x[:, : nb], h0[:, : nb])
-        prev = None
-        for i, j0 in enumerate(starts):
-            out = self._dispatch(inflight)  # async dispatch
-            if i + 1 < len(starts):
-                j1 = starts[i + 1]
-                inflight = self._place_block(
-                    x[:, j1 : j1 + nb], h0[:, j1 : j1 + nb]
-                )
-            if prev is not None:
-                _drain(prev)
-            prev = out
-        _drain(prev)
-        h_full = np.concatenate(hs, axis=1)
+        self._run_pipeline(len(bounds), _place, _drain, prefetch)
         return ServingResult(
-            h=h_full[:, :n],
+            h=np.concatenate(hs, axis=1),
             block_iterations=np.asarray(iters, np.int32),
             block_costs=np.asarray(costs, np.float32),
             block_converged=np.asarray(convs, bool),
             n_block=nb,
         )
+
+    def _h0_block(self, h0, seed, idx, j0, j1, eps):
+        """Block ``idx``'s initial H at its REAL width (pre-padding).
+
+        The default init is seeded PER BLOCK (``seed + idx``) so streaming
+        callers never materialize a full (k, n) init — block 0 of a
+        block-aligned single-block call is exactly ``RandomState(seed)
+        .rand(k, n)``, the CLI transform's convention, which keeps
+        ``serve`` bit-identical to ``transform`` at equal shapes."""
+        if h0 is not None:
+            return np.asarray(h0[:, j0:j1], np.float32)
+        rng = np.random.RandomState((int(seed) + idx) % (2 ** 32))
+        return np.maximum(rng.rand(self.k, j1 - j0).astype(np.float32), eps)
+
+    def _pad_block(self, x_blk, h0_blk, eps):
+        """Zero-pad X (clamped to eps inside the program) and eps-pad H to
+        the exported block width."""
+        pad = self.n_block - x_blk.shape[1]
+        if pad:
+            x_blk = np.concatenate(
+                [x_blk, np.zeros((self.m, pad), np.float32)], axis=1
+            )
+            h0_blk = np.concatenate(
+                [h0_blk, np.full((self.k, pad), eps, np.float32)], axis=1
+            )
+        return x_blk, h0_blk
+
+    def _run_pipeline(self, n_blocks, place, drain, prefetch=True):
+        """put -> dispatch -> drain over ``n_blocks`` blocks
+        (models/streaming.py's pattern): block j+1's transfer rides the link
+        while block j computes, and block j-1's H download drains at the
+        same time.  Per-block inputs and programs are identical to the
+        serial schedule, so results are bit-identical — only the overlap
+        differs.  ``prefetch=False`` restores strictly serial scheduling
+        (one block's inputs+outputs resident at a time) for artifacts whose
+        block size nearly fills device memory."""
+        if not prefetch:
+            for idx in range(n_blocks):
+                drain(idx, self._dispatch(place(idx)))
+            return
+        inflight = place(0)
+        prev = None
+        for idx in range(n_blocks):
+            out = self._dispatch(inflight)  # async dispatch
+            if idx + 1 < n_blocks:
+                inflight = place(idx + 1)
+            if prev is not None:
+                drain(idx - 1, prev)
+            prev = out
+        drain(n_blocks - 1, prev)
 
     def _place_block(self, x_blk, h0_blk):
         """Start the (async) H2D of one block's inputs."""
@@ -489,18 +523,24 @@ class ServingTransform:
         out_path: Optional[str] = None,
         h0: Optional[np.ndarray] = None,
         seed: int = 0,
+        prefetch: bool = True,
     ) -> ServingResult:
-        """Serve a ``.bin`` file in column blocks — X never loads into host
-        memory (the format is column-major, so each block is one contiguous
-        read: models/streaming.BinColumnSource).
+        """Serve a ``.bin`` file in column blocks — neither X nor the
+        default init ever loads into host memory (the format is
+        column-major, so each X block is one contiguous read:
+        models/streaming.BinColumnSource; the default h0 is generated per
+        block, see :meth:`_h0_block`).
 
-        With ``out_path`` the H columns are appended to a ``.bin`` file as
-        each block finishes, so host memory stays at one block regardless of
-        N; the returned result then has ``h=None``.  Block-aligned results
-        are identical to :meth:`__call__` on the loaded matrix (same h0
-        convention, same per-block program)."""
-        import struct
+        With ``out_path`` the H columns are appended block by block to a
+        temporary ``.part`` file that replaces ``out_path`` atomically on
+        success (a failed stream never leaves a header-complete but
+        payload-truncated .bin behind), so host memory stays at one block
+        regardless of N; the returned result then has ``h=None``.
+        Block-aligned results are identical to :meth:`__call__` on the
+        loaded matrix (same h0 convention, same per-block program)."""
+        import os
 
+        from .io.binio import pack_header
         from .models.streaming import BinColumnSource
 
         src = BinColumnSource(x_path)
@@ -512,38 +552,35 @@ class ServingTransform:
         if n == 0:
             raise ValueError(f"{x_path} has no columns")
         eps = np.float32(self.config.eps)
-        if h0 is None:
-            rng = np.random.RandomState(seed)
-            h0 = np.maximum(rng.rand(self.k, n).astype(np.float32), eps)
-        elif h0.shape != (self.k, n):
-            raise ValueError(f"h0 must be ({self.k}, {n}), got {h0.shape}")
+        if h0 is not None:
+            h0 = np.asarray(h0, np.float32)
+            if h0.shape != (self.k, n):
+                raise ValueError(f"h0 must be ({self.k}, {n}), got {h0.shape}")
         nb = self.n_block
         bounds = [(j0, min(j0 + nb, n)) for j0 in range(0, n, nb)]
         hs, iters, costs, convs = [], [], [], []
-        fout = open(out_path, "wb") if out_path else None
+        tmp_path = (out_path + ".part") if out_path else None
+        fout = open(tmp_path, "wb") if out_path else None
 
-        def _read_block(idx):
-            """Disk read + padding + async H2D for one block."""
+        def _place(idx):
+            """Disk read + default init + padding + async H2D for one block."""
             j0, j1 = bounds[idx]
-            x_blk = src.columns(j0, j1)
-            h0_blk = np.asarray(h0[:, j0:j1], np.float32)
-            if j1 - j0 < nb:
-                pad = nb - (j1 - j0)
-                x_blk = np.concatenate(
-                    [x_blk, np.zeros((m, pad), np.float32)], axis=1
+            return self._place_block(
+                *self._pad_block(
+                    src.columns(j0, j1),
+                    self._h0_block(h0, seed, idx, j0, j1, eps),
+                    eps,
                 )
-                h0_blk = np.concatenate(
-                    [h0_blk, np.full((self.k, pad), eps, np.float32)],
-                    axis=1,
-                )
-            return self._place_block(x_blk, h0_blk)
+            )
 
         def _drain(idx, out):
             j0, j1 = bounds[idx]
             h, it, cost, conv = out
             h_np = np.asarray(h, np.float32)[:, : j1 - j0]
             if fout is not None:
-                fout.write(np.asfortranarray(h_np).tobytes(order="F"))
+                # column-major payload, appended block by block — exactly
+                # write_matrix's layout
+                fout.write(h_np.tobytes(order="F"))
             else:
                 hs.append(h_np)
             iters.append(int(it))
@@ -552,27 +589,16 @@ class ServingTransform:
 
         try:
             if fout is not None:
-                # reference .bin header (rows, cols), column-major payload
-                # appended block by block — exactly write_matrix's layout
-                fout.write(struct.pack("<ii", self.k, n))
-            # same put -> dispatch -> drain pipeline as __call__: block
-            # idx+1's disk read and H2D, and block idx-1's H append, both
-            # overlap block idx's on-device solve; per-block inputs are
-            # unchanged, so the output bytes are identical to the serial
-            # loop's
-            inflight = _read_block(0)
-            prev = None
-            for idx in range(len(bounds)):
-                out = self._dispatch(inflight)
-                if idx + 1 < len(bounds):
-                    inflight = _read_block(idx + 1)
-                if prev is not None:
-                    _drain(idx - 1, prev)
-                prev = out
-            _drain(len(bounds) - 1, prev)
-        finally:
+                fout.write(pack_header(self.k, n))
+            self._run_pipeline(len(bounds), _place, _drain, prefetch)
+        except BaseException:
             if fout is not None:
                 fout.close()
+                os.unlink(tmp_path)
+            raise
+        if fout is not None:
+            fout.close()
+            os.replace(tmp_path, out_path)
         return ServingResult(
             h=np.concatenate(hs, axis=1) if hs else None,
             block_iterations=np.asarray(iters, np.int32),
@@ -609,5 +635,13 @@ def load_transform(path: str, mesh=None) -> ServingTransform:
             )
         exported = jax_export.deserialize(zf.read("program.bin"))
         w = np.load(io.BytesIO(zf.read("w.npy")))
+    expect = (int(meta.get("m", -1)), int(meta.get("k", -1)))
+    if w.ndim != 2 or w.shape != expect:
+        # a corrupt/tampered w.npy otherwise surfaces as an opaque
+        # calling-convention error deep inside the exported program
+        raise ValueError(
+            f"{path}: corrupt artifact — w.npy is "
+            f"{getattr(w, 'shape', None)}, meta says {expect}"
+        )
     config = _config_from_dict(meta["config"])
     return ServingTransform(exported, w, config, meta, mesh=mesh)

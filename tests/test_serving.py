@@ -137,16 +137,33 @@ def test_ragged_and_single_column(tmp_path, problem):
 
 
 def test_generated_h0_matches_cli_convention(tmp_path, problem):
-    """h0=None generates the same clamped seed-keyed init the CLI uses, so
-    'serve' and 'transform' agree at equal seeds."""
+    """h0=None seeds block b from RandomState(seed + b) at the block's REAL
+    width — so block 0 of a block-aligned call is exactly the CLI
+    transform's RandomState(seed).rand(k, n) convention (serve ==
+    transform at equal shapes), while streaming callers never materialize
+    a full (k, n) init."""
     w, x, _ = problem
     t = _roundtrip(tmp_path, w, SolveConfig(max_iter=10, backend="jnp"))
     n = x.shape[1]
-    rng = np.random.RandomState(3)
-    h0 = np.maximum(
-        rng.rand(K, n).astype(np.float32), np.float32(EPS_DEFAULT)
+    h0 = np.concatenate(
+        [
+            np.maximum(
+                np.random.RandomState(3 + b).rand(K, NB).astype(np.float32),
+                np.float32(EPS_DEFAULT),
+            )
+            for b in range(n // NB)
+        ],
+        axis=1,
     )
     np.testing.assert_array_equal(t(x, seed=3).h, t(x, h0=h0).h)
+    # single-block call == the full-width CLI convention
+    rng = np.random.RandomState(3)
+    h0_full = np.maximum(
+        rng.rand(K, NB).astype(np.float32), np.float32(EPS_DEFAULT)
+    )
+    np.testing.assert_array_equal(
+        t(x[:, :NB], seed=3).h, t(x[:, :NB], h0=h0_full).h
+    )
 
 
 def test_shape_validation(tmp_path, problem):
@@ -284,29 +301,49 @@ def test_multiplatform_lowering_includes_tpu(problem):
 
 
 def test_cli_export_serve_roundtrip(tmp_path, problem):
-    """CLI: export → serve == transform at the same seed/config."""
+    """CLI: export → serve == transform at the same h0/config.
+
+    Multi-block serving shares an explicit --h0 with the full-width
+    transform (the DEFAULT init is per-block seeded so streaming callers
+    never materialize a (k, n) matrix — with h0=None, serve == transform
+    holds at single-block shapes, covered below and in the e2e harness)."""
     from nmf_tpu import cli
     from nmf_tpu.io import binio
 
-    w, x, _ = problem
+    w, x, h0 = problem
     wp = os.path.join(str(tmp_path), "W.bin")
     xp = os.path.join(str(tmp_path), "X.bin")
+    h0p = os.path.join(str(tmp_path), "H0.bin")
     ap = os.path.join(str(tmp_path), "model.nmfz")
     hs = os.path.join(str(tmp_path), "Hserve.bin")
     ht = os.path.join(str(tmp_path), "Htr.bin")
     binio.write_matrix(w, wp)
     binio.write_matrix(x, xp)
+    binio.write_matrix(h0, h0p)
     assert cli.main([
         "export", wp, "-o", ap, "--block-cols", str(NB),
         "--platforms", "cpu", "--max-iter", "20", "-q",
     ]) == 0
-    assert cli.main(["serve", ap, xp, "-o", hs, "-q"]) == 0
+    assert cli.main(["serve", ap, xp, "-o", hs, "--h0", h0p, "-q"]) == 0
     assert cli.main([
         "transform", xp, wp, "-o", ht, "--max-iter", "20",
-        "--backend", "jnp", "-q",
+        "--backend", "jnp", "--h0", h0p, "-q",
     ]) == 0
     a, b = binio.read_matrix(hs), binio.read_matrix(ht)
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-5 * np.abs(b).max())
+    # default-h0 parity at a single-block shape: bit-identical
+    xs = os.path.join(str(tmp_path), "X1.bin")
+    binio.write_matrix(x[:, :NB], xs)
+    hs1 = os.path.join(str(tmp_path), "Hserve1.bin")
+    ht1 = os.path.join(str(tmp_path), "Htr1.bin")
+    assert cli.main(["serve", ap, xs, "-o", hs1, "-q"]) == 0
+    assert cli.main([
+        "transform", xs, wp, "-o", ht1, "--max-iter", "20",
+        "--backend", "jnp", "-q",
+    ]) == 0
+    np.testing.assert_array_equal(
+        binio.read_matrix(hs1), binio.read_matrix(ht1)
+    )
 
 
 def test_cli_export_rejects_inapplicable_flags(tmp_path, problem):
@@ -449,6 +486,81 @@ def test_stream_bin_validation(tmp_path, problem):
     t = _roundtrip(tmp_path, w, SolveConfig(max_iter=5, backend="jnp"))
     with pytest.raises(ValueError, match="rows"):
         t.stream_bin(xp)
+
+
+def test_no_prefetch_bit_identical(tmp_path, problem):
+    """prefetch=False (serial scheduling, CLI --no-prefetch) changes only
+    the overlap, never the bytes."""
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    xp = os.path.join(str(tmp_path), "X.bin")
+    binio.write_matrix(x, xp)
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=10, backend="jnp"))
+    np.testing.assert_array_equal(t(x, seed=1, prefetch=False).h,
+                                  t(x, seed=1).h)
+    np.testing.assert_array_equal(
+        t.stream_bin(xp, seed=1, prefetch=False).h,
+        t.stream_bin(xp, seed=1).h,
+    )
+
+
+def test_stream_bin_failure_leaves_no_output(tmp_path, problem):
+    """A stream that dies mid-run must not leave a header-complete but
+    payload-truncated .bin at out_path (the output appears atomically)."""
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    xp = os.path.join(str(tmp_path), "X.bin")
+    binio.write_matrix(x, xp)
+    # truncate the source after the header + one block of payload
+    data = open(xp, "rb").read()
+    with open(xp, "wb") as f:
+        f.write(data[: 8 + M * NB * 4])
+    hp = os.path.join(str(tmp_path), "H.bin")
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=5, backend="jnp"))
+    with pytest.raises(ValueError):
+        t.stream_bin(xp, out_path=hp)
+    assert not os.path.exists(hp)
+    assert not os.path.exists(hp + ".part")
+
+
+def test_h0_list_input_accepted(tmp_path, problem):
+    """Array-likes coerce the same way in __call__ and stream_bin."""
+    from nmf_tpu.io import binio
+
+    w, x, _ = problem
+    x = x[:, :NB]
+    xp = os.path.join(str(tmp_path), "X1.bin")
+    binio.write_matrix(x, xp)
+    t = _roundtrip(tmp_path, w, SolveConfig(max_iter=5, backend="jnp"))
+    h0 = [[0.5] * NB] * K
+    np.testing.assert_array_equal(
+        t(x, h0=h0).h, t.stream_bin(xp, h0=h0).h
+    )
+
+
+def test_load_rejects_corrupt_w(tmp_path, problem):
+    """A tampered w.npy fails loudly at load, not as an opaque program
+    calling-convention error at first dispatch."""
+    w, _, _ = problem
+    path = os.path.join(str(tmp_path), "m.nmfz")
+    save_transform(path, w, NB, SolveConfig(backend="jnp"),
+                   platforms=("cpu",))
+    import io as _io
+    import json as _json
+
+    with zipfile.ZipFile(path, "r") as zf:
+        meta = zf.read("meta.json")
+        prog = zf.read("program.bin")
+    bad = _io.BytesIO()
+    np.save(bad, np.zeros((M, K + 1), np.float32))
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("meta.json", meta)
+        zf.writestr("program.bin", prog)
+        zf.writestr("w.npy", bad.getvalue())
+    with pytest.raises(ValueError, match="corrupt artifact"):
+        load_transform(path)
 
 
 def test_cli_serve_out_of_core(tmp_path, problem):
