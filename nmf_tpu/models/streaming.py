@@ -134,10 +134,27 @@ def _as_source(x):
 
 
 def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int:
-    """Columns per streamed block: ~block_bytes of f32, lane-aligned (128)."""
+    """Columns per streamed block: ~block_bytes of f32, lane-aligned (128)
+    when the budget allows a whole lane tile.  For very tall X the budget
+    wins over alignment — the memory contract (two in-flight blocks) must
+    hold even when 128 columns alone would blow it."""
     bn = max(1, block_bytes // (4 * m))
-    bn = max(128, (bn // 128) * 128)
+    if bn >= 128:
+        bn = (bn // 128) * 128
     return min(n, bn)
+
+
+def _mask_block(mask_source, j0: int, j1: int, xd) -> np.ndarray:
+    """One mask block, storage-matched to X's wire dtype: bf16 masks ride
+    the same wire as bf16 X (lossless for the common binary 0/1 masks).
+    Shared by the solve AND transform streams so both weight the same
+    objective for the same config."""
+    m_blk = mask_source.columns(j0, j1)
+    if str(xd) == "bfloat16":
+        import ml_dtypes
+
+        m_blk = m_blk.astype(ml_dtypes.bfloat16)
+    return m_blk
 
 
 def _penalty_fns(config: SolveConfig):
@@ -651,13 +668,13 @@ def _sharded_block_fns(
 
 @functools.lru_cache(maxsize=1)
 def _accel_jits():
-    """Jitted factor-sized helpers for the accelerated streamed loop:
+    """Jitted factor-sized helpers for the streamed loops:
     ``extrap(new, old, m, eps)`` is the Nesterov extrapolation the in-memory
     loop applies (solver._run_accel_loop), ``copy`` materializes a buffer
     that survives later donation (snapshot restores, extrapolation-state
-    seeds).  Neither donates: ``old`` may be a snapshot buffer the reject
-    path still needs.  Both follow their inputs' shardings, so the mesh
-    path reuses them unchanged."""
+    seeds, the frozen-template W source).  Neither donates: ``old`` may be
+    a snapshot buffer the reject path still needs.  Both follow their
+    inputs' shardings, so the mesh path reuses them unchanged."""
     import jax
     import jax.numpy as jnp
 
@@ -811,6 +828,8 @@ def solve_out_of_core(
             f"shape mismatch: X{(m, n)} vs W{w0.shape} @ H{h0.shape}"
         )
     k = w0.shape[1]
+    if block_n is not None and int(block_n) < 1:
+        raise ValueError(f"block_n must be >= 1, got {block_n}")
     bn = block_n if block_n is not None else pick_block_n(m, n)
     if mesh is not None:
         from ..parallel.mesh import COL_AXIS, ROW_AXIS
@@ -937,7 +956,7 @@ def solve_out_of_core(
             _mk = jax.device_put(_mk, rep_target)
         # a COPY: the loop's w buffer is donated into the epilogue each
         # iteration, so the frozen source needs its own storage
-        _w_frz = w + jnp.zeros((), w.dtype)
+        _w_frz = _accel_jits()[1](w)
         _freeze = _freeze_jit()
     if h_blocks_resumed is not None:
         h_blocks = [
@@ -1005,14 +1024,7 @@ def solve_out_of_core(
         if mask_source is None:
             return x_dev
         j0, j1 = blocks[idx]
-        m_blk = mask_source.columns(j0, j1)
-        if str(xd) == "bfloat16":
-            # the mask rides the same wire as X: match its storage dtype
-            # (lossless for the common binary 0/1 masks)
-            import ml_dtypes
-
-            m_blk = m_blk.astype(ml_dtypes.bfloat16)
-        return (x_dev, jax.device_put(m_blk, device))
+        return (x_dev, jax.device_put(_mask_block(mask_source, j0, j1, xd), device))
 
     def _save():
         from ..utils import checkpoint as ckpt
@@ -1049,34 +1061,47 @@ def solve_out_of_core(
 
     from ..utils.metrics import emit_live
 
-    def _plain_sweep(w_cur):
-        """One full MU iteration: a single double-buffered sweep.  Mutates
-        ``h_blocks`` in place (their buffers are donated) and returns the
-        new W."""
+    def _sweep(w_src, get_h, set_h):
+        """One full iteration: a single double-buffered sweep over the
+        blocks (prefetch overlaps each block's math), reading each block's
+        H through ``get_h`` and committing through ``set_h`` — the ONE
+        sweep body both the plain and the accelerated loops run (the
+        accelerated loop's accessors add the extrapolation)."""
         a1, a2 = _zeros()
         inflight = put(0)
         for idx in range(len(blocks)):
             x_dev = inflight
             if idx + 1 < len(blocks):
                 inflight = put(idx + 1)  # prefetch overlaps this block's math
-            h_blocks[idx], a1, a2 = step_acc(
-                w_cur, h_blocks[idx], x_dev, a1, a2
-            )
-        w_new = w_epilogue(w_cur, a1, a2)
+            h_new, a1, a2 = step_acc(w_src, get_h(idx), x_dev, a1, a2)
+            set_h(idx, h_new)
+        w_new = w_epilogue(w_src, a1, a2)
         if n_frozen:
             w_new = _freeze(w_new, _mk, _w_frz)
         return w_new
 
+    def _plain_sweep(w_cur):
+        """One plain-MU iteration; mutates ``h_blocks`` in place (their
+        buffers are donated) and returns the new W."""
+        return _sweep(
+            w_cur, h_blocks.__getitem__, h_blocks.__setitem__
+        )
+
     def _cost_pass(w_c, h_list):
         """Stream X once more and return the full-objective cost (check
-        iterations only; the accelerated loop's acceptance test too)."""
-        total = 0.0
+        iterations only; the accelerated loop's acceptance test too).
+
+        Per-block costs stay on device (async futures) and sync ONCE at the
+        end — a per-block float() would insert a D2H round-trip stall
+        between block dispatches on this high-latency link."""
+        parts = []
         inflight = put(0)
         for idx in range(len(blocks)):
             x_dev = inflight
             if idx + 1 < len(blocks):
                 inflight = put(idx + 1)
-            total += float(cost_block(w_c, h_list[idx], x_dev))
+            parts.append(cost_block(w_c, h_list[idx], x_dev))
+        total = float(jnp.sum(jnp.stack(parts))) if parts else 0.0
         return total + float(cost_extra(w_c))
 
     start_iter = it
@@ -1110,23 +1135,16 @@ def solve_out_of_core(
         h_ex = [_copy(hb) for hb in h_blocks]
         w_snap, h_snap = w, list(h_blocks)
         last_save = it
+        def _set_h_extrapolated(idx, h_new):
+            # commit the plain iterate; the NEXT sweep runs from the
+            # extrapolated point (reads the current momentum each call)
+            h_ex[idx] = _extrap(h_new, h_blocks[idx], mom, eps)
+            h_blocks[idx] = h_new
+
         while it < max_iter and not converged:
             chunk = min(check_every, max_iter - it)
             for _ in range(chunk):
-                a1, a2 = _zeros()
-                inflight = put(0)
-                for idx in range(len(blocks)):
-                    x_dev = inflight
-                    if idx + 1 < len(blocks):
-                        inflight = put(idx + 1)
-                    h_new, a1, a2 = step_acc(
-                        w_ex, h_ex[idx], x_dev, a1, a2
-                    )
-                    h_ex[idx] = _extrap(h_new, h_blocks[idx], mom, eps)
-                    h_blocks[idx] = h_new
-                w_new = w_epilogue(w_ex, a1, a2)
-                if n_frozen:
-                    w_new = _freeze(w_new, _mk, _w_frz)
+                w_new = _sweep(w_ex, h_ex.__getitem__, _set_h_extrapolated)
                 w_ex = _extrap(w_new, w, mom, eps)
                 w = w_new
             it += chunk
@@ -1285,6 +1303,8 @@ def transform_out_of_core(
     eps = config.eps
     sd = jnp.dtype(config.precision.state_dtype)
     xd = config.precision.x_dtype
+    if block_n is not None and int(block_n) < 1:
+        raise ValueError(f"block_n must be >= 1, got {block_n}")
     bn = block_n if block_n is not None else pick_block_n(m, n)
     if mesh is not None:
         from ..parallel.mesh import COL_AXIS, ROW_AXIS
@@ -1367,7 +1387,9 @@ def transform_out_of_core(
             else:
                 x_dev = jnp.asarray(x_np)
             if mask_source is not None:
-                x_dev = (x_dev, jnp.asarray(mask_source.columns(j0, j1)))
+                x_dev = (
+                    x_dev, jnp.asarray(_mask_block(mask_source, j0, j1, xd))
+                )
             return x_dev, jnp.asarray(_gen_h0(idx), sd)
 
         inflight = _put(0)
@@ -1419,7 +1441,9 @@ def transform_out_of_core(
             if mask_source is not None:
                 x_s = (
                     x_s,
-                    jax.device_put(mask_source.columns(*blocks[idx]), xs_t),
+                    jax.device_put(
+                        _mask_block(mask_source, *blocks[idx], xd), xs_t
+                    ),
                 )
             return x_s, jax.device_put(_gen_h0(idx), hs_t).astype(sd)
 

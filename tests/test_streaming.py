@@ -411,8 +411,11 @@ def test_streamed_hals_matches_in_memory(problem, block_n):
 def test_pick_block_n_lane_aligned():
     assert streaming.pick_block_n(96, 1000, block_bytes=4 * 96 * 300) == 256
     assert streaming.pick_block_n(96, 100) == 100  # capped at n
-    # huge M: floor at 128 columns
-    assert streaming.pick_block_n(10_000_000, 4096) == 128
+    # huge M: the byte budget WINS over lane alignment (two blocks are in
+    # flight — a hard 128-column floor could exceed HBM for tall X)
+    assert streaming.pick_block_n(10_000_000, 4096) == 6
+    # at/above one lane tile the block is 128-aligned
+    assert streaming.pick_block_n(96, 10_000, block_bytes=4 * 96 * 200) == 128
 
 
 @pytest.mark.parametrize("kind", ["beta2", "reg", "hals"])
@@ -826,3 +829,45 @@ def test_transform_ooc_masked_matches_in_memory(problem, tmp_path):
         transform_out_of_core(
             x, w, config=cfg, mask=mask[:, :-1], block_n=256
         )
+
+
+def test_block_n_validation(problem):
+    x, w, h = problem
+    with pytest.raises(ValueError, match="block_n"):
+        streaming.solve_out_of_core(x, w, h, SolveConfig(max_iter=2), block_n=0)
+    with pytest.raises(ValueError, match="block_n"):
+        streaming.transform_out_of_core(x, w, block_n=-8)
+
+
+def test_transform_mask_matches_solve_mask_dtype(problem):
+    """Solve and transform streams weight the SAME objective under bf16 X:
+    both store the mask in the X wire dtype (shared _mask_block)."""
+    from nmf_tpu.models.masked import solve_masked_h_only
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    rng = np.random.RandomState(5)
+    mask = (rng.rand(*x.shape) < 0.8).astype(np.float32) * 0.7  # real-valued
+    cfg = SolveConfig(
+        max_iter=8, check_every=8,
+        precision=Precision("float32", "float32", "bfloat16"),
+    )
+    res = streaming.transform_out_of_core(
+        x, w, config=cfg, block_n=x.shape[1], mask=mask, seed=2,
+    )
+    # in one block the streamed transform must equal the in-memory masked
+    # h-only solve given the same bf16-stored mask
+    import ml_dtypes
+
+    h0 = np.maximum(
+        np.random.RandomState(2).rand(w.shape[1], x.shape[1]).astype(np.float32),
+        np.float32(cfg.eps),
+    )
+    ref = solve_masked_h_only(
+        x, np.maximum(w, np.float32(cfg.eps)), h0,
+        mask.astype(ml_dtypes.bfloat16).astype(np.float32), cfg,
+    )
+    np.testing.assert_allclose(
+        res.h, np.asarray(ref.h), rtol=0,
+        atol=2e-5 * float(np.asarray(ref.h).max()),
+    )
