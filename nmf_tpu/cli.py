@@ -157,6 +157,38 @@ def _config_from(args) -> SolveConfig:
     )
 
 
+def _parse_mesh_shape(spec: str):
+    """ROWSxCOLS (e.g. '4x2') -> (rows, cols), with a clean error for
+    anything else (main() turns the ValueError into a one-line message)."""
+    parts = spec.lower().split("x")
+    try:
+        r, c = (int(v) for v in parts)
+    except ValueError:
+        r = c = 0
+    if len(parts) != 2 or r < 1 or c < 1:
+        raise ValueError(
+            f"--mesh must be ROWSxCOLS with positive factors (e.g. 4x2), "
+            f"got {spec!r}"
+        )
+    return r, c
+
+
+def _mesh_from(args):
+    """The RxC device mesh named by --mesh, or None (shared by every
+    command so the parse/build logic cannot drift per subcommand)."""
+    if not getattr(args, "mesh", None):
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(shape=_parse_mesh_shape(args.mesh))
+
+
+def _x_wire_bytes_per_element(precision: Precision) -> float:
+    """Bytes each X element occupies on the host->device wire (the streamed
+    summary must not overstate int8/bf16 storage by quoting f32)."""
+    return {"int8": 1.0, "bfloat16": 2.0}.get(precision.x_dtype, 4.0)
+
+
 def _state_as_result(state, w_out, h_out):
     """Adapt a CheckpointState to the SolveResult shape that the metrics
     logger and result guards consume (the checkpointed path's stitched cost
@@ -189,12 +221,7 @@ def _cmd_run_online(args) -> int:
             file=sys.stderr,
         )
         return 2
-    mesh = None
-    if args.mesh:
-        from .parallel.mesh import make_mesh
-
-        r_, c_ = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = make_mesh(shape=(r_, c_))
+    mesh = _mesh_from(args)
     if not (0.0 < args.online_rho <= 1.0):
         print(
             f"error: --online-rho must be in (0, 1], got {args.online_rho}",
@@ -284,6 +311,13 @@ def _cmd_run_out_of_core(args) -> int:
         return 2
     source = BinColumnSource(args.X)
     m, n = source.shape
+    if bool(args.W) != bool(args.H):
+        print(
+            "error: provide BOTH initial W and H files, or neither plus "
+            "--rank (a lone init file would otherwise be silently ignored)",
+            file=sys.stderr,
+        )
+        return 2
     if args.W and args.H:
         w0 = binio.read_matrix(args.W)
         h0 = binio.read_matrix(args.H)
@@ -299,12 +333,7 @@ def _cmd_run_out_of_core(args) -> int:
     else:
         print("error: provide W and H files, or --rank", file=sys.stderr)
         return 2
-    mesh = None
-    if args.mesh:
-        from .parallel.mesh import make_mesh
-
-        r_, c_ = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = make_mesh(shape=(r_, c_))
+    mesh = _mesh_from(args)
     config = _config_from(args)
     mask_source = None
     if args.mask:
@@ -328,9 +357,11 @@ def _cmd_run_out_of_core(args) -> int:
     binio.write_matrix(np.asarray(res.w), w_path)
     binio.write_matrix(np.asarray(res.h), h_path)
     if not args.quiet:
+        gb = m * n * _x_wire_bytes_per_element(config.precision) / 1e9
         print(
             f"[nmf] out-of-core: streamed {m}x{n} X "
-            f"({m * n * 4 / 1e9:.2f} GB) per iteration; wrote {w_path}, {h_path}",
+            f"({gb:.2f} GB as {config.precision.x_dtype}) per iteration; "
+            f"wrote {w_path}, {h_path}",
             file=sys.stderr,
         )
     return 0
@@ -357,17 +388,31 @@ def cmd_run(args) -> int:
     if args.out_of_core:
         return _cmd_run_out_of_core(args)
     x = binio.read_matrix(args.X)
+    if bool(args.W) != bool(args.H):
+        print(
+            "error: provide BOTH initial W and H files, or neither plus "
+            "--rank (a lone init file would otherwise be silently ignored)",
+            file=sys.stderr,
+        )
+        return 2
     if args.W and args.H:
         w0 = binio.read_matrix(args.W)
         h0 = binio.read_matrix(args.H)
     elif args.rank:
-        m, n = x.shape
-        if args.init == "random":
-            w0, h0 = init_mod.random_init(m, args.rank, n, seed=args.seed)
-        elif args.init == "scaled":
-            w0, h0 = init_mod.scaled_random_init(x, args.rank, seed=args.seed)
+        if args.restarts > 1:
+            # solve_restarts generates its own per-member seeded inits; an
+            # up-front init here (nndsvd = a full SVD of X) is discarded work
+            w0 = h0 = None
         else:
-            w0, h0 = init_mod.nndsvd_init(x, args.rank, variant=args.init, seed=args.seed)
+            m, n = x.shape
+            if args.init == "random":
+                w0, h0 = init_mod.random_init(m, args.rank, n, seed=args.seed)
+            elif args.init == "scaled":
+                w0, h0 = init_mod.scaled_random_init(x, args.rank, seed=args.seed)
+            else:
+                w0, h0 = init_mod.nndsvd_init(
+                    x, args.rank, variant=args.init, seed=args.seed
+                )
     else:
         print("error: provide W and H files, or --rank for generated init", file=sys.stderr)
         return 2
@@ -396,15 +441,11 @@ def cmd_run(args) -> int:
         from .utils.guards import validate_input
 
         validate_input("X", x)
-        validate_input("W0", w0)
-        validate_input("H0", h0)
+        if w0 is not None:  # --restarts generates inits later
+            validate_input("W0", w0)
+            validate_input("H0", h0)
 
-    mesh = None
-    if args.mesh:
-        from .parallel.mesh import make_mesh
-
-        r, c = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = make_mesh(shape=(r, c))
+    mesh = _mesh_from(args)
 
     if args.freeze and (args.strict_compat or args.checkpoint_dir):
         print(
@@ -588,12 +629,7 @@ def cmd_transform(args) -> int:
     config = _config_from(args)
     w = binio.read_matrix(args.W)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
-    mesh = None
-    if args.mesh:
-        from .parallel.mesh import make_mesh
-
-        r, c = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = make_mesh(shape=(r, c))
+    mesh = _mesh_from(args)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
     if args.mask and args.out_of_core:
         print(
@@ -680,10 +716,7 @@ def cmd_export(args) -> int:
 
     # --mesh RxC here means: bake the DISTRIBUTED shard_map solver into the
     # artifact (traced over an AbstractMesh — no devices needed to export)
-    mesh_shape = None
-    if args.mesh:
-        r, c = (int(v) for v in args.mesh.lower().split("x"))
-        mesh_shape = (r, c)
+    mesh_shape = _parse_mesh_shape(args.mesh) if args.mesh else None
     w = binio.read_matrix(args.W)
     if args.validate:
         from .utils.guards import validate_input
@@ -714,12 +747,7 @@ def cmd_serve(args) -> int:
     """Transform new data against an exported artifact (no retracing)."""
     from .serving import load_transform
 
-    mesh = None
-    if args.mesh:
-        from .parallel.mesh import make_mesh
-
-        r, c = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = make_mesh(shape=(r, c))
+    mesh = _mesh_from(args)
     t = load_transform(args.artifact, mesh=mesh)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
     t0 = time.perf_counter()
@@ -754,6 +782,23 @@ def cmd_serve(args) -> int:
 
 def cmd_separate(args) -> int:
     """The paper's application: separate audio into spectral sources."""
+    # reject accepted-but-unimplemented solver flags instead of silently
+    # ignoring them (same policy as transform/export)
+    for flag, name in (
+        (getattr(args, "checkpoint_dir", None), "--checkpoint-dir"),
+        (getattr(args, "out_of_core", False), "--out-of-core"),
+        (getattr(args, "strict_compat", False), "--strict-compat"),
+        (getattr(args, "mesh", None), "--mesh"),
+        (getattr(args, "block_n", None), "--block-n"),
+    ):
+        if flag:
+            print(
+                f"error: {name} does not apply to 'separate' (it runs an "
+                "in-memory spectrogram factorization; factorize the "
+                "spectrogram .bin with 'run' for those modes)",
+                file=sys.stderr,
+            )
+            return 2
     from scipy.io import wavfile
 
     from .models.separation import separate
@@ -769,15 +814,38 @@ def cmd_separate(args) -> int:
     audio = audio.astype(np.float32)
 
     config = _config_from(args)
-    res = separate(
-        audio,
-        n_components=args.rank,
-        n_fft=args.n_fft,
-        hop=args.hop,
-        config=config,
-        seed=args.seed,
-        n_restarts=args.restarts,
-    )
+    logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
+    with logger.timed() as t:
+        res = separate(
+            audio,
+            n_components=args.rank,
+            n_fft=args.n_fft,
+            hop=args.hop,
+            config=config,
+            seed=args.seed,
+            n_restarts=args.restarts,
+        )
+    if args.validate:
+        from .utils.guards import validate_result
+
+        validate_result(res.solve_result)
+        if not np.all(np.isfinite(res.sources)):
+            print("error: non-finite separated sources", file=sys.stderr)
+            return 1
+    if args.jsonl:
+        logger.report_raw(
+            {
+                "kind": "separate",
+                "audio": args.audio,
+                "rank": int(args.rank),
+                "n_fft": int(args.n_fft),
+                "hop": int(args.hop),
+                "restarts": int(args.restarts),
+                "iterations": int(res.solve_result.iterations),
+                "cost": float(res.solve_result.cost),
+                "seconds": t.seconds,
+            }
+        )
     import os
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -789,7 +857,7 @@ def cmd_separate(args) -> int:
         print(
             f"[nmf] separated {args.audio} into {args.rank} sources in "
             f"{args.out_dir} ({int(res.solve_result.iterations)} iters, "
-            f"cost {float(res.solve_result.cost):.4e})",
+            f"cost {float(res.solve_result.cost):.4e}, {t.seconds:.2f}s)",
             file=sys.stderr,
         )
     return 0
@@ -802,9 +870,19 @@ def cmd_batch(args) -> int:
     from .io.dataset import BinDataset
     from .parallel.batched import solve_batched
 
-    if args.checkpoint_dir:
-        print("error: --checkpoint-dir is not supported for batch runs", file=sys.stderr)
-        return 2
+    for flag, name in (
+        (args.checkpoint_dir, "--checkpoint-dir"),
+        (getattr(args, "out_of_core", False), "--out-of-core"),
+        (getattr(args, "strict_compat", False), "--strict-compat"),
+        (getattr(args, "block_n", None), "--block-n"),
+    ):
+        if flag:
+            print(
+                f"error: {name} is not supported for batch runs (the batch "
+                "is one in-memory vmapped solve)",
+                file=sys.stderr,
+            )
+            return 2
     ds = BinDataset(args.directory)
     xs = ds.load_batch()
     b, m, n = xs.shape
@@ -818,13 +896,20 @@ def cmd_batch(args) -> int:
 
     mesh = None
     if args.mesh:
+        # --mesh RxC here means pure data parallelism over the batch: ALL
+        # r*c devices form one flat batch axis (the product, not just R)
         from jax.sharding import Mesh as _Mesh
 
-        import jax as _jax
-        import numpy as _np
-
-        n_dev = int(args.mesh.lower().split("x")[0])
-        mesh = _Mesh(_np.asarray(_jax.devices()[:n_dev]), ("batch",))
+        base = _mesh_from(args)
+        n_dev = int(base.devices.size)
+        if b % n_dev:
+            print(
+                f"error: batch of {b} matrices must be a multiple of the "
+                f"mesh device count {n_dev}",
+                file=sys.stderr,
+            )
+            return 2
+        mesh = _Mesh(np.asarray(list(base.devices.flat)), ("batch",))
 
     config = _config_from(args)
     logger = MetricsLogger(verbose=not args.quiet, jsonl_path=args.jsonl)
@@ -837,23 +922,17 @@ def cmd_batch(args) -> int:
         binio.write_matrix(np.asarray(res.h[i]), os.path.join(args.out_dir, f"{stem}.H.bin"))
     costs = np.asarray(res.cost)
     if args.jsonl:
-        import json as _json
-
-        with open(args.jsonl, "a") as f:
-            f.write(
-                _json.dumps(
-                    {
-                        "kind": "batch",
-                        "batch": int(b),
-                        "shape": [int(m), int(n)],
-                        "rank": int(args.rank),
-                        "seconds": t.seconds,
-                        "median_cost": float(np.median(costs)),
-                        "iterations": np.asarray(res.iterations).tolist(),
-                    }
-                )
-                + "\n"
-            )
+        logger.report_raw(
+            {
+                "kind": "batch",
+                "batch": int(b),
+                "shape": [int(m), int(n)],
+                "rank": int(args.rank),
+                "seconds": t.seconds,
+                "median_cost": float(np.median(costs)),
+                "iterations": np.asarray(res.iterations).tolist(),
+            }
+        )
     if not args.quiet:
         print(
             f"[nmf] batch of {b} ({m}x{n}, rank {args.rank}): "
@@ -881,6 +960,10 @@ def cmd_info(args) -> int:
             import json as _json
 
             with zipfile.ZipFile(path) as zf:
+                if "meta.json" not in zf.namelist():
+                    # e.g. an .npz IS a zip — don't KeyError on it
+                    print(f"{path}: zip, but not an nmf_tpu serving artifact")
+                    continue
                 meta = _json.loads(zf.read("meta.json"))
             if meta.get("magic") != "nmf_tpu-serving":
                 print(f"{path}: zip, but not an nmf_tpu serving artifact")
@@ -1102,6 +1185,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
+    except FileNotFoundError as e:
+        # the most common user error (a typoed input path) deserves a
+        # one-line message, not a traceback
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
     except (NotImplementedError, ValueError) as e:
         # unsupported feature combination or invalid argument (e.g. a
         # shape mismatch, --freeze out of range): a clean one-line error

@@ -76,6 +76,10 @@ def read_matrix(path: Union[str, os.PathLike]) -> np.ndarray:
     that downstream jnp conversion is layout-predictable.  Delegates to the
     native C++ reader (nmf_tpu.io.native) when the library is built.
     """
+    if not os.path.exists(path):
+        # the native reader would report this as an opaque "cannot open
+        # file" ValueError; a missing path deserves the standard error
+        raise FileNotFoundError(2, "no such .bin file", os.fspath(path))
     nat = _native()
     if nat is not None:
         return nat.read_matrix_native(os.fspath(path))

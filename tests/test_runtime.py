@@ -822,3 +822,57 @@ def test_live_chunked_tail_warm(small_problem, monkeypatch):
     assert int(res.iterations) == 25
     np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
     np.testing.assert_array_equal(np.asarray(res.h), np.asarray(ref.h))
+
+
+def test_cli_lone_init_file_errors(cli_fixtures, capsys):
+    """run with W but no H (plus --rank) must error, not silently ignore
+    the user's template file; same for the out-of-core entry."""
+    _, p = cli_fixtures
+    assert cli_main(["run", p["X"], p["W"], "--rank", "6", "-q"]) == 2
+    assert "BOTH" in capsys.readouterr().err
+    assert cli_main([
+        "run", p["X"], p["W"], "--rank", "6", "--out-of-core", "-q",
+    ]) == 2
+
+
+def test_cli_bad_mesh_spec_errors(cli_fixtures, capsys):
+    _, p = cli_fixtures
+    assert cli_main([
+        "run", p["X"], p["W"], p["H"], "--mesh", "8", "-q",
+    ]) == 2
+    assert "ROWSxCOLS" in capsys.readouterr().err
+
+
+def test_cli_missing_file_is_clean_error(tmp_path, capsys):
+    rc = cli_main(["run", str(tmp_path / "nope.bin"), "--rank", "4", "-q"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error: file not found" in err
+
+
+def test_cli_info_foreign_zip(tmp_path, capsys):
+    """info on an arbitrary zip (e.g. .npz) reports cleanly, no KeyError."""
+    import numpy as _np
+
+    p = str(tmp_path / "data.npz")
+    _np.savez(p, a=_np.ones(3))
+    assert cli_main(["info", p]) == 0
+    assert "not an nmf_tpu serving artifact" in capsys.readouterr().out
+
+
+def test_cli_batch_rejects_inapplicable_flags(tmp_path, rng, capsys):
+    d = tmp_path / "mats"
+    d.mkdir()
+    binio.write_matrix(rng.rand(8, 8).astype(np.float32), d / "a.bin")
+    assert cli_main([
+        "batch", str(d), "-k", "2", "--out-of-core", "-q",
+    ]) == 2
+    assert "--out-of-core" in capsys.readouterr().err
+
+
+def test_cli_separate_rejects_inapplicable_flags(tmp_path, capsys):
+    assert cli_main([
+        "separate", str(tmp_path / "a.wav"), "--rank", "4",
+        "--checkpoint-dir", str(tmp_path), "-q",
+    ]) == 2
+    assert "--checkpoint-dir" in capsys.readouterr().err
