@@ -162,8 +162,15 @@ def solve_h_only(
     except AttributeError:
         platform = _jax.default_backend()
     if config.beta == 1.0 and config.backend in ("auto", "autotune"):
-        # same measured per-shape policy as solve() (utils/autotune.py)
-        if platform == "tpu" and not config.regularized:
+        # same measured per-shape policy as solve() (utils/autotune.py) —
+        # including its int8 exclusion (Mosaic's uint8 cast is ~1000x
+        # slower than the math it feeds; a dequant-then-Pallas wrap would
+        # materialize full f32 X in HBM each iteration)
+        if (
+            platform == "tpu"
+            and not config.regularized
+            and config.precision.x_dtype != "int8"
+        ):
             from ..utils.autotune import rule_pick
 
             choice = rule_pick(

@@ -253,7 +253,7 @@ def solve_online(
                 f"trajectory)"
             )
         bn = max(cdev, (bn // cdev) * cdev)
-        from ..parallel.mesh import quant_scale_spec
+        from ..parallel.mesh import quant_scale_spec_for
 
         x_t = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
         w_t = NamedSharding(mesh, P(ROW_AXIS, None))
@@ -261,7 +261,7 @@ def solve_online(
         rep_t = NamedSharding(mesh, P())
         sc_t = NamedSharding(
             mesh,
-            quant_scale_spec(2 if config.precision.x_quant_rows else 1),
+            quant_scale_spec_for(config.precision),
         )
     blocks: List[Tuple[int, int]] = [
         (j, min(j + bn, n)) for j in range(0, n, bn)

@@ -579,12 +579,9 @@ def _prep_jit_cached(precision, eps: float):
         if quant:
             # uint8 codes + per-column (or per-row-block) scales: quarters
             # the dominant HBM stream; dequantized in-register by consumers
-            from ..ops.quant import quantize_columns, quantize_rowblocks
+            from ..ops.quant import quantize_policy
 
-            if precision.x_quant_rows:
-                x = quantize_rowblocks(x, eps, precision.x_quant_rows)
-            else:
-                x = quantize_columns(x, eps)
+            x = quantize_policy(x, eps, precision.x_quant_rows)
         else:
             x = x.astype(jnp.dtype(precision.x_dtype))
         return x, w, h
@@ -638,15 +635,12 @@ def solve(
         h0 = jnp.asarray(h0, sd)
         if quant:
             if not isinstance(x, tuple):
-                from ..ops.quant import quantize_columns, quantize_rowblocks
+                from ..ops.quant import quantize_policy
 
-                if config.precision.x_quant_rows:
-                    x = quantize_rowblocks(
-                        jnp.asarray(x, _F32), config.eps,
-                        config.precision.x_quant_rows,
-                    )
-                else:
-                    x = quantize_columns(jnp.asarray(x, _F32), config.eps)
+                x = quantize_policy(
+                    jnp.asarray(x, _F32), config.eps,
+                    config.precision.x_quant_rows,
+                )
         else:
             x = jnp.asarray(x, jnp.dtype(config.precision.x_dtype))
     platform = _default_platform(x)

@@ -144,17 +144,20 @@ def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int
     return min(n, bn)
 
 
-def _mask_block(mask_source, j0: int, j1: int, xd) -> np.ndarray:
-    """One mask block, storage-matched to X's wire dtype: bf16 masks ride
-    the same wire as bf16 X (lossless for the common binary 0/1 masks).
-    Shared by the solve AND transform streams so both weight the same
-    objective for the same config."""
-    m_blk = mask_source.columns(j0, j1)
+def _cast_mask(m_blk: np.ndarray, xd) -> np.ndarray:
+    """Storage-match a mask block to X's wire dtype: bf16 masks ride the
+    same wire as bf16 X (lossless for the common binary 0/1 masks)."""
     if str(xd) == "bfloat16":
         import ml_dtypes
 
         m_blk = m_blk.astype(ml_dtypes.bfloat16)
     return m_blk
+
+
+def _mask_block(mask_source, j0: int, j1: int, xd) -> np.ndarray:
+    """One mask block in X's wire dtype.  Shared by the solve AND transform
+    streams so both weight the same objective for the same config."""
+    return _cast_mask(mask_source.columns(j0, j1), xd)
 
 
 def _penalty_fns(config: SolveConfig):
@@ -707,7 +710,7 @@ def _freeze_jit():
     return freeze
 
 
-def _host_prep(blk: np.ndarray, eps: float, xd, qrows: int = 0):
+def _host_prep(blk: np.ndarray, eps: float, xd, qrows: int = 0, mask=None):
     """Load-time clamp (nmf.cu:211) + storage-dtype cast, on the host so the
     wire carries the final bytes (bf16 halves them; int8 quarters them —
     uint8 codes + f32 scales, dequantized in-register on device).  A
@@ -719,6 +722,12 @@ def _host_prep(blk: np.ndarray, eps: float, xd, qrows: int = 0):
     if str(xd) == "int8":
         from ..ops.quant import quantize_policy_np
 
+        if mask is not None:
+            # zero unobserved entries BEFORE quantization (the in-memory
+            # masked prep's invariant, models/masked.py: garbage at masked
+            # positions must not poison the scales; the update multiplies
+            # them by 0 regardless, so exact-0 codes are faithful storage)
+            blk = np.where(mask > 0, blk, np.float32(0))
         return quantize_policy_np(blk, eps, qrows)
     if str(xd) == "bfloat16":
         import ml_dtypes
@@ -870,11 +879,11 @@ def solve_out_of_core(
         h_target = NamedSharding(mesh, P(None, COL_AXIS))
         acc_target = w_target
         rep_target = NamedSharding(mesh, P())
-        from ..parallel.mesh import quant_scale_spec
+        from ..parallel.mesh import quant_scale_spec_for
 
         scales_target = NamedSharding(
             mesh,
-            quant_scale_spec(2 if config.precision.x_quant_rows else 1),
+            quant_scale_spec_for(config.precision),
         )
     else:
         platform = jax.default_backend()
@@ -996,10 +1005,11 @@ def solve_out_of_core(
             f"{_raw_budget!r}"
         ) from None
 
-    def _put_x(idx: int):
+    def _put_x(idx: int, mask_np=None):
         """Place block idx's X on device; int8 codes come from the host
         cache when budgeted (masked and unmasked runs share this path —
-        on meshes the scales get their own policy placement)."""
+        on meshes the scales get their own policy placement).  ``mask_np``
+        (masked int8 runs) zeroes unobserved entries before quantization."""
         j0, j1 = blocks[idx]
         if not quantized:
             return jax.device_put(
@@ -1010,7 +1020,7 @@ def solve_out_of_core(
         else:
             q_np, s_np = _host_prep(
                 source.columns(j0, j1), eps, xd,
-                config.precision.x_quant_rows,
+                config.precision.x_quant_rows, mask=mask_np,
             )
             if idx not in _scales_dev:
                 _scales_dev[idx] = jax.device_put(s_np, scales_target)
@@ -1020,11 +1030,12 @@ def solve_out_of_core(
         return (jax.device_put(q_np, device), _scales_dev[idx])
 
     def put(idx: int):
-        x_dev = _put_x(idx)
         if mask_source is None:
-            return x_dev
+            return _put_x(idx)
         j0, j1 = blocks[idx]
-        return (x_dev, jax.device_put(_mask_block(mask_source, j0, j1, xd), device))
+        m_np = mask_source.columns(j0, j1)
+        x_dev = _put_x(idx, mask_np=m_np if quantized else None)
+        return (x_dev, jax.device_put(_cast_mask(m_np, xd), device))
 
     def _save():
         from ..utils import checkpoint as ckpt
@@ -1274,6 +1285,15 @@ def transform_out_of_core(
     if config.live_metrics:
         # per-block restarts of the iteration counter are noise, not signal
         config = dataclasses.replace(config, live_metrics=False)
+    if config.precision.x_quant_rows and config.backend == "pallas":
+        # same contract as solve_out_of_core/solve_online: the fused
+        # kernels' scales operand is per-column, and a dequant-then-Pallas
+        # wrap would materialize full f32 X blocks each visit
+        raise NotImplementedError(
+            "per-row-block int8 scales (x_quant_rows) take the jnp path — "
+            "the fused kernels' scales operand is per-column; drop "
+            "backend='pallas' or x_quant_rows"
+        )
     quant = config.precision.x_dtype == "int8"
     source = _as_source(x)
     m, n = source.shape
@@ -1416,12 +1436,12 @@ def transform_out_of_core(
             from .nmf import _h_only_sharded_jit
 
             solver = _h_only_sharded_jit(config, mesh)
-        from ..parallel.mesh import quant_scale_spec
+        from ..parallel.mesh import quant_scale_spec_for
 
         xs_t, ws_t, hs_t, _ = nmf_shardings(mesh)
         scales_t = NamedSharding(
             mesh,
-            quant_scale_spec(2 if config.precision.x_quant_rows else 1),
+            quant_scale_spec_for(config.precision),
         )
         # W crosses the link ONCE for the whole run (it is fixed)
         w_placed = jax.device_put(w_clamped, ws_t).astype(sd)

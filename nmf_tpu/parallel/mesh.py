@@ -86,6 +86,13 @@ def quant_scale_spec(ndim: int) -> P:
     return P(COL_AXIS) if ndim == 1 else P(None, COL_AXIS)
 
 
+def quant_scale_spec_for(precision) -> P:
+    """Config-keyed form of :func:`quant_scale_spec`: the scale spec a
+    Precision implies (2-D table iff ``x_quant_rows``).  Every config-keyed
+    caller goes through this so the ndim-from-config rule cannot drift."""
+    return quant_scale_spec(2 if precision.x_quant_rows else 1)
+
+
 def nmf_shardings(mesh: Mesh):
     """(x, w, h, replicated) NamedShardings for the canonical layout."""
     return (

@@ -93,11 +93,11 @@ def _quant_specs(precision):
     device_put placement sites — the two must agree, which solve_sharded's
     pre-quantized-pair ndim check enforces at the boundary.
     """
-    from .mesh import quant_scale_spec
+    from .mesh import quant_scale_spec_for
 
     return (
         P(ROW_AXIS, COL_AXIS),
-        quant_scale_spec(2 if precision.x_quant_rows else 1),
+        quant_scale_spec_for(precision),
     )
 
 

@@ -457,13 +457,12 @@ def test_streamed_int8_composes_with_families(problem, kind):
 
 def test_streamed_masked_int8(problem):
     """Masked streaming composes with int8 X storage single-device: the
-    result matches the in-memory masked solve on the dequantized data."""
+    streamed run quantizes each block AFTER zeroing unobserved entries
+    (the in-memory masked prep's invariant), so it matches the in-memory
+    int8 masked solve on identical quantized data."""
     from nmf_tpu.models.masked import solve_masked
-    from nmf_tpu.ops.quant import dequantize, quantize_columns
     from nmf_tpu.parallel.mesh import make_mesh
     from nmf_tpu.utils.config import Precision
-
-    import jax.numpy as jnp
 
     x, w, h = problem
     rng = np.random.RandomState(13)
@@ -472,16 +471,21 @@ def test_streamed_masked_int8(problem):
         max_iter=20, check_every=10, precision=Precision(x_dtype="int8")
     )
     res = streaming.solve_out_of_core(x, w, h, cfg, block_n=256, mask=mask)
-    # reference: in-memory masked on the SAME quantized data
-    eps = np.float32(cfg.eps)
-    xq = np.asarray(dequantize(*quantize_columns(jnp.maximum(jnp.asarray(x), eps), float(eps))))
-    ref = solve_masked(xq, w, h, mask, SolveConfig(max_iter=20, check_every=10))
+    ref = solve_masked(x, w, h, mask, cfg)
     np.testing.assert_allclose(
         np.asarray(res.w), np.asarray(ref.w), rtol=1e-4, atol=1e-7
     )
     np.testing.assert_allclose(
         np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-5
     )
+    # garbage at unobserved positions must not poison the blockwise scales
+    # (same contract as the in-memory path, test_matrix_cells)
+    x_garbage = x.copy()
+    x_garbage[mask == 0] = 1e6
+    dirty = streaming.solve_out_of_core(
+        x_garbage, w, h, cfg, block_n=256, mask=mask
+    )
+    np.testing.assert_array_equal(np.asarray(dirty.w), np.asarray(res.w))
     # mesh + masked + int8 composes too (each shard dequantizes its block)
     res_m = streaming.solve_out_of_core(
         x, w, h, cfg, block_n=250, mask=mask, mesh=make_mesh(shape=(4, 2))
