@@ -95,9 +95,8 @@ class TileSparseX:
 def tiles_from_coo(
     data, rows, cols, shape: Tuple[int, int], tile: Tuple[int, int] = (_TILE, _TILE)
 ) -> TileSparseX:
-    """Bucket COO nonzeros into dense occupied tiles (host-side, NumPy)."""
-    import jax.numpy as jnp
-
+    """Bucket COO nonzeros into dense occupied tiles (host-side, NumPy; the
+    payload stays on host until a solver places it)."""
     bm, bn = int(tile[0]), int(tile[1])
     m, n = int(shape[0]), int(shape[1])
     data = np.asarray(data, np.float32).ravel()
@@ -126,10 +125,14 @@ def tiles_from_coo(
         np.add.at(tiles, (slot, rows % bm, cols % bn), data)
     trows = (uniq // nb).astype(np.int32) if len(uniq) else np.zeros(1, np.int32)
     tcols = (uniq % nb).astype(np.int32) if len(uniq) else np.zeros(1, np.int32)
+    # the payload stays HOST-resident: _prepare_tiled owns device placement
+    # (pad/quantize/shard), so X crosses the ~0.01-0.05 GB/s host link
+    # exactly once — an eager device_put here would bounce it D2H for the
+    # padding pass and H2D again
     return TileSparseX(
-        tiles=jnp.asarray(tiles),
-        rows=jnp.asarray(trows),
-        cols=jnp.asarray(tcols),
+        tiles=tiles,
+        rows=trows,
+        cols=tcols,
         shape=(m, n),
     )
 
@@ -547,11 +550,16 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
         sum_h = jax.lax.psum(jnp.sum(h, axis=1, dtype=_f32), COL_AXIS)
         return x_part + jnp.dot(sum_w, sum_h)
 
+    from ..parallel.sharded import _emit_live_origin
+
     def local_solve(tx, w_loc, h_loc, initial_cost):
         # cost() already psums its partials; the predicate scalar is
-        # replicated by construction, so no outer all_reduce
+        # replicated by construction, so no outer all_reduce.  live_emit is
+        # gated to mesh coordinate (0,0) like every sharded builder — a
+        # pod prints once per check, not once per device.
         return run_checked_loop(
-            tx, w_loc, h_loc, config, step, cost, initial_cost=initial_cost
+            tx, w_loc, h_loc, config, step, cost,
+            initial_cost=initial_cost, live_emit=_emit_live_origin,
         )
 
     out_specs = SolveResult(
@@ -640,7 +648,29 @@ def _prepare_tiled(x, w0, h0, config: SolveConfig, chunk, tile, mesh):
         )
     k = shape_w[1]
     mb, nb = -(-m // bm), -(-n // bn)
+    # a hand-built TileSparseX with element indices (or any out-of-grid ids)
+    # would otherwise be silently dropped/clamped by the gather/scatter and
+    # partition selection — wrong results with no error anywhere
+    rows_chk = np.asarray(tx.rows, np.int64)
+    cols_chk = np.asarray(tx.cols, np.int64)
+    if rows_chk.size and (
+        rows_chk.min() < 0 or cols_chk.min() < 0
+        or rows_chk.max() >= mb or cols_chk.max() >= nb
+    ):
+        raise ValueError(
+            f"TileSparseX block ids out of range for the {mb}x{nb} block "
+            f"grid (tile {bm}x{bn}, shape {(m, n)}): rows in "
+            f"[{rows_chk.min()}, {rows_chk.max()}], cols in "
+            f"[{cols_chk.min()}, {cols_chk.max()}] — ids are BLOCK indices, "
+            "not element indices (tiles_from_coo builds them)"
+        )
     if mesh is not None:
+        if config.backend == "pallas":
+            raise NotImplementedError(
+                "the tile-sparse mesh path runs the XLA scan (the Pallas "
+                "scalar-prefetch kernels are single-device); drop "
+                "backend='pallas' or mesh"
+            )
         from ..parallel.mesh import COL_AXIS, ROW_AXIS
 
         r, c = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
@@ -770,14 +800,25 @@ def _run_tiled(xarg, w, h, config: SolveConfig, info, initial_cost):
     """Run one (segment of a) prepared tile-sparse solve on device-resident
     inputs; ``w``/``h`` are the PADDED factors and are donated (chain
     ``res.w``/``res.h`` into the next segment)."""
+    import jax
     import jax.numpy as jnp
 
     c0 = jnp.asarray(initial_cost, jnp.float32)
     if info["mesh"] is not None:
-        fn = _tiled_sharded_fns(config, info["chunk"], info["mesh"])
+        def make(c):
+            return _tiled_sharded_fns(c, info["chunk"], info["mesh"])
     else:
-        fn = _tiled_fns(config, info["chunk"], pallas=info["use_pallas"])
-    return fn(xarg, w, h, c0)
+        def make(c):
+            return _tiled_fns(c, info["chunk"], pallas=info["use_pallas"])
+    if config.live_metrics:
+        # same fallback as the dense solvers: this platform's PJRT plugin
+        # rejects in-jit host callbacks at execute time, so live runs drive
+        # check_every-sized segments from the host instead of crashing
+        from .solver import host_callbacks_supported, run_live_chunked
+
+        if not host_callbacks_supported(jax.default_backend()):
+            return run_live_chunked(make, xarg, w, h, config, c0)
+    return make(config)(xarg, w, h, c0)
 
 
 def _crop_tiled(res, info):
@@ -814,6 +855,11 @@ def solve_sparse_tiled_batched(
     from .solver import SolveResult  # noqa: F401  (return type)
 
     config.validate()
+    if config.live_metrics:
+        # same policy as the dense batched solver (parallel/batched.py):
+        # vmapped per-member emitters would interleave meaningless streams
+        # (and this platform's PJRT plugin rejects the callbacks anyway)
+        config = dataclasses.replace(config, live_metrics=False)
     if config.beta != 1.0 or config.regularized or config.algorithm != "mu":
         raise NotImplementedError(
             "tile-sparse solve implements the KL (beta=1) MU family"
