@@ -726,7 +726,7 @@ def cmd_export(args) -> int:
     try:
         save_transform(
             args.output, w, args.block_cols, config, platforms,
-            mesh_shape=mesh_shape,
+            mesh_shape=mesh_shape, masked=args.masked,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -734,10 +734,11 @@ def cmd_export(args) -> int:
     if not args.quiet:
         size = os.path.getsize(args.output)
         mesh_note = f", mesh {args.mesh}" if mesh_shape else ""
+        mask_note = ", masked" if args.masked else ""
         print(
             f"[nmf] exported {args.output}: W {w.shape[0]}x{w.shape[1]}, "
             f"block {args.block_cols} cols, platforms {','.join(platforms)}"
-            f"{mesh_note}, {size} bytes",
+            f"{mesh_note}{mask_note}, {size} bytes",
             file=sys.stderr,
         )
     return 0
@@ -750,6 +751,14 @@ def cmd_serve(args) -> int:
     mesh = _mesh_from(args)
     t = load_transform(args.artifact, mesh=mesh)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
+    mask = binio.read_matrix(args.mask) if args.mask else None
+    if args.out_of_core and mask is not None:
+        print(
+            "error: masked serving is in-memory (load the observed "
+            "columns; drop --out-of-core)",
+            file=sys.stderr,
+        )
+        return 2
     t0 = time.perf_counter()
     prefetch = not args.no_prefetch
     if args.out_of_core:
@@ -762,7 +771,7 @@ def cmd_serve(args) -> int:
         n_cols, shape = None, None
     else:
         x = binio.read_matrix(args.X)
-        res = t(x, h0=h0, seed=args.seed, prefetch=prefetch)
+        res = t(x, h0=h0, seed=args.seed, prefetch=prefetch, mask=mask)
         n_cols, shape = x.shape[1], res.h.shape
         binio.write_matrix(res.h, args.output)
     dt = time.perf_counter() - t0
@@ -971,6 +980,8 @@ def cmd_info(args) -> int:
             cfg = meta.get("config", {})
             mesh = meta.get("mesh_shape")
             mesh_s = f", mesh {mesh[0]}x{mesh[1]}" if mesh else ""
+            if meta.get("masked"):
+                mesh_s += ", masked (serve needs --mask)"
             print(
                 f"{path}: serving artifact v{meta['format_version']} — "
                 f"W {meta['m']}x{meta['k']}, block {meta['n_block']} cols, "
@@ -1125,6 +1136,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="tpu,cpu",
         help="comma-separated jax.export lowering platforms",
     )
+    exp.add_argument(
+        "--masked",
+        action="store_true",
+        help="export the MASKED transform program (missing-data scoring): "
+        "'serve' then requires --mask with the observed-entry weights",
+    )
     _add_solver_flags(exp)
     exp.set_defaults(fn=cmd_export)
 
@@ -1139,6 +1156,11 @@ def build_parser() -> argparse.ArgumentParser:
         "-o", "--output", default="Hout.bin", help="output H path"
     )
     srv.add_argument("--h0", help="optional warm-start H .bin")
+    srv.add_argument(
+        "--mask",
+        help="observed-entry mask .bin (same shape as X; 0 = missing) — "
+        "required by artifacts exported with --masked, in-memory only",
+    )
     srv.add_argument("--seed", type=int, default=0)
     srv.add_argument(
         "--mesh",

@@ -180,33 +180,45 @@ def _masked_validate_and_prep(x, w0, h0, mask, config: SolveConfig):
 
 
 @functools.lru_cache(maxsize=8)
-def _masked_h_only_jit(config: SolveConfig):
-    """Jitted masked H-only solve: W fixed, H iterates on the observed
-    entries only (missing-data inference, e.g. scoring a partially-observed
-    new column against a learned dictionary)."""
+def _masked_h_step_cost_pair(config: SolveConfig):
+    """(step, cost) for the masked H-only loop over a PACKED ``(x, mask)``
+    data operand — run_checked_loop passes one opaque data arg, so callers
+    that take the mask as an ARGUMENT (the serving export) and callers that
+    close over it (:func:`_masked_h_only_jit`) share one step body."""
     eps, prec = config.eps, config.precision
     pens = dict(l1_h=config.l1_h, l2_h=config.l2_h)
     dq = _dq_or_id(prec)
 
+    def step(w_, h_, xm):
+        x_raw, mask = xm
+        x_ = dq(x_raw)
+        # the H half of mu_step_masked (same clamp sites)
+        z = mask * (x_ / eps_clamp(matmul(w_, h_, prec), eps))
+        numer = matmul(w_, z, prec, transpose_a=True)
+        denom = (
+            eps_clamp(matmul(w_, mask, prec, transpose_a=True), eps)
+            + pens["l1_h"] + pens["l2_h"] * h_.astype(_F32)
+        )
+        return w_, (h_ * (numer / denom)).astype(h_.dtype)
+
+    def cost(xm, w_, h_):
+        x_, mask = xm
+        # H-side penalties only (the W penalties are not part of an
+        # H-only objective — mirrors models.nmf._h_only_jit)
+        return masked_kl(dq(x_), w_, h_, mask, eps, **pens)
+
+    return step, cost
+
+
+def _masked_h_only_jit(config: SolveConfig):
+    """Jitted masked H-only solve: W fixed, H iterates on the observed
+    entries only (missing-data inference, e.g. scoring a partially-observed
+    new column against a learned dictionary)."""
+    step, cost = _masked_h_step_cost_pair(config)
+
     @functools.partial(jax.jit, donate_argnums=(2,))
     def _solve(x, w, h, mask):
-        def step(w_, h_, x_raw):
-            x_ = dq(x_raw)
-            # the H half of mu_step_masked (same clamp sites)
-            z = mask * (x_ / eps_clamp(matmul(w_, h_, prec), eps))
-            numer = matmul(w_, z, prec, transpose_a=True)
-            denom = (
-                eps_clamp(matmul(w_, mask, prec, transpose_a=True), eps)
-                + pens["l1_h"] + pens["l2_h"] * h_.astype(_F32)
-            )
-            return w_, (h_ * (numer / denom)).astype(h_.dtype)
-
-        def cost(x_, w_, h_):
-            # H-side penalties only (the W penalties are not part of an
-            # H-only objective — mirrors models.nmf._h_only_jit)
-            return masked_kl(dq(x_), w_, h_, mask, eps, **pens)
-
-        return run_checked_loop(x, w, h, config, step, cost)
+        return run_checked_loop((x, mask), w, h, config, step, cost)
 
     return _solve
 

@@ -75,7 +75,10 @@ __all__ = [
     "FORMAT_VERSION",
 ]
 
-FORMAT_VERSION = 1
+# v1: plain/mesh transform artifacts.  v2 adds masked artifacts (a 4th
+# program input); plain artifacts still write v1 so older loaders — which
+# reject versions above their own — keep reading them.
+FORMAT_VERSION = 2
 _MAGIC = "nmf_tpu-serving"
 
 
@@ -156,6 +159,77 @@ def _build_program(config: SolveConfig):
     return jax.jit(program)
 
 
+def _build_masked_program(config: SolveConfig):
+    """Masked variant of :func:`_build_program`: ``program(x, w, h0, mask)``
+    iterates H on the OBSERVED entries only (models/masked.py semantics —
+    missing-data scoring at serve time, e.g. recommender cold-start).  The
+    masked prep runs inside the program (clamp/cast; int8 quantizes AFTER
+    zeroing unobserved entries), so serving inputs are plain float32."""
+    import jax
+
+    from .models.masked import _masked_h_step_cost_pair, _masked_prep_jit_cached
+    from .models.solver import run_checked_loop
+
+    step, cost = _masked_h_step_cost_pair(config)
+    prep = _masked_prep_jit_cached(config.precision, config.eps)
+
+    def program(x, w, h0, mask):
+        x, w, h0, mask = prep(x, w, h0, mask)
+        res = run_checked_loop((x, mask), w, h0, config, step, cost)
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    return jax.jit(program)
+
+
+def _build_sharded_masked_program(config: SolveConfig, mesh_shape):
+    """Mesh + masked: the shard_map masked H-only solver over an
+    AbstractMesh; the mask shards exactly like X."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import AbstractMesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .models.masked import _masked_prep_jit_cached
+    from .parallel.sharded import build_sharded_masked_h_solver
+
+    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
+    fn = build_sharded_masked_h_solver(config, am)
+    prep = _masked_prep_jit_cached(config.precision, config.eps)
+
+    def program(x, w, h0, mask):
+        x, w, h0, mask = prep(x, w, h0, mask)
+        res = fn((x, mask), w, h0, jnp.asarray(jnp.nan, jnp.float32))
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    def S(spec):
+        return NamedSharding(am, spec)
+
+    return jax.jit(
+        program,
+        in_shardings=(
+            S(P("mr", "mc")), S(P("mr", None)), S(P(None, "mc")),
+            S(P("mr", "mc")),
+        ),
+        out_shardings=(
+            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
+        ),
+    )
+
+
 def _build_sharded_program(config: SolveConfig, mesh_shape: Tuple[int, int]):
     """The mesh variant: the shard_map H-only solver (parallel.sharded)
     traced over an ``AbstractMesh`` — no devices needed at export time, so a
@@ -217,7 +291,8 @@ def _validate_w_shape(w: np.ndarray, n_block: int, mesh_shape=None) -> np.ndarra
     return w
 
 
-def _export_validated(w, n_block, config, platforms, mesh_shape=None):
+def _export_validated(w, n_block, config, platforms, mesh_shape=None,
+                      masked=False):
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -229,9 +304,14 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None):
             "would silently fall back to this host's platform, mislabeling "
             "the artifact)"
         )
+    if masked and (config.beta != 1.0 or config.algorithm != "mu"):
+        raise ValueError(
+            "masked serving implements the KL (beta=1) MU family "
+            "(models/masked.py)"
+        )
     m, k = w.shape
     if mesh_shape is None:
-        program = _build_program(config)
+        program = (_build_masked_program if masked else _build_program)(config)
     else:
         if config.precision.x_dtype == "int8":
             raise ValueError(
@@ -240,12 +320,17 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None):
                 "which cannot reproduce the solver's whole-column scale "
                 "layout — serve int8 single-device, or feed f32/bf16"
             )
-        program = _build_sharded_program(config, mesh_shape)
-    return jax_export.export(program, platforms=platforms)(
+        program = (
+            _build_sharded_masked_program if masked else _build_sharded_program
+        )(config, mesh_shape)
+    args = [
         jax.ShapeDtypeStruct((m, n_block), jnp.float32),
         jax.ShapeDtypeStruct((m, k), jnp.float32),
         jax.ShapeDtypeStruct((k, n_block), jnp.float32),
-    )
+    ]
+    if masked:
+        args.append(jax.ShapeDtypeStruct((m, n_block), jnp.float32))
+    return jax_export.export(program, platforms=platforms)(*args)
 
 
 def export_transform(
@@ -254,20 +339,23 @@ def export_transform(
     config: SolveConfig = SolveConfig(),
     platforms: Sequence[str] = ("tpu", "cpu"),
     mesh_shape: Optional[Tuple[int, int]] = None,
+    masked: bool = False,
 ):
     """Trace + lower the H-only transform at fixed shapes.
 
     With ``mesh_shape=(rows, cols)`` the artifact contains the distributed
     shard_map solver for an ('mr','mc') device mesh of that shape (traced
     over an AbstractMesh — exporting needs no devices; serving needs
-    rows*cols of them).
+    rows*cols of them).  With ``masked=True`` the program takes a fourth
+    ``mask`` input and iterates H on the observed entries only
+    (missing-data scoring; composes with ``mesh_shape``).
 
     Returns a ``jax.export.Exported``; most callers want
     :func:`save_transform`, which wraps this in the on-disk artifact.
     """
     config = _validate_exportable(config)
     w = _validate_w_shape(w, n_block, mesh_shape)
-    return _export_validated(w, n_block, config, platforms, mesh_shape)
+    return _export_validated(w, n_block, config, platforms, mesh_shape, masked)
 
 
 def save_transform(
@@ -277,19 +365,23 @@ def save_transform(
     config: SolveConfig = SolveConfig(),
     platforms: Sequence[str] = ("tpu", "cpu"),
     mesh_shape: Optional[Tuple[int, int]] = None,
+    masked: bool = False,
 ) -> None:
     """Write a self-contained serving artifact (zip: meta + program + W)."""
     import jax
 
     config = _validate_exportable(config)
     w = _validate_w_shape(w, n_block, mesh_shape)
-    exported = _export_validated(w, n_block, config, platforms, mesh_shape)
+    exported = _export_validated(
+        w, n_block, config, platforms, mesh_shape, masked
+    )
     meta = {
         "magic": _MAGIC,
-        "format_version": FORMAT_VERSION,
+        "format_version": FORMAT_VERSION if masked else 1,
         "m": int(w.shape[0]),
         "k": int(w.shape[1]),
         "n_block": int(n_block),
+        "masked": bool(masked),
         "mesh_shape": list(mesh_shape) if mesh_shape is not None else None,
         # what the program was actually lowered for (never the raw user
         # input: the two could drift and mislabel the artifact)
@@ -358,6 +450,7 @@ class ServingTransform:
         self.m = int(meta["m"])
         self.k = int(meta["k"])
         self.n_block = int(meta["n_block"])
+        self.masked = bool(meta.get("masked", False))
         self.platforms = tuple(meta["platforms"])
         ms = meta.get("mesh_shape")
         self.mesh_shape = tuple(int(v) for v in ms) if ms else None
@@ -400,6 +493,7 @@ class ServingTransform:
         h0: Optional[np.ndarray] = None,
         seed: int = 0,
         prefetch: bool = True,
+        mask: Optional[np.ndarray] = None,
     ) -> ServingResult:
         x = np.asarray(x, np.float32)
         if x.ndim != 2 or x.shape[0] != self.m:
@@ -410,6 +504,19 @@ class ServingTransform:
         n = x.shape[1]
         if n == 0:
             raise ValueError("X has no columns")
+        if self.masked != (mask is not None):
+            raise ValueError(
+                "this artifact's program "
+                + ("requires a mask (exported with masked=True)"
+                   if self.masked else "takes no mask (export with "
+                   "masked=True for missing-data scoring)")
+            )
+        if mask is not None:
+            mask = np.asarray(mask, np.float32)
+            if mask.shape != x.shape:
+                raise ValueError(
+                    f"mask shape {mask.shape} != X shape {x.shape}"
+                )
         eps = np.float32(self.config.eps)
         if h0 is not None:
             h0 = np.asarray(h0, np.float32)
@@ -427,6 +534,7 @@ class ServingTransform:
                 *self._pad_block(
                     x[:, j0:j1], self._h0_block(h0, seed, idx, j0, j1, eps),
                     eps,
+                    mask_blk=None if mask is None else mask[:, j0:j1],
                 )
             )
 
@@ -460,9 +568,11 @@ class ServingTransform:
         rng = np.random.RandomState((int(seed) + idx) % (2 ** 32))
         return np.maximum(rng.rand(self.k, j1 - j0).astype(np.float32), eps)
 
-    def _pad_block(self, x_blk, h0_blk, eps):
+    def _pad_block(self, x_blk, h0_blk, eps, mask_blk=None):
         """Zero-pad X (clamped to eps inside the program) and eps-pad H to
-        the exported block width."""
+        the exported block width; a mask's padding is ZERO (fully
+        unobserved — padded columns contribute nothing to the masked
+        objective at all)."""
         pad = self.n_block - x_blk.shape[1]
         if pad:
             x_blk = np.concatenate(
@@ -471,7 +581,13 @@ class ServingTransform:
             h0_blk = np.concatenate(
                 [h0_blk, np.full((self.k, pad), eps, np.float32)], axis=1
             )
-        return x_blk, h0_blk
+            if mask_blk is not None:
+                mask_blk = np.concatenate(
+                    [mask_blk, np.zeros((self.m, pad), np.float32)], axis=1
+                )
+        if mask_blk is None:
+            return x_blk, h0_blk
+        return x_blk, h0_blk, mask_blk
 
     def _run_pipeline(self, n_blocks, place, drain, prefetch=True):
         """put -> dispatch -> drain over ``n_blocks`` blocks
@@ -497,12 +613,15 @@ class ServingTransform:
             prev = out
         drain(n_blocks - 1, prev)
 
-    def _place_block(self, x_blk, h0_blk):
+    def _place_block(self, x_blk, h0_blk, mask_blk=None):
         """Start the (async) H2D of one block's inputs."""
-        return (
+        placed = (
             self._put(x_blk, ("mr", "mc")),
             self._put(h0_blk, (None, "mc")),
         )
+        if mask_blk is not None:
+            placed += (self._put(mask_blk, ("mr", "mc")),)
+        return placed
 
     def _dispatch(self, placed):
         """One exported-program dispatch on a placed (m, n_block) block.
@@ -511,9 +630,9 @@ class ServingTransform:
         caller can enqueue the next block's transfer before fetching."""
         if self._w_dev is None:
             self._w_dev = self._put(self.w, ("mr", None))
-        x_dev, h0_dev = placed
+        x_dev, h0_dev = placed[0], placed[1]
         h, it, cost, _hist, _nchecks, conv = self._fn(
-            x_dev, self._w_dev, h0_dev
+            x_dev, self._w_dev, h0_dev, *placed[2:]
         )
         return h, it, cost, conv
 
@@ -543,6 +662,12 @@ class ServingTransform:
         from .io.binio import pack_header
         from .models.streaming import BinColumnSource
 
+        if self.masked:
+            raise NotImplementedError(
+                "masked artifacts serve in-memory (the mask must ride with "
+                "X column for column) — load the observed columns and call "
+                "the artifact with mask="
+            )
         src = BinColumnSource(x_path)
         m, n = src.shape
         if m != self.m:

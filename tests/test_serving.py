@@ -208,7 +208,9 @@ def test_artifact_metadata_and_rejects(tmp_path, problem):
     assert (t.m, t.k, t.n_block) == (M, K, NB)
     assert t.config == config
     np.testing.assert_array_equal(t.w, w)
-    assert t.meta["format_version"] == FORMAT_VERSION
+    # plain artifacts keep writing v1 so older loaders can read them
+    # (masked artifacts write FORMAT_VERSION — test_masked_artifact_version_gate)
+    assert t.meta["format_version"] == 1
 
     bogus = os.path.join(str(tmp_path), "bogus.nmfz")
     with zipfile.ZipFile(bogus, "w") as zf:
@@ -613,3 +615,133 @@ def test_serving_result_aggregates():
     assert r.cost == 4.0
     assert r.iterations == 20
     assert not r.converged
+
+
+# ---------------------------------------------------------------------------
+# masked serving artifacts (missing-data scoring at serve time)
+# ---------------------------------------------------------------------------
+
+
+def _masked_roundtrip(tmp_path, w, config, n_block=NB, mesh_shape=None):
+    path = os.path.join(str(tmp_path), "masked.nmfz")
+    save_transform(path, w, n_block, config, platforms=("cpu",),
+                   mesh_shape=mesh_shape, masked=True)
+    return path
+
+
+def test_masked_artifact_matches_solve_masked_h_only(tmp_path, problem):
+    from nmf_tpu.models.masked import solve_masked_h_only
+
+    w, x, h0 = problem
+    rng = np.random.RandomState(11)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    config = SolveConfig(max_iter=25, backend="jnp", l1_h=0.01)
+    t = load_transform(_masked_roundtrip(tmp_path, w, config))
+    assert t.masked
+    res = t(x, h0=h0, mask=mask)
+    ref = solve_masked_h_only(x, w, h0, mask, config)
+    ref_h = np.asarray(ref.h, np.float32)
+    np.testing.assert_allclose(res.h, ref_h, rtol=0, atol=2e-5 * ref_h.max())
+    assert res.h.shape == (K, x.shape[1])
+
+
+def test_masked_artifact_padding_fully_inert(tmp_path, problem):
+    """Padded columns carry mask 0 — fully unobserved, so they contribute
+    nothing to the masked objective: ragged vs exact-width results agree."""
+    w, x, h0 = problem
+    rng = np.random.RandomState(12)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    config = SolveConfig(max_iter=10, backend="jnp")
+    t = load_transform(_masked_roundtrip(tmp_path, w, config))
+    n_cut = 2 * NB + 5  # ragged tail
+    res = t(x[:, :n_cut], h0=h0[:, :n_cut], mask=mask[:, :n_cut])
+    # block-aligned reference over the same columns, block by block
+    for b in range(2):
+        sl = slice(b * NB, (b + 1) * NB)
+        ref = t(x[:, sl], h0=h0[:, sl], mask=mask[:, sl])
+        np.testing.assert_array_equal(res.h[:, sl], ref.h)
+
+
+def test_masked_artifact_mask_contract(tmp_path, problem):
+    w, x, h0 = problem
+    config = SolveConfig(max_iter=5, backend="jnp")
+    t = load_transform(_masked_roundtrip(tmp_path, w, config))
+    with pytest.raises(ValueError, match="requires a mask"):
+        t(x)
+    with pytest.raises(ValueError, match="mask shape"):
+        t(x, mask=np.ones((1, 1), np.float32))
+    with pytest.raises(NotImplementedError, match="in-memory"):
+        t.stream_bin("nope.bin")
+    # plain artifacts reject a mask
+    plain = _roundtrip(tmp_path, w, config)
+    with pytest.raises(ValueError, match="takes no mask"):
+        plain(x, mask=np.ones_like(x))
+    # masked + non-KL families reject at export
+    with pytest.raises(ValueError, match="KL"):
+        save_transform(
+            os.path.join(str(tmp_path), "bad.nmfz"), w, NB,
+            SolveConfig(beta=2.0, backend="jnp"), platforms=("cpu",),
+            masked=True,
+        )
+
+
+def test_masked_artifact_version_gate(tmp_path, problem):
+    """Masked artifacts write format v2 (older loaders reject them with a
+    clean error); plain artifacts keep writing v1."""
+    w, _, _ = problem
+    config = SolveConfig(max_iter=5, backend="jnp")
+    t_plain = _roundtrip(tmp_path, w, config)
+    assert t_plain.meta["format_version"] == 1
+    t_masked = load_transform(_masked_roundtrip(tmp_path, w, config))
+    assert t_masked.meta["format_version"] == FORMAT_VERSION == 2
+
+
+def test_masked_mesh_artifact(tmp_path, problem):
+    from nmf_tpu.models.masked import solve_masked_h_only
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    w, x, h0 = problem
+    rng = np.random.RandomState(14)
+    mask = (rng.rand(*x.shape) > 0.25).astype(np.float32)
+    config = SolveConfig(max_iter=15, backend="jnp")
+    path = _masked_roundtrip(tmp_path, w, config, mesh_shape=(4, 2))
+    mesh = make_mesh(shape=(4, 2))
+    t = load_transform(path, mesh=mesh)
+    res = t(x, h0=h0, mask=mask)
+    ref = solve_masked_h_only(x, w, h0, mask, config)
+    ref_h = np.asarray(ref.h, np.float32)
+    np.testing.assert_allclose(res.h, ref_h, rtol=0, atol=5e-5 * ref_h.max())
+
+
+def test_cli_masked_export_serve(tmp_path, problem):
+    from nmf_tpu import cli
+    from nmf_tpu.io import binio
+    from nmf_tpu.models.masked import solve_masked_h_only
+
+    w, x, h0 = problem
+    rng = np.random.RandomState(15)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    wp = os.path.join(str(tmp_path), "W.bin")
+    xp = os.path.join(str(tmp_path), "X.bin")
+    mp = os.path.join(str(tmp_path), "M.bin")
+    h0p = os.path.join(str(tmp_path), "H0.bin")
+    ap = os.path.join(str(tmp_path), "m.nmfz")
+    hp = os.path.join(str(tmp_path), "H.bin")
+    for arr, p in ((w, wp), (x, xp), (mask, mp), (h0, h0p)):
+        binio.write_matrix(arr, p)
+    assert cli.main([
+        "export", wp, "-o", ap, "--block-cols", str(NB), "--masked",
+        "--platforms", "cpu", "--max-iter", "10", "-q",
+    ]) == 0
+    assert cli.main([
+        "serve", ap, xp, "-o", hp, "--mask", mp, "--h0", h0p, "-q",
+    ]) == 0
+    ref = solve_masked_h_only(x, w, h0, mask, SolveConfig(max_iter=10, backend="jnp"))
+    ref_h = np.asarray(ref.h, np.float32)
+    np.testing.assert_allclose(
+        binio.read_matrix(hp), ref_h, rtol=0, atol=2e-5 * ref_h.max()
+    )
+    # masked + --out-of-core rejected; mask on a plain artifact rejected
+    assert cli.main([
+        "serve", ap, xp, "-o", hp, "--mask", mp, "--out-of-core", "-q",
+    ]) == 2
