@@ -108,15 +108,13 @@ def solve_semi(
         from ..parallel.mesh import COL_AXIS, ROW_AXIS, shard_problem
         from ..parallel.sharded import _use_fused, build_sharded_semi_solver
 
-        fused = (
-            (not quant)
-            and config.algorithm == "mu"
-            and _use_fused(
-                config,
-                sx[0] // mesh.shape[ROW_AXIS],
-                k,
-                sx[1] // mesh.shape[COL_AXIS],
-            )
+        fused = config.algorithm == "mu" and _use_fused(
+            config,
+            sx[0] // mesh.shape[ROW_AXIS],
+            k,
+            sx[1] // mesh.shape[COL_AXIS],
+            list(mesh.devices.flat)[0].platform,
+            quant=quant,
         )
         x, w0, h0 = shard_problem(x, w0, h0, mesh)
         mk = jax.device_put(mk, NamedSharding(mesh, P()))

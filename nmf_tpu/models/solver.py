@@ -222,17 +222,22 @@ def callbacks_ok(mesh=None) -> bool:
     return host_callbacks_supported(platform)
 
 
-def maybe_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, mesh=None):
+def maybe_live_chunked(
+    make_segment_fn, x, w, h, config: SolveConfig, mesh=None,
+    initial_cost: float = float("nan"),
+):
     """Run the chunked host-driven live loop when callbacks are unsupported.
 
     Returns the SolveResult, or None when the caller should proceed with its
     normal (callback-emitting) path.  Centralizes the fallback decision the
-    masked / h-only / dense solvers all share.
+    masked / h-only / dense / sharded solvers all share.  ``initial_cost``
+    seeds the convergence baseline exactly like the solvers' own parameter
+    (resumed segments pass the previous segment's final cost).
     """
     if not config.live_metrics or callbacks_ok(mesh):
         return None
     return run_live_chunked(
-        make_segment_fn, x, w, h, config, jnp.asarray(jnp.nan, _F32)
+        make_segment_fn, x, w, h, config, jnp.asarray(initial_cost, _F32)
     )
 
 
@@ -246,6 +251,15 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
     the reference-era API performed (README.md:51-54) — so the zero-sync
     contract is traded for liveness only when live metrics were requested on
     such a platform.
+
+    Each segment receives the previous check's cost as its ``initial_cost``
+    (a traced scalar operand — same compiled program), so an accelerated
+    segment's acceptance baseline carries across chunks without re-running
+    the seed reconstruction GEMM.  The momentum coefficient is NOT part of
+    SolveResult, so it does restart at ``accel_momentum`` each chunk — with
+    the default geometric grow-on-accept it recovers within a few iterations
+    of each ``check_every`` block; threading it through would widen every
+    segment builder's signature and shard_map specs for that sliver.
 
     ``make_segment_fn(seg_config)`` returns the jitted segment solver
     ``fn(x, w, h, initial_cost) -> SolveResult`` (the single-device and
@@ -287,7 +301,7 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
     while it < max_iter and not converged:
         chunk = min(check_every, max_iter - it)
         seg_fn = make_segment_fn(dataclasses.replace(base, max_iter=chunk))
-        res = seg_fn(x, w, h, jnp.asarray(jnp.nan, _F32))
+        res = seg_fn(x, w, h, jnp.asarray(prev, _F32))
         w, h = res.w, res.h
         it += int(res.iterations)
         cost = float(res.cost)
@@ -371,7 +385,10 @@ def run_checked_loop(
                 done = rel < thresh
             if config.live_metrics:
                 emit(it, cost, rel)
-        chk = chk + 1
+            # chk counts POPULATED history entries (the num_checks contract):
+            # an untracked run records nothing, so it must report 0 — guards
+            # and metrics consumers gate their cost checks on num_checks > 0.
+            chk = chk + 1
         return (w, h, it, prev_cost, cost, chk, hist, done)
 
     def cond(carry):
@@ -557,17 +574,19 @@ def solve_jit(config: SolveConfig, platform: Optional[str] = None):
     return _solve
 
 
-def _prep_jit(config: SolveConfig):
+def _prep_jit(config: SolveConfig, x_is_quant_pair: bool = False):
     """Jitted input prep: clamp (nmf.cu:211) + state/X dtype casts (+ int8
     column quantization) in one program launch.  Keyed by (precision, eps)
     only — loop parameters (max_iter/thresh/...) don't change the prep
     program, and each extra compiled program pays this platform's one-off
-    first-dispatch stall."""
-    return _prep_jit_cached(config.precision, config.eps)
+    first-dispatch stall.  With ``x_is_quant_pair`` the (codes, scales)
+    tuple passes through untouched (quantize_policy already clamped at
+    quantize time); only W/H are prepped."""
+    return _prep_jit_cached(config.precision, config.eps, x_is_quant_pair)
 
 
 @functools.lru_cache(maxsize=16)
-def _prep_jit_cached(precision, eps: float):
+def _prep_jit_cached(precision, eps: float, x_is_quant_pair: bool = False):
     sd = jnp.dtype(precision.state_dtype)
     quant = precision.x_dtype == "int8"
 
@@ -575,6 +594,8 @@ def _prep_jit_cached(precision, eps: float):
     def prep(x, w, h):
         w = jnp.maximum(w.astype(sd), jnp.asarray(eps, sd))
         h = jnp.maximum(h.astype(sd), jnp.asarray(eps, sd))
+        if x_is_quant_pair:
+            return x, w, h
         x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
         if quant:
             # uint8 codes + per-column (or per-row-block) scales: quarters
@@ -614,6 +635,25 @@ def solve(
     config.validate()
     sd = jnp.dtype(config.precision.state_dtype)
     quant = config.precision.x_dtype == "int8"
+    if isinstance(x, tuple) and not quant:
+        raise ValueError(
+            "X is a pre-quantized (codes, scales) pair but "
+            f"Precision(x_dtype={config.precision.x_dtype!r}) — pre-quantized "
+            "input requires x_dtype='int8' (quantize with "
+            "ops.quant.quantize_policy on the same Precision)"
+        )
+    if isinstance(x, tuple):
+        # the step program's dequant path is keyed on the config, so the
+        # supplied scales must match the x_quant_rows knob (same contract
+        # as solve_sharded's boundary check)
+        want = 2 if config.precision.x_quant_rows else 1
+        if x[1].ndim != want:
+            raise ValueError(
+                f"pre-quantized scales are {x[1].ndim}-D but "
+                f"Precision(x_quant_rows={config.precision.x_quant_rows}) "
+                f"expects {want}-D — quantize with ops.quant.quantize_policy "
+                f"on the same Precision"
+            )
     shape_x = jnp.shape(x[0]) if isinstance(x, tuple) else jnp.shape(x)
     shape_w, shape_h = jnp.shape(w0), jnp.shape(h0)
     if shape_x != (shape_w[0], shape_h[1]) or shape_w[1] != shape_h[0]:
@@ -627,7 +667,9 @@ def solve(
         # block dominated small-problem call latency (measured ~12 ms of a
         # 46 ms solve() call at 512x1024).  Outputs are fresh buffers, so
         # the solve program's donation still never consumes caller arrays.
-        x, w0, h0 = _prep_jit(config)(x, w0, h0)
+        # A pre-quantized (codes, scales) pair passes through: the values
+        # were clamped at quantize time, only W/H need prep.
+        x, w0, h0 = _prep_jit(config, isinstance(x, tuple))(x, w0, h0)
     else:
         # pre-clamped inputs: direct to target dtypes, no intermediate f32
         # copy of X (segment drivers pass device-resident arrays here)

@@ -867,9 +867,14 @@ def solve_out_of_core(
             config.beta == 1.0
             and not config.regularized
             and mask is None
-            and config.precision.x_dtype != "int8"  # dequant is XLA-fused
             and _fused_mu.supported(k)
-            and _use_fused(config, m // r, k, max(1, bn // c))
+            and _use_fused(
+                config, m // r, k, max(1, bn // c),
+                list(mesh.devices.flat)[0].platform,
+                # int8 X streams dequantize shard-locally (XLA-fused);
+                # _use_fused rejects an explicit pallas request loudly
+                quant=config.precision.x_dtype == "int8",
+            )
         )
         step_acc, w_epilogue, cost_block, cost_extra, a2_shape = (
             _sharded_block_fns(config, mesh, fused=fused, masked=mask is not None)

@@ -30,11 +30,20 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import Precision
+from .elementwise import eps_clamp
 from .mu import matmul
 
 __all__ = ["hals_step", "cd_sweep_h", "cd_sweep_w"]
 
 _F32 = jnp.float32
+
+# The sweep-interior dots run on f32 inputs and must stay true f32: JAX's
+# DEFAULT lowers f32 dots to fast low-precision passes on TPU, which would
+# silently degrade every coordinate-descent gradient row (the Gram products
+# feeding the sweep already went through ops.mu.matmul's policy; the sweep
+# is O(K) of the work, so exactness here is free).  CPU CI can't catch a
+# regression of this — DEFAULT f32 dots are exact there.
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def cd_sweep_h(h, wtx, wtw, eps: float) -> jnp.ndarray:
@@ -49,8 +58,8 @@ def cd_sweep_h(h, wtx, wtw, eps: float) -> jnp.ndarray:
     def body(k, hh):
         # residual gradient row against the CURRENT h (already-updated rows
         # of this sweep included — that's what makes it coordinate descent)
-        grad = wtx[k] - wtw[k] @ hh                      # (N,)
-        denom = jnp.maximum(wtw[k, k], eps)
+        grad = wtx[k] - jnp.matmul(wtw[k], hh, precision=_HIGHEST)   # (N,)
+        denom = eps_clamp(wtw[k, k], eps)
         row = jnp.maximum(hh[k] + grad / denom, 0.0)
         return hh.at[k].set(row)
 
@@ -66,8 +75,8 @@ def cd_sweep_w(w, xht, hht, eps: float) -> jnp.ndarray:
     k_rank = w.shape[1]
 
     def body(k, ww):
-        grad = xht[:, k] - ww @ hht[:, k]                # (M,)
-        denom = jnp.maximum(hht[k, k], eps)
+        grad = xht[:, k] - jnp.matmul(ww, hht[:, k], precision=_HIGHEST)  # (M,)
+        denom = eps_clamp(hht[k, k], eps)
         col = jnp.maximum(ww[:, k] + grad / denom, 0.0)
         return ww.at[:, k].set(col)
 
@@ -75,15 +84,16 @@ def cd_sweep_w(w, xht, hht, eps: float) -> jnp.ndarray:
 
 
 def _update_h_hals(w, h, x, eps: float, precision: Precision) -> jnp.ndarray:
+    # matmul always returns f32 (preferred_element_type) — no casts needed
     wtx = matmul(w, x, precision, transpose_a=True)     # (K, N)
     wtw = matmul(w, w, precision, transpose_a=True)     # (K, K)
-    return cd_sweep_h(h, wtx.astype(_F32), wtw.astype(_F32), eps)
+    return cd_sweep_h(h, wtx, wtw, eps)
 
 
 def _update_w_hals(w, h, x, eps: float, precision: Precision) -> jnp.ndarray:
     xht = matmul(x, h, precision, transpose_b=True)     # (M, K)
     hht = matmul(h, h, precision, transpose_b=True)     # (K, K)
-    return cd_sweep_w(w, xht.astype(_F32), hht.astype(_F32), eps)
+    return cd_sweep_w(w, xht, hht, eps)
 
 
 def hals_step(

@@ -32,6 +32,7 @@ __all__ = [
     "quantize_rowblocks",
     "quantize_policy",
     "dequantize",
+    "dequantize_rows",
     "quantize_columns_np",
     "quantize_rowblocks_np",
     "quantize_policy_np",
@@ -112,12 +113,33 @@ def dequantize(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     ``scales`` dispatches the layout: 1-D (N,) = per-column; 2-D (R, N) =
     per-row-block (each code row i scales by ``scales[i // ceil(M/R)]``) —
     every consumer that funnels through this one function supports both.
+
+    With 2-D scales ``q`` must span the FULL quantized row extent: the block
+    size is derived from ``q``'s own row count, which a row subset cannot
+    recover (rows would silently pick up the wrong block's scale).  For a
+    row slice use :func:`dequantize_rows` with the slice offset and the full
+    extent — the sharded mesh path does exactly that.
+    """
+    return dequantize_rows(q, scales, 0, q.shape[0])
+
+
+def dequantize_rows(q, scales, row_offset, m_total: int) -> jnp.ndarray:
+    """Dequantize codes that are the row slice ``[row_offset, row_offset+m)``
+    of a full quantized matrix with ``m_total`` rows.
+
+    The per-row-block size is ``ceil(m_total / R)`` — it must come from the
+    FULL extent the matrix was quantized at, never from the slice's own row
+    count (deriving it locally mis-scales every row past the first block,
+    silently).  ``row_offset`` may be traced (the mesh path passes
+    ``axis_index * m_loc``); ``m_total`` must be static.  1-D per-column
+    scales are row-invariant, so the offset is irrelevant there.
     """
     if scales.ndim == 1:
         return q.astype(_F32) * scales[None, :]
     m = q.shape[0]
-    rb = -(-m // scales.shape[0])
-    return q.astype(_F32) * scales[jnp.arange(m) // rb, :]
+    rb = -(-int(m_total) // scales.shape[0])
+    idx = (row_offset + jnp.arange(m)) // rb
+    return q.astype(_F32) * scales[idx, :]
 
 
 def quantize_columns_np(x, eps: float):

@@ -32,6 +32,10 @@ from .mesh import COL_AXIS, ROW_AXIS, make_mesh, shard_problem
 
 __all__ = [
     "update_h_sharded",
+    "update_h_sharded_beta",
+    "update_h_sharded_reg",
+    "update_h_sharded_masked",
+    "hals_update_h_sharded",
     "update_w_sharded",
     "mu_step_sharded",
     "mu_step_sharded_reg",
@@ -48,11 +52,36 @@ __all__ = [
 _F32 = jnp.float32
 
 
-def _use_fused(config: SolveConfig, local_m: int, k: int, local_n: int) -> bool:
-    """Same per-shape policy as solve(), applied to the per-device shapes."""
+def _use_fused(
+    config: SolveConfig,
+    local_m: int,
+    k: int,
+    local_n: int,
+    platform: str,
+    quant: bool = False,
+) -> bool:
+    """Same per-shape policy as solve(), applied to the per-device shapes.
+
+    ``platform`` is the MESH devices' platform (not jax.default_backend():
+    a CPU mesh in a TPU-default session must not be handed Mosaic kernels —
+    see host_callbacks_supported's mixed-backend note).  With ``quant`` the
+    mesh path always dequantizes shard-locally and runs the XLA step, so an
+    explicit backend='pallas' request is an error rather than a silent
+    downgrade (the single-device rule: resolve_step_fn honors pallas+int8
+    in-register per-column kernels, but on the mesh the dequant-wrapped step
+    would materialize f32 X per iteration, defeating the quantization)."""
+    if quant:
+        if config.backend == "pallas":
+            raise NotImplementedError(
+                "backend='pallas' with int8 X is not supported on a mesh: "
+                "the mesh int8 path dequantizes shard-locally into the XLA "
+                "step (Mosaic's uint8 load path is ~1000x slower than the "
+                "math it feeds, measured) — use backend='auto'"
+            )
+        return False
     if config.backend == "pallas":
         return True
-    if config.backend == "jnp" or jax.default_backend() != "tpu":
+    if config.backend == "jnp" or platform != "tpu":
         return False
     from ..utils.autotune import rule_pick
 
@@ -60,6 +89,10 @@ def _use_fused(config: SolveConfig, local_m: int, k: int, local_n: int) -> bool:
         rule_pick(local_m, k, local_n, config.precision.matmul_dtype)
         == "pallas"
     )
+
+
+def _mesh_platform(mesh: Mesh) -> str:
+    return list(mesh.devices.flat)[0].platform
 
 
 def _emit_live_origin(it, cost, rel):
@@ -106,21 +139,16 @@ def _dequant_local(xx, n_row_shards: int):
 
     1-D scales: plain per-column dequant (the scale vector is sharded with
     the columns, so the local slice lines up).  2-D (R, N/c) scales: the
-    block table is replicated over 'mr'; this shard's row i is global row
-    ``axis_index('mr') * m_loc + i``, whose block is that divided by
-    ``ceil(M_global / R)`` (the normalized block size quantize_rowblocks
-    guarantees — see ops/quant.py).
+    block table is replicated over 'mr'; this shard is the row slice starting
+    at global row ``axis_index('mr') * m_loc`` of an ``m_loc * n_row_shards``
+    matrix — ops.quant.dequantize_rows owns the block-index math.
     """
-    from ..ops.quant import dequantize
+    from ..ops.quant import dequantize_rows
 
     q, s = xx
-    if s.ndim == 1:
-        return dequantize(q, s)
     m_loc = q.shape[0]
-    rb = -(-(m_loc * n_row_shards) // s.shape[0])
-    off = jax.lax.axis_index(ROW_AXIS) * m_loc
-    idx = (off + jnp.arange(m_loc)) // rb
-    return q.astype(_F32) * s[idx, :]
+    off = jax.lax.axis_index(ROW_AXIS) * m_loc if s.ndim == 2 else 0
+    return dequantize_rows(q, s, off, m_loc * n_row_shards)
 
 
 def _dq_local_or_id(quant: bool, n_row_shards: int):
@@ -194,12 +222,11 @@ def mu_step_sharded(w, h, x, eps, precision, fused=False):
     return w, h
 
 
-def mu_step_sharded_beta(w, h, x, beta, eps, precision):
-    """Sharded beta-divergence MU step (beta=1 should use mu_step_sharded).
-
-    Numerator AND denominator are K-sized psums here (the beta != 1
-    denominators are data-dependent GEMMs, unlike KL's factor sums).
-    """
+def update_h_sharded_beta(w, h, x, beta, eps, precision):
+    """H half of the sharded beta-MU step: numerator AND denominator are
+    K-sized psums over 'mr' (the beta != 1 denominators are data-dependent
+    GEMMs, unlike KL's factor sums).  The single source for the full step
+    and the h-only mesh builder — the two must stay bit-identical."""
     from ..ops.mu import _beta_ratios
 
     num, den = _beta_ratios(w, h, x, beta, eps, precision)
@@ -207,7 +234,52 @@ def mu_step_sharded_beta(w, h, x, beta, eps, precision):
     h_den = eps_clamp(
         jax.lax.psum(matmul(w, den, precision, transpose_a=True), ROW_AXIS), eps
     )
-    h = (h * (h_num / h_den)).astype(h.dtype)
+    return (h * (h_num / h_den)).astype(h.dtype)
+
+
+def update_h_sharded_reg(w, h, x, eps, precision, l1_h=0.0, l2_h=0.0):
+    """H half of the sharded penalized KL step (shared by the full step and
+    the h-only builder).  The penalty gradient reads only the local H shard;
+    communication is the plain KL pattern."""
+    z = x / eps_clamp(matmul(w, h, precision), eps)
+    numer = jax.lax.psum(matmul(w, z, precision, transpose_a=True), ROW_AXIS)
+    sum_w = eps_clamp(
+        jax.lax.psum(jnp.sum(w, axis=0, dtype=_F32), ROW_AXIS), eps
+    )
+    denom = sum_w[:, None] + l1_h + l2_h * h.astype(_F32)
+    return (h * (numer / denom)).astype(h.dtype)
+
+
+def update_h_sharded_masked(w, h, x, mask, eps, precision, l1_h=0.0, l2_h=0.0):
+    """H half of the sharded masked/weighted KL step: both numerator and
+    mask-GEMM denominator psum over 'mr', clamp AFTER the psum (single-device
+    order); penalties join after the clamp.  Shared by the full masked step
+    and the masked h-only builder."""
+    z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
+    numer = jax.lax.psum(matmul(w, z, precision, transpose_a=True), ROW_AXIS)
+    denom = eps_clamp(
+        jax.lax.psum(matmul(w, mask, precision, transpose_a=True), ROW_AXIS),
+        eps,
+    ) + l1_h + l2_h * h.astype(_F32)
+    return (h * (numer / denom)).astype(h.dtype)
+
+
+def hals_update_h_sharded(w, h, x, eps, precision):
+    """H half of the sharded HALS iteration: K-sized Gram/cross psums over
+    'mr', then the zero-communication local column sweep.  Shared by the
+    full HALS step and the h-only builder."""
+    from ..ops.hals import cd_sweep_h
+
+    wtx = jax.lax.psum(matmul(w, x, precision, transpose_a=True), ROW_AXIS)
+    wtw = jax.lax.psum(matmul(w, w, precision, transpose_a=True), ROW_AXIS)
+    return cd_sweep_h(h, wtx, wtw, eps)
+
+
+def mu_step_sharded_beta(w, h, x, beta, eps, precision):
+    """Sharded beta-divergence MU step (beta=1 should use mu_step_sharded)."""
+    from ..ops.mu import _beta_ratios
+
+    h = update_h_sharded_beta(w, h, x, beta, eps, precision)
 
     num, den = _beta_ratios(w, h, x, beta, eps, precision)
     w_num = jax.lax.psum(matmul(num, h, precision, transpose_b=True), COL_AXIS)
@@ -232,11 +304,9 @@ def hals_step_sharded(w, h, x, eps, precision):
     H column / W row shards with zero further communication; the W sweep
     uses the post-sweep H, matching the single-device ordering.
     """
-    from ..ops.hals import cd_sweep_h, cd_sweep_w
+    from ..ops.hals import cd_sweep_w
 
-    wtx = jax.lax.psum(matmul(w, x, precision, transpose_a=True), ROW_AXIS)
-    wtw = jax.lax.psum(matmul(w, w, precision, transpose_a=True), ROW_AXIS)
-    h = cd_sweep_h(h, wtx, wtw, eps)
+    h = hals_update_h_sharded(w, h, x, eps, precision)
 
     xht = jax.lax.psum(matmul(x, h, precision, transpose_b=True), COL_AXIS)
     hht = jax.lax.psum(matmul(h, h, precision, transpose_b=True), COL_AXIS)
@@ -253,13 +323,7 @@ def mu_step_sharded_reg(
     being updated), so the communication pattern is identical to the plain
     KL step: K-sized psums of the numerator and factor sums.
     """
-    z = x / eps_clamp(matmul(w, h, precision), eps)
-    numer = jax.lax.psum(matmul(w, z, precision, transpose_a=True), ROW_AXIS)
-    sum_w = eps_clamp(
-        jax.lax.psum(jnp.sum(w, axis=0, dtype=_F32), ROW_AXIS), eps
-    )
-    denom = sum_w[:, None] + l1_h + l2_h * h.astype(_F32)
-    h = (h * (numer / denom)).astype(h.dtype)
+    h = update_h_sharded_reg(w, h, x, eps, precision, l1_h, l2_h)
 
     z = x / eps_clamp(matmul(w, h, precision), eps)
     numer = jax.lax.psum(matmul(z, h, precision, transpose_b=True), COL_AXIS)
@@ -297,13 +361,7 @@ def mu_step_sharded_masked(
     the optional penalty gradients are local and join after the clamp,
     matching models.masked.mu_step_masked).
     """
-    z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
-    numer = jax.lax.psum(matmul(w, z, precision, transpose_a=True), ROW_AXIS)
-    denom = eps_clamp(
-        jax.lax.psum(matmul(w, mask, precision, transpose_a=True), ROW_AXIS),
-        eps,
-    ) + l1_h + l2_h * h.astype(_F32)
-    h = (h * (numer / denom)).astype(h.dtype)
+    h = update_h_sharded_masked(w, h, x, mask, eps, precision, l1_h, l2_h)
 
     z = mask * (x / eps_clamp(matmul(w, h, precision), eps))
     numer = jax.lax.psum(matmul(z, h, precision, transpose_b=True), COL_AXIS)
@@ -387,6 +445,13 @@ def solve_sharded(
     mesh = mesh if mesh is not None else make_mesh()
     eps, precision = config.eps, config.precision
     quant = precision.x_dtype == "int8"
+    if isinstance(x, tuple) and not quant:
+        raise ValueError(
+            "X is a pre-quantized (codes, scales) pair but "
+            f"Precision(x_dtype={precision.x_dtype!r}) — pre-quantized input "
+            "requires x_dtype='int8' (quantize with ops.quant.quantize_policy "
+            "on the same Precision)"
+        )
     if quant and isinstance(x, tuple):
         # the compiled program's scale PartitionSpec is keyed on the config
         # (_quant_specs), so a pre-quantized pair must match the knob
@@ -410,12 +475,18 @@ def solve_sharded(
     if clamp_inputs:
         w0 = jnp.maximum(jnp.asarray(w0, sd), jnp.asarray(eps, sd))
         h0 = jnp.maximum(jnp.asarray(h0, sd), jnp.asarray(eps, sd))
-        x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32))
-        if quant:
+        if isinstance(x, tuple):
+            pass  # pre-quantized pair: clamped at quantize time
+        elif quant:
             from ..ops.quant import quantize_policy
 
-            x = quantize_policy(x, eps, precision.x_quant_rows)
+            x = quantize_policy(
+                jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32)),
+                eps,
+                precision.x_quant_rows,
+            )
         else:
+            x = jnp.maximum(jnp.asarray(x, _F32), jnp.asarray(eps, _F32))
             x = x.astype(xd)
     else:
         # pre-clamped device-resident inputs (checkpoint segments): no extra
@@ -433,11 +504,13 @@ def solve_sharded(
                 )
         else:
             x = jnp.asarray(x, xd)
-    fused = (not quant) and config.algorithm == "mu" and _use_fused(
+    fused = config.algorithm == "mu" and _use_fused(
         config,
         shape_x[0] // mesh.shape[ROW_AXIS],
         w0.shape[1],
         shape_x[1] // mesh.shape[COL_AXIS],
+        _mesh_platform(mesh),
+        quant=quant,
     )
     if quant:
         from jax.sharding import NamedSharding
@@ -455,15 +528,14 @@ def solve_sharded(
     else:
         x, w0, h0 = shard_problem(x, w0, h0, mesh)
 
-    if config.live_metrics:
-        from ..models.solver import host_callbacks_supported, run_live_chunked
+    from ..models.solver import maybe_live_chunked
 
-        platform = list(mesh.devices.flat)[0].platform
-        if not host_callbacks_supported(platform):
-            return run_live_chunked(
-                lambda c: build_sharded_solver(c, mesh, fused=fused),
-                x, w0, h0, config, jnp.asarray(initial_cost, _F32),
-            )
+    fallback = maybe_live_chunked(
+        lambda c: build_sharded_solver(c, mesh, fused=fused),
+        x, w0, h0, config, mesh, initial_cost=initial_cost,
+    )
+    if fallback is not None:
+        return fallback
     fn = build_sharded_solver(config, mesh, fused=fused)
     return fn(x, w0, h0, jnp.asarray(initial_cost, _F32))
 
@@ -643,30 +715,17 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
     r = mesh.shape[ROW_AXIS]
 
     if config.algorithm == "hals":
-        from ..ops.hals import cd_sweep_h
 
         def step(w, h, x):
-            wtx = jax.lax.psum(
-                matmul(w, x, precision, transpose_a=True), ROW_AXIS
-            )
-            wtw = jax.lax.psum(
-                matmul(w, w, precision, transpose_a=True), ROW_AXIS
-            )
-            return w, cd_sweep_h(h, wtx, wtw, eps)
+            return w, hals_update_h_sharded(w, h, x, eps, precision)
 
         cost = functools.partial(beta_partial, beta=2.0, eps=eps)
     elif config.beta == 1.0 and config.regularized:
 
         def step(w, h, x):
-            z = x / eps_clamp(matmul(w, h, precision), eps)
-            numer = jax.lax.psum(
-                matmul(w, z, precision, transpose_a=True), ROW_AXIS
+            return w, update_h_sharded_reg(
+                w, h, x, eps, precision, config.l1_h, config.l2_h
             )
-            sum_w = eps_clamp(
-                jax.lax.psum(jnp.sum(w, axis=0, dtype=_F32), ROW_AXIS), eps
-            )
-            denom = sum_w[:, None] + config.l1_h + config.l2_h * h.astype(_F32)
-            return w, (h * (numer / denom)).astype(h.dtype)
 
         def cost(x, w, h):
             # matches models.nmf._h_only_jit: H-penalty terms only; H is
@@ -685,20 +744,11 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
 
         cost = functools.partial(kl_partial, eps=eps)
     else:
-        from ..ops.mu import _beta_ratios
 
         def step(w, h, x):
-            num, den = _beta_ratios(w, h, x, config.beta, eps, precision)
-            h_num = jax.lax.psum(
-                matmul(w, num, precision, transpose_a=True), ROW_AXIS
+            return w, update_h_sharded_beta(
+                w, h, x, config.beta, eps, precision
             )
-            h_den = eps_clamp(
-                jax.lax.psum(
-                    matmul(w, den, precision, transpose_a=True), ROW_AXIS
-                ),
-                eps,
-            )
-            return w, (h * (h_num / h_den)).astype(h.dtype)
 
         cost = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
@@ -811,19 +861,9 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
     dq = _dq_local_or_id(quant, r)
 
     def step(w, h, xm):
-        x, m_loc = dq(xm[0]), xm[1]
-        z = m_loc * (x / eps_clamp(matmul(w, h, prec), eps))
-        numer = jax.lax.psum(matmul(w, z, prec, transpose_a=True), ROW_AXIS)
-        denom = (
-            eps_clamp(
-                jax.lax.psum(
-                    matmul(w, m_loc, prec, transpose_a=True), ROW_AXIS
-                ),
-                eps,
-            )
-            + l1_h + l2_h * h.astype(_F32)
+        return w, update_h_sharded_masked(
+            w, h, dq(xm[0]), xm[1], eps, prec, l1_h, l2_h
         )
-        return w, (h * (numer / denom)).astype(h.dtype)
 
     def cost(xm, w, h):
         x, m_loc = dq(xm[0]), xm[1]

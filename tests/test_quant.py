@@ -208,3 +208,53 @@ def test_int8_x_batched_matches_single_solves(problem):
             np.asarray(res.w[b]), np.asarray(ref.w), rtol=5e-5, atol=1e-7
         )
         assert float(res.cost[b]) == pytest.approx(float(ref.cost), rel=1e-5)
+
+
+def test_prequantized_pair_default_clamp_inputs(problem):
+    """solve() accepts a pre-quantized (codes, scales) pair under the DEFAULT
+    clamp_inputs=True: the pair passes through prep (values were clamped at
+    quantize time) and the result matches handing solve() the float X."""
+    x, w, h = problem
+    cfg = SolveConfig(
+        max_iter=8, check_every=4, precision=Precision(x_dtype="int8")
+    )
+    pair = quant.quantize_policy(jnp.asarray(x), EPS, 0)
+    res_pair = solve(pair, w, h, cfg)           # default clamp_inputs=True
+    # same pair through the documented pre-clamped entry: identical solve
+    # (w/h of the fixture are already clamped, so prep is a no-op on them);
+    # fresh copies because clamp_inputs=False donates the caller's buffers
+    res_ref = solve(pair, w + 0, h + 0, cfg, clamp_inputs=False)
+    np.testing.assert_array_equal(np.asarray(res_pair.w), np.asarray(res_ref.w))
+    np.testing.assert_array_equal(np.asarray(res_pair.h), np.asarray(res_ref.h))
+    assert float(res_pair.cost) == float(res_ref.cost)
+    # and it tracks the float-X int8 solve (quantization happened in-jit
+    # there, so bit-identity is not expected — closeness is)
+    res_full = solve(x, w, h, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_pair.w), np.asarray(res_full.w), rtol=2e-2, atol=1e-4
+    )
+
+
+def test_prequantized_pair_requires_int8_precision(problem):
+    """A (codes, scales) pair without x_dtype='int8' is a loud error, not an
+    opaque trace-time crash."""
+    x, w, h = problem
+    pair = quant.quantize_policy(jnp.asarray(x), EPS, 0)
+    with pytest.raises(ValueError, match="x_dtype='int8'"):
+        solve(pair, w, h, SolveConfig(max_iter=4))
+
+
+def test_prequantized_scales_ndim_must_match_policy(problem):
+    """2-D row-block scales with a per-column config (and vice versa) are
+    rejected at the boundary — the compiled dequant path is config-keyed."""
+    x, w, h = problem
+    cfg_cols = SolveConfig(max_iter=4, precision=Precision(x_dtype="int8"))
+    pair_blocks = quant.quantize_policy(jnp.asarray(x), EPS, 32)
+    with pytest.raises(ValueError, match="x_quant_rows"):
+        solve(pair_blocks, w, h, cfg_cols)
+    cfg_blocks = SolveConfig(
+        max_iter=4, precision=Precision(x_dtype="int8", x_quant_rows=32)
+    )
+    pair_cols = quant.quantize_policy(jnp.asarray(x), EPS, 0)
+    with pytest.raises(ValueError, match="x_quant_rows"):
+        solve(pair_cols, w, h, cfg_blocks)

@@ -518,3 +518,26 @@ def test_checkpoint_mesh_rowblocks(tmp_path, problem):
     np.testing.assert_allclose(
         np.asarray(state.w), np.asarray(ref.w), rtol=5e-5, atol=1e-7
     )
+
+
+def test_dequantize_rows_matches_full_dequant():
+    """dequantize_rows on an arbitrary row slice == the full dequant sliced
+    (the block size must come from the full extent, not the slice)."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.ops import quant
+
+    rng = np.random.RandomState(11)
+    m, n, rows = 100, 7, 10
+    x = (rng.rand(m, n) * np.logspace(0, 2, m)[:, None]).astype(np.float32)
+    q, s = quant.quantize_rowblocks_np(x, EPS, rows)
+    full = np.asarray(quant.dequantize(jnp.asarray(q), jnp.asarray(s)))
+    lo, hi = 37, 63  # straddles block boundaries at 40/50/60
+    part = np.asarray(
+        quant.dequantize_rows(jnp.asarray(q[lo:hi]), jnp.asarray(s), lo, m)
+    )
+    np.testing.assert_array_equal(part, full[lo:hi])
+    # the trap dequantize_rows exists to avoid: a local-extent derivation
+    # of the block size really does mis-scale rows past the first block
+    wrong = np.asarray(quant.dequantize(jnp.asarray(q[lo:hi]), jnp.asarray(s)))
+    assert not np.array_equal(wrong, full[lo:hi])

@@ -824,6 +824,43 @@ def test_live_chunked_tail_warm(small_problem, monkeypatch):
     np.testing.assert_array_equal(np.asarray(res.h), np.asarray(ref.h))
 
 
+def test_live_chunked_threads_prev_cost(small_problem):
+    """Each chunked-live segment receives the PREVIOUS check's cost as its
+    initial_cost (not NaN): an accelerated segment's acceptance baseline
+    carries across chunks without re-running the seed reconstruction GEMM."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.solver import SolveResult, run_live_chunked
+
+    x, w, h = small_problem
+    seen = []
+
+    def make_fn(cfg):
+        def fn(x_, w_, h_, c0):
+            seen.append(float(c0))
+            cost = 100.0 - 10.0 * len(seen)
+            return SolveResult(
+                w=w_, h=h_,
+                iterations=jnp.asarray(cfg.max_iter, jnp.int32),
+                cost=jnp.asarray(cost, jnp.float32),
+                cost_history=jnp.asarray([cost], jnp.float32),
+                num_checks=jnp.asarray(1, jnp.int32),
+                converged=jnp.asarray(False, jnp.bool_),
+            )
+
+        return fn
+
+    res = run_live_chunked(
+        make_fn, x, w, h,
+        SolveConfig(max_iter=30, check_every=10),
+        jnp.asarray(np.nan, jnp.float32),
+    )
+    assert np.isnan(seen[0])
+    assert seen[1:] == [90.0, 80.0]
+    assert float(res.cost) == 70.0
+    assert int(res.num_checks) == 3
+
+
 def test_cli_lone_init_file_errors(cli_fixtures, capsys):
     """run with W but no H (plus --rank) must error, not silently ignore
     the user's template file; same for the out-of-core entry."""

@@ -413,3 +413,62 @@ def test_batched_masked_bf16_x_matches_loop(problem):
     np.testing.assert_allclose(
         np.asarray(res8.w[0]), np.asarray(ref8.w), rtol=5e-5, atol=1e-7
     )
+
+
+def test_sharded_prequantized_pair_default_clamp_inputs(problem):
+    """solve_sharded accepts a pre-quantized (codes, scales) pair under the
+    DEFAULT clamp_inputs=True (the pair passes through the clamp branch) and
+    matches the float-X int8 solve."""
+    from nmf_tpu.ops import quant
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    x = clamp(x)
+    eps = SolveConfig().eps
+    cfg = SolveConfig(
+        max_iter=10, check_every=5, precision=Precision(x_dtype="int8")
+    )
+    m = meshmod.make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    pair = quant.quantize_policy(jnp.asarray(x), eps, 0)
+    res_pair = sharded.solve_sharded(pair, w, h, cfg, mesh=m)
+    res_full = sharded.solve_sharded(x, w, h, cfg, mesh=m)
+    np.testing.assert_array_equal(np.asarray(res_pair.w), np.asarray(res_full.w))
+    assert float(res_pair.cost) == float(res_full.cost)
+
+
+def test_sharded_prequantized_pair_requires_int8(problem):
+    from nmf_tpu.ops import quant
+
+    x, w, h = problem
+    eps = SolveConfig().eps
+    pair = quant.quantize_policy(jnp.asarray(clamp(x)), eps, 0)
+    m = meshmod.make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="x_dtype='int8'"):
+        sharded.solve_sharded(pair, w, h, SolveConfig(max_iter=4), mesh=m)
+
+
+def test_sharded_pallas_int8_raises(problem):
+    """backend='pallas' with int8 X on a mesh is a loud error (the mesh int8
+    path is XLA-only), never a silent downgrade."""
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    cfg = SolveConfig(
+        max_iter=4, backend="pallas", precision=Precision(x_dtype="int8")
+    )
+    m = meshmod.make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    with pytest.raises(NotImplementedError, match="pallas"):
+        sharded.solve_sharded(clamp(x), w, h, cfg, mesh=m)
+
+
+def test_use_fused_keyed_on_mesh_platform():
+    """The fused-kernel policy consults the MESH devices' platform: a CPU
+    mesh never gets Mosaic kernels, whatever the default backend says."""
+    cfg = SolveConfig(precision=__import__("nmf_tpu").utils.config.Precision(
+        matmul_dtype="bfloat16"))
+    # shapes large enough that the TPU rule table would pick pallas
+    assert sharded._use_fused(cfg, 4096, 256, 4096, "tpu") in (True, False)
+    assert sharded._use_fused(cfg, 4096, 256, 4096, "cpu") is False
+    # explicit pallas still forces the kernels on any platform (dense X)
+    cfg_p = SolveConfig(backend="pallas")
+    assert sharded._use_fused(cfg_p, 64, 8, 64, "cpu") is True

@@ -61,6 +61,12 @@ def test_track_cost_false_skips_cost(small_problem):
     res = solve(x, w, h, SolveConfig(max_iter=20, thresh=0.0, track_cost=False))
     assert int(res.iterations) == 20
     assert np.isnan(float(res.cost))
+    # nothing was recorded, so num_checks reports 0 — guards/metrics gate
+    # their NaN-cost checks on it (an untracked healthy run must validate)
+    assert int(res.num_checks) == 0
+    from nmf_tpu.utils.guards import validate_result
+
+    validate_result(res)
     # factors identical to the tracked run (cost eval must not perturb state)
     res2 = solve(x, w, h, SolveConfig(max_iter=20, thresh=0.0, track_cost=True))
     np.testing.assert_array_equal(np.asarray(res.w), np.asarray(res2.w))
