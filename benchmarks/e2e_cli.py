@@ -105,6 +105,11 @@ def main(argv=None) -> int:
     try:
         import jax
 
+        if args.platform == "cpu":
+            # keep the parent off the TPU plugin: with the tunnel down,
+            # backend init HANGS (measured 2026-08-17), and a cpu-forced
+            # smoke must not touch the chip at all
+            jax.config.update("jax_platforms", "cpu")
         art["device"] = str(jax.devices()[0])
         art["device_kind"] = jax.devices()[0].device_kind
     except Exception:

@@ -121,10 +121,12 @@ def _masked_jit(config: SolveConfig):
     dq = _dq_or_id(prec)
 
     @jax.jit
-    def _solve(x, w, h, mask):
+    def _solve(x, w, h, mask, initial_cost=None):
         step = lambda w, h, xx: mu_step_masked(w, h, dq(xx), mask, eps, prec, **pens)
         cost = lambda xx, w, h: masked_kl(dq(xx), w, h, mask, eps, **pens)
-        return run_checked_loop(x, w, h, config, step, cost)
+        return run_checked_loop(
+            x, w, h, config, step, cost, initial_cost=initial_cost
+        )
 
     return _solve
 
@@ -210,15 +212,20 @@ def _masked_h_step_cost_pair(config: SolveConfig):
     return step, cost
 
 
+@functools.lru_cache(maxsize=8)
 def _masked_h_only_jit(config: SolveConfig):
     """Jitted masked H-only solve: W fixed, H iterates on the observed
     entries only (missing-data inference, e.g. scoring a partially-observed
-    new column against a learned dictionary)."""
+    new column against a learned dictionary).  Cached: the streamed masked
+    transform requests this once per column block, and a retrace is a
+    10-60 s remote compile on this platform."""
     step, cost = _masked_h_step_cost_pair(config)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def _solve(x, w, h, mask):
-        return run_checked_loop((x, mask), w, h, config, step, cost)
+    def _solve(x, w, h, mask, initial_cost=None):
+        return run_checked_loop(
+            (x, mask), w, h, config, step, cost, initial_cost=initial_cost
+        )
 
     return _solve
 
@@ -266,7 +273,7 @@ def solve_masked_h_only(
 
     def make_fn(c):
         fn = _masked_h_only_jit(c)
-        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask)
+        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask, c0)
 
     fallback = maybe_live_chunked(make_fn, x, w, h0, config)
     if fallback is not None:
@@ -317,7 +324,7 @@ def solve_masked(
 
     def make_fn(c):
         fn = _masked_jit(c)
-        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask)
+        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask, c0)
 
     fallback = maybe_live_chunked(make_fn, x, w0, h0, config)
     if fallback is not None:

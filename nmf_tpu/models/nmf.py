@@ -40,6 +40,7 @@ def _h_only_step_cost(config: SolveConfig):
     (:mod:`nmf_tpu.serving`), so a serialized serving program runs the exact
     same update the live library does."""
     eps, prec = config.eps, config.precision
+    step_takes_pair = False  # set True when the step consumes (codes, scales)
     if config.algorithm == "hals":
         from ..ops.hals import _update_h_hals
 
@@ -67,9 +68,21 @@ def _h_only_step_cost(config: SolveConfig):
         if config.backend == "pallas":
             from ..ops.pallas import fused_mu
 
+            if config.precision.x_dtype == "int8" and config.precision.x_quant_rows:
+                raise NotImplementedError(
+                    "per-row-block int8 scales take the jnp path (the fused "
+                    "kernels' scales operand is per-column); drop "
+                    "backend='pallas' or x_quant_rows"
+                )
+
             def step(w, h, x):
+                # int8 X: the fused kernel takes the (codes, scales) pair
+                # and dequantizes in-register — do NOT dequant-wrap it (a
+                # wrapped step would materialize full f32 X in HBM each
+                # iteration, same rule as solver.resolve_step_fn)
                 return w, fused_mu.update_h_fused(w, h, x, eps, prec)
 
+            step_takes_pair = True
         else:
             def step(w, h, x):
                 return w, update_h(w, h, x, eps, prec)
@@ -90,7 +103,8 @@ def _h_only_step_cost(config: SolveConfig):
     if config.precision.x_dtype == "int8":
         from .solver import _dequant_wrap_cost, _dequant_wrap_step
 
-        step = _dequant_wrap_step(step)
+        if not step_takes_pair:
+            step = _dequant_wrap_step(step)
         cost = _dequant_wrap_cost(cost)
     return step, cost
 
@@ -101,8 +115,10 @@ def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
     step, cost = _h_only_step_cost(config)
 
     @jax.jit
-    def _solve(x, w, h):
-        return run_checked_loop(x, w, h, config, step, cost)
+    def _solve(x, w, h, initial_cost=None):
+        return run_checked_loop(
+            x, w, h, config, step, cost, initial_cost=initial_cost
+        )
 
     return _solve
 
@@ -130,14 +146,33 @@ def solve_h_only(
     """
     config.validate()
     quant = config.precision.x_dtype == "int8"
-    sx, sw, sh = jnp.shape(x), jnp.shape(w), jnp.shape(h0)
+    if isinstance(x, tuple):
+        # pre-quantized (codes, scales) pair: same boundary contract as
+        # solve() — the compiled dequant path is config-keyed
+        if not quant:
+            raise ValueError(
+                "X is a pre-quantized (codes, scales) pair but "
+                f"Precision(x_dtype={config.precision.x_dtype!r}) — "
+                "pre-quantized input requires x_dtype='int8' (quantize with "
+                "ops.quant.quantize_policy on the same Precision)"
+            )
+        want = 2 if config.precision.x_quant_rows else 1
+        if x[1].ndim != want:
+            raise ValueError(
+                f"pre-quantized scales are {x[1].ndim}-D but "
+                f"Precision(x_quant_rows={config.precision.x_quant_rows}) "
+                f"expects {want}-D — quantize with ops.quant.quantize_policy "
+                f"on the same Precision"
+            )
+    sx = jnp.shape(x[0]) if isinstance(x, tuple) else jnp.shape(x)
+    sw, sh = jnp.shape(w), jnp.shape(h0)
     if sx != (sw[0], sh[1]) or sw[1] != sh[0]:
         raise ValueError(f"shape mismatch: X{sx} vs W{sw} @ H{sh}")
     # one program launch for clamp + casts (+ int8 quantization): repeated
     # transform() calls pay per-launch tunnel RPCs (see solver._prep_jit)
     from .solver import _prep_jit
 
-    x, w, h0 = _prep_jit(config)(x, w, h0)
+    x, w, h0 = _prep_jit(config, isinstance(x, tuple))(x, w, h0)
     if mesh is not None:
         from ..parallel.mesh import shard_problem
 
@@ -155,12 +190,9 @@ def solve_h_only(
         )
     import dataclasses as _dc
 
-    import jax as _jax
+    from .solver import _default_platform
 
-    try:
-        platform = list(x.devices())[0].platform
-    except AttributeError:
-        platform = _jax.default_backend()
+    platform = _default_platform(x)  # handles the (codes, scales) tuple too
     if config.beta == 1.0 and config.backend in ("auto", "autotune"):
         # same measured per-shape policy as solve() (utils/autotune.py) —
         # including its int8 exclusion (Mosaic's uint8 cast is ~1000x
@@ -184,7 +216,7 @@ def solve_h_only(
 
     def make_fn(c):
         fn = _h_only_jit(c, platform)
-        return lambda x_, w_, h_, c0: fn(x_, w_, h_)
+        return lambda x_, w_, h_, c0: fn(x_, w_, h_, c0)
 
     fallback = maybe_live_chunked(make_fn, x, w, h0, config)
     if fallback is not None:
@@ -205,6 +237,12 @@ def solve_w_only(
     With ``mesh`` the transposed problem runs on the same canonical
     ('mr', 'mc') layout, so N must divide the mesh rows and M its columns.
     """
+    if isinstance(x, tuple):
+        raise NotImplementedError(
+            "solve_w_only transposes the problem, and per-column int8 scales "
+            "do not transpose — pass the float X (it is quantized "
+            "column-wise on the transposed orientation internally)"
+        )
     xt = np.asarray(x, np.float32).T if not hasattr(x, "T") else x.T
     h = np.asarray(h, np.float32) if not hasattr(h, "T") else h
     w0 = np.asarray(w0, np.float32) if not hasattr(w0, "T") else w0
@@ -346,6 +384,12 @@ class NMF:
     def fit_transform(self, x, w0=None, h0=None) -> np.ndarray:
         """Learn W and H for ``x``; returns W (the sample representation)."""
         x = np.asarray(x, np.float32)
+        if self.n_restarts > 1 and (w0 is not None or h0 is not None):
+            raise ValueError(
+                "n_restarts > 1 draws per-restart random inits — it cannot "
+                "honor explicit w0/h0 templates (all restarts would be "
+                "identical); pass n_restarts=1 or drop the templates"
+            )
         if self.n_restarts > 1 and w0 is None and h0 is None:
             # all restarts in one compiled batch; keep the lowest-cost fit.
             # deterministic nndsvd inits would make identical members —

@@ -69,6 +69,12 @@ def _config_fingerprint(config: SolveConfig) -> dict:
         "algorithm": config.algorithm,
         "matmul_dtype": config.precision.matmul_dtype,
         "x_dtype": config.precision.x_dtype,
+        # scale granularity changes the quantized objective itself; the
+        # accelerated trajectory differs from plain MU's the same way a
+        # different check grid would (missing keys in OLD checkpoints stay
+        # compatible — see _fingerprint_mismatch)
+        "x_quant_rows": config.precision.x_quant_rows,
+        "accelerate": config.accelerate,
         "check_every": config.check_every,
         "l1_w": config.l1_w,
         "l1_h": config.l1_h,
@@ -113,8 +119,15 @@ def save_checkpoint(
         with open(os.path.join(tmp, _META), "w") as f:
             json.dump(meta, f)
         if os.path.exists(step_dir):
-            # same-step overwrite: replace atomically via rename dance
-            old = step_dir + ".old"
+            # same-step overwrite: replace via rename dance.  The parked
+            # name is DOT-prefixed so a crash between the two renames can
+            # never leave a directory that latest_checkpoint would pick up
+            # (a trailing suffix like '.old' would sort AFTER the real step
+            # and shadow it forever).
+            old = os.path.join(
+                directory,
+                f".old_{os.path.basename(step_dir)}_{os.getpid()}",
+            )
             os.rename(step_dir, old)
             os.rename(tmp, step_dir)
             import shutil
@@ -164,6 +177,7 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         d
         for d in os.listdir(directory)
         if d.startswith("step_")
+        and d[len("step_"):].isdigit()  # never crash-leftover names
         and os.path.exists(os.path.join(directory, d, _META))
     )
     return os.path.join(directory, steps[-1]) if steps else None
@@ -207,37 +221,43 @@ def save_checkpoint_sharded(
             {"w": state.w, "h": state.h},
             force=True,
         )
-    if jax.process_index() == 0:
-        meta = {
-            "iteration": int(state.iteration),
-            "cost_history": [float(c) for c in state.cost_history],
-            "converged": bool(state.converged),
-            "check_iterations": (
-                [int(i) for i in state.check_iterations]
-                if state.check_iterations is not None
-                else None
-            ),
-            "config": _config_fingerprint(config) if config else None,
-            "format": "nmf_tpu.sharded.v1",
-        }
-        os.makedirs(step_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=directory, prefix=".tmp_meta_")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(meta, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(step_dir, _META))
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    try:
+        if jax.process_index() == 0:
+            meta = {
+                "iteration": int(state.iteration),
+                "cost_history": [float(c) for c in state.cost_history],
+                "converged": bool(state.converged),
+                "check_iterations": (
+                    [int(i) for i in state.check_iterations]
+                    if state.check_iterations is not None
+                    else None
+                ),
+                "config": _config_fingerprint(config) if config else None,
+                "format": "nmf_tpu.sharded.v1",
+            }
+            os.makedirs(step_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=directory, prefix=".tmp_meta_")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(meta, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, os.path.join(step_dir, _META))
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+    finally:
+        # barrier in finally: if process 0's meta write raises, the other
+        # processes must still pass the sync (a missing barrier on one host
+        # deadlocks the pod instead of surfacing the error).  The failed
+        # step stays invisible — latest_checkpoint requires meta.json.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
 
-        multihost_utils.sync_global_devices(
-            f"nmf_tpu_ckpt_save_{state.iteration}"
-        )
+            multihost_utils.sync_global_devices(
+                f"nmf_tpu_ckpt_save_{state.iteration}"
+            )
     return step_dir
 
 

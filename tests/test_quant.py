@@ -258,3 +258,40 @@ def test_prequantized_scales_ndim_must_match_policy(problem):
     pair_cols = quant.quantize_policy(jnp.asarray(x), EPS, 0)
     with pytest.raises(ValueError, match="x_quant_rows"):
         solve(pair_cols, w, h, cfg_blocks)
+
+
+def test_h_only_accepts_prequantized_pair(problem):
+    """solve_h_only takes the same (codes, scales) pair solve() does — the
+    repeated-transform workflow quantizes X once."""
+    from nmf_tpu.models.nmf import solve_h_only
+
+    x, w, h = problem
+    cfg = SolveConfig(
+        max_iter=8, check_every=4, precision=Precision(x_dtype="int8")
+    )
+    pair = quant.quantize_policy(jnp.asarray(x), EPS, 0)
+    res_pair = solve_h_only(pair, w, h + 0, cfg)
+    res_full = solve_h_only(x, w, h + 0, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_pair.h), np.asarray(res_full.h), rtol=2e-2, atol=1e-4
+    )
+    with pytest.raises(ValueError, match="x_dtype='int8'"):
+        solve_h_only(pair, w, h + 0, SolveConfig(max_iter=4))
+    with pytest.raises(ValueError, match="x_quant_rows"):
+        solve_h_only(
+            pair, w, h + 0,
+            SolveConfig(max_iter=4,
+                        precision=Precision(x_dtype="int8", x_quant_rows=32)),
+        )
+
+
+def test_h_only_pallas_rowblocks_raises(problem):
+    """Explicit pallas + per-row-block scales is rejected on the transform
+    path exactly like resolve_step_fn rejects it on the solve path."""
+    from nmf_tpu.models.nmf import _h_only_step_cost
+
+    with pytest.raises(NotImplementedError, match="x_quant_rows"):
+        _h_only_step_cost(
+            SolveConfig(backend="pallas",
+                        precision=Precision(x_dtype="int8", x_quant_rows=32))
+        )

@@ -913,3 +913,75 @@ def test_cli_separate_rejects_inapplicable_flags(tmp_path, capsys):
         "--checkpoint-dir", str(tmp_path), "-q",
     ]) == 2
     assert "--checkpoint-dir" in capsys.readouterr().err
+
+
+def test_checkpoint_fingerprint_quant_and_accel(tmp_path, small_problem):
+    """x_quant_rows changes the quantized objective and accelerate changes
+    the trajectory — both must refuse a mismatched resume."""
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = small_problem
+    cfg = SolveConfig(
+        max_iter=10, precision=Precision(x_dtype="int8", x_quant_rows=0)
+    )
+    state = ckpt.CheckpointState(
+        w=clamp(w), h=clamp(h), iteration=10, cost_history=[1.0]
+    )
+    step = ckpt.save_checkpoint(tmp_path, state, cfg)
+    other = SolveConfig(
+        max_iter=10, precision=Precision(x_dtype="int8", x_quant_rows=64)
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        ckpt.load_checkpoint(step, other)
+    with pytest.raises(ValueError, match="refusing"):
+        ckpt.load_checkpoint(
+            step, SolveConfig(max_iter=10,
+                              precision=Precision(x_dtype="int8"),
+                              accelerate=True)
+        )
+    ckpt.load_checkpoint(step, cfg)  # same config resumes
+
+
+def test_latest_checkpoint_ignores_crash_leftovers(tmp_path, small_problem):
+    """A directory left by a crashed rename dance must never shadow the real
+    step (a 'step_NNNN.old' name would sort after 'step_NNNN')."""
+    import json as _json
+    import os as _os
+
+    x, w, h = small_problem
+    state = ckpt.CheckpointState(
+        w=clamp(w), h=clamp(h), iteration=100, cost_history=[1.0]
+    )
+    step = ckpt.save_checkpoint(tmp_path, state, SolveConfig())
+    # simulate the worst-case leftover: a complete-looking dir whose name
+    # sorts after the real step
+    bad = _os.path.join(str(tmp_path), "step_00000100.old")
+    _os.makedirs(bad)
+    with open(_os.path.join(bad, "meta.json"), "w") as f:
+        _json.dump({"iteration": 100}, f)
+    assert ckpt.latest_checkpoint(str(tmp_path)) == step
+    # overwriting the same step still works (rename dance)
+    step2 = ckpt.save_checkpoint(tmp_path, state, SolveConfig())
+    assert step2 == step
+    assert ckpt.latest_checkpoint(str(tmp_path)) == step
+
+
+def test_restarts_with_templates_raises(small_problem):
+    """n_restarts > 1 cannot honor explicit w0/h0 templates — loud error,
+    not a silent single solve."""
+    from nmf_tpu.models.nmf import NMF
+
+    x, w, h = small_problem
+    est = NMF(n_components=w.shape[1], n_restarts=4, max_iter=5)
+    with pytest.raises(ValueError, match="n_restarts"):
+        est.fit(np.asarray(x), w0=np.asarray(w))
+
+
+def test_masked_h_only_jit_is_cached():
+    """The masked H-only builder must return the SAME compiled callable for
+    equal configs — the streamed masked transform requests it once per
+    column block (a retrace is a remote compile on the TPU platform)."""
+    from nmf_tpu.models.masked import _masked_h_only_jit
+
+    cfg = SolveConfig(max_iter=7, check_every=7)
+    assert _masked_h_only_jit(cfg) is _masked_h_only_jit(cfg)
