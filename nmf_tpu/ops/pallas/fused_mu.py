@@ -169,6 +169,39 @@ def _x_quantum(xq) -> int:
     return 16 if xq.dtype == jnp.bfloat16 else 8
 
 
+def _plan_launch(m, n, k, xq, precision, block_m, block_n, state_dtype):
+    """Shared launch planning for the three fused kernels: default tile
+    extents, the single-N-tile deepening heuristic, VMEM fitting, and
+    quantum-aligned balancing.
+
+    The sublane quantum honors BOTH operands that ``bm`` slices: X (8/16/32
+    words per sublane tile by dtype) and the W/state blocks (16 for bf16
+    state) — keying on X alone could hand Mosaic a bf16 W block on a
+    non-16-multiple row boundary.  An EXPLICIT block_m is respected: the
+    single-N-tile bump applies only to the device-table default, so tuning
+    sweeps measure the tile they asked for.
+    """
+    explicit_m = block_m is not None
+    block_m, block_n = _default_blocks(block_m, block_n)
+    mm_dt = jnp.dtype(precision.mm_input_dtype)
+    if not explicit_m and _round_up(n, 128) <= block_n:
+        # single lane-tile along N: more rows per grid step instead
+        # (measured on the H kernel at 4096x350 k=128: 86 -> 119 TF/s;
+        # adopted for all three launches)
+        block_m = max(block_m, 1024)
+    bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
+    quantum = _x_quantum(xq)
+    if jnp.dtype(state_dtype) == jnp.bfloat16:
+        quantum = max(quantum, 16)
+    bm = _balanced(m, quantum, bm_cap)
+    bn = _balanced(n, 128, bn_cap)
+    mp, np_ = _round_up(m, bm), _round_up(n, bn)
+    # float32_fast: Mosaic cannot lower Precision.HIGH, so the kernels do
+    # the 3-pass bf16 decomposition themselves (split3).
+    split3 = precision.matmul_dtype == "float32_fast"
+    return bm, bn, mp, np_, mm_dt, split3
+
+
 # ---------------------------------------------------------------------------
 # In-kernel GEMM operand preparation.  Mosaic does not lower
 # lax.Precision.HIGH, so the float32_fast policy's 3-pass bf16 split-float
@@ -285,26 +318,17 @@ def update_h_fused(
     else:
         sum_w = eps_clamp(jnp.sum(w, axis=0, dtype=_F32), eps).reshape(k, 1)
 
-    block_m, block_n = _default_blocks(block_m, block_n)
-    mm_dt = jnp.dtype(precision.mm_input_dtype)
-    if _round_up(n, 128) <= block_n:
-        # single lane-tile along N: deepen the contraction tile instead
-        # (measured at 4096x350 k=128: 86 -> 119 TF/s)
-        block_m = max(block_m, 1024)
-    bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    bm = _balanced(m, _x_quantum(xq), bm_cap)
-    bn = _balanced(n, 128, bn_cap)
-    mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
+    bm, bn, mp, np_, mm_dtype, split3 = _plan_launch(
+        m, n, k, xq, precision, block_m, block_n, w.dtype
+    )
+    kp = k
     wp = _pad2(w, mp, kp)
     hp = _pad2(h, kp, np_)
     xp = _pad2(xq, mp, np_)
     xsp = _scales_operand(xs, n, np_)
     n_m, n_n = mp // bm, np_ // bn
 
-    mm_dtype = jnp.dtype(precision.mm_input_dtype)
-    # float32_fast: Mosaic cannot lower Precision.HIGH, so the kernel does
-    # the 3-pass bf16 decomposition itself (split3); lax_prec is then unused.
-    split3 = precision.matmul_dtype == "float32_fast"
+    # split3 does its own decomposition; lax_prec is then unused
     lax_prec = (
         jax.lax.Precision.DEFAULT if split3 else precision.lax_matmul_precision()
     )
@@ -334,7 +358,9 @@ def update_h_fused(
         ),
         scratch_shapes=[pltpu.VMEM((kp, bn), _F32)],
         cost_estimate=pl.CostEstimate(
-            flops=4 * mp * np_ * kp,
+            # 2 GEMMs; split3 runs 3 bf16 dots per GEMM (same convention
+            # as tile_sparse's estimate)
+            flops=(12 if split3 else 4) * mp * np_ * kp,
             bytes_accessed=(mp * kp + kp * np_ + 2 * kp * np_) * 4
             + mp * np_ * xp.dtype.itemsize,
             transcendentals=0,
@@ -417,26 +443,17 @@ def update_w_fused(
     else:
         sum_h = eps_clamp(jnp.sum(h, axis=1, dtype=_F32), eps).reshape(1, k)
 
-    block_m, block_n = _default_blocks(block_m, block_n)
-    mm_dt = jnp.dtype(precision.mm_input_dtype)
-    if _round_up(n, 128) <= block_n:
-        # single lane-tile along N: deepen the contraction tile instead
-        # (measured at 4096x350 k=128: 86 -> 119 TF/s)
-        block_m = max(block_m, 1024)
-    bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    bm = _balanced(m, _x_quantum(xq), bm_cap)
-    bn = _balanced(n, 128, bn_cap)
-    mp, np_, kp = _round_up(m, bm), _round_up(n, bn), k
+    bm, bn, mp, np_, mm_dtype, split3 = _plan_launch(
+        m, n, k, xq, precision, block_m, block_n, w.dtype
+    )
+    kp = k
     wp = _pad2(w, mp, kp)
     hp = _pad2(h, kp, np_)
     xp = _pad2(xq, mp, np_)
     xsp = _scales_operand(xs, n, np_)
     n_m, n_n = mp // bm, np_ // bn
 
-    mm_dtype = jnp.dtype(precision.mm_input_dtype)
-    # float32_fast: Mosaic cannot lower Precision.HIGH, so the kernel does
-    # the 3-pass bf16 decomposition itself (split3); lax_prec is then unused.
-    split3 = precision.matmul_dtype == "float32_fast"
+    # split3 does its own decomposition; lax_prec is then unused
     lax_prec = (
         jax.lax.Precision.DEFAULT if split3 else precision.lax_matmul_precision()
     )
@@ -466,7 +483,8 @@ def update_w_fused(
         ),
         scratch_shapes=[pltpu.VMEM((bm, kp), _F32)],
         cost_estimate=pl.CostEstimate(
-            flops=4 * mp * np_ * kp,
+            # 2 GEMMs; split3 runs 3 bf16 dots per GEMM
+            flops=(12 if split3 else 4) * mp * np_ * kp,
             bytes_accessed=(mp * kp + kp * np_ + 2 * mp * kp) * 4
             + mp * np_ * xp.dtype.itemsize,
             transcendentals=0,
@@ -556,23 +574,15 @@ def kl_cost_fused(
 
         return kl_divergence(_dense_x(x), w, h, eps)
 
-    block_m, block_n = _default_blocks(block_m, block_n)
-    mm_dt = jnp.dtype(precision.mm_input_dtype)
-    if _round_up(n, 128) <= block_n:
-        # single lane-tile along N: deepen the contraction tile instead
-        # (measured at 4096x350 k=128: 86 -> 119 TF/s)
-        block_m = max(block_m, 1024)
-    bm_cap, bn_cap = _fit_blocks(k, block_m, block_n, mm_dt)
-    bm = _balanced(m, _x_quantum(xq), bm_cap)
-    bn = _balanced(n, 128, bn_cap)
-    mp, np_ = _round_up(m, bm), _round_up(n, bn)
+    bm, bn, mp, np_, mm_dtype, _ = _plan_launch(
+        m, n, k, xq, precision, block_m, block_n, w.dtype
+    )
     wp = _pad2(w, mp, k)
     hp = _pad2(h, k, np_)
     xp = _pad2(xq, mp, np_)
     xsp = _scales_operand(xs, n, np_)
     n_m, n_n = mp // bm, np_ // bn
 
-    mm_dtype = jnp.dtype(precision.mm_input_dtype)
     # cost GEMM precision: HIGHEST for BOTH f32 policies (float32_fast speeds
     # up the update GEMMs only; the reported divergence must not drift)
     lax_prec = (
@@ -603,7 +613,9 @@ def kl_cost_fused(
         out_shape=jax.ShapeDtypeStruct((1, 1), _F32),
         scratch_shapes=[pltpu.SMEM((1, 1), _F32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * k,
+            # one GEMM; HIGHEST f32 runs a multi-pass decomposition (~3 dots)
+            flops=(6 if lax_prec == jax.lax.Precision.HIGHEST else 2)
+            * mp * np_ * k,
             bytes_accessed=(mp * k + k * np_) * 4
             + mp * np_ * xp.dtype.itemsize,
             transcendentals=2 * mp * np_,

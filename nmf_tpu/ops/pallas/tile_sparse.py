@@ -45,17 +45,23 @@ from ...utils.config import Precision
 from ...utils.device import chip_spec
 from .fused_mu import _kdot, _prep_operand
 
-__all__ = ["supported", "sweep_plan", "h_numerator", "w_numerator"]
+__all__ = ["supported", "preferred", "sweep_plan", "h_numerator", "w_numerator"]
 
 _F32 = jnp.float32
 
 
 def supported(k: int, bm: int, bn: int, precision: Precision) -> bool:
-    """Whether the Pallas tile-sparse sweep applies to this problem."""
+    """Whether the Pallas tile-sparse sweep applies to this problem.
+
+    ``bm`` slices the W/state blocks too, so a bfloat16 state dtype raises
+    the sublane quantum from 8 (f32) to 16 — an 8-row bf16 block would hand
+    Mosaic a sub-tile row boundary.
+    """
+    bm_quantum = 16 if jnp.dtype(precision.state_dtype) == jnp.bfloat16 else 8
     return (
         jax.default_backend() == "tpu"
         and k <= chip_spec().max_fused_k
-        and bm % 8 == 0
+        and bm % bm_quantum == 0
         and bn % 128 == 0
         and precision.x_dtype != "int8"
     )
@@ -140,6 +146,15 @@ def _sweep_kernel(
 
 
 def _sweep_call(w, h, tiles, perm, rb, cb, eps, precision, target, interpret):
+    if tiles.shape[0] == 0:
+        # an all-sentinel plan would index block 0 of a zero-length tiles
+        # array (the sentinel index map clamps to 0) — an out-of-bounds DMA.
+        # tiles_from_coo keeps at least one (zero) tile; direct callers must
+        # do the same.
+        raise ValueError(
+            "tiles array is empty: the sweep needs at least one tile "
+            "(an all-zero X should keep one zero tile — see tiles_from_coo)"
+        )
     k = w.shape[1]
     bm, bn = tiles.shape[1:]
     mb, nb = w.shape[0] // bm, h.shape[1] // bn

@@ -251,3 +251,59 @@ def test_tile_sparse_backend_rule():
     # off-TPU (this CI runs on CPU): never supported, never preferred
     assert not ts.supported(128, 128, 128, Precision())
     assert not ts.preferred(128, 128, 128, Precision())
+
+
+def test_plan_launch_respects_explicit_block_m():
+    """An explicitly passed block_m is never bumped by the single-N-tile
+    heuristic (tuning sweeps must measure the tile they asked for)."""
+    xq = jnp.zeros((1, 1), jnp.float32)
+    prec = Precision()
+    bm, bn, mp, np_, _, _ = fused_mu._plan_launch(
+        4096, 350, 128, xq, prec, 256, 1024, jnp.float32
+    )
+    assert bm <= 256
+    bm_auto, *_ = fused_mu._plan_launch(
+        4096, 350, 128, xq, prec, None, 1024, jnp.float32
+    )
+    assert bm_auto > 256  # the default-path deepening still applies
+
+
+def test_plan_launch_bf16_state_quantum():
+    """bf16 W/H blocks need 16-row sublane alignment even when X is f32."""
+    xq = jnp.zeros((1, 1), jnp.float32)
+    prec = Precision(matmul_dtype="bfloat16", state_dtype="bfloat16")
+    for m in (1025, 777, 96):
+        bm, *_ = fused_mu._plan_launch(
+            m, 512, 128, xq, prec, None, None, jnp.bfloat16
+        )
+        assert bm % 16 == 0, (m, bm)
+
+
+def test_tile_sparse_supported_bf16_state(monkeypatch):
+    """supported() must reject 8-row tiles when the state is bf16."""
+    import jax
+
+    from nmf_tpu.ops.pallas import tile_sparse
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    f32 = Precision()
+    bf16_state = Precision(matmul_dtype="bfloat16", state_dtype="bfloat16")
+    assert tile_sparse.supported(128, 8, 128, f32)
+    assert not tile_sparse.supported(128, 8, 128, bf16_state)
+    assert tile_sparse.supported(128, 16, 128, bf16_state)
+
+
+def test_tile_sparse_empty_tiles_raises():
+    from nmf_tpu.ops.pallas import tile_sparse
+
+    w = jnp.ones((16, 8), jnp.float32)
+    h = jnp.ones((8, 128), jnp.float32)
+    tiles = jnp.zeros((0, 16, 128), jnp.float32)
+    perm, rb, cb = tile_sparse.sweep_plan(
+        np.array([], np.int32), np.array([], np.int32), 1, "col"
+    )
+    with pytest.raises(ValueError, match="at least one tile"):
+        tile_sparse.h_numerator(
+            w, h, tiles, jnp.asarray(perm), jnp.asarray(rb), jnp.asarray(cb),
+            2.2204e-16, interpret=True,
+        )
