@@ -15,7 +15,7 @@ from the first iteration).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -50,6 +50,7 @@ def nndsvd_init(
     variant: str = "nndsvd",
     seed: int = 0,
     eps: float = 1e-6,
+    svd: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Non-Negative Double SVD initialization (Boutsidis & Gallopoulos 2008).
 
@@ -59,6 +60,11 @@ def nndsvd_init(
 
     Note for the multiplicative-update solver: MU cannot move entries that
     start at zero, so prefer 'nndsvda'/'nndsvdar' with it.
+
+    ``svd`` optionally supplies a precomputed ``np.linalg.svd(x,
+    full_matrices=False)`` triple — the SVD depends only on X, so rank
+    sweeps / multi-member inits compute it once and slice per rank
+    (models.selection._member_inits does this).
     """
     if variant not in ("nndsvd", "nndsvda", "nndsvdar"):
         raise ValueError(f"unknown NNDSVD variant {variant!r}")
@@ -66,7 +72,7 @@ def nndsvd_init(
     m, n = x.shape
     if k > min(m, n):
         raise ValueError(f"rank {k} exceeds min(M, N) = {min(m, n)}")
-    u, s, vt = np.linalg.svd(x, full_matrices=False)
+    u, s, vt = np.linalg.svd(x, full_matrices=False) if svd is None else svd
     u, s, vt = u[:, :k], s[:k], vt[:k]
 
     w = np.zeros((m, k))

@@ -199,11 +199,18 @@ def solve_online(
     from .streaming import _as_source, _host_prep, pick_block_n
 
     config.validate()
-    if config.precision.x_quant_rows and config.backend == "pallas":
+    if config.backend == "pallas":
         raise NotImplementedError(
-            "per-row-block int8 scales (x_quant_rows) take the jnp path — "
-            "the fused kernels' scales operand is per-column; drop "
-            "backend='pallas' or x_quant_rows"
+            "online NMF's per-block statistics updates run as XLA ops "
+            "(the fused MU kernels implement full W@H sweeps, not the "
+            "A/B-folded updates) — backend='pallas' would be silently "
+            "ignored; use backend='auto'"
+        )
+    if config.live_metrics:
+        raise NotImplementedError(
+            "online learning tracks per-block costs, not the global "
+            "per-check divergence live_metrics streams; read "
+            "OnlineResult.block_costs (track_cost=True) instead"
         )
     if config.beta != 1.0 or config.algorithm != "mu" or config.regularized:
         raise NotImplementedError(

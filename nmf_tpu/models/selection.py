@@ -127,9 +127,6 @@ def _selection_jit(
     masked: bool,
     n_frozen: int = 0,
 ):
-    if config.live_metrics:
-        # one callback per member per check is noise, not observability
-        config = dataclasses.replace(config, live_metrics=False)
     step_fn = resolve_step_fn(config, platform)
     cost_fn = _cost_fn(config, platform)
 
@@ -156,6 +153,37 @@ def _selection_jit(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _selection_prep_jit(precision, eps: float, clamp_inputs: bool, masked: bool):
+    """One-launch member prep: clamp + state/X casts + rank-embedding mask
+    (+ shared int8 quantization).  The selection twin of solver._prep_jit."""
+    sd = jnp.dtype(precision.state_dtype)
+    quant = precision.x_dtype == "int8"
+
+    @jax.jit
+    def prep(x, w0s, h0s, mks):
+        x = jnp.asarray(x, _F32)
+        w0s = w0s.astype(sd)
+        h0s = h0s.astype(sd)
+        if clamp_inputs:
+            x = jnp.maximum(x, jnp.asarray(eps, _F32))
+            w0s = jnp.maximum(w0s, jnp.asarray(eps, sd))
+            h0s = jnp.maximum(h0s, jnp.asarray(eps, sd))
+        mks_j = mks.astype(sd)
+        if masked:
+            w0s, h0s = jax.vmap(_mask_factors)(w0s, h0s, mks_j)
+        if quant:
+            from ..ops.quant import quantize_policy
+
+            # once: members share the codes (per-column or row-block scales)
+            x = quantize_policy(x, eps, precision.x_quant_rows)
+        else:
+            x = x.astype(jnp.dtype(precision.x_dtype))
+        return x, w0s, h0s, mks_j
+
+    return prep
+
+
 def _solve_selection(
     x,
     w0s: np.ndarray,
@@ -170,8 +198,11 @@ def _solve_selection(
     # final costs are the selection signal — always track them
     if not config.track_cost and config.thresh == 0.0:
         config = dataclasses.replace(config, track_cost=True)
-    quant = config.precision.x_dtype == "int8"
-    sd = jnp.dtype(config.precision.state_dtype)
+    if config.live_metrics:
+        # one callback per member per check is noise, not observability.
+        # Normalized HERE so live/non-live configs share one _selection_jit
+        # cache entry (they compile to the identical program).
+        config = dataclasses.replace(config, live_metrics=False)
     r, kmax = w0s.shape[0], w0s.shape[2]
     masked = bool(np.any(ranks < kmax))
     if n_frozen:
@@ -194,34 +225,22 @@ def _solve_selection(
     # bitwise in tests/test_selection.py::test_rank_sweep_hals*.  The
     # post-step re-mask below stays as numerical belt-and-braces.
 
-    x = jnp.asarray(x, _F32)
-    w0s = jnp.asarray(w0s, sd)
-    h0s = jnp.asarray(h0s, sd)
-    m, n = x.shape
-    if w0s.shape != (r, m, kmax) or h0s.shape != (r, kmax, n):
+    m, n = jnp.shape(x)
+    if jnp.shape(w0s) != (r, m, kmax) or jnp.shape(h0s) != (r, kmax, n):
         raise ValueError(
-            f"member shapes disagree: X{x.shape} vs W{w0s.shape} @ H{h0s.shape}"
+            f"member shapes disagree: X{jnp.shape(x)} vs W{jnp.shape(w0s)} "
+            f"@ H{jnp.shape(h0s)}"
         )
-    eps = config.eps
-    if clamp_inputs:
-        x = jnp.maximum(x, jnp.asarray(eps, _F32))
-        w0s = jnp.maximum(w0s, jnp.asarray(eps, sd))
-        h0s = jnp.maximum(h0s, jnp.asarray(eps, sd))
     # the embedding mask goes on AFTER the clamp: unused slots are exact zero
     mks = (np.arange(kmax)[None, :] < np.asarray(ranks)[:, None]).astype(
         np.float32
     )
-    mks_j = jnp.asarray(mks, sd)
-    if masked:
-        w0s, h0s = jax.vmap(_mask_factors)(w0s, h0s, mks_j)
-
-    if quant:
-        from ..ops.quant import quantize_policy
-
-        # once: members share the codes (per-column or per-row-block scales)
-        x = quantize_policy(x, eps, config.precision.x_quant_rows)
-    else:
-        x = x.astype(jnp.dtype(config.precision.x_dtype))
+    # ONE jitted prep program (clamp + casts + mask + quantize): the eager
+    # per-op version paid ~5-10 ms per launch in tunnel RPCs on this
+    # platform — same fix as solver._prep_jit
+    x, w0s, h0s, mks_j = _selection_prep_jit(
+        config.precision, config.eps, bool(clamp_inputs), masked
+    )(x, w0s, h0s, jnp.asarray(mks))
 
     platform = None
     if config.backend in ("auto", "autotune") and config.beta == 1.0:
@@ -266,13 +285,20 @@ def _member_inits(
     r, kmax = len(ranks), int(max(ranks))
     w0s = np.zeros((r, m, kmax), np.float32)
     h0s = np.zeros((r, kmax, n), np.float32)
+    svd = None
+    if init not in ("random", "scaled"):
+        # the SVD depends only on X: compute it ONCE at kmax and let each
+        # member slice its rank (only the random zero-fill differs per seed)
+        svd = np.linalg.svd(np.asarray(x_np, np.float64), full_matrices=False)
     for i, k in enumerate(ranks):
         if init == "random":
             wi, hi = random_init(m, int(k), n, seed=seed + i)
         elif init == "scaled":
             wi, hi = scaled_random_init(x_np, int(k), seed=seed + i)
         else:
-            wi, hi = nndsvd_init(x_np, int(k), variant=init, seed=seed + i)
+            wi, hi = nndsvd_init(
+                x_np, int(k), variant=init, seed=seed + i, svd=svd
+            )
         w0s[i, :, : int(k)] = wi
         h0s[i, : int(k), :] = hi
     return w0s, h0s
@@ -281,7 +307,7 @@ def _member_inits(
 def solve_restarts(
     x,
     rank: Optional[int] = None,
-    n_restarts: int = 8,
+    n_restarts: Optional[int] = None,
     config: SolveConfig = SolveConfig(),
     *,
     seed: int = 0,
@@ -296,10 +322,12 @@ def solve_restarts(
 
     All restarts run in ONE compiled batched program sharing a single HBM
     copy of X.  Provide either ``rank`` (inits generated with ``init`` and
-    per-member seeds ``seed + i``; note the deterministic 'nndsvd'/'nndsvda'
-    variants ignore the seed and would make identical members — use the
-    default 'scaled', 'random', or 'nndsvdar' for restarts) or explicit
-    ``w0s``/``h0s`` stacks of shape [R, M, K] / [R, K, N].
+    per-member seeds ``seed + i``; ``n_restarts`` defaults to 8; note the
+    deterministic 'nndsvd'/'nndsvda' variants ignore the seed and would make
+    identical members — use the default 'scaled', 'random', or 'nndsvdar'
+    for restarts) or explicit ``w0s``/``h0s`` stacks of shape [R, M, K] /
+    [R, K, N] — the stacks define the rank and member count, so combining
+    them with ``rank``/``n_restarts`` is an error.
 
     With ``mesh`` the member axis is sharded over the mesh's first axis
     (pure data parallelism, zero per-iteration collectives; X replicated).
@@ -319,6 +347,15 @@ def solve_restarts(
     if (w0s is None) != (h0s is None):
         raise ValueError("provide both w0s and h0s, or neither")
     if w0s is not None:
+        if rank is not None or n_restarts is not None:
+            # the stacks define both: a conflicting rank/n_restarts would be
+            # silently ignored, and the caller would read factors of the
+            # wrong rank or count believing their request was honored
+            raise ValueError(
+                "explicit w0s/h0s stacks define the rank and member count — "
+                "do not also pass rank or n_restarts (seed/init are likewise "
+                "unused with explicit stacks)"
+            )
         # keep device arrays device-resident (no forced host round trip);
         # _solve_selection casts to the state dtype on device
         if not hasattr(w0s, "ndim"):
@@ -331,6 +368,7 @@ def solve_restarts(
     else:
         if rank is None:
             raise ValueError("provide rank (for generated inits) or w0s/h0s")
+        n_restarts = 8 if n_restarts is None else n_restarts
         if n_restarts < 1:
             raise ValueError("n_restarts must be >= 1")
         ranks = np.full((n_restarts,), int(rank), np.int64)

@@ -90,6 +90,13 @@ def solve_semi(
             "HALS's in-place W sweep reads columns mid-update; frozen "
             "columns need the MU families"
         )
+    if isinstance(x, tuple):
+        raise NotImplementedError(
+            "solve_semi quantizes X itself (its prep clamps the frozen "
+            "template columns too); pass the float X — pre-quantized "
+            "(codes, scales) pairs are accepted by solve/solve_sharded/"
+            "solve_h_only"
+        )
     sx, sw, sh = jnp.shape(x), jnp.shape(w0), jnp.shape(h0)
     if sx != (sw[0], sh[1]) or sw[1] != sh[0]:
         raise ValueError(f"shape mismatch: X{sx} vs W{sw} @ H{sh}")

@@ -176,6 +176,8 @@ def separate(
     the template-attributed stems.  ``adapt_template=True`` uses the
     templates as a warm start but lets them train too.
     """
+    if n_restarts < 1:
+        raise ValueError(f"n_restarts must be >= 1, got {n_restarts}")
     audio = np.asarray(audio, np.float32)
     if audio.ndim != 1:
         raise ValueError("separate() expects mono audio (1-D)")

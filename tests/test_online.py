@@ -166,3 +166,14 @@ def test_online_mesh_rejects_indivisible_block_n(planted):
         solve_online(
             x, w0, SolveConfig(), block_n=301, mesh=make_mesh(shape=(4, 2))
         )
+
+
+def test_online_rejects_silently_ignored_knobs(planted):
+    """backend='pallas' and live_metrics would be silent no-ops for the
+    statistics-folded online updates — both error loudly."""
+    x, w0 = planted
+    with pytest.raises(NotImplementedError, match="pallas"):
+        solve_online(x, w0, SolveConfig(backend="pallas"), block_n=400)
+    with pytest.raises(NotImplementedError, match="block_costs"):
+        solve_online(x, w0, SolveConfig(live_metrics=True, track_cost=True),
+                     block_n=400)

@@ -465,7 +465,10 @@ def test_streaming_pallas_backend_raises(problem):
     cfg = _cfg(32, max_iter=10, backend="pallas")
     with pytest.raises(NotImplementedError, match="x_quant_rows"):
         solve_out_of_core(np.asarray(x), np.asarray(w), np.asarray(h), cfg)
-    with pytest.raises(NotImplementedError, match="x_quant_rows"):
+    # solve_online rejects backend='pallas' outright (its statistics-folded
+    # updates never had a fused path), before the x_quant_rows combination
+    # is even considered
+    with pytest.raises(NotImplementedError, match="pallas"):
         solve_online(np.asarray(x), np.asarray(w), config=cfg)
 
 

@@ -201,3 +201,42 @@ def test_restarts_with_frozen_template_columns(problem):
     # validation
     with pytest.raises(ValueError):
         solve_restarts(x, w0s=w0s, h0s=h0s, config=cfg, n_frozen=k + 1)
+
+
+def test_restarts_stacks_reject_conflicting_args(problem):
+    """Explicit w0s/h0s define rank and member count; a conflicting rank or
+    n_restarts is a loud error, never a silent ignore."""
+    rng = np.random.RandomState(0)
+    w0s = rng.rand(2, 64, 4).astype(np.float32)
+    h0s = rng.rand(2, 4, 80).astype(np.float32)
+    with pytest.raises(ValueError, match="stacks define"):
+        solve_restarts(problem, rank=6, w0s=w0s, h0s=h0s, config=CFG)
+    with pytest.raises(ValueError, match="stacks define"):
+        solve_restarts(problem, n_restarts=8, w0s=w0s, h0s=h0s, config=CFG)
+
+
+def test_member_inits_shared_svd_bitwise():
+    """The hoisted one-SVD path produces bit-identical members to per-member
+    SVD computation (the SVD depends only on X)."""
+    from nmf_tpu.models.init import nndsvd_init
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(48, 56).astype(np.float32)
+    ranks = [3, 5, 5]
+    w0s, h0s = _member_inits(x, ranks, "nndsvdar", seed=11)
+    for i, k in enumerate(ranks):
+        wi, hi = nndsvd_init(x, k, variant="nndsvdar", seed=11 + i)
+        np.testing.assert_array_equal(w0s[i, :, :k], wi)
+        np.testing.assert_array_equal(h0s[i, :k, :], hi)
+
+
+def test_selection_live_metrics_normalized(problem):
+    """live_metrics configs share the non-live compiled program (per-member
+    callbacks are noise) and produce identical results."""
+    import dataclasses
+
+    cfg_live = dataclasses.replace(CFG, live_metrics=True, track_cost=True)
+    cfg_plain = dataclasses.replace(CFG, track_cost=True)
+    a = solve_restarts(problem, rank=4, n_restarts=2, config=cfg_live, seed=3)
+    b = solve_restarts(problem, rank=4, n_restarts=2, config=cfg_plain, seed=3)
+    np.testing.assert_array_equal(np.asarray(a.results.w), np.asarray(b.results.w))

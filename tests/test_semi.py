@@ -138,3 +138,18 @@ def test_semi_live_metrics_and_chunked_fallback(problem, monkeypatch):
     assert events2 == [10, 20, 30]
     np.testing.assert_array_equal(np.asarray(res2.w), np.asarray(res.w))
     np.testing.assert_array_equal(np.asarray(res2.h), np.asarray(res.h))
+
+
+def test_semi_rejects_prequantized_pair(problem):
+    """solve_semi quantizes X itself — a (codes, scales) pair errors loudly
+    instead of crashing in jnp.shape."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.ops.quant import quantize_policy
+    from nmf_tpu.utils.config import Precision
+
+    x, w0, h0 = problem
+    pair = quantize_policy(jnp.asarray(x), 2.2204e-16, 0)
+    cfg = SolveConfig(max_iter=4, precision=Precision(x_dtype="int8"))
+    with pytest.raises(NotImplementedError, match="pre-quantized"):
+        solve_semi(pair, w0, h0, cfg, n_frozen=2)

@@ -162,3 +162,12 @@ def test_separate_with_frozen_templates(two_tone_audio):
     assert res3.sources.shape[0] == 4
     # best-of-restarts can only match or beat the single seeded run
     assert float(res3.solve_result.cost) <= float(res.solve_result.cost) + 1e-3
+
+
+def test_separate_rejects_nonpositive_restarts():
+    import numpy as np
+
+    from nmf_tpu.models.separation import separate
+
+    with pytest.raises(ValueError, match="n_restarts"):
+        separate(np.zeros(4096, np.float32), n_components=4, n_restarts=0)
