@@ -111,4 +111,6 @@ def write_matrix(arr: np.ndarray, path: Union[str, os.PathLike]) -> None:
     rows, cols = arr.shape
     with open(path, "wb") as f:
         f.write(_HEADER.pack(rows, cols))
-        f.write(np.asfortranarray(arr).tobytes(order="F"))
+        # tobytes(order="F") does the strided transpose in ONE copy;
+        # asfortranarray first would make a second full copy of the matrix
+        f.write(arr.tobytes(order="F"))

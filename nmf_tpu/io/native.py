@@ -50,19 +50,38 @@ def _candidate_paths():
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """Load (once) and return the native library, or None if unavailable."""
+    """Load (once) and return the native library, or None if unavailable.
+
+    An explicitly set ``NMF_TPU_NATIVE_LIB`` that fails to load or has the
+    wrong ABI raises instead of silently falling through to another library
+    — the user would otherwise benchmark a different binary than the one
+    they configured.
+    """
     global _lib, _tried
     with _lock:
         if _tried:
             return _lib
         _tried = True
+        env = os.environ.get("NMF_TPU_NATIVE_LIB")
         for path in _candidate_paths():
+            explicit = env is not None and path == env
             if not os.path.exists(path):
+                if explicit:
+                    raise FileNotFoundError(
+                        f"NMF_TPU_NATIVE_LIB={path!r} does not exist"
+                    )
                 continue
             try:
                 lib = ctypes.CDLL(path)
                 lib.nmf_native_abi_version.restype = ctypes.c_int
                 if lib.nmf_native_abi_version() != 1:
+                    if explicit:
+                        raise RuntimeError(
+                            f"NMF_TPU_NATIVE_LIB={path!r} reports ABI "
+                            f"version {lib.nmf_native_abi_version()}, "
+                            f"this build needs 1 — rebuild with "
+                            f"`make -C native`"
+                        )
                     continue
                 lib.nmf_read_header.argtypes = [
                     ctypes.c_char_p,
@@ -101,7 +120,13 @@ def load() -> Optional[ctypes.CDLL]:
                     lib.nmf_read_columns.restype = ctypes.c_int
                 _lib = lib
                 break
-            except OSError:
+            except (OSError, AttributeError) as e:
+                # AttributeError: a foreign .so without the ABI symbol must
+                # fall back to the NumPy path, not crash every .bin read
+                if explicit:
+                    raise RuntimeError(
+                        f"NMF_TPU_NATIVE_LIB={path!r} failed to load: {e}"
+                    ) from e
                 continue
         return _lib
 

@@ -146,16 +146,17 @@ def _masked_prep_jit_cached(precision, eps: float):
         # the dominant HBM stream; the masked quotient promotes to f32)
         x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
         mask = mask.astype(_F32)
+        # zero the unobserved entries for EVERY storage dtype: masked values
+        # may be garbage INCLUDING NaN/Inf (the standard missing-data
+        # encoding), and 0 * NaN = NaN would poison the solve despite
+        # mask == 0.  Bit-neutral for finite inputs (the updates multiply
+        # those entries by 0 anyway); for int8 it additionally keeps
+        # garbage out of the quantization scales.
+        x = jnp.where(mask > 0, x, 0.0)
         if quant:
             from ..ops.quant import quantize_policy
 
-            # zero the unobserved entries BEFORE quantization: masked values
-            # may be garbage and must not poison the scales (the update
-            # multiplies them by 0 regardless, so exact-0 codes are the
-            # faithful storage)
-            x = quantize_policy(
-                jnp.where(mask > 0, x, 0.0), eps, precision.x_quant_rows
-            )
+            x = quantize_policy(x, eps, precision.x_quant_rows)
         else:
             x = x.astype(jnp.dtype(precision.x_dtype))
         return x, w, h, mask
@@ -292,9 +293,9 @@ def solve_masked(
     """Factorize the observed entries of ``x`` (mask 1 = observed, 0 = missing).
 
     ``mask`` may also carry real-valued confidence weights in [0, inf).
-    Masked entries of X are ignored entirely (their values may be garbage —
-    they are multiplied by 0 before anything else reads them... after the
-    load-time clamp, which requires finite input).
+    Masked entries of X are ignored entirely — their values may be garbage,
+    INCLUDING NaN/Inf (the standard missing-data encoding): prep zeroes
+    unobserved entries before anything else reads them.
 
     With ``mesh`` the solve runs distributed: the mask shards exactly like X
     over the ('mr', 'mc') mesh and the denominator mask-GEMMs psum with the

@@ -719,15 +719,16 @@ def _host_prep(blk: np.ndarray, eps: float, xd, qrows: int = 0, mask=None):
     per-(row-block, column) table is exactly the in-memory layout's table
     for those columns (``Precision.x_quant_rows``)."""
     blk = np.maximum(blk, np.float32(eps))
+    if mask is not None:
+        # zero unobserved entries for EVERY storage dtype (the in-memory
+        # masked prep's invariant, models/masked.py): masked values may be
+        # garbage INCLUDING NaN/Inf; the update multiplies them by 0
+        # regardless, so exact-0 storage is bit-neutral for finite inputs,
+        # and for int8 it keeps garbage out of the quantization scales
+        blk = np.where(mask > 0, blk, np.float32(0))
     if str(xd) == "int8":
         from ..ops.quant import quantize_policy_np
 
-        if mask is not None:
-            # zero unobserved entries BEFORE quantization (the in-memory
-            # masked prep's invariant, models/masked.py: garbage at masked
-            # positions must not poison the scales; the update multiplies
-            # them by 0 regardless, so exact-0 codes are faithful storage)
-            blk = np.where(mask > 0, blk, np.float32(0))
         return quantize_policy_np(blk, eps, qrows)
     if str(xd) == "bfloat16":
         import ml_dtypes

@@ -23,6 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.solver import SolveResult, resolve_step_fn, run_checked_loop, _cost_fn
@@ -33,24 +34,34 @@ __all__ = ["solve_batched"]
 _F32 = jnp.float32
 
 
-def _batched_prep_jit(config: SolveConfig):
+def _batched_prep_jit(config: SolveConfig, masked: bool = False):
     """Batched counterpart of models.solver._prep_jit: clamp + dtype casts
-    (+ per-member column quantization — codes [B,M,N], scales [B,N]) in ONE
-    program launch.  Keyed by (precision, eps) only — loop parameters do
-    not change the prep program."""
-    return _batched_prep_jit_cached(config.precision, config.eps)
+    (+ mask cast and unobserved-entry zeroing + per-member column
+    quantization — codes [B,M,N], scales [B,N]) in ONE program launch.
+    Keyed by (precision, eps, masked) only — loop parameters do not change
+    the prep program."""
+    return _batched_prep_jit_cached(config.precision, config.eps, masked)
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_prep_jit_cached(precision, eps: float):
+def _batched_prep_jit_cached(precision, eps: float, masked: bool = False):
     sd = jnp.dtype(precision.state_dtype)
     quant = precision.x_dtype == "int8"
 
     @jax.jit
-    def prep(x, w, h):
+    def prep(x, w, h, mask=None):
         w = jnp.maximum(w.astype(sd), jnp.asarray(eps, sd))
         h = jnp.maximum(h.astype(sd), jnp.asarray(eps, sd))
         x = jnp.maximum(x.astype(_F32), jnp.asarray(eps, _F32))
+        if masked:
+            # zero the unobserved entries for EVERY storage dtype: masked
+            # values may be garbage (NaN/Inf holes are the standard
+            # missing-data encoding), and 0 * NaN = NaN would poison the
+            # member despite mask == 0.  For finite inputs this is
+            # bit-neutral (the updates multiply those entries by 0 anyway);
+            # for int8 it additionally keeps garbage out of the scales.
+            mask = mask.astype(_F32)
+            x = jnp.where(mask > 0, x, 0.0)
         if quant:
             from ..ops.quant import quantize_policy
 
@@ -59,7 +70,7 @@ def _batched_prep_jit_cached(precision, eps: float):
             )(x)
         else:
             x = x.astype(jnp.dtype(precision.x_dtype))
-        return x, w, h
+        return (x, w, h, mask) if masked else (x, w, h)
 
     return prep
 
@@ -118,15 +129,30 @@ def solve_batched(
 ) -> SolveResult:
     """Solve a batch: x [B,M,N], w0 [B,M,K], h0 [B,K,N] -> batched SolveResult.
 
-    With ``mesh`` (1-D or n-D; its first axis is used) the batch dimension is
-    sharded across devices; B must divide the axis size evenly.
+    With ``mesh`` the batch dimension is sharded over ALL the mesh's devices
+    (pure data parallelism — a 2-D mesh is flattened, not half-replicated);
+    B must divide the mesh's total device count evenly.
 
     ``mask`` ([B,M,N], optional) runs the masked/weighted KL solve per
     member — each problem sees only its own ``mask != 0`` entries (the
-    batched counterpart of :func:`nmf_tpu.solve_masked`).
+    batched counterpart of :func:`nmf_tpu.solve_masked`); unobserved X
+    entries may be garbage, including NaN/Inf.
+
+    Buffer ownership follows :func:`nmf_tpu.solve`: the member state stacks
+    are DONATED to the compiled program, so with ``clamp_inputs=False`` and
+    device-resident arrays the caller's ``w0``/``h0`` are consumed.
+    ``live_metrics`` is normalized off (a per-member-per-check callback
+    storm is noise, not observability) — read ``cost_history`` per member.
     """
     config.validate()
     quant = config.precision.x_dtype == "int8"
+    if isinstance(x, tuple):
+        raise ValueError(
+            "solve_batched takes the dense [B, M, N] stack and quantizes "
+            "each member internally (codes [B,M,N] + per-member scales); "
+            "pre-quantized (codes, scales) pairs are accepted by "
+            "solve/solve_sharded/solve_h_only"
+        )
     if mask is not None:
         if config.beta != 1.0 or config.algorithm != "mu":
             raise NotImplementedError(
@@ -142,22 +168,25 @@ def solve_batched(
         )
     if sx[1:] != (sw[1], sh[2]) or sw[2] != sh[1]:
         raise ValueError(f"shape mismatch: X{sx} vs W{sw} @ H{sh}")
-    if mask is not None:
-        mask = jnp.asarray(mask, _F32)
-        if mask.shape != sx:
-            raise ValueError(f"mask shape {mask.shape} != X shape {sx}")
-    if quant and mask is not None:
-        # zero the unobserved entries BEFORE quantization (garbage must not
-        # poison the per-column scales — same policy as models.masked)
-        x = jnp.where(mask > 0, jnp.asarray(x, _F32), 0.0)
+    if mask is not None and jnp.shape(mask) != sx:
+        raise ValueError(f"mask shape {jnp.shape(mask)} != X shape {sx}")
     if clamp_inputs:
-        # one program launch for clamp + casts (+ per-member int8
-        # quantization) — eager per-op dispatches are tunnel RPCs here
-        x, w0, h0 = _batched_prep_jit(config)(x, w0, h0)
+        # one program launch for clamp + casts (+ mask zeroing + per-member
+        # int8 quantization) — eager per-op dispatches are tunnel RPCs here
+        if mask is not None:
+            x, w0, h0, mask = _batched_prep_jit(config, masked=True)(
+                x, w0, h0, mask
+            )
+        else:
+            x, w0, h0 = _batched_prep_jit(config)(x, w0, h0)
     else:
         x = jnp.asarray(x, _F32)
         w0 = jnp.asarray(w0, sd)
         h0 = jnp.asarray(h0, sd)
+        if mask is not None:
+            mask = jnp.asarray(mask, _F32)
+            # unobserved entries may be garbage for every storage dtype
+            x = jnp.where(mask > 0, x, 0.0)
         if quant:
             from ..ops.quant import quantize_policy
 
@@ -181,13 +210,16 @@ def solve_batched(
 
         config = dataclasses.replace(config, backend="jnp")
     if mesh is not None:
-        axis = mesh.axis_names[0]
+        n_dev = int(np.prod(list(mesh.shape.values())))
         b = (x[0] if quant else x).shape[0]
-        if b % mesh.shape[axis]:
+        if b % n_dev:
             raise ValueError(
-                f"batch {b} must divide mesh axis {axis}={mesh.shape[axis]}"
+                f"batch {b} must divide the mesh's {n_dev} devices "
+                f"(the batch axis shards over ALL mesh axes)"
             )
-        batch_sharding = NamedSharding(mesh, P(axis))
+        # shard dim 0 over every axis: a 2-D mesh must not silently
+        # replicate the members over its second axis
+        batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         x, w0, h0 = (jax.device_put(a, batch_sharding) for a in (x, w0, h0))
         if mask is not None:
             mask = jax.device_put(mask, batch_sharding)

@@ -155,6 +155,12 @@ def init_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
-        if "already" in str(e).lower():
+        msg = str(e).lower()
+        if "already" in msg:
+            return
+        if not kwargs and jax.process_count() == 1:
+            # bare call outside any cluster environment: the docstring
+            # promises single-host safety, and auto-detection raising about
+            # a missing coordinator is exactly the single-process case
             return
         raise

@@ -128,3 +128,30 @@ def test_streaming_source_uses_native_reader(native_mod, tmp_path, rng):
         del os.environ["NMF_TPU_NO_NATIVE"]
     np.testing.assert_array_equal(via_native, via_python)
     np.testing.assert_array_equal(via_native, a[:, 100:260])
+
+
+def test_explicit_native_lib_env_fails_loud(tmp_path, monkeypatch):
+    """A user-configured NMF_TPU_NATIVE_LIB that cannot be used must error,
+    never silently fall back to a different library."""
+    from nmf_tpu.io import native
+
+    def fresh():
+        monkeypatch.setattr(native, "_tried", False)
+        monkeypatch.setattr(native, "_lib", None)
+
+    fresh()
+    monkeypatch.setenv("NMF_TPU_NATIVE_LIB", str(tmp_path / "nope.so"))
+    with pytest.raises(FileNotFoundError, match="NMF_TPU_NATIVE_LIB"):
+        native.load()
+    # a file that is not a loadable library with the ABI symbol
+    bogus = tmp_path / "bogus.so"
+    bogus.write_bytes(b"not a library")
+    fresh()
+    monkeypatch.setenv("NMF_TPU_NATIVE_LIB", str(bogus))
+    with pytest.raises(RuntimeError, match="failed to load"):
+        native.load()
+    # unset env: the failure path must leave the NumPy fallback working
+    fresh()
+    monkeypatch.delenv("NMF_TPU_NATIVE_LIB")
+    native.load()  # whatever it returns, it must not raise
+    fresh()

@@ -472,3 +472,70 @@ def test_use_fused_keyed_on_mesh_platform():
     # explicit pallas still forces the kernels on any platform (dense X)
     cfg_p = SolveConfig(backend="pallas")
     assert sharded._use_fused(cfg_p, 64, 8, 64, "cpu") is True
+
+
+def test_batched_2d_mesh_uses_all_devices(problem):
+    """A 2-D mesh shards the batch over EVERY device (flattened), not just
+    the first axis with silent replication over the second."""
+    x, w, h = problem
+    rng = np.random.RandomState(13)
+    B = 8
+    xs = clamp(rng.rand(B, *x.shape).astype(np.float32))
+    ws = clamp(rng.rand(B, *w.shape).astype(np.float32))
+    hs = clamp(rng.rand(B, *h.shape).astype(np.float32))
+    mesh = meshmod.make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    cfg = SolveConfig(max_iter=5, check_every=5)
+    res = batched.solve_batched(xs, ws, hs, cfg, mesh=mesh)
+    # 8 members over 4 devices -> 2 per shard, on all 4 devices
+    assert {s.data.shape[0] for s in res.w.addressable_shards} == {2}
+    assert len({s.device for s in res.w.addressable_shards}) == 4
+    with pytest.raises(ValueError, match="ALL mesh axes"):
+        batched.solve_batched(xs[:6], ws[:6], hs[:6], cfg, mesh=mesh)
+
+
+def test_batched_masked_nan_holes(problem):
+    """NaN/Inf at unobserved entries (the standard missing-data encoding)
+    must not poison the masked batched solve."""
+    from nmf_tpu import solve_masked
+
+    x, w, h = problem
+    rng = np.random.RandomState(14)
+    B = 2
+    xs = clamp(rng.rand(B, 64, 80).astype(np.float32))
+    ws = clamp(rng.rand(B, 64, 8).astype(np.float32))
+    hs = clamp(rng.rand(B, 8, 80).astype(np.float32))
+    masks = (rng.rand(B, 64, 80) > 0.3).astype(np.float32)
+    holes = np.where(masks > 0, xs, np.float32(np.nan))
+    cfg = SolveConfig(max_iter=10, check_every=5)
+    res = batched.solve_batched(holes, ws, hs, cfg, mask=masks)
+    assert np.isfinite(np.asarray(res.w)).all()
+    assert np.isfinite(np.asarray(res.cost)).all()
+    # identical to the same solve with zeros in the holes
+    ref = batched.solve_batched(
+        np.where(masks > 0, xs, 0.0), ws, hs, cfg, mask=masks
+    )
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+    # the single-problem masked solver gets the same treatment
+    r1 = solve_masked(holes[0], ws[0], hs[0], masks[0], cfg)
+    np.testing.assert_allclose(
+        np.asarray(r1.w), np.asarray(res.w[0]), rtol=5e-5, atol=1e-7
+    )
+
+
+def test_batched_rejects_prequantized_pair(problem):
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    pair = (np.zeros((2, 8, 16), np.uint8), np.zeros((2, 16), np.float32))
+    cfg = SolveConfig(precision=Precision(x_dtype="int8"))
+    with pytest.raises(ValueError, match="dense"):
+        batched.solve_batched(
+            pair, np.ones((2, 8, 4), np.float32),
+            np.ones((2, 4, 16), np.float32), cfg
+        )
+
+
+def test_init_distributed_single_host_noop():
+    """The documented bare single-host call must be a no-op, not a
+    coordinator-address error."""
+    meshmod.init_distributed()
