@@ -530,8 +530,14 @@ def cmd_run(args) -> int:
             return 2
         from .models.strict import solve_strict
 
-        with logger.timed() as t:
-            res = solve_strict(x, w0, h0, config)
+        try:
+            with logger.timed() as t:
+                res = solve_strict(x, w0, h0, config)
+        except ValueError as e:
+            # e.g. --accelerate / --algorithm hals / --beta / penalties:
+            # strict mode replicates exactly one algorithm
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         logger.report(res, x.shape, t.seconds, check_every=config.check_every)
         if args.validate:
             from .utils.guards import validate_result

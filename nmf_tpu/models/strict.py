@@ -68,6 +68,25 @@ def solve_strict(x, w0, h0, config: SolveConfig = SolveConfig()):
     from .solver import SolveResult, solve
 
     config.validate()
+    # strict mode replicates the reference's ONE algorithm: plain KL MU.
+    # Anything that would change the update rule must error, not silently
+    # produce output labeled as reference-grade replication.
+    offending = [
+        flag
+        for flag, on in (
+            ("accelerate=True", config.accelerate),
+            (f"algorithm={config.algorithm!r}", config.algorithm != "mu"),
+            (f"beta={config.beta}", config.beta != 1.0),
+            ("l1/l2 penalties", config.regularized),
+        )
+        if on
+    ]
+    if offending:
+        raise ValueError(
+            "solve_strict replicates the reference's plain KL (beta=1) MU "
+            f"update; {', '.join(offending)} would run a different "
+            "algorithm under a reference-replication label"
+        )
     x = np.asarray(x, np.float32)
     w0 = np.asarray(w0, np.float32)
     h0 = np.asarray(h0, np.float32)

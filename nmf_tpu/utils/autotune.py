@@ -125,9 +125,10 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
     """Measurement-free backend rule for TPU (see module docstring).
 
     fp32 note: XLA's HIGHEST-precision f32 dot uses a cheaper multi-pass
-    structure than Mosaic's in-kernel f32 matmul at large sizes, so the f32
-    policy prefers the jnp path except in the small-rank fusion regime.
-    Thresholds come from the device-generation table (utils/device.py).
+    structure than Mosaic's in-kernel f32 matmul, so BOTH f32 policies
+    always take the jnp path here (a round-1 small-rank f32 pallas
+    exception was removed after measurement); only bfloat16 has fusion-win
+    regimes.  Thresholds come from the device table (utils/device.py).
     """
     from ..ops.pallas import fused_mu
 
@@ -163,10 +164,20 @@ def pick_backend(config, m: int, k: int, n: int) -> str:
         return rule_pick(m, k, n, config.precision.matmul_dtype)
     devices = jax.devices()
     kind = (getattr(devices[0], "device_kind", "") or "unknown") if devices else "unknown"
-    key = (kind, config.precision.matmul_dtype, m, k, n)
+    # the winner depends on the HBM traffic too, so the key carries the X
+    # storage and state dtypes, not just the matmul policy (bf16 X halves
+    # the dominant stream — a winner measured at f32 X does not transfer).
+    # int8 configs never reach here: solve() excludes quant from the
+    # autotune gate (the jnp dequant path is the measured default).
+    dtypes = (
+        config.precision.matmul_dtype,
+        config.precision.x_dtype,
+        config.precision.state_dtype,
+    )
+    key = (kind, *dtypes, m, k, n)
     if key in _cache:
         return _cache[key]
-    dkey = _disk_key(kind, config.precision.matmul_dtype, m, k, n)
+    dkey = _disk_key(kind, "/".join(dtypes), m, k, n)
     disk = _disk_load()
     if disk.get(dkey) in ("pallas", "jnp"):
         _cache[key] = disk[dkey]
@@ -179,9 +190,13 @@ def pick_backend(config, m: int, k: int, n: int) -> str:
     from ..ops.mu import mu_step
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(np.maximum(rng.rand(m, n).astype(np.float32), config.eps))
-    w = jnp.asarray(rng.rand(m, k).astype(np.float32))
-    h = jnp.asarray(rng.rand(k, n).astype(np.float32))
+    xd = jnp.dtype(config.precision.x_dtype)
+    sd = jnp.dtype(config.precision.state_dtype)
+    x = jnp.asarray(
+        np.maximum(rng.rand(m, n).astype(np.float32), config.eps)
+    ).astype(xd)
+    w = jnp.asarray(rng.rand(m, k).astype(np.float32)).astype(sd)
+    h = jnp.asarray(rng.rand(k, n).astype(np.float32)).astype(sd)
     eps, prec = config.eps, config.precision
     t_pallas = _measure(
         functools.partial(fused_mu.mu_step_fused, eps=eps, precision=prec), w, h, x

@@ -18,11 +18,26 @@ class GuardError(ValueError):
     """An input or result failed a numerical sanity check."""
 
 
+def _is_float_dtype(dtype) -> bool:
+    # np.issubdtype rejects ml_dtypes' bfloat16 (it is not an np.floating
+    # subclass), but bf16 is a first-class storage dtype in this codebase
+    if np.issubdtype(dtype, np.floating):
+        return True
+    try:
+        import ml_dtypes
+
+        return dtype == np.dtype(ml_dtypes.bfloat16)
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def validate_input(name: str, arr) -> None:
     """Check an input matrix is finite and non-negative (host-side)."""
     a = np.asarray(arr)
-    if not np.issubdtype(a.dtype, np.floating):
+    if not _is_float_dtype(a.dtype):
         raise GuardError(f"{name}: expected floating dtype, got {a.dtype}")
+    if not np.issubdtype(a.dtype, np.floating):
+        a = a.astype(np.float32)  # bf16: make the numpy reductions robust
     bad = ~np.isfinite(a)
     if bad.any():
         i = tuple(int(v) for v in np.argwhere(bad)[0])
@@ -49,7 +64,7 @@ def validate_result(result) -> None:
                 f"(first at {i}) after {int(result.iterations)} iterations"
             )
     cost = float(result.cost)
-    if np.isfinite(np.asarray(result.num_checks)) and int(result.num_checks) > 0:
+    if int(result.num_checks) > 0:  # untracked runs legitimately carry NaN
         if not np.isfinite(cost):
             raise GuardError(
                 f"result cost is {cost} after {int(result.iterations)} iterations"

@@ -135,11 +135,16 @@ def summarize_result(
             it = int(check_iterations[i])
         else:
             it = min((i + 1) * check_every, iterations) if n_checks else 0
-        rel = abs(prev - float(c)) / abs(float(c)) if np.isfinite(prev) else float("inf")
+        if not np.isfinite(prev) or float(c) == 0.0:
+            # a zero divergence is an exact fit: IEEE-safe 0/0-style cases
+            # (Python float division would raise ZeroDivisionError)
+            rel = 0.0 if prev == float(c) else float("inf")
+        else:
+            rel = abs(prev - float(c)) / abs(float(c))
         checks.append(CheckRecord(iteration=it, cost=float(c), rel_change=rel))
         prev = float(c)
-    secs = float(seconds) if seconds else float("nan")
-    ips = iterations / secs if seconds else float("nan")
+    secs = float(seconds) if seconds is not None else float("nan")
+    ips = iterations / secs if seconds is not None and secs > 0 else float("nan")
     return RunReport(
         m=m,
         k=k,

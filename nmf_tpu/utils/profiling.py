@@ -52,8 +52,6 @@ def trace(log_dir: str, with_perfetto: bool = False):
 
 
 def _timeit(fn, args, repeats: int = 5) -> float:
-    import jax
-
     out = fn(*args)
     force_completion(*(out if isinstance(out, tuple) else (out,)))
     best = float("inf")
@@ -74,7 +72,18 @@ def stage_timings(
     recon_divide (matrix_multiply + set_epsilon + vec_div), h_numerator
     (AtB GEMM), w_numerator (ABt GEMM), sums (sum_cols + sum_rows + clamps),
     epilogues (col/row divide + multiply), kl_cost (the per-check reduction),
-    fused_step (the real fused per-iteration cost for comparison).
+    full_step — ALSO keyed as legacy ``fused_step`` — the per-iteration cost
+    of the step implementation ``solve()`` would actually pick for this
+    shape at f32 (the rule-table choice, not unconditionally the Pallas
+    kernel), and null_dispatch — a trivial jitted op timed the same way.
+
+    Every number includes one program dispatch + a scalar-fetch round trip
+    (this platform's ``block_until_ready`` is unreliable, so completion is
+    forced by a host fetch).  On the tunneled TPU that overhead is
+    milliseconds and DOMINATES sub-ms stages — subtract ``null_dispatch``
+    to estimate pure stage cost, and treat small-stage numbers as
+    latency-bound upper bounds (bench.py's long/short differencing is the
+    precise methodology; this is the quick diagnostic).
     """
     import jax
     import jax.numpy as jnp
@@ -124,9 +133,22 @@ def stage_timings(
             (w, h),
         ),
         "kl_cost": (jax.jit(lambda x, w, h: kl_divergence(x, w, h, eps)), (x, w, h)),
-        "fused_step": (
-            jax.jit(lambda w, h, x: resolve_step_fn(SolveConfig())(w, h, x)),
-            (w, h, x),
-        ),
     }
-    return {name: _timeit(fn, args, repeats) for name, (fn, args) in stages.items()}
+    # the step solve() would actually run for this shape: resolve backend
+    # the same way (rule table on TPU), and honor the caller's eps
+    cfg = SolveConfig(eps=eps)
+    if jax.default_backend() == "tpu":
+        import dataclasses
+
+        from .autotune import rule_pick
+
+        cfg = dataclasses.replace(
+            cfg, backend=rule_pick(w.shape[0], w.shape[1], h.shape[1],
+                                   prec.matmul_dtype)
+        )
+    step = resolve_step_fn(cfg)
+    stages["full_step"] = (jax.jit(lambda w, h, x: step(w, h, x)), (w, h, x))
+    stages["null_dispatch"] = (jax.jit(lambda a: a + 1.0), (jnp.zeros(()),))
+    out = {name: _timeit(fn, args, repeats) for name, (fn, args) in stages.items()}
+    out["fused_step"] = out["full_step"]  # legacy key
+    return out

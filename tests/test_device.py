@@ -104,7 +104,9 @@ def test_autotune_disk_cache_hit_skips_measurement(disk_cache, monkeypatch):
 
     m, k, n = 2048, 128, 1100  # above MIN_AUTOTUNE_ELEMENTS
     kind = jax.devices()[0].device_kind or "unknown"
-    key = autotune._disk_key(kind, "float32", m, k, n)
+    # the disk key carries the full dtype triple (matmul/x/state): winners
+    # measured under different X/state storage must not collide
+    key = autotune._disk_key(kind, "float32/float32/float32", m, k, n)
     with open(disk_cache, "w") as f:
         json.dump({key: "pallas"}, f)
 

@@ -23,10 +23,13 @@ def test_stage_timings(small_problem):
         "sums",
         "epilogues",
         "kl_cost",
-        "fused_step",
+        "full_step",
+        "fused_step",      # legacy alias of full_step
+        "null_dispatch",   # dispatch+fetch overhead baseline
     }
     assert set(t) == expected
     assert all(v > 0 for v in t.values())
+    assert t["fused_step"] == t["full_step"]
 
 
 def test_trace_writes_artifacts(tmp_path, small_problem):

@@ -985,3 +985,37 @@ def test_masked_h_only_jit_is_cached():
 
     cfg = SolveConfig(max_iter=7, check_every=7)
     assert _masked_h_only_jit(cfg) is _masked_h_only_jit(cfg)
+
+
+def test_validate_input_accepts_bfloat16():
+    import ml_dtypes
+
+    from nmf_tpu.utils.guards import GuardError, validate_input
+
+    a = np.asarray([[1.0, 2.0]], dtype=ml_dtypes.bfloat16)
+    validate_input("X", a)  # bf16 is a first-class storage dtype
+    bad = np.asarray([[1.0, -2.0]], dtype=ml_dtypes.bfloat16)
+    with pytest.raises(GuardError, match="negative"):
+        validate_input("X", bad)
+
+
+def test_summarize_result_zero_cost():
+    """An exact fit (cost 0.0) must not crash the report with
+    ZeroDivisionError."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.solver import SolveResult
+    from nmf_tpu.utils.metrics import summarize_result
+
+    res = SolveResult(
+        w=jnp.ones((4, 2)), h=jnp.ones((2, 4)),
+        iterations=jnp.asarray(10, jnp.int32),
+        cost=jnp.asarray(0.0, jnp.float32),
+        cost_history=jnp.asarray([1.0, 0.0], jnp.float32),
+        num_checks=jnp.asarray(2, jnp.int32),
+        converged=jnp.asarray(False, jnp.bool_),
+    )
+    rep = summarize_result(res, (4, 4), seconds=0.0, check_every=5)
+    assert rep.checks[-1].cost == 0.0
+    assert rep.checks[-1].rel_change == float("inf")
+    assert rep.seconds == 0.0  # a measured 0.0 is a value, not "missing"

@@ -93,3 +93,17 @@ def test_pad_to_mult():
     same = np.ones((32, 64), np.float32)
     assert pad_to_mult(same) is not None and pad_to_mult(same).shape == (32, 64)
     assert PAD_MULT == 32
+
+
+def test_strict_rejects_other_algorithms(small_problem):
+    """strict mode replicates the reference's plain KL MU — any config that
+    changes the update rule errors instead of mislabeling its output."""
+    x, w, h = small_problem
+    for bad in (
+        SolveConfig(max_iter=5, accelerate=True),
+        SolveConfig(max_iter=5, algorithm="hals", beta=2.0),
+        SolveConfig(max_iter=5, beta=2.0),
+        SolveConfig(max_iter=5, l1_h=0.1),
+    ):
+        with pytest.raises(ValueError, match="replicates"):
+            solve_strict(x, w, h, bad)
