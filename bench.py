@@ -150,7 +150,20 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
     # median/best/archive negative) and at-or-below the device peak
     valid = [
         t for t in times if t > 0 and (peak is None or _tflops(t) <= peak)
-    ] or [t for t in times if t > 0] or times
+    ] or [t for t in times if t > 0]
+    if not valid:
+        # every repeat was a sync artifact (t_long <= t_short): report the
+        # failure loudly with NO numbers — negative rates must never reach
+        # the cross-session archive (repeat list stays empty on purpose)
+        return {
+            "ms_per_iter": float("nan"),
+            "iters_per_sec": float("nan"),
+            "best_iters_per_sec": float("nan"),
+            "repeat_iters_per_sec": [],
+            "achieved_tflops": float("nan"),
+            "fraction_of_peak": None,
+            "suspect": "all repeats non-positive (long/short sync artifact)",
+        }
     med = float(np.median(valid))
     tflops = _tflops(med)
     out = {
@@ -204,18 +217,36 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
 
         blk = blk.astype(ml_dtypes.bfloat16)
     dev = jax.devices()[0]
-    a = jax.device_put(blk, dev)
-    np.asarray(jax.device_get(a[:1, :1]))
-    t0 = _time.perf_counter()
-    a = jax.device_put(blk, dev)
-    np.asarray(jax.device_get(a[:1, :1]))
-    h2d_bw = blk.nbytes / (_time.perf_counter() - t0)
+    # H2D bandwidth by SIZE DIFFERENCING: each probe pays the same dispatch
+    # + scalar-fetch latency (high on this link — CLAUDE.md), so timing one
+    # transfer mixes latency into bandwidth; the big-minus-small difference
+    # isolates the payload term.  Two rounds, keep the best (the link
+    # fluctuates 2-3x minute to minute).
+    small = np.ascontiguousarray(blk[:, : max(1, blk.shape[1] // 8)])
+
+    def _put_fetch(arr):
+        t0 = _time.perf_counter()
+        a = jax.device_put(arr, dev)
+        np.asarray(jax.device_get(a[:1, :1]))
+        return _time.perf_counter() - t0
+
+    _put_fetch(small), _put_fetch(blk)  # warm both paths
+    h2d_bw = 0.0
+    for _ in range(2):
+        dt = _put_fetch(blk) - _put_fetch(small)
+        if dt > 0:
+            h2d_bw = max(h2d_bw, (blk.nbytes - small.nbytes) / dt)
+    if h2d_bw == 0.0:  # differencing degenerated: single-transfer estimate
+        h2d_bw = blk.nbytes / _put_fetch(blk)
 
     # compile + warm TWICE with the IDENTICAL config (the per-block jits are
     # keyed by it, and this platform shows a one-off first-dispatch stall per
-    # program that must not land in the timed run)
-    solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
-    solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
+    # program that must not land in the timed run).  SYNC each warm run —
+    # with track_cost=False the streamed loop performs no host fetch of its
+    # own, so unsynced warms would drain inside the timed window.
+    for _ in range(2):
+        r_warm = solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
+        np.asarray(jax.device_get(r_warm.w[:1, :1]))
     t0 = _time.perf_counter()
     res = solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
     np.asarray(jax.device_get(res.w[:1, :1]))
@@ -359,20 +390,19 @@ def run_converge(dtype: str, backend: str) -> dict:
 
 
 def _np_oracle_mu(x, w, h, iters):
-    """Independent NumPy restatement of nmf.cu:118-176 (clean, zero-pad-free
-    semantics — the same oracle as tests/oracle.py)."""
+    """The SAME NumPy oracle the test suite gates on (tests/oracle.py) —
+    imported, not re-implemented, so the on-device HWPARITY gate and the CI
+    parity tests can never silently disagree about reference semantics."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    try:
+        from oracle import clamp, np_kl, np_solve
+    finally:
+        sys.path.pop(0)
     eps = np.float32(2.2204e-16)
-    x = np.maximum(x, eps)
-    w = np.maximum(w, eps).copy()
-    h = np.maximum(h, eps).copy()
-    for _ in range(iters):
-        z = x / np.maximum(w @ h, eps)
-        h = h * (w.T @ z) / np.maximum(w.sum(axis=0), eps)[:, None]
-        z = x / np.maximum(w @ h, eps)
-        w = w * (z @ h.T) / np.maximum(h.sum(axis=1), eps)[None, :]
-    y = np.maximum(w @ h, eps)
-    cost = float(np.sum(x * (np.log(x) - np.log(y)) - x + y, dtype=np.float64))
-    return w, h, cost
+    w, h = np_solve(clamp(x), w, h, iters, eps=eps)
+    return w, h, float(np_kl(clamp(x), w, h, eps=eps))
 
 
 def _np_oracle_mu_padded(x, w, h, iters):
@@ -596,8 +626,9 @@ def main(argv=None) -> int:
     if args.workload == "oocore":
         m, k, n = 2048, 128, 8192  # 64 MB X streamed per iteration
         stats = run_oocore(m, k, n, iters=3, dtype=args.dtype, x_dtype=args.x_dtype)
+        xd_tag = "" if args.x_dtype == "float32" else f" x-{args.x_dtype}"
         record = {
-            "metric": f"oocore_iters_per_sec[{m}x{n} rank {k} {args.dtype}]",
+            "metric": f"oocore_iters_per_sec[{m}x{n} rank {k} {args.dtype}{xd_tag}]",
             "value": round(stats["iters_per_sec"], 4),
             "unit": "iters/s",
             # baseline: the H2D roofline (1.0 == transfer-bound speed of light)
@@ -642,7 +673,11 @@ def main(argv=None) -> int:
         baseline_ips = REFERENCE_GFLOPS * 1e9 / flops_per_iter(m, k, n)
         baseline_kind = "derived (reference CUDA sustained 141 GFLOP/s)"
 
-    metric = f"mu_iters_per_sec[{args.workload} {m}x{n} rank {k} {args.dtype}]"
+    # the X storage dtype is part of the workload identity: int8/bf16-X
+    # repeats must not pool into the f32-X archive medians (the canonical
+    # f32 name stays unsuffixed so existing archive rows keep matching)
+    xd_tag = "" if args.x_dtype == "float32" else f" x-{args.x_dtype}"
+    metric = f"mu_iters_per_sec[{args.workload} {m}x{n} rank {k} {args.dtype}{xd_tag}]"
     device_kind = jax.devices()[0].device_kind
     record = {
         "metric": metric,
