@@ -25,7 +25,11 @@ ARCHIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "archive.json
 
 def load(path: str = ARCHIVE):
     rows = []
-    with open(path) as f:
+    try:
+        f = open(path)
+    except OSError:
+        return rows  # no archive yet (fresh checkout): report empty, not die
+    with f:
         for line in f:
             try:
                 rec = json.loads(line)

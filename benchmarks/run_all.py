@@ -23,8 +23,15 @@ import time
 
 import numpy as np
 
-# runnable as `python benchmarks/run_all.py` without installation
+# runnable as `python benchmarks/run_all.py` without installation; the
+# benchmarks dir itself is importable too (shared tile_sparse_tune pieces)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# BEFORE any jax import: the env var is read at JAX init, and without it
+# every re-run pays the full ~30-program remote-compile matrix again
+# (10-60 s per program, degraded sessions 5+ min — CLAUDE.md)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def _sync(arrays) -> None:
@@ -77,7 +84,16 @@ def bench_shape(m, k, n, dtype, backend, short, long, workload=None):
     valid = [
         t for t in times
         if t > 0 and (peak is None or flops / t / 1e12 <= peak)
-    ] or [t for t in times if t > 0] or times
+    ] or [t for t in times if t > 0]
+    if not valid:
+        # every repeat was a sync artifact: report the failure, archive
+        # NOTHING (a negative rate would poison the >=3-session medians)
+        return {
+            "shape": f"{m}x{n} k={k}", "dtype": dtype, "backend": backend,
+            "us_per_iter": float("nan"), "iters_per_sec": float("nan"),
+            "tflops": float("nan"),
+            "suspect": "all repeats non-positive (long/short sync artifact)",
+        }
     per = float(np.median(valid))
     tflops = flops / per / 1e12
     row = {
@@ -116,15 +132,23 @@ def bench_convergence(m, k, n, thresh, dtype="float32"):
     """ISMIR config 2: iterate to 1e-5 rel-change; report iters + seconds."""
     import nmf_tpu as nt
 
+    import jax
+    import jax.numpy as jnp
+
     rng = np.random.RandomState(0)
-    x = rng.rand(m, n).astype(np.float32)
-    w = rng.rand(m, k).astype(np.float32)
-    h = rng.rand(k, n).astype(np.float32)
+    # stage on device up front: ~17 MB of per-call H2D over the 0.01-0.05
+    # GB/s link (2-3x variable) would otherwise swing the timed seconds
+    # independently of solver speed
+    x = jnp.asarray(rng.rand(m, n).astype(np.float32))
+    w = jnp.asarray(rng.rand(m, k).astype(np.float32))
+    h = jnp.asarray(rng.rand(k, n).astype(np.float32))
+    _sync([x, w, h])
     cfg = nt.SolveConfig(
         max_iter=100_000, thresh=thresh, check_every=25,
         precision=nt.Precision(dtype),
     )
-    res = nt.solve(x, w, h, cfg)  # warm compile
+    warm = nt.solve(x, w, h, cfg)  # warm compile
+    _sync([warm.w])  # ...and SYNC it (block_until_ready no-ops here)
     t0 = time.perf_counter()
     res = nt.solve(x, w, h, cfg)
     it = int(res.iterations)
@@ -369,16 +393,11 @@ def bench_tile_sparse(m, k, n, tile=128, occ_frac=0.08, seed=0):
     from nmf_tpu.models.solver import solve
     from nmf_tpu.utils.config import SolveConfig
 
-    rng = np.random.RandomState(seed)
-    mb, nb = m // tile, n // tile
-    occ = rng.rand(mb, nb) < occ_frac
-    x = np.zeros((m, n), np.float32)
-    for i, j in zip(*np.nonzero(occ)):
-        blk = rng.rand(tile, tile).astype(np.float32)
-        blk[rng.rand(tile, tile) < 0.5] = 0
-        x[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = blk
-    w = rng.rand(m, k).astype(np.float32)
-    h = rng.rand(k, n).astype(np.float32)
+    # ONE generator for both harnesses (tile_sparse_tune owns it): two
+    # copies had already begun to drift in their timing guards
+    from tile_sparse_tune import build_problem
+
+    x, w, h = build_problem(m, k, n, tile, occ_frac, seed=seed)
     tx = st.tiles_from_dense(x, tile=(tile, tile))
     occupancy, occupied = tx.occupancy(), int(tx.tiles.shape[0])
     eps = np.float32(2.2204e-16)
@@ -419,8 +438,9 @@ def bench_tile_sparse(m, k, n, tile=128, occ_frac=0.08, seed=0):
         for _ in range(3):
             t0 = time.perf_counter(); run(short); ts = time.perf_counter() - t0
             t0 = time.perf_counter(); run(long); tl = time.perf_counter() - t0
-            best = min(best, (tl - ts) / (long - short))
-        return 1.0 / best
+            if tl > ts:  # a tl <= ts round is a sync artifact, not a rate
+                best = min(best, (tl - ts) / (long - short))
+        return 1.0 / best if best != float("inf") else float("nan")
 
     tiled_ips = rate(
         lambda w_, h_, c: st.solve_sparse_tiled(tx, w_, h_, c), 200, 1200

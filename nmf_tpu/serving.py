@@ -768,5 +768,25 @@ def load_transform(path: str, mesh=None) -> ServingTransform:
             f"{path}: corrupt artifact — w.npy is "
             f"{getattr(w, 'shape', None)}, meta says {expect}"
         )
+    # cross-check meta against the program's OWN input signature: a meta
+    # whose n_block/masked drifted from program.bin would otherwise pad
+    # blocks to the wrong width or pass the wrong arity, failing at first
+    # call with the same opaque deep error the w.npy guard prevents.
+    # Signature: (x block, w, h0[, mask]) — x is in_avals[0], mask presence
+    # sets the arity.
+    avals = list(exported.in_avals)
+    want_args = 4 if meta.get("masked") else 3
+    if len(avals) != want_args:
+        raise ValueError(
+            f"{path}: corrupt artifact — meta says masked={bool(meta.get('masked'))} "
+            f"({want_args} program inputs) but program.bin takes {len(avals)}"
+        )
+    n_block = int(meta.get("n_block", -1))
+    x_shape = tuple(avals[0].shape)
+    if len(x_shape) != 2 or x_shape[1] != n_block or x_shape[0] != expect[0]:
+        raise ValueError(
+            f"{path}: corrupt artifact — meta says X blocks are "
+            f"{(expect[0], n_block)} but program.bin takes {x_shape}"
+        )
     config = _config_from_dict(meta["config"])
     return ServingTransform(exported, w, config, meta, mesh=mesh)

@@ -745,3 +745,37 @@ def test_cli_masked_export_serve(tmp_path, problem):
     assert cli.main([
         "serve", ap, xp, "-o", hp, "--mask", mp, "--out-of-core", "-q",
     ]) == 2
+
+
+def test_load_rejects_meta_program_drift(tmp_path, problem):
+    """meta.json is cross-checked against the deserialized program's own
+    input signature: a drifted n_block or masked flag fails at load, not as
+    an opaque calling-convention error at first dispatch."""
+    import io as _io
+    import json as _json
+
+    w, _, _ = problem
+    path = os.path.join(str(tmp_path), "m.nmfz")
+    save_transform(path, w, NB, SolveConfig(backend="jnp"),
+                   platforms=("cpu",))
+    with zipfile.ZipFile(path, "r") as zf:
+        meta = _json.loads(zf.read("meta.json"))
+        prog = zf.read("program.bin")
+        wnpy = zf.read("w.npy")
+
+    def rewrite(meta_dict, out):
+        with zipfile.ZipFile(out, "w") as zf:
+            zf.writestr("meta.json", _json.dumps(meta_dict))
+            zf.writestr("program.bin", prog)
+            zf.writestr("w.npy", wnpy)
+
+    drifted = dict(meta, n_block=NB * 2)
+    p1 = os.path.join(str(tmp_path), "drift_nb.nmfz")
+    rewrite(drifted, p1)
+    with pytest.raises(ValueError, match="corrupt artifact"):
+        load_transform(p1)
+    flipped = dict(meta, masked=True)
+    p2 = os.path.join(str(tmp_path), "drift_mask.nmfz")
+    rewrite(flipped, p2)
+    with pytest.raises(ValueError, match="corrupt artifact"):
+        load_transform(p2)
