@@ -597,6 +597,35 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # Bounded backend-init probe: when the chip tunnel is down, the first
+    # jax.devices() HANGS indefinitely (measured 2026-08-17/18 outages) —
+    # a driver capturing this process would record NOTHING.  Probe in a
+    # daemon thread and emit a diagnosable JSON record instead of hanging.
+    import threading
+
+    _probe_ok = threading.Event()
+
+    def _probe():
+        import jax as _jax
+
+        _jax.devices()
+        _probe_ok.set()
+
+    _t = threading.Thread(target=_probe, daemon=True)
+    _t.start()
+    _t.join(timeout=300.0)
+    if not _probe_ok.is_set():
+        print(json.dumps({
+            "metric": "bench_unavailable",
+            "value": None,
+            "unit": "n/a",
+            "vs_baseline": None,
+            "error": "device backend initialization did not complete in "
+                     "300 s — TPU tunnel down (known outage mode); no "
+                     "measurement possible",
+        }))
+        return 1
+
     import jax
 
     if args.check:

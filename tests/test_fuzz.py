@@ -142,3 +142,86 @@ def test_fuzz_accelerated_monotone_and_bounded(trial):
         )
     )
     assert float(res.cost) <= c0 * (1 + 1e-6)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_masked_nan_holes_equal_zero_holes(trial):
+    """Random shapes + random weighted masks: NaN/Inf garbage at unobserved
+    entries must be EXACTLY equivalent to zeros there (prep zeroes them)."""
+    from nmf_tpu import solve_masked
+
+    rng = np.random.RandomState(3000 + trial)
+    m = int(rng.randint(4, 120))
+    k = int(rng.randint(1, min(m, 12) + 1))
+    n = int(rng.randint(4, 140))
+    x = rng.rand(m, n).astype(np.float32)
+    w = rng.rand(m, k).astype(np.float32)
+    h = rng.rand(k, n).astype(np.float32)
+    # weighted mask with a real zero fraction
+    mask = (rng.rand(m, n) * (rng.rand(m, n) > 0.3)).astype(np.float32)
+    garbage = np.where(
+        mask > 0, x, np.float32([np.nan, np.inf, -np.inf])[trial % 3]
+    ).astype(np.float32)
+    cfg = SolveConfig(max_iter=int(rng.randint(1, 8)), check_every=1)
+    res_g = solve_masked(garbage, w, h, mask, cfg)
+    res_z = solve_masked(np.where(mask > 0, x, 0.0), w, h, mask, cfg)
+    np.testing.assert_array_equal(np.asarray(res_g.w), np.asarray(res_z.w))
+    np.testing.assert_array_equal(np.asarray(res_g.h), np.asarray(res_z.h))
+    assert np.isfinite(float(res_g.cost))
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_prequantized_pair_matches_preclamped_entry(trial):
+    """Random shapes/scale spreads/row-block sizes: a pre-quantized pair
+    through the DEFAULT entry == the same pair through clamp_inputs=False
+    (bitwise), for per-column and per-row-block layouts alike."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.ops.quant import quantize_policy
+    from nmf_tpu.utils.config import Precision
+
+    rng = np.random.RandomState(4000 + trial)
+    m = int(rng.randint(4, 150))
+    k = int(rng.randint(1, 10))
+    n = int(rng.randint(4, 150))
+    rows = int(rng.choice([0, 1, 7, 32]))
+    eps = np.float32(2.2204e-16)
+    x = np.maximum(
+        (rng.rand(m, n) * 10.0 ** rng.uniform(-2, 2, size=(m, 1))), eps
+    ).astype(np.float32)
+    w = np.maximum(rng.rand(m, k), eps).astype(np.float32)
+    h = np.maximum(rng.rand(k, n), eps).astype(np.float32)
+    cfg = SolveConfig(
+        max_iter=int(rng.randint(1, 6)), check_every=1,
+        precision=Precision(x_dtype="int8", x_quant_rows=rows),
+    )
+    pair = quantize_policy(jnp.asarray(x), eps, rows)
+    a = solve(pair, w, h, cfg)  # default clamp_inputs=True
+    b = solve(pair, jnp.asarray(w) + 0, jnp.asarray(h) + 0, cfg,
+              clamp_inputs=False)
+    np.testing.assert_array_equal(np.asarray(a.w), np.asarray(b.w))
+    np.testing.assert_array_equal(np.asarray(a.h), np.asarray(b.h))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_dequantize_rows_slices(trial):
+    """Random extents/blocks/slices: dequantize_rows == full dequant sliced."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.ops import quant
+
+    rng = np.random.RandomState(5000 + trial)
+    m = int(rng.randint(3, 300))
+    n = int(rng.randint(1, 12))
+    rows = int(rng.randint(1, m + 1))
+    x = (rng.rand(m, n) * 10.0 ** rng.uniform(-2, 2, size=(m, 1))).astype(
+        np.float32
+    )
+    q, s = quant.quantize_rowblocks_np(x, np.float32(2.2204e-16), rows)
+    full = np.asarray(quant.dequantize(jnp.asarray(q), jnp.asarray(s)))
+    lo = int(rng.randint(0, m))
+    hi = int(rng.randint(lo + 1, m + 1))
+    part = np.asarray(
+        quant.dequantize_rows(jnp.asarray(q[lo:hi]), jnp.asarray(s), lo, m)
+    )
+    np.testing.assert_array_equal(part, full[lo:hi])
