@@ -878,6 +878,145 @@ def cmd_separate(args) -> int:
     return 0
 
 
+def _parse_ranks(spec: str):
+    """'8,16,32' or 'START:STOP:STEP' (stop inclusive) -> sorted rank list."""
+    try:
+        if ":" in spec:
+            parts = [int(v) for v in spec.split(":")]
+            if len(parts) == 2:
+                parts.append(1)
+            start, stop, step = parts
+            ranks = list(range(start, stop + 1, step))
+        else:
+            ranks = [int(v) for v in spec.split(",")]
+    except ValueError:
+        ranks = []
+    if not ranks or any(r < 1 for r in ranks):
+        raise ValueError(
+            f"--ranks must be a comma list ('8,16,32') or START:STOP:STEP "
+            f"('4:40:4', stop inclusive) of positive ranks, got {spec!r}"
+        )
+    return sorted(set(ranks))
+
+
+def cmd_select(args) -> int:
+    """Rank selection: sweep candidate ranks in ONE compiled batch; with
+    --stability, Brunet consensus clustering recommends the rank."""
+    for flag, name in (
+        (getattr(args, "checkpoint_dir", None), "--checkpoint-dir"),
+        (getattr(args, "out_of_core", False), "--out-of-core"),
+        (getattr(args, "strict_compat", False), "--strict-compat"),
+        (getattr(args, "block_n", None), "--block-n"),
+    ):
+        if flag:
+            print(
+                f"error: {name} is not supported for rank selection (the "
+                "sweep is one in-memory batched solve)",
+                file=sys.stderr,
+            )
+            return 2
+    from .models.selection import solve_rank_sweep
+
+    x = binio.read_matrix(args.X)
+    if args.validate:
+        from .utils.guards import validate_input
+
+        validate_input("X", x)
+    config = _config_from(args)
+    mesh2d = _mesh_from(args)
+    mesh = None
+    if mesh2d is not None:
+        # the member axis is pure data parallelism: flatten RxC to use all
+        # r*c devices (same policy as batch/restart runs)
+        from jax.sharding import Mesh as _Mesh
+
+        mesh = _Mesh(np.asarray(list(mesh2d.devices.flat)), ("members",))
+    ranks = _parse_ranks(args.ranks)
+    restarts = args.restarts
+    if args.stability:
+        from .models.stability import rank_stability
+
+        restarts = 4 if restarts is None else restarts
+        st = rank_stability(
+            x, ranks, n_restarts=restarts, config=config,
+            seed=args.seed, init=args.init, mesh=mesh,
+        )
+        sel, member_ranks = st.sweep, np.asarray(st.sweep.ranks)
+        rec = st.best_rank()
+    else:
+        restarts = 1 if restarts is None else restarts
+        if restarts < 1:
+            raise ValueError(f"--restarts must be >= 1, got {restarts}")
+        members = [r for r in ranks for _ in range(restarts)]
+        sel = solve_rank_sweep(
+            x, members, config, seed=args.seed, init=args.init, mesh=mesh,
+        )
+        member_ranks = np.asarray(sel.ranks)
+        st, rec = None, None
+
+    costs = np.asarray(sel.costs, np.float64)
+    per_rank = {
+        r: float(np.min(costs[member_ranks == r])) for r in ranks
+    }
+    if not args.quiet:
+        hdr = f"{'rank':>6s} {'best cost':>14s}"
+        if st is not None:
+            hdr += f" {'cophenetic':>11s} {'dispersion':>11s}"
+        print(hdr, file=sys.stderr)
+        for i, r in enumerate(ranks):
+            line = f"{r:6d} {per_rank[r]:14.6g}"
+            if st is not None:
+                line += f" {st.cophenetic[i]:11.4f} {st.dispersion[i]:11.4f}"
+            print(line, file=sys.stderr)
+        if st is not None:
+            print(
+                f"[nmf] recommended rank (Brunet first-drop): {rec}",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                "[nmf] note: the divergence decreases monotonically with "
+                "rank — use --stability for a principled recommendation",
+                file=sys.stderr,
+            )
+    if args.jsonl:
+        import json as _json
+
+        with open(args.jsonl, "a") as f:
+            f.write(_json.dumps({
+                "command": "select",
+                "ranks": ranks,
+                "restarts": restarts,
+                "best_cost_per_rank": per_rank,
+                "cophenetic": (
+                    [float(v) for v in st.cophenetic] if st is not None else None
+                ),
+                "recommended_rank": rec,
+            }) + "\n")
+    if args.output:
+        if rec is None and len(ranks) > 1:
+            print(
+                "error: -o needs one rank to write — pass --stability (the "
+                "recommendation picks it) or a single --ranks value",
+                file=sys.stderr,
+            )
+            return 2
+        target = rec if rec is not None else ranks[0]
+        at_rank = np.nonzero(member_ranks == target)[0]
+        best_i = int(at_rank[np.argmin(costs[at_rank])])
+        w_b, h_b = sel.factors(best_i)
+        binio.write_matrix(np.asarray(w_b), args.output[0])
+        binio.write_matrix(np.asarray(h_b), args.output[1])
+        if not args.quiet:
+            print(
+                f"[nmf] wrote {args.output[0]} ({w_b.shape[0]}, "
+                f"{w_b.shape[1]}), {args.output[1]} ({h_b.shape[0]}, "
+                f"{h_b.shape[1]}) at rank {target}",
+                file=sys.stderr,
+            )
+    return 0
+
+
 def cmd_batch(args) -> int:
     """Factorize every .bin matrix in a directory as one batched solve."""
     import os
@@ -1110,6 +1249,52 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_solver_flags(sep)
     sep.set_defaults(fn=cmd_separate, thresh=1e-5)
+
+    sel = sub.add_parser(
+        "select",
+        help="rank selection: sweep candidate ranks in one compiled batch "
+        "(every member is EXACTLY the lower-rank factorization); "
+        "--stability adds Brunet consensus clustering + a recommendation",
+    )
+    sel.add_argument("X", help="input matrix .bin")
+    sel.add_argument(
+        "--ranks",
+        required=True,
+        help="candidate ranks: comma list ('8,16,32') or START:STOP:STEP "
+        "('4:40:4', stop inclusive)",
+    )
+    sel.add_argument(
+        "--restarts",
+        type=int,
+        default=None,
+        help="restarts per rank (default 1; with --stability 4 — a "
+        "consensus needs several seeded members)",
+    )
+    sel.add_argument(
+        "--stability",
+        action="store_true",
+        help="consensus-clustering study (Brunet 2004): per-rank cophenetic "
+        "correlation + first-drop rank recommendation",
+    )
+    sel.add_argument(
+        "--init",
+        choices=["random", "scaled", "nndsvdar"],
+        default="scaled",
+        help="seed-sensitive init families only (deterministic nndsvd/"
+        "nndsvda would make identical restart members)",
+    )
+    sel.add_argument("--seed", type=int, default=0)
+    sel.add_argument(
+        "-o",
+        "--output",
+        nargs=2,
+        metavar=("WOUT", "HOUT"),
+        default=None,
+        help="write the best factors at the recommended rank "
+        "(--stability) or at a single --ranks value",
+    )
+    _add_solver_flags(sel)  # --mesh here shards the member axis (flattened)
+    sel.set_defaults(fn=cmd_select)
 
     batch = sub.add_parser(
         "batch", help="factorize a directory of .bin matrices in one batched solve"

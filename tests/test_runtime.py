@@ -1019,3 +1019,67 @@ def test_summarize_result_zero_cost():
     assert rep.checks[-1].cost == 0.0
     assert rep.checks[-1].rel_change == float("inf")
     assert rep.seconds == 0.0  # a measured 0.0 is a value, not "missing"
+
+
+def test_cli_select_sweep(cli_fixtures, capsys):
+    """select: per-rank best-cost table from one batched sweep."""
+    tmp_path, p = cli_fixtures
+    jl = str(tmp_path / "sel.jsonl")
+    rc = cli_main([
+        "select", p["X"], "--ranks", "2,4", "--max-iter", "10",
+        "--jsonl", jl,
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "best cost" in err and "--stability" in err
+    rec = json.loads(open(jl).read().strip())
+    assert rec["ranks"] == [2, 4]
+    assert set(rec["best_cost_per_rank"]) == {"2", "4"}
+    # more rank never hurts the best divergence
+    assert rec["best_cost_per_rank"]["4"] <= rec["best_cost_per_rank"]["2"] * 1.001
+    assert rec["recommended_rank"] is None
+
+
+def test_cli_select_stability_writes_best(cli_fixtures, capsys):
+    """select --stability: cophenetic table, Brunet recommendation, and the
+    recommended rank's best factors written to .bin."""
+    tmp_path, p = cli_fixtures
+    wout, hout = str(tmp_path / "Wb.bin"), str(tmp_path / "Hb.bin")
+    rc = cli_main([
+        "select", p["X"], "--ranks", "2,3", "--stability", "--restarts", "3",
+        "--max-iter", "8", "-o", wout, hout, "-q",
+    ])
+    assert rc == 0
+    w = binio.read_matrix(wout)
+    h = binio.read_matrix(hout)
+    assert w.shape[1] == h.shape[0] and w.shape[1] in (2, 3)
+    assert np.isfinite(w).all() and np.isfinite(h).all()
+
+
+def test_cli_select_error_paths(cli_fixtures, capsys):
+    tmp_path, p = cli_fixtures
+    # -o with several ranks and no recommendation
+    rc = cli_main([
+        "select", p["X"], "--ranks", "2,4", "--max-iter", "5",
+        "-o", str(tmp_path / "W.bin"), str(tmp_path / "H.bin"), "-q",
+    ])
+    assert rc == 2
+    assert "-o needs one rank" in capsys.readouterr().err
+    # malformed ranks
+    assert cli_main(["select", p["X"], "--ranks", "0", "-q"]) == 2
+    assert "--ranks" in capsys.readouterr().err
+    # inapplicable flags are rejected loudly
+    assert cli_main([
+        "select", p["X"], "--ranks", "2", "--out-of-core", "-q",
+    ]) == 2
+    assert "not supported" in capsys.readouterr().err
+
+
+def test_cli_select_range_spec(cli_fixtures):
+    from nmf_tpu.cli import _parse_ranks
+
+    assert _parse_ranks("4:12:4") == [4, 8, 12]
+    assert _parse_ranks("3:5") == [3, 4, 5]
+    assert _parse_ranks("8,4,4") == [4, 8]
+    with pytest.raises(ValueError):
+        _parse_ranks("4:")
