@@ -246,6 +246,20 @@ def main(argv=None) -> int:
         art["serve_stream_equals_in_memory"] = stream_match
         art["ok"] &= stream_match
 
+        # 8. rank selection: consensus-stability study picks a rank and
+        # writes its best factors (one batched sweep on the device)
+        r_sel = step(
+            "select-stability",
+            ["select", "X.bin", "--ranks", "4,8", "--stability",
+             "--restarts", "3", "--max-iter", str(max(10, iters // 5)),
+             "-o", "Wsel.bin", "Hsel.bin"],
+            outputs=["Wsel.bin", "Hsel.bin"],
+        )
+        sel_rank = r_sel["Wsel.bin"]["shape"][1]
+        sel_ok = sel_rank in (4, 8) and r_sel["Hsel.bin"]["shape"][0] == sel_rank
+        art["select_recommended_rank"] = sel_rank
+        art["ok"] &= sel_ok
+
     with open(args.out, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps({"artifact": "e2e_cli", "ok": art["ok"],

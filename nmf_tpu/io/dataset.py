@@ -82,11 +82,17 @@ class BinDataset:
     def iter_batches(
         self, batch_size: int, drop_remainder: bool = False
     ) -> Iterator[np.ndarray]:
-        """Stream the dataset in [batch_size, M, N] chunks (in path order)."""
+        """Stream the dataset in [batch_size, M, N] chunks (in path order).
+
+        One thread pool serves the whole iteration (load_batch would
+        otherwise spawn and join a fresh pool per chunk)."""
         if batch_size <= 0:
             raise ValueError("batch_size must be >= 1")
-        for start in range(0, len(self.paths), batch_size):
-            idx = range(start, min(start + batch_size, len(self.paths)))
-            if drop_remainder and len(idx) < batch_size:
-                return
-            yield self.load_batch(idx)
+        workers = min(self.max_workers, batch_size)
+        with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            for start in range(0, len(self.paths), batch_size):
+                idx = range(start, min(start + batch_size, len(self.paths)))
+                if drop_remainder and len(idx) < batch_size:
+                    return
+                paths = [self.paths[i] for i in idx]
+                yield np.stack(list(pool.map(self._read_checked, paths)))

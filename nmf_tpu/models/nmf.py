@@ -476,16 +476,24 @@ class NMF:
 
         ``mask`` (same shape as ``x``; 0 = missing) scores partially
         observed columns — only the observed entries drive the fit
-        (:func:`nmf_tpu.solve_masked_h_only`; in-memory only).
+        (:func:`nmf_tpu.solve_masked_h_only`; with ``out_of_core`` the mask
+        streams alongside X, :func:`nmf_tpu.transform_out_of_core`).
         """
         if self.w_ is None:
             raise RuntimeError("transform() before fit()")
         if mask is not None:
             if out_of_core:
-                raise NotImplementedError(
-                    "masked transforms are in-memory (load the observed "
-                    "columns)"
+                # the streamed masked transform landed after this guard:
+                # the mask streams block-aligned with X
+                from .streaming import _as_source, transform_out_of_core
+
+                shape = _as_source(x).shape
+                res = transform_out_of_core(
+                    x, self.w_, h0=h0,
+                    config=self._config(max_iter, shape=shape),
+                    mesh=self.mesh, seed=self.random_state, mask=mask,
                 )
+                return np.asarray(res.h)
             from .masked import solve_masked_h_only
 
             x = np.asarray(x, np.float32)

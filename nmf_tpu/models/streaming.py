@@ -138,6 +138,8 @@ def pick_block_n(m: int, n: int, block_bytes: int = _DEFAULT_BLOCK_BYTES) -> int
     when the budget allows a whole lane tile.  For very tall X the budget
     wins over alignment — the memory contract (two in-flight blocks) must
     hold even when 128 columns alone would blow it."""
+    if n < 1 or m < 1:
+        raise ValueError(f"X must be non-empty to stream, got shape ({m}, {n})")
     bn = max(1, block_bytes // (4 * m))
     if bn >= 128:
         bn = (bn // 128) * 128
@@ -152,12 +154,6 @@ def _cast_mask(m_blk: np.ndarray, xd) -> np.ndarray:
 
         m_blk = m_blk.astype(ml_dtypes.bfloat16)
     return m_blk
-
-
-def _mask_block(mask_source, j0: int, j1: int, xd) -> np.ndarray:
-    """One mask block in X's wire dtype.  Shared by the solve AND transform
-    streams so both weight the same objective for the same config."""
-    return _cast_mask(mask_source.columns(j0, j1), xd)
 
 
 def _penalty_fns(config: SolveConfig):
@@ -1015,11 +1011,14 @@ def solve_out_of_core(
         """Place block idx's X on device; int8 codes come from the host
         cache when budgeted (masked and unmasked runs share this path —
         on meshes the scales get their own policy placement).  ``mask_np``
-        (masked int8 runs) zeroes unobserved entries before quantization."""
+        (masked runs, EVERY dtype) zeroes unobserved entries host-side —
+        the in-memory invariant: masked values may be garbage including
+        NaN/Inf, and 0 * NaN = NaN would poison the streamed factors."""
         j0, j1 = blocks[idx]
         if not quantized:
             return jax.device_put(
-                _host_prep(source.columns(j0, j1), eps, xd), device
+                _host_prep(source.columns(j0, j1), eps, xd, mask=mask_np),
+                device,
             )
         if idx in _qcache:
             q_np = _qcache[idx]
@@ -1040,7 +1039,7 @@ def solve_out_of_core(
             return _put_x(idx)
         j0, j1 = blocks[idx]
         m_np = mask_source.columns(j0, j1)
-        x_dev = _put_x(idx, mask_np=m_np if quantized else None)
+        x_dev = _put_x(idx, mask_np=m_np)
         return (x_dev, jax.device_put(_cast_mask(m_np, xd), device))
 
     def _save():
@@ -1404,18 +1403,24 @@ def transform_out_of_core(
 
         def _put(idx):
             j0, j1 = blocks[idx]
+            # the mask reaches _host_prep for EVERY dtype: unobserved
+            # entries may be NaN/Inf and must be zeroed before anything
+            # (including the bf16 cast / quantization) reads them — the
+            # in-memory _masked_validate_and_prep invariant
+            m_np = (
+                mask_source.columns(j0, j1) if mask_source is not None
+                else None
+            )
             x_np = _host_prep(
                 source.columns(j0, j1), eps, xd,
-                config.precision.x_quant_rows,
+                config.precision.x_quant_rows, mask=m_np,
             )
             if quant:
                 x_dev = (jnp.asarray(x_np[0]), jnp.asarray(x_np[1]))
             else:
                 x_dev = jnp.asarray(x_np)
             if mask_source is not None:
-                x_dev = (
-                    x_dev, jnp.asarray(_mask_block(mask_source, j0, j1, xd))
-                )
+                x_dev = (x_dev, jnp.asarray(_cast_mask(m_np, xd)))
             return x_dev, jnp.asarray(_gen_h0(idx), sd)
 
         inflight = _put(0)
@@ -1453,9 +1458,15 @@ def transform_out_of_core(
         w_placed = jax.device_put(w_clamped, ws_t).astype(sd)
 
         def _put_mesh(idx):
+            # mask into _host_prep for EVERY dtype (NaN/Inf-safe zeroing
+            # of unobserved entries — the in-memory prep invariant)
+            m_np = (
+                mask_source.columns(*blocks[idx])
+                if mask_source is not None else None
+            )
             x_np = _host_prep(
                 source.columns(*blocks[idx]), eps, xd,
-                config.precision.x_quant_rows,
+                config.precision.x_quant_rows, mask=m_np,
             )
             if quant:
                 x_s = (
@@ -1465,12 +1476,7 @@ def transform_out_of_core(
             else:
                 x_s = jax.device_put(x_np, xs_t)
             if mask_source is not None:
-                x_s = (
-                    x_s,
-                    jax.device_put(
-                        _mask_block(mask_source, *blocks[idx], xd), xs_t
-                    ),
-                )
+                x_s = (x_s, jax.device_put(_cast_mask(m_np, xd), xs_t))
             return x_s, jax.device_put(_gen_h0(idx), hs_t).astype(sd)
 
         inflight = _put_mesh(0)

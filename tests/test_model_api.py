@@ -329,10 +329,11 @@ def test_nmf_transform_masked(small_problem):
         x, model.w_, h0, mask, model._config(15, shape=x.shape)
     )
     np.testing.assert_array_equal(h_m, np.asarray(ref.h))
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        model.transform(x, mask=mask, out_of_core=True)
+    # out_of_core now routes to the streamed masked scorer (one block at
+    # this size, per-block seeded default h0 — finite, right shape)
+    h_ooc = model.transform(x, mask=mask, out_of_core=True)
+    assert h_ooc.shape == (6, x.shape[1])
+    assert np.isfinite(h_ooc).all()
 
 
 def test_nmf_sklearn_clone_and_params(small_problem):

@@ -845,7 +845,7 @@ def test_block_n_validation(problem):
 
 def test_transform_mask_matches_solve_mask_dtype(problem):
     """Solve and transform streams weight the SAME objective under bf16 X:
-    both store the mask in the X wire dtype (shared _mask_block)."""
+    both store the mask in the X wire dtype (shared _cast_mask)."""
     from nmf_tpu.models.masked import solve_masked_h_only
     from nmf_tpu.utils.config import Precision
 
@@ -875,3 +875,75 @@ def test_transform_mask_matches_solve_mask_dtype(problem):
         res.h, np.asarray(ref.h), rtol=0,
         atol=2e-5 * float(np.asarray(ref.h).max()),
     )
+
+
+@pytest.mark.parametrize("xd", ["float32", "bfloat16"])
+def test_streamed_masked_nan_holes(problem, xd):
+    """NaN/Inf garbage at unobserved entries must not poison the STREAMED
+    masked solve or transform — the in-memory prep invariant reaches the
+    host-side block prep for every storage dtype."""
+    from nmf_tpu.utils.config import Precision
+
+    x, w, h = problem
+    rng = np.random.RandomState(23)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    holes = np.where(mask > 0, x, np.float32(np.nan)).astype(np.float32)
+    cfg = SolveConfig(
+        max_iter=6, check_every=3, precision=Precision(x_dtype=xd)
+    )
+    res = streaming.solve_out_of_core(holes, w, h, cfg, block_n=256, mask=mask)
+    assert np.isfinite(np.asarray(res.w)).all()
+    assert np.isfinite(float(res.cost))
+    ref = streaming.solve_out_of_core(
+        np.where(mask > 0, x, 0.0), w, h, cfg, block_n=256, mask=mask
+    )
+    np.testing.assert_array_equal(np.asarray(res.w), np.asarray(ref.w))
+
+    tr = streaming.transform_out_of_core(
+        holes, w, config=cfg, block_n=256, mask=mask, seed=3
+    )
+    assert np.isfinite(tr.h).all()
+    tr_ref = streaming.transform_out_of_core(
+        np.where(mask > 0, x, 0.0), w, config=cfg, block_n=256, mask=mask,
+        seed=3,
+    )
+    np.testing.assert_array_equal(tr.h, tr_ref.h)
+
+
+def test_streamed_masked_nan_holes_mesh(problem):
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    x, w, h = problem
+    x, w, h = x[:, :512], w, h[:, :512]
+    rng = np.random.RandomState(29)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    holes = np.where(mask > 0, x, np.float32(np.inf)).astype(np.float32)
+    mesh = make_mesh(shape=(4, 2))
+    cfg = SolveConfig(max_iter=4, check_every=2)
+    tr = streaming.transform_out_of_core(
+        holes, w, config=cfg, block_n=256, mask=mask, mesh=mesh, seed=3
+    )
+    assert np.isfinite(tr.h).all()
+
+
+def test_estimator_masked_out_of_core_transform(problem):
+    """NMF.transform(mask=, out_of_core=True) reaches the streamed masked
+    scorer (it used to raise NotImplementedError)."""
+    from nmf_tpu.models.nmf import NMF
+
+    x, w, h = problem
+    est = NMF(n_components=w.shape[1], max_iter=8, random_state=0)
+    est.fit(x[:, :300])
+    rng = np.random.RandomState(31)
+    x_new = x[:, 300:700]
+    mask = (rng.rand(*x_new.shape) > 0.25).astype(np.float32)
+    h_str = est.transform(
+        np.where(mask > 0, x_new, np.nan), mask=mask, out_of_core=True
+    )
+    assert h_str.shape == (w.shape[1], x_new.shape[1])
+    assert np.isfinite(h_str).all()
+
+
+def test_pick_block_n_empty_raises():
+    with pytest.raises(ValueError, match="non-empty"):
+        streaming.pick_block_n(64, 0)
