@@ -604,25 +604,37 @@ def main(argv=None) -> int:
     import threading
 
     _probe_ok = threading.Event()
+    _probe_exc = []
 
     def _probe():
-        import jax as _jax
+        try:
+            import jax as _jax
 
-        _jax.devices()
+            _jax.devices()
+        except BaseException as e:  # noqa: BLE001 — reported, not hidden
+            _probe_exc.append(e)
+            return
         _probe_ok.set()
 
     _t = threading.Thread(target=_probe, daemon=True)
     _t.start()
     _t.join(timeout=300.0)
     if not _probe_ok.is_set():
+        # distinguish a CRASH (plugin/env error, immediate) from the HANG
+        # (tunnel down) — a driver reading this record needs the right
+        # diagnosis
+        err = (
+            f"device backend initialization FAILED: {_probe_exc[0]!r}"
+            if _probe_exc
+            else "device backend initialization did not complete in 300 s "
+                 "— TPU tunnel down (known outage mode)"
+        )
         print(json.dumps({
             "metric": "bench_unavailable",
             "value": None,
             "unit": "n/a",
             "vs_baseline": None,
-            "error": "device backend initialization did not complete in "
-                     "300 s — TPU tunnel down (known outage mode); no "
-                     "measurement possible",
+            "error": err + "; no measurement possible",
         }))
         return 1
 
@@ -686,8 +698,16 @@ def main(argv=None) -> int:
             be: run_single(m, k, n, short, long, args.dtype, be, args.x_dtype)
             for be in backends
         }
+        # NaN-safe pick: an all-sync-artifact candidate (ms_per_iter=NaN)
+        # must never beat a valid measurement (min() with NaN first keeps
+        # the NaN); only if EVERY candidate failed do we report the failure
+        finite = {
+            be: st for be, st in candidates.items()
+            if np.isfinite(st["ms_per_iter"])
+        }
         backend_used, stats = min(
-            candidates.items(), key=lambda kv: kv[1]["ms_per_iter"]
+            (finite or candidates).items(),
+            key=lambda kv: kv[1]["ms_per_iter"],
         )
     else:
         backend_used = args.backend
@@ -730,6 +750,11 @@ def main(argv=None) -> int:
     }
     if stats.get("suspect"):
         record["suspect"] = stats["suspect"]
+    # strict JSON: a failed measurement's NaN must serialize as null, not
+    # the non-standard NaN token (consumers json.loads these lines)
+    for key, val in list(record.items()):
+        if isinstance(val, float) and not np.isfinite(val):
+            record[key] = None
     if not args.no_archive:
         archive_append(
             {

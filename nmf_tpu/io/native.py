@@ -67,6 +67,10 @@ def load() -> Optional[ctypes.CDLL]:
             explicit = env is not None and path == env
             if not os.path.exists(path):
                 if explicit:
+                    # un-latch so EVERY call stays loud (a caller catching
+                    # the first raise must not silently get the fallback
+                    # library on the next read)
+                    _tried = False
                     raise FileNotFoundError(
                         f"NMF_TPU_NATIVE_LIB={path!r} does not exist"
                     )
@@ -76,6 +80,7 @@ def load() -> Optional[ctypes.CDLL]:
                 lib.nmf_native_abi_version.restype = ctypes.c_int
                 if lib.nmf_native_abi_version() != 1:
                     if explicit:
+                        _tried = False  # stay loud on every call
                         raise RuntimeError(
                             f"NMF_TPU_NATIVE_LIB={path!r} reports ABI "
                             f"version {lib.nmf_native_abi_version()}, "
@@ -124,6 +129,7 @@ def load() -> Optional[ctypes.CDLL]:
                 # AttributeError: a foreign .so without the ABI symbol must
                 # fall back to the NumPy path, not crash every .bin read
                 if explicit:
+                    _tried = False  # stay loud on every call
                     raise RuntimeError(
                         f"NMF_TPU_NATIVE_LIB={path!r} failed to load: {e}"
                     ) from e

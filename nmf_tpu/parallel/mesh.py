@@ -152,15 +152,36 @@ def init_distributed(**kwargs) -> None:
     """
     import jax
 
+    import os
+
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
         msg = str(e).lower()
         if "already" in msg:
             return
-        if not kwargs and jax.process_count() == 1:
-            # bare call outside any cluster environment: the docstring
-            # promises single-host safety, and auto-detection raising about
-            # a missing coordinator is exactly the single-process case
+        # bare call outside any cluster environment: the docstring promises
+        # single-host safety, and auto-detection raising about a missing
+        # coordinator is exactly the single-process case.  NOTE: this must
+        # key on the ENVIRONMENT, not jax.process_count() (which is always
+        # 1 after a failed initialize) — on a cluster-managed job the error
+        # must surface, or the run silently degrades to one host.
+        cluster_env = any(
+            os.environ.get(v)
+            for v in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+                "SLURM_JOB_ID",
+                "OMPI_COMM_WORLD_SIZE",
+            )
+        )
+        # TPU_WORKER_HOSTNAMES indicates a pod only when it names MORE THAN
+        # ONE worker (single-host platforms — this machine included — set
+        # it to 'localhost')
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([h for h in hosts.split(",") if h.strip()]) > 1:
+            cluster_env = True
+        if not kwargs and not cluster_env:
             return
         raise

@@ -155,3 +155,17 @@ def test_explicit_native_lib_env_fails_loud(tmp_path, monkeypatch):
     monkeypatch.delenv("NMF_TPU_NATIVE_LIB")
     native.load()  # whatever it returns, it must not raise
     fresh()
+
+
+def test_explicit_native_lib_stays_loud(tmp_path, monkeypatch):
+    """The explicit-env failure must fire on EVERY call — a caller catching
+    the first raise must not silently get the fallback on the next read."""
+    from nmf_tpu.io import native
+
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setenv("NMF_TPU_NATIVE_LIB", str(tmp_path / "gone.so"))
+    for _ in range(2):
+        with pytest.raises(FileNotFoundError):
+            native.load()
+    monkeypatch.setattr(native, "_tried", False)
