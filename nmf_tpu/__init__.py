@@ -51,7 +51,7 @@ from .serving import (
 )
 from .utils.config import Precision, SolveConfig, reference_preset
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "read_matrix",
