@@ -23,7 +23,7 @@ from .ops.elementwise import EPS, eps_clamp
 from .ops.divergence import beta_divergence, euclidean_cost, itakura_saito, kl_divergence
 from .ops.mu import mu_step, mu_step_beta, update_h, update_w
 from .models.solver import SolveResult, solve
-from .models.nmf import NMF, solve_h_only, solve_w_only
+from .models.nmf import NMF, normalize_factors, solve_h_only, solve_w_only
 from .models.online import OnlineResult, solve_online
 from .models.semi import solve_semi
 from .models.separation import separate
@@ -71,6 +71,7 @@ __all__ = [
     "solve",
     "solve_h_only",
     "solve_w_only",
+    "normalize_factors",
     "solve_online",
     "solve_semi",
     "OnlineResult",

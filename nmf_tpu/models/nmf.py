@@ -28,7 +28,32 @@ from ..utils.config import Precision, SolveConfig
 from .init import nndsvd_init, random_init, scaled_random_init
 from .solver import SolveResult, run_checked_loop, solve
 
-__all__ = ["NMF", "solve_h_only", "solve_w_only"]
+__all__ = ["NMF", "solve_h_only", "solve_w_only", "normalize_factors"]
+
+
+def normalize_factors(w, h, norm: str = "l1"):
+    """Rescale each dictionary column of W to unit norm, compensating H.
+
+    The standard NMF post-processing for comparable components: the product
+    is INVARIANT (``w_k -> w_k / s_k``, ``h_k -> h_k * s_k``), so costs and
+    reconstructions do not change — only the W/H scale split.  ``norm`` is
+    'l1' (columns sum to 1 — components read as distributions), 'l2', or
+    'max' (peak-normalized spectra, the audio convention).  All-zero
+    columns (possible under HALS or rank-sweep embeddings) pass through
+    unscaled.  Host-side NumPy: this is a one-time post-fit step.
+    """
+    w = np.asarray(w, np.float32)
+    h = np.asarray(h, np.float32)
+    if norm == "l1":
+        s = w.sum(axis=0)
+    elif norm == "l2":
+        s = np.sqrt((w * w).sum(axis=0))
+    elif norm == "max":
+        s = w.max(axis=0)
+    else:
+        raise ValueError(f"norm must be 'l1', 'l2' or 'max', got {norm!r}")
+    s = np.where(s > 0, s, np.float32(1.0)).astype(np.float32)
+    return w / s[None, :], h * s[:, None]
 
 _F32 = jnp.float32
 

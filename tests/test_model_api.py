@@ -374,3 +374,28 @@ def test_nmf_gridsearchcv_integration(small_problem):
     # refit best estimator is usable
     h = gs.best_estimator_.transform(x[:, :16], max_iter=5)
     assert h.shape == (gs.best_params_["n_components"], 16)
+
+
+def test_normalize_factors_invariant(small_problem):
+    """Unit-norm W columns with compensated H: the product is unchanged,
+    the chosen norm holds, zero columns pass through."""
+    from nmf_tpu import normalize_factors, solve
+
+    x, w0, h0 = small_problem
+    res = solve(x, w0, h0, SolveConfig(max_iter=10))
+    w, h = np.asarray(res.w), np.asarray(res.h)
+    for norm, check in (
+        ("l1", lambda wn: wn.sum(axis=0)),
+        ("l2", lambda wn: np.sqrt((wn * wn).sum(axis=0))),
+        ("max", lambda wn: wn.max(axis=0)),
+    ):
+        wn, hn = normalize_factors(w, h, norm=norm)
+        np.testing.assert_allclose(check(wn), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(wn @ hn, w @ h, rtol=1e-5, atol=1e-7)
+    # zero column passes through unscaled
+    wz = w.copy(); wz[:, 0] = 0.0
+    wn, hn = normalize_factors(wz, h, norm="l1")
+    assert (wn[:, 0] == 0).all()
+    np.testing.assert_array_equal(hn[0], h[0])
+    with pytest.raises(ValueError, match="norm"):
+        normalize_factors(w, h, norm="bogus")
