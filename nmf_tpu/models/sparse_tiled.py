@@ -648,22 +648,7 @@ def _prepare_tiled(x, w0, h0, config: SolveConfig, chunk, tile, mesh):
         )
     k = shape_w[1]
     mb, nb = -(-m // bm), -(-n // bn)
-    # a hand-built TileSparseX with element indices (or any out-of-grid ids)
-    # would otherwise be silently dropped/clamped by the gather/scatter and
-    # partition selection — wrong results with no error anywhere
-    rows_chk = np.asarray(tx.rows, np.int64)
-    cols_chk = np.asarray(tx.cols, np.int64)
-    if rows_chk.size and (
-        rows_chk.min() < 0 or cols_chk.min() < 0
-        or rows_chk.max() >= mb or cols_chk.max() >= nb
-    ):
-        raise ValueError(
-            f"TileSparseX block ids out of range for the {mb}x{nb} block "
-            f"grid (tile {bm}x{bn}, shape {(m, n)}): rows in "
-            f"[{rows_chk.min()}, {rows_chk.max()}], cols in "
-            f"[{cols_chk.min()}, {cols_chk.max()}] — ids are BLOCK indices, "
-            "not element indices (tiles_from_coo builds them)"
-        )
+    _validate_hand_built(tx, mb, nb)
     if mesh is not None:
         if config.backend == "pallas":
             raise NotImplementedError(
@@ -810,14 +795,16 @@ def _run_tiled(xarg, w, h, config: SolveConfig, info, initial_cost):
     else:
         def make(c):
             return _tiled_fns(c, info["chunk"], pallas=info["use_pallas"])
-    if config.live_metrics:
-        # same fallback as the dense solvers: this platform's PJRT plugin
-        # rejects in-jit host callbacks at execute time, so live runs drive
-        # check_every-sized segments from the host instead of crashing
-        from .solver import host_callbacks_supported, run_live_chunked
+    # same fallback as the dense solvers, keyed on the MESH's platform (a
+    # CPU mesh in a TPU-default session supports callbacks; the reverse mix
+    # must take the chunked path or crash at execute time)
+    from .solver import maybe_live_chunked
 
-        if not host_callbacks_supported(jax.default_backend()):
-            return run_live_chunked(make, xarg, w, h, config, c0)
+    fallback = maybe_live_chunked(
+        make, xarg, w, h, config, info["mesh"], initial_cost=initial_cost
+    )
+    if fallback is not None:
+        return fallback
     return make(config)(xarg, w, h, c0)
 
 
@@ -828,6 +815,43 @@ def _crop_tiled(res, info):
             res, w=res.w[: info["m"]], h=res.h[:, : info["n"]]
         )
     return res
+
+
+def _validate_hand_built(tx: "TileSparseX", mb: int, nb: int) -> None:
+    """Boundary checks for a (possibly hand-built) TileSparseX.
+
+    A TileSparseX with element indices (or any out-of-grid block ids) would
+    be silently dropped/clamped by the gather/scatter and partition
+    selection — wrong results with no error anywhere.  Negative tile
+    payloads likewise produce silently wrong factorizations (NaN drift at
+    f32; all-zero codes at int8) — checked when the tiles are HOST-resident
+    (the constructors build host arrays; device-resident tiles were
+    validated at construction and a host round trip here would cost more
+    than the solve on this link)."""
+    m, n = tx.shape
+    bm, bn = tx.tile_shape
+    rows_chk = np.asarray(tx.rows, np.int64)
+    cols_chk = np.asarray(tx.cols, np.int64)
+    if rows_chk.size and (
+        rows_chk.min() < 0 or cols_chk.min() < 0
+        or rows_chk.max() >= mb or cols_chk.max() >= nb
+    ):
+        raise ValueError(
+            f"TileSparseX block ids out of range for the {mb}x{nb} block "
+            f"grid (tile {bm}x{bn}, shape {(m, n)}): rows in "
+            f"[{rows_chk.min()}, {rows_chk.max()}], cols in "
+            f"[{cols_chk.min()}, {cols_chk.max()}] — ids are BLOCK indices, "
+            "not element indices (tiles_from_coo builds them)"
+        )
+    if isinstance(tx.tiles, np.ndarray) and tx.tiles.size:
+        tmin = float(tx.tiles.min())
+        if tmin < 0:
+            raise ValueError(
+                f"TileSparseX tiles contain negative values (min {tmin:g}); "
+                "NMF requires non-negative data — the multiplicative "
+                "updates would silently drift negative/NaN (f32) or clip "
+                "to zero (int8)"
+            )
 
 
 def solve_sparse_tiled_batched(
@@ -864,6 +888,12 @@ def solve_sparse_tiled_batched(
         raise NotImplementedError(
             "tile-sparse solve implements the KL (beta=1) MU family"
         )
+    if config.backend == "pallas":
+        raise NotImplementedError(
+            "the batched tile-sparse solve runs the vmapped XLA scan (the "
+            "Pallas scalar-prefetch kernels are single-problem); drop "
+            "backend='pallas' or batch"
+        )
     txs = [
         x if isinstance(x, TileSparseX) else tiles_from_dense(x, tile)
         for x in xs
@@ -892,6 +922,8 @@ def solve_sparse_tiled_batched(
         )
     mb, nb = -(-m // bm), -(-n // bn)
     mp, np_ = mb * bm, nb * bn
+    for t in txs:  # same hand-built guards as the single/mesh entry
+        _validate_hand_built(t, mb, nb)
     t_max = max(max(int(t.tiles.shape[0]) for t in txs), 1)
     t_max = -(-t_max // int(chunk)) * int(chunk)
     tiles_list, rows_list, cols_list = [], [], []

@@ -261,3 +261,48 @@ def test_online_raises_for_accelerate():
     cfg = SolveConfig(max_iter=4, check_every=2, accelerate=True)
     with pytest.raises(NotImplementedError, match="accelerate"):
         solve_online(x, w0, cfg)
+
+
+def test_tile_sparse_batched_rejects_bad_inputs():
+    """The batched entry applies the same hand-built guards as the
+    single/mesh entry: out-of-grid block ids, negative payloads, and an
+    explicit pallas request all error loudly."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.sparse_tiled import (
+        TileSparseX, solve_sparse_tiled_batched,
+    )
+
+    rng = np.random.RandomState(0)
+    good = TileSparseX(
+        tiles=rng.rand(1, 8, 8).astype(np.float32),
+        rows=np.array([0], np.int32), cols=np.array([0], np.int32),
+        shape=(16, 16),
+    )
+    w0s = rng.rand(1, 16, 4).astype(np.float32)
+    h0s = rng.rand(1, 4, 16).astype(np.float32)
+    cfg = SolveConfig(max_iter=2, check_every=2)
+    # element indices instead of block ids
+    bad_ids = TileSparseX(
+        tiles=good.tiles, rows=np.array([9], np.int32),
+        cols=np.array([12], np.int32), shape=(16, 16),
+    )
+    with pytest.raises(ValueError, match="BLOCK indices"):
+        solve_sparse_tiled_batched([bad_ids], w0s, h0s, cfg, tile=(8, 8))
+    # negative payload
+    bad_vals = TileSparseX(
+        tiles=np.full((1, 8, 8), -1.0, np.float32),
+        rows=np.array([0], np.int32), cols=np.array([0], np.int32),
+        shape=(16, 16),
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        solve_sparse_tiled_batched([bad_vals], w0s, h0s, cfg, tile=(8, 8))
+    # explicit pallas request is never silently downgraded
+    with pytest.raises(NotImplementedError, match="pallas"):
+        solve_sparse_tiled_batched(
+            [good], w0s, h0s,
+            SolveConfig(max_iter=2, backend="pallas"), tile=(8, 8),
+        )
+    # the good input still solves
+    res = solve_sparse_tiled_batched([good], w0s, h0s, cfg, tile=(8, 8))
+    assert np.isfinite(np.asarray(res.w)).all()
