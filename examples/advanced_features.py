@@ -26,7 +26,11 @@ m, k, n = (128, 8, 200) if QUICK else (256, 16, 400)
 x = rng.rand(m, n).astype(np.float32)
 w0 = rng.rand(m, k).astype(np.float32)
 h0 = rng.rand(k, n).astype(np.float32)
-work = tempfile.mkdtemp()
+_work_ctx = tempfile.TemporaryDirectory()  # cleaned up at interpreter exit
+import atexit
+
+atexit.register(_work_ctx.cleanup)
+work = _work_ctx.name
 
 
 # --- precision tiers -------------------------------------------------------
@@ -124,7 +128,9 @@ print(
 )
 
 # --- out-of-core transform: stream-once H-only inference -------------------
-w_learned = np.asarray(nt.solve(x, w0, h0, nt.SolveConfig(max_iter=30)).w)
+# reuse the dictionary already learned above (`ref`): re-solving the same
+# problem would pay another compile + 30 iterations for bitwise-equal W
+w_learned = np.asarray(ref.w)
 tr = nt.transform_out_of_core(
     x, w_learned, config=nt.SolveConfig(max_iter=30), block_n=128
 )
@@ -137,8 +143,6 @@ print(
 # one .nmfz packages the H-only solve program (jax.export StableHLO, lowered
 # for TPU and CPU), the dictionary W, and the SolveConfig; a serving process
 # needs only the file — no retracing, no model code
-import tempfile
-
 with tempfile.TemporaryDirectory() as td:
     art = os.path.join(td, "model.nmfz")
     nt.save_transform(

@@ -73,13 +73,12 @@ def main():
     # distributed serving artifact: export the shard_map transform for THIS
     # mesh shape (no devices needed at export time — an AbstractMesh is
     # traced), then serve new columns on the live mesh from the one file
-    import os as _os
     import tempfile
 
     r, c = (int(v) for v in mesh.devices.shape)
     w_learned = np.asarray(res.w)
     with tempfile.TemporaryDirectory() as td:
-        art = _os.path.join(td, "mesh-model.nmfz")
+        art = os.path.join(td, "mesh-model.nmfz")
         nt.save_transform(
             art, w_learned, n_block=args.cols // 2,
             config=nt.SolveConfig(max_iter=10 if quick else 40,

@@ -35,13 +35,18 @@ def main():
     ap.add_argument("--rank", type=int, default=4)
     args = ap.parse_args()
 
-    audio, sr = synth_mixture()
+    # NMF_TPU_EXAMPLE_QUICK=1 shrinks the clip/iterations for the test suite
+    # (same knob as the other examples)
+    quick = bool(os.environ.get("NMF_TPU_EXAMPLE_QUICK"))
+    audio, sr = synth_mixture(seconds=1 if quick else 4)
     res = nt.separate(
         audio,
         n_components=args.rank,
         n_fft=1024,
         hop=256,
-        config=SolveConfig(max_iter=300, thresh=1e-5, check_every=25),
+        config=SolveConfig(
+            max_iter=60 if quick else 300, thresh=1e-5, check_every=25
+        ),
     )
     print(
         f"separated into {args.rank} components "
@@ -59,7 +64,13 @@ def main():
     if args.wav:
         from scipy.io import wavfile
 
-        wavfile.write(f"{args.wav}_mix.wav", sr, (audio * 32767).astype(np.int16))
+        # peak-normalize the mixture like the sources: the synth overlaps
+        # exceed [-1, 1] and a raw *32767 cast would WRAP int16 (loud pops)
+        mix_peak = max(abs(audio).max(), 1e-9)
+        wavfile.write(
+            f"{args.wav}_mix.wav", sr,
+            (audio / mix_peak * 32767).astype(np.int16),
+        )
         for i, src in enumerate(res.sources):
             peak = max(abs(src).max(), 1e-9)
             wavfile.write(
