@@ -182,6 +182,21 @@ def init_distributed(**kwargs) -> None:
         hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
         if len([h for h in hosts.split(",") if h.strip()]) > 1:
             cluster_env = True
+        # schedulers the heuristic doesn't know: NMF_TPU_REQUIRE_DISTRIBUTED=1
+        # forces the raise so a cluster job can never silently degrade to
+        # single-host
+        if os.environ.get("NMF_TPU_REQUIRE_DISTRIBUTED"):
+            cluster_env = True
         if not kwargs and not cluster_env:
+            import warnings
+
+            warnings.warn(
+                "jax.distributed.initialize failed and no cluster environment "
+                "was detected; continuing single-host.  If this IS a "
+                "multi-host job, set NMF_TPU_REQUIRE_DISTRIBUTED=1 to make "
+                f"this fatal.  (initialize error: {e})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return
         raise

@@ -205,7 +205,10 @@ def _build_sharded_masked_program(config: SolveConfig, mesh_shape):
 
     def program(x, w, h0, mask):
         x, w, h0, mask = prep(x, w, h0, mask)
-        res = fn((x, mask), w, h0, jnp.asarray(jnp.nan, jnp.float32))
+        res = fn(
+            (x, mask), w, h0,
+            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
+        )
         return (
             res.h,
             res.iterations,
@@ -250,7 +253,10 @@ def _build_sharded_program(config: SolveConfig, mesh_shape: Tuple[int, int]):
 
     def program(x, w, h0):
         x, w, h0 = prep(x, w, h0)
-        res = fn(x, w, h0, jnp.asarray(jnp.nan, jnp.float32))
+        res = fn(
+            x, w, h0,
+            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
+        )
         return (
             res.h,
             res.iterations,
@@ -716,14 +722,22 @@ class ServingTransform:
             if fout is not None:
                 fout.write(pack_header(self.k, n))
             self._run_pipeline(len(bounds), _place, _drain, prefetch)
+            if fout is not None:
+                # close + atomic publish inside the cleanup scope: a failed
+                # os.replace (permissions, cross-filesystem out_path) must
+                # not strand the completed .part file
+                fout.close()
+                fout = None
+                os.replace(tmp_path, out_path)
         except BaseException:
             if fout is not None:
                 fout.close()
-                os.unlink(tmp_path)
+            if tmp_path is not None and os.path.exists(tmp_path):
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
             raise
-        if fout is not None:
-            fout.close()
-            os.replace(tmp_path, out_path)
         return ServingResult(
             h=np.concatenate(hs, axis=1) if hs else None,
             block_iterations=np.asarray(iters, np.int32),
