@@ -121,11 +121,13 @@ def _masked_jit(config: SolveConfig):
     dq = _dq_or_id(prec)
 
     @jax.jit
-    def _solve(x, w, h, mask, initial_cost=None):
+    def _solve(x, w, h, mask, initial_cost=None, initial_momentum=None,
+               initial_extrap=None):
         step = lambda w, h, xx: mu_step_masked(w, h, dq(xx), mask, eps, prec, **pens)
         cost = lambda xx, w, h: masked_kl(dq(xx), w, h, mask, eps, **pens)
         return run_checked_loop(
-            x, w, h, config, step, cost, initial_cost=initial_cost
+            x, w, h, config, step, cost, initial_cost=initial_cost,
+            initial_momentum=initial_momentum, initial_extrap=initial_extrap,
         )
 
     return _solve
@@ -223,9 +225,11 @@ def _masked_h_only_jit(config: SolveConfig):
     step, cost = _masked_h_step_cost_pair(config)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def _solve(x, w, h, mask, initial_cost=None):
+    def _solve(x, w, h, mask, initial_cost=None, initial_momentum=None,
+               initial_extrap=None):
         return run_checked_loop(
-            (x, mask), w, h, config, step, cost, initial_cost=initial_cost
+            (x, mask), w, h, config, step, cost, initial_cost=initial_cost,
+            initial_momentum=initial_momentum, initial_extrap=initial_extrap,
         )
 
     return _solve
@@ -263,18 +267,19 @@ def solve_masked_h_only(
 
         def make_fn(c):
             fn = _masked_h_only_sharded_jit(c, mesh)
-            return lambda x_, w_, h_, c0: fn((x_, mask), w_, h_, c0)
+            return lambda x_, w_, h_, c0, m0, **kw: fn((x_, mask), w_, h_, c0, m0, **kw)
 
         fallback = maybe_live_chunked(make_fn, x, w, h0, config, mesh)
         if fallback is not None:
             return fallback
         return _masked_h_only_sharded_jit(config, mesh)(
-            (x, mask), w, h0, jnp.asarray(jnp.nan, _F32)
+            (x, mask), w, h0, jnp.asarray(jnp.nan, _F32),
+            jnp.asarray(jnp.nan, _F32),
         )
 
     def make_fn(c):
         fn = _masked_h_only_jit(c)
-        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask, c0)
+        return lambda x_, w_, h_, c0, m0, **kw: fn(x_, w_, h_, mask, c0, m0, **kw)
 
     fallback = maybe_live_chunked(make_fn, x, w, h0, config)
     if fallback is not None:
@@ -314,18 +319,21 @@ def solve_masked(
 
         def make_fn(c):
             fn = _sharded_masked_jit(c, mesh)
-            return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask, c0)
+            return lambda x_, w_, h_, c0, m0, **kw: fn(x_, w_, h_, mask, c0, m0, **kw)
 
         fallback = maybe_live_chunked(make_fn, x, w0, h0, config, mesh)
         if fallback is not None:
             return fallback
         fn = _sharded_masked_jit(config, mesh)
-        return fn(x, w0, h0, mask, jnp.asarray(jnp.nan, _F32))
+        return fn(
+            x, w0, h0, mask,
+            jnp.asarray(jnp.nan, _F32), jnp.asarray(jnp.nan, _F32),
+        )
     from .solver import maybe_live_chunked
 
     def make_fn(c):
         fn = _masked_jit(c)
-        return lambda x_, w_, h_, c0: fn(x_, w_, h_, mask, c0)
+        return lambda x_, w_, h_, c0, m0, **kw: fn(x_, w_, h_, mask, c0, m0, **kw)
 
     fallback = maybe_live_chunked(make_fn, x, w0, h0, config)
     if fallback is not None:

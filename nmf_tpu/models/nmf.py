@@ -140,9 +140,11 @@ def _h_only_jit(config: SolveConfig, platform: Optional[str] = None):
     step, cost = _h_only_step_cost(config)
 
     @jax.jit
-    def _solve(x, w, h, initial_cost=None):
+    def _solve(x, w, h, initial_cost=None, initial_momentum=None,
+               initial_extrap=None):
         return run_checked_loop(
-            x, w, h, config, step, cost, initial_cost=initial_cost
+            x, w, h, config, step, cost, initial_cost=initial_cost,
+            initial_momentum=initial_momentum, initial_extrap=initial_extrap,
         )
 
     return _solve
@@ -211,7 +213,7 @@ def solve_h_only(
         if fallback is not None:
             return fallback
         return _h_only_sharded_jit(config, mesh)(
-            x, w, h0, jnp.asarray(jnp.nan, _F32)
+            x, w, h0, jnp.asarray(jnp.nan, _F32), jnp.asarray(jnp.nan, _F32)
         )
     import dataclasses as _dc
 
@@ -240,8 +242,9 @@ def solve_h_only(
     from .solver import maybe_live_chunked
 
     def make_fn(c):
-        fn = _h_only_jit(c, platform)
-        return lambda x_, w_, h_, c0: fn(x_, w_, h_, c0)
+        # bare jit fn (4 positional args): exposes .lower for the chunked
+        # driver's AOT tail compile
+        return _h_only_jit(c, platform)
 
     fallback = maybe_live_chunked(make_fn, x, w, h0, config)
     if fallback is not None:
@@ -290,6 +293,7 @@ def solve_w_only(
         cost_history=res.cost_history,
         num_checks=res.num_checks,
         converged=res.converged,
+        momentum=res.momentum,
     )
 
 

@@ -55,7 +55,8 @@ def _semi_jit(config: SolveConfig, platform: Optional[str]):
     # h donated as in solve_jit; w is NOT — its pre-loop value is the
     # frozen source and must stay live for the whole run
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def _solve(x, w, h, mk, initial_cost):
+    def _solve(x, w, h, mk, initial_cost, initial_momentum=None,
+               initial_extrap=None):
         w_frz = w
 
         def step(w_, h_, x_):
@@ -64,7 +65,8 @@ def _semi_jit(config: SolveConfig, platform: Optional[str]):
             return w2, h2
 
         return run_checked_loop(
-            x, w, h, config, step, cost_fn, initial_cost=initial_cost
+            x, w, h, config, step, cost_fn, initial_cost=initial_cost,
+            initial_momentum=initial_momentum, initial_extrap=initial_extrap,
         )
 
     return _solve
@@ -128,13 +130,13 @@ def solve_semi(
 
         def make_fn(c):
             fn = build_sharded_semi_solver(c, mesh, fused)
-            return lambda x_, w_, h_, c0_: fn(x_, w_, h_, mk, c0_)
+            return lambda x_, w_, h_, c0_, m0_, **kw: fn(x_, w_, h_, mk, c0_, m0_, **kw)
 
         fallback = maybe_live_chunked(make_fn, x, w0, h0, config, mesh)
         if fallback is not None:
             return fallback
         return build_sharded_semi_solver(config, mesh, fused)(
-            x, w0, h0, mk, c0
+            x, w0, h0, mk, c0, jnp.asarray(jnp.nan, _F32)
         )
     platform = _default_platform(x)
     if (
@@ -158,7 +160,7 @@ def solve_semi(
 
     def make_fn(c):
         fn = _semi_jit(c, platform)
-        return lambda x_, w_, h_, c0_: fn(x_, w_, h_, mk, c0_)
+        return lambda x_, w_, h_, c0_, m0_, **kw: fn(x_, w_, h_, mk, c0_, m0_, **kw)
 
     fallback = maybe_live_chunked(make_fn, x, w0, h0, config)
     if fallback is not None:

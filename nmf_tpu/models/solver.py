@@ -41,7 +41,12 @@ class SolveResult:
     ``cost_history`` has one float32 slot per potential check point
     (``ceil(max_iter / check_every)``); entries past ``num_checks`` are NaN.
     ``cost`` is the last computed divergence (NaN when cost tracking is
-    disabled and thresh == 0).
+    disabled and thresh == 0).  ``momentum`` is the accelerated loop's final
+    momentum coefficient — NaN for non-accelerated solves; segment drivers
+    (chunked live metrics, checkpoint resume) feed it back as
+    ``initial_momentum`` so the accelerator's adaptive state survives
+    segment boundaries.  All in-repo constructors pass it explicitly; the
+    ``None`` default only eases external/test construction.
     """
 
     w: jnp.ndarray
@@ -51,6 +56,13 @@ class SolveResult:
     cost_history: jnp.ndarray   # f32 [num_check_slots]
     num_checks: jnp.ndarray     # i32 scalar: populated history entries
     converged: jnp.ndarray      # bool scalar: stopped via threshold
+    momentum: jnp.ndarray = None  # f32 scalar: final accel momentum (NaN if n/a)
+    # accelerated loop's extrapolation carry (the OTHER half of its resume
+    # state, factor-shaped).  Populated only when a segment driver asked for
+    # it via ``initial_extrap`` — plain results and whole-run accel results
+    # keep these None so no extra factor-sized output buffers materialize.
+    w_ex: jnp.ndarray = None
+    h_ex: jnp.ndarray = None
 
 
 StepFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
@@ -225,6 +237,7 @@ def callbacks_ok(mesh=None) -> bool:
 def maybe_live_chunked(
     make_segment_fn, x, w, h, config: SolveConfig, mesh=None,
     initial_cost: float = float("nan"),
+    initial_momentum: float = float("nan"),
 ):
     """Run the chunked host-driven live loop when callbacks are unsupported.
 
@@ -237,11 +250,15 @@ def maybe_live_chunked(
     if not config.live_metrics or callbacks_ok(mesh):
         return None
     return run_live_chunked(
-        make_segment_fn, x, w, h, config, jnp.asarray(initial_cost, _F32)
+        make_segment_fn, x, w, h, config, jnp.asarray(initial_cost, _F32),
+        initial_momentum=initial_momentum,
     )
 
 
-def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost):
+def run_live_chunked(
+    make_segment_fn, x, w, h, config: SolveConfig, initial_cost,
+    initial_momentum: float = float("nan"),
+):
     """Live metrics WITHOUT host callbacks: drive the solve in
     ``check_every``-sized device segments and emit each check from the host.
 
@@ -253,17 +270,17 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
     such a platform.
 
     Each segment receives the previous check's cost as its ``initial_cost``
-    (a traced scalar operand — same compiled program), so an accelerated
-    segment's acceptance baseline carries across chunks without re-running
-    the seed reconstruction GEMM.  The momentum coefficient is NOT part of
-    SolveResult, so it does restart at ``accel_momentum`` each chunk — with
-    the default geometric grow-on-accept it recovers within a few iterations
-    of each ``check_every`` block; threading it through would widen every
-    segment builder's signature and shard_map specs for that sliver.
+    and the previous segment's final momentum as its ``initial_momentum``
+    (traced scalar operands — same compiled program), so an accelerated
+    segment's acceptance baseline AND its adapted momentum coefficient carry
+    across chunks: the host-driven path runs the exact sequence the in-jit
+    accelerator runs (verified by tests/test_accel.py's chunk-equivalence
+    test).
 
     ``make_segment_fn(seg_config)`` returns the jitted segment solver
-    ``fn(x, w, h, initial_cost) -> SolveResult`` (the single-device and
-    sharded solvers both qualify); W/H buffers chain through donation.
+    ``fn(x, w, h, initial_cost, initial_momentum) -> SolveResult`` (the
+    single-device and sharded solvers both qualify); W/H buffers chain
+    through donation.
     """
     import numpy as np
 
@@ -279,30 +296,73 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
     converged = False
     base = dataclasses.replace(config, live_metrics=False)
     tail = max_iter % check_every
+    tail_compiled = None
     if 0 < tail < max_iter and thresh == 0.0:
         # The per-chunk programs are jit-keyed on max_iter, so a short tail
         # chunk is a SECOND compiled program — on this platform a 10-60 s
         # (sometimes minutes) remote compile that would otherwise stall the
-        # solve right before its final check.  Warm it NOW, next to the main
-        # segment's compile, where the user expects compile latency.  The
-        # warm inputs are fresh copies ("+ 0"), so segment-fn donation
-        # cannot consume the live state; its rem-iteration compute cost is
-        # noise next to the compile it fronts.  With thresh > 0 the run
-        # usually stops on a check boundary and never reaches the tail, so
-        # the speculative compile is NOT paid there (a non-converging
-        # thresh run that does reach the tail pays it in place).
+        # solve right before its final check.  Compile it NOW, next to the
+        # main segment's compile, where the user expects compile latency.
+        # Preferred path: AOT lower+compile (no execution, no discarded
+        # compute) and run the compiled program directly at the tail.  A
+        # segment fn wrapped in a closure (masked solvers bind the mask)
+        # exposes no .lower — those execute a warm segment on fresh copies
+        # ("+ 0", so donation cannot consume the live state) as before.
+        # With thresh > 0 the run usually stops on a check boundary and
+        # never reaches the tail, so no speculative compile is paid there.
         tail_fn = make_segment_fn(dataclasses.replace(base, max_iter=tail))
-        tail_fn(
-            x,
-            jnp.asarray(w) + 0,
-            jnp.asarray(h) + 0,
-            jnp.asarray(jnp.nan, _F32),
-        )
+        lower = getattr(tail_fn, "lower", None)
+        if lower is not None and not base.accelerate:
+            # (accel segments carry an extra extrapolation-pair kwarg whose
+            # placement the AOT lowering can't anticipate — they take the
+            # warm-execute fallback below)
+            try:
+                tail_compiled = lower(
+                    x, w, h, jnp.asarray(jnp.nan, _F32), jnp.asarray(jnp.nan, _F32)
+                ).compile()
+            except Exception:
+                tail_compiled = None
+        if tail_compiled is None:
+            warm = (
+                x,
+                jnp.asarray(w) + 0,
+                jnp.asarray(h) + 0,
+                jnp.asarray(jnp.nan, _F32),
+                jnp.asarray(jnp.nan, _F32),
+            )
+            if base.accelerate:
+                # warm the SAME trace the real tail call uses (the extrap
+                # kwarg changes the program signature); fresh copies again
+                # so donation can't touch the live state
+                tail_fn(
+                    *warm,
+                    initial_extrap=(jnp.asarray(w) + 0, jnp.asarray(h) + 0),
+                )
+            else:
+                tail_fn(*warm)
+    mom = float(initial_momentum)  # accel momentum threaded segment-to-segment
+    # accel extrapolation carry: seeded AT the iterate (fresh copies — the
+    # segment donates w/h, so the seed must not alias them), exactly the
+    # one-jit accel loop's init; thereafter the previous segment's carry
+    ex = (
+        (jnp.asarray(w) + 0, jnp.asarray(h) + 0) if config.accelerate else None
+    )
     while it < max_iter and not converged:
         chunk = min(check_every, max_iter - it)
-        seg_fn = make_segment_fn(dataclasses.replace(base, max_iter=chunk))
-        res = seg_fn(x, w, h, jnp.asarray(prev, _F32))
+        args = (x, w, h, jnp.asarray(prev, _F32), jnp.asarray(mom, _F32))
+        if chunk != check_every and tail_compiled is not None:
+            res = tail_compiled(*args)
+        elif ex is not None:
+            seg_fn = make_segment_fn(dataclasses.replace(base, max_iter=chunk))
+            res = seg_fn(*args, initial_extrap=ex)
+        else:
+            seg_fn = make_segment_fn(dataclasses.replace(base, max_iter=chunk))
+            res = seg_fn(*args)
         w, h = res.w, res.h
+        if res.momentum is not None:
+            mom = float(res.momentum)
+        if res.w_ex is not None:
+            ex = (res.w_ex, res.h_ex)
         it += int(res.iterations)
         cost = float(res.cost)
         rel = abs(prev - cost) / abs(cost) if cost else float("nan")
@@ -320,6 +380,7 @@ def run_live_chunked(make_segment_fn, x, w, h, config: SolveConfig, initial_cost
         cost_history=jnp.asarray(hist),
         num_checks=jnp.asarray(chk, jnp.int32),
         converged=jnp.asarray(converged, jnp.bool_),
+        momentum=jnp.asarray(mom, _F32),
     )
 
 
@@ -333,6 +394,8 @@ def run_checked_loop(
     all_reduce: Callable[[jnp.ndarray], jnp.ndarray] = lambda c: c,
     initial_cost: Optional[jnp.ndarray] = None,
     live_emit: Optional[Callable] = None,
+    initial_momentum: Optional[jnp.ndarray] = None,
+    initial_extrap: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> SolveResult:
     """Trace the check-blocked while_loop.  Shared by the single-device and
     shard_map solvers; ``all_reduce`` sums partial costs across the mesh in
@@ -353,6 +416,8 @@ def run_checked_loop(
         return _run_accel_loop(
             x, w, h, config, step_fn, cost_fn, all_reduce, initial_cost,
             live_emit if live_emit is not None else _emit_live_single,
+            initial_momentum,
+            initial_extrap,
         )
     max_iter = int(config.max_iter)
     check_every = int(config.check_every)
@@ -414,6 +479,7 @@ def run_checked_loop(
     return SolveResult(
         w=w, h=h, iterations=it, cost=cost, cost_history=hist,
         num_checks=chk, converged=done,
+        momentum=jnp.asarray(jnp.nan, _F32),
     )
 
 
@@ -427,6 +493,8 @@ def _run_accel_loop(
     all_reduce: Callable[[jnp.ndarray], jnp.ndarray],
     initial_cost: Optional[jnp.ndarray],
     emit: Callable,
+    initial_momentum: Optional[jnp.ndarray] = None,
+    initial_extrap: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> SolveResult:
     """Safeguarded Nesterov-extrapolated solve loop (``config.accelerate``).
 
@@ -462,6 +530,11 @@ def _run_accel_loop(
     n_slots = max(config.num_checks, 1)
     eps = config.eps
     m0 = jnp.asarray(config.accel_momentum, _F32)
+    if initial_momentum is not None:
+        # resumed segment (chunked live loop / checkpoint): continue from the
+        # previous segment's adapted coefficient; NaN = no previous segment
+        im = jnp.asarray(initial_momentum, _F32)
+        m0 = jnp.where(jnp.isnan(im), m0, im)
     m_max = jnp.asarray(config.accel_momentum_max, _F32)
     grow = jnp.asarray(config.accel_grow, _F32)
     shrink = jnp.asarray(config.accel_shrink, _F32)
@@ -529,11 +602,16 @@ def _run_accel_loop(
         c0 = jax.lax.cond(
             jnp.isnan(c_given), _seed_cost, lambda: c_given
         )
+    # resumed segments (chunked live loop) supply the extrapolation carry
+    # from the previous segment; a fresh run starts it AT the iterate —
+    # the same init either way, so segmenting reproduces the one-jit loop
+    # exactly (tests/test_accel.py chunk-equivalence)
+    we0, he0 = initial_extrap if initial_extrap is not None else (w, h)
     init = (
         w,
         h,
-        w,
-        h,
+        we0.astype(w.dtype),
+        he0.astype(h.dtype),
         m0,
         jnp.zeros((), jnp.int32),
         jnp.asarray(jnp.inf, _F32),
@@ -542,12 +620,17 @@ def _run_accel_loop(
         jnp.full((n_slots,), jnp.nan, _F32),
         jnp.zeros((), jnp.bool_),
     )
-    wn, hn, _, _, _, it, _, cost, chk, hist, done = jax.lax.while_loop(
+    wn, hn, we_f, he_f, m_fin, it, _, cost, chk, hist, done = jax.lax.while_loop(
         cond, body, init
     )
     return SolveResult(
         w=wn, h=hn, iterations=it, cost=cost, cost_history=hist,
-        num_checks=chk, converged=done,
+        num_checks=chk, converged=done, momentum=m_fin,
+        # extrapolation carry exposed only to segment drivers (the caller
+        # drops these from the returned pytree on non-segment calls, so the
+        # extra factor-sized outputs are DCE'd there)
+        w_ex=we_f if initial_extrap is not None else None,
+        h_ex=he_f if initial_extrap is not None else None,
     )
 
 
@@ -566,9 +649,10 @@ def solve_jit(config: SolveConfig, platform: Optional[str] = None):
     cost_fn = _cost_fn(config, platform)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def _solve(x, w, h, initial_cost):
+    def _solve(x, w, h, initial_cost, initial_momentum=None, initial_extrap=None):
         return run_checked_loop(
-            x, w, h, config, step_fn, cost_fn, initial_cost=initial_cost
+            x, w, h, config, step_fn, cost_fn, initial_cost=initial_cost,
+            initial_momentum=initial_momentum, initial_extrap=initial_extrap,
         )
 
     return _solve
@@ -617,12 +701,19 @@ def solve(
     config: SolveConfig = SolveConfig(),
     clamp_inputs: bool = True,
     initial_cost: float = float("nan"),
+    initial_momentum: float = float("nan"),
+    initial_extrap=None,
 ) -> SolveResult:
     """Factorize ``x ~= w @ h``: the ``run_async`` equivalent (nmf.cu:76-116).
 
     ``clamp_inputs`` replicates the reference's load-time ``set_epsilon``
     (nmf.cu:211) — pass already-clamped arrays and ``False`` to skip.
-    ``initial_cost`` seeds the convergence baseline for resumed runs.
+    ``initial_cost`` seeds the convergence baseline for resumed runs;
+    ``initial_momentum`` seeds the accelerated loop's momentum the same way
+    (NaN = start fresh at ``config.accel_momentum``).  ``initial_extrap``
+    (a ``(w_ex, h_ex)`` pair) seeds its extrapolation carry — when passed,
+    the result's ``w_ex``/``h_ex`` hold the carry for the next segment
+    (checkpointed accel runs resume exactly; see utils/checkpoint.py).
 
     Buffer ownership: the W/H state buffers are DONATED to the solve program
     (aliased to the result factors).  With ``clamp_inputs=True`` (default)
@@ -710,6 +801,8 @@ def solve(
             lambda c: solve_jit(c, platform), x, w0, h0, config,
             jnp.asarray(initial_cost, _F32),
         )
+    kw = {} if initial_extrap is None else {"initial_extrap": initial_extrap}
     return solve_jit(config, platform)(
-        x, w0, h0, jnp.asarray(initial_cost, _F32)
+        x, w0, h0, jnp.asarray(initial_cost, _F32),
+        jnp.asarray(initial_momentum, _F32), **kw,
     )

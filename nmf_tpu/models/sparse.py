@@ -176,9 +176,11 @@ def _sparse_fns(config: SolveConfig, chunk: int):
     from .solver import run_checked_loop
 
     @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=())
-    def solve_fn(sx, w, h, initial_cost):
+    def solve_fn(sx, w, h, initial_cost, initial_momentum=None,
+                 initial_extrap=None):
         return run_checked_loop(
-            sx, w, h, config, step, cost, initial_cost=initial_cost
+            sx, w, h, config, step, cost, initial_cost=initial_cost,
+            initial_momentum=initial_momentum, initial_extrap=initial_extrap,
         )
 
     return solve_fn

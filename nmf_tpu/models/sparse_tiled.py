@@ -364,9 +364,11 @@ def _tiled_fns(
         return jax.jit(jax.vmap(one), donate_argnums=(1, 2))
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def solve_fn(tx, w, h, initial_cost):
+    def solve_fn(tx, w, h, initial_cost, initial_momentum=None,
+                 initial_extrap=None):
         return run_checked_loop(
-            tx, w, h, config, step, cost, initial_cost=initial_cost
+            tx, w, h, config, step, cost, initial_cost=initial_cost,
+            initial_momentum=initial_momentum, initial_extrap=initial_extrap,
         )
 
     return solve_fn
@@ -552,7 +554,8 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
 
     from ..parallel.sharded import _emit_live_origin
 
-    def local_solve(tx, w_loc, h_loc, initial_cost):
+    def local_solve(tx, w_loc, h_loc, initial_cost, initial_momentum,
+                    initial_extrap=None):
         # cost() already psums its partials; the predicate scalar is
         # replicated by construction, so no outer all_reduce.  live_emit is
         # gated to mesh coordinate (0,0) like every sharded builder — a
@@ -560,6 +563,8 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
         return run_checked_loop(
             tx, w_loc, h_loc, config, step, cost,
             initial_cost=initial_cost, live_emit=_emit_live_origin,
+            initial_momentum=initial_momentum,
+            initial_extrap=initial_extrap,
         )
 
     out_specs = SolveResult(
@@ -570,23 +575,16 @@ def _tiled_sharded_fns(config: SolveConfig, chunk: int, mesh):
         cost_history=P(),
         num_checks=P(),
         converged=P(),
+        momentum=P(),
     )
     tile_axis = P((ROW_AXIS, COL_AXIS))
     x_spec = (tile_axis,) * (4 if quant else 3)
-    return jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(
-                x_spec,
-                P(ROW_AXIS, None),
-                P(None, COL_AXIS),
-                P(),
-            ),
-            out_specs=out_specs,
-            check_vma=False,
-        ),
-        donate_argnums=(1, 2),
+    from ..parallel.sharded import _finish_sharded_builder
+
+    return _finish_sharded_builder(
+        local_solve,
+        (x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P(), P()),
+        out_specs, mesh, config, donate=(1, 2),
     )
 
 
@@ -781,7 +779,10 @@ def _prepare_tiled(x, w0, h0, config: SolveConfig, chunk, tile, mesh):
     )
 
 
-def _run_tiled(xarg, w, h, config: SolveConfig, info, initial_cost):
+def _run_tiled(
+    xarg, w, h, config: SolveConfig, info, initial_cost,
+    initial_momentum: float = float("nan"),
+):
     """Run one (segment of a) prepared tile-sparse solve on device-resident
     inputs; ``w``/``h`` are the PADDED factors and are donated (chain
     ``res.w``/``res.h`` into the next segment)."""
@@ -801,11 +802,14 @@ def _run_tiled(xarg, w, h, config: SolveConfig, info, initial_cost):
     from .solver import maybe_live_chunked
 
     fallback = maybe_live_chunked(
-        make, xarg, w, h, config, info["mesh"], initial_cost=initial_cost
+        make, xarg, w, h, config, info["mesh"], initial_cost=initial_cost,
+        initial_momentum=initial_momentum,
     )
     if fallback is not None:
         return fallback
-    return make(config)(xarg, w, h, c0)
+    return make(config)(
+        xarg, w, h, c0, jnp.asarray(initial_momentum, jnp.float32)
+    )
 
 
 def _crop_tiled(res, info):

@@ -787,10 +787,9 @@ def solve_out_of_core(
     path; an accepted check block streams X (check_every + 1) times,
     exactly the plain loop's volume with cost tracking on.  Extra device
     memory: two more factor-sized (W, H) copies (snapshot + extrapolation
-    state); X never copies.  Resume note: the momentum restarts at
-    ``accel_momentum`` after a checkpoint restore (the extrapolation pair
-    is not checkpointed state), matching the in-memory segment-chaining
-    behaviour.
+    state); X never copies.  Checkpoints carry the FULL accelerator state
+    (adapted momentum + extrapolation pair), so a killed accelerated run
+    resumes exactly where it left off — identical to the uninterrupted run.
     """
     import jax
     import jax.numpy as jnp
@@ -902,6 +901,9 @@ def solve_out_of_core(
     labels: List[int] = []
     converged = False
     h_blocks_resumed = None
+    resumed_mom = float("nan")      # accel state restored from a checkpoint
+    resumed_w_ex = None             # (None / NaN = fresh start)
+    resumed_h_ex = None
     if checkpoint_dir and resume:
         from ..utils import checkpoint as ckpt
 
@@ -932,6 +934,10 @@ def solve_out_of_core(
             hist_list = list(state.cost_history)
             labels = list(state.check_iterations or [])
             converged = state.converged
+            resumed_mom = float(state.momentum)
+            if state.w_ex is not None:
+                resumed_w_ex = state.w_ex
+                resumed_h_ex = state.h_ex
 
     a2_dims = {"mk": (m, k), "kk": (k, k)}.get(a2_shape, (k,))
     if mesh is not None:
@@ -1042,13 +1048,20 @@ def solve_out_of_core(
         x_dev = _put_x(idx, mask_np=m_np)
         return (x_dev, jax.device_put(_cast_mask(m_np, xd), device))
 
+    # the accelerated loop deposits its full resume state here before every
+    # _save (adapted momentum + extrapolation pair), so a killed accelerated
+    # streamed run resumes EXACTLY where it left off; the plain loop leaves
+    # the defaults (NaN / None) and checkpoints stay as before
+    _accel_ck = {"mom": float("nan"), "w_ex": None, "h_ex": None}
+
     def _save():
         from ..utils import checkpoint as ckpt
 
         if mesh is not None:
             # factors stay sharded end-to-end (pod-safe orbax path: each
             # host writes its addressable shards; the H blocks are saved as
-            # the list the loop carries — no gather, no host round trip)
+            # the list the loop carries — no gather, no host round trip; the
+            # accel extrapolation pair shards exactly like W / the H blocks)
             state = ckpt.CheckpointState(
                 w=w,
                 h=h_blocks,
@@ -1056,6 +1069,9 @@ def solve_out_of_core(
                 cost_history=hist_list,
                 converged=converged,
                 check_iterations=labels,
+                momentum=_accel_ck["mom"],
+                w_ex=_accel_ck["w_ex"],
+                h_ex=_accel_ck["h_ex"],
             )
             ckpt.save_checkpoint_sharded(checkpoint_dir, state, config)
             return
@@ -1066,6 +1082,18 @@ def solve_out_of_core(
             cost_history=hist_list,
             converged=converged,
             check_iterations=labels,
+            momentum=_accel_ck["mom"],
+            w_ex=(
+                np.asarray(_accel_ck["w_ex"], np.float32)
+                if _accel_ck["w_ex"] is not None else None
+            ),
+            h_ex=(
+                np.concatenate(
+                    [np.asarray(hb, np.float32) for hb in _accel_ck["h_ex"]],
+                    axis=1,
+                )
+                if _accel_ck["h_ex"] is not None else None
+            ),
         )
         ckpt.save_checkpoint(checkpoint_dir, state, config)
 
@@ -1134,7 +1162,13 @@ def solve_out_of_core(
         # reject path re-streams its block.  The snapshot/extrapolation
         # state is factor-sized (W + H twice over) — X never copies.
         _extrap, _copy = _accel_jits()
-        mom = float(config.accel_momentum)
+        # resumed runs continue from the checkpoint's adapted coefficient
+        # (NaN = fresh / pre-field checkpoint -> config.accel_momentum)
+        mom = (
+            resumed_mom
+            if resumed_mom == resumed_mom
+            else float(config.accel_momentum)
+        )
         m_hi = float(config.accel_momentum_max)
         grow = float(config.accel_grow)
         shrink = float(config.accel_shrink)
@@ -1146,9 +1180,35 @@ def solve_out_of_core(
             baseline = _cost_pass(w, h_blocks)
         # Extrapolation state starts AT the iterate; copies, because the
         # sweep donates the extrapolated buffers while the iterate (and the
-        # snapshot aliasing it) must survive the block.
-        w_ex = _copy(w)
-        h_ex = [_copy(hb) for hb in h_blocks]
+        # snapshot aliasing it) must survive the block.  A checkpoint that
+        # carries the pair restores it instead, so a killed accelerated run
+        # resumes EXACTLY (resume == straight run; tests/test_streaming.py).
+        if resumed_w_ex is not None:
+            if mesh is not None:
+                # sharded restore: the pair came back as the (already
+                # sharded, sd-dtype) W array + H block list
+                w_ex = resumed_w_ex
+                h_ex = list(resumed_h_ex)
+            else:
+                w_ex = jnp.maximum(
+                    jax.device_put(
+                        np.asarray(resumed_w_ex, np.float32), w_target
+                    ).astype(sd),
+                    jnp.asarray(eps, sd),
+                )
+                hx = np.asarray(resumed_h_ex, np.float32)
+                h_ex = [
+                    jnp.maximum(
+                        jax.device_put(
+                            np.ascontiguousarray(hx[:, j0:j1]), h_target
+                        ).astype(sd),
+                        jnp.asarray(eps, sd),
+                    )
+                    for j0, j1 in blocks
+                ]
+        else:
+            w_ex = _copy(w)
+            h_ex = [_copy(hb) for hb in h_blocks]
         w_snap, h_snap = w, list(h_blocks)
         last_save = it
         def _set_h_extrapolated(idx, h_new):
@@ -1194,6 +1254,10 @@ def solve_out_of_core(
                 or it == max_iter
                 or converged
             ):
+                # full accel resume state rides the checkpoint (read by
+                # _save; the pair is consumed there before the next sweep
+                # can donate those buffers away)
+                _accel_ck.update(mom=mom, w_ex=w_ex, h_ex=list(h_ex))
                 _save()
                 last_save = it
     else:
@@ -1233,6 +1297,9 @@ def solve_out_of_core(
         cost_history=jnp.asarray(hist),
         num_checks=jnp.asarray(len(hist_list), jnp.int32),
         converged=jnp.asarray(converged, jnp.bool_),
+        momentum=jnp.asarray(
+            mom if config.accelerate else float("nan"), jnp.float32
+        ),
     )
 
 
@@ -1483,7 +1550,11 @@ def transform_out_of_core(
         prev = None
         for idx in range(len(blocks)):
             x_s, h_s = inflight
-            res = solver(x_s, w_placed, h_s, jnp.asarray(jnp.nan, jnp.float32))
+            res = solver(
+                x_s, w_placed, h_s,
+                jnp.asarray(jnp.nan, jnp.float32),
+                jnp.asarray(jnp.nan, jnp.float32),
+            )
             if idx + 1 < len(blocks):
                 inflight = _put_mesh(idx + 1)  # overlaps this block's solve
             if prev is not None:

@@ -113,4 +113,5 @@ def solve_strict(x, w0, h0, config: SolveConfig = SolveConfig()):
         cost_history=res.cost_history,
         num_checks=res.num_checks,
         converged=res.converged,
+        momentum=res.momentum,
     )

@@ -16,6 +16,7 @@ everything here is host-count agnostic (meshes over all global devices).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -434,12 +435,15 @@ def solve_sharded(
     mesh: Optional[Mesh] = None,
     clamp_inputs: bool = True,
     initial_cost: float = float("nan"),
+    initial_momentum: float = float("nan"),
+    initial_extrap=None,
 ) -> SolveResult:
     """Distributed ``solve``: same semantics, sharded over the mesh.
 
     Inputs may be host arrays (they are placed with the canonical shardings)
     or already-sharded jax.Arrays.  Result W/H come back sharded; scalars and
-    cost history are fully replicated.
+    cost history are fully replicated.  ``initial_momentum`` resumes the
+    accelerated loop's adapted coefficient across segments (NaN = fresh).
     """
     config.validate()
     mesh = mesh if mesh is not None else make_mesh()
@@ -537,7 +541,13 @@ def solve_sharded(
     if fallback is not None:
         return fallback
     fn = build_sharded_solver(config, mesh, fused=fused)
-    return fn(x, w0, h0, jnp.asarray(initial_cost, _F32))
+    kw = {} if initial_extrap is None else {"initial_extrap": initial_extrap}
+    return fn(
+        x, w0, h0,
+        jnp.asarray(initial_cost, _F32),
+        jnp.asarray(initial_momentum, _F32),
+        **kw,
+    )
 
 
 def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
@@ -547,6 +557,53 @@ def build_sharded_solver(config: SolveConfig, mesh: Mesh, fused: bool = False):
     round trip on this platform).  This thin wrapper normalizes the call
     form so positional and keyword invocations share one cache entry."""
     return _build_sharded_solver_cached(config, mesh, bool(fused))
+
+
+def _finish_sharded_builder(local_solve, in_specs, out_specs, mesh, config, donate):
+    """shard_map + jit a sharded segment solver.
+
+    For accelerated configs this appends the extrapolation-pair operands
+    (sharded like W/H) behind the segment contract's optional
+    ``initial_extrap`` kwarg: a chunked segment driver passes the previous
+    segment's carry and gets the new carry back in ``res.w_ex``/``res.h_ex``;
+    a direct call defaults the carry to the iterate — the one-jit accel
+    loop's own init — and the carry outputs are dropped from the returned
+    pytree (so XLA never materializes the extra factor-sized buffers there).
+    ``local_solve`` must accept ``initial_extrap=(w_ex, h_ex)`` as a kwarg.
+    """
+    if not config.accelerate:
+        return jax.jit(
+            jax.shard_map(
+                local_solve, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=out_specs, check_vma=False,
+            ),
+            donate_argnums=donate,
+        )
+
+    def local_accel(*args):
+        *base, wex, hex_ = args
+        return local_solve(*base, initial_extrap=(wex, hex_))
+
+    out_specs = dataclasses.replace(
+        out_specs, w_ex=P(ROW_AXIS, None), h_ex=P(None, COL_AXIS)
+    )
+    smapped = jax.shard_map(
+        local_accel, mesh=mesh,
+        in_specs=tuple(in_specs) + (P(ROW_AXIS, None), P(None, COL_AXIS)),
+        out_specs=out_specs, check_vma=False,
+    )
+
+    def fn(*args, initial_extrap=None):
+        # args[1]/args[2] are W/H in every sharded builder
+        wex, hex_ = (
+            initial_extrap if initial_extrap is not None else (args[1], args[2])
+        )
+        res = smapped(*args, wex, hex_)
+        if initial_extrap is None:
+            res = dataclasses.replace(res, w_ex=None, h_ex=None)
+        return res
+
+    return jax.jit(fn, donate_argnums=donate)
 
 
 def _sharded_family_fns(config: SolveConfig, mesh: Mesh, fused: bool):
@@ -599,7 +656,8 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
     quant = config.precision.x_dtype == "int8"
     step_fn, cost_fn = _sharded_family_fns(config, mesh, fused)
 
-    def local_solve(x_loc, w_loc, h_loc, initial_cost):
+    def local_solve(x_loc, w_loc, h_loc, initial_cost, initial_momentum,
+                    initial_extrap=None):
         return run_checked_loop(
             x_loc,
             w_loc,
@@ -610,6 +668,8 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
             live_emit=_emit_live_origin,
+            initial_momentum=initial_momentum,
+            initial_extrap=initial_extrap,
         )
 
     out_specs = SolveResult(
@@ -620,21 +680,17 @@ def _build_sharded_solver_cached(config: SolveConfig, mesh: Mesh, fused: bool):
         cost_history=P(),
         num_checks=P(),
         converged=P(),
+        momentum=P(),
     )
     # w/h donated: the result factors alias the input state buffers, so a
     # chained (segmented) solve never holds two copies of W/H per device.
     x_spec = (
         _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
-    return jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P()),
-            out_specs=out_specs,
-            check_vma=False,
-        ),
-        donate_argnums=(1, 2),
+    return _finish_sharded_builder(
+        local_solve,
+        (x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P(), P()),
+        out_specs, mesh, config, donate=(1, 2),
     )
 
 
@@ -654,7 +710,8 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
     repl = dict(n_row=mesh.shape[ROW_AXIS], n_col=mesh.shape[COL_AXIS])
     dq = _dq_local_or_id(quant, repl["n_row"])
 
-    def local_solve(x_loc, w_loc, h_loc, mask_loc, initial_cost):
+    def local_solve(x_loc, w_loc, h_loc, mask_loc, initial_cost,
+                    initial_momentum, initial_extrap=None):
         step = lambda w, h, xx: mu_step_sharded_masked(
             w, h, dq(xx), mask_loc, eps, precision, **pens
         )
@@ -666,6 +723,8 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
             live_emit=_emit_live_origin,
+            initial_momentum=initial_momentum,
+            initial_extrap=initial_extrap,
         )
 
     out_specs = SolveResult(
@@ -676,25 +735,22 @@ def build_sharded_masked_solver(config: SolveConfig, mesh: Mesh):
         cost_history=P(),
         num_checks=P(),
         converged=P(),
+        momentum=P(),
     )
     x_spec = (
         _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
-    return jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(
-                x_spec,
-                P(ROW_AXIS, None),
-                P(None, COL_AXIS),
-                P(ROW_AXIS, COL_AXIS),
-                P(),
-            ),
-            out_specs=out_specs,
-            check_vma=False,
+    return _finish_sharded_builder(
+        local_solve,
+        (
+            x_spec,
+            P(ROW_AXIS, None),
+            P(None, COL_AXIS),
+            P(ROW_AXIS, COL_AXIS),
+            P(),
+            P(),
         ),
-        donate_argnums=(1, 2),
+        out_specs, mesh, config, donate=(1, 2),
     )
 
 
@@ -752,12 +808,15 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
 
         cost = functools.partial(beta_partial, beta=config.beta, eps=eps)
 
-    def local_solve(x_loc, w_loc, h_loc, initial_cost):
+    def local_solve(x_loc, w_loc, h_loc, initial_cost, initial_momentum,
+                    initial_extrap=None):
         return run_checked_loop(
             x_loc, w_loc, h_loc, config, step, cost,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
             live_emit=_emit_live_origin,
+            initial_momentum=initial_momentum,
+            initial_extrap=initial_extrap,
         )
 
     if config.precision.x_dtype == "int8":
@@ -776,18 +835,14 @@ def build_sharded_h_solver(config: SolveConfig, mesh: Mesh):
         cost_history=P(),
         num_checks=P(),
         converged=P(),
+        momentum=P(),
     )
     # only H is donated: W is fixed and callers commonly reuse it across
     # transform() calls
-    return jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P()),
-            out_specs=out_specs,
-            check_vma=False,
-        ),
-        donate_argnums=(2,),
+    return _finish_sharded_builder(
+        local_solve,
+        (x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P(), P()),
+        out_specs, mesh, config, donate=(2,),
     )
 
 
@@ -806,7 +861,8 @@ def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh, fused: bool = Fal
     quant = config.precision.x_dtype == "int8"
     step_fn, cost_fn = _sharded_family_fns(config, mesh, fused=fused)
 
-    def local_solve(x_loc, w_loc, h_loc, mk, initial_cost):
+    def local_solve(x_loc, w_loc, h_loc, mk, initial_cost, initial_momentum,
+                    initial_extrap=None):
         # frozen source = the initial local dictionary shard (W therefore
         # not donated: its pre-loop value stays live for the whole run)
         w_frz_loc = w_loc
@@ -821,6 +877,8 @@ def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh, fused: bool = Fal
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
             live_emit=_emit_live_origin,
+            initial_momentum=initial_momentum,
+            initial_extrap=initial_extrap,
         )
 
     out_specs = SolveResult(
@@ -831,21 +889,15 @@ def build_sharded_semi_solver(config: SolveConfig, mesh: Mesh, fused: bool = Fal
         cost_history=P(),
         num_checks=P(),
         converged=P(),
+        momentum=P(),
     )
     x_spec = (
         _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
-    return jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(
-                x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P(), P(),
-            ),
-            out_specs=out_specs,
-            check_vma=False,
-        ),
-        donate_argnums=(2,),
+    return _finish_sharded_builder(
+        local_solve,
+        (x_spec, P(ROW_AXIS, None), P(None, COL_AXIS), P(), P(), P()),
+        out_specs, mesh, config, donate=(2,),
     )
 
 
@@ -875,31 +927,29 @@ def build_sharded_masked_h_solver(config: SolveConfig, mesh: Mesh):
         ) / r
         return part
 
-    def local_solve(xm_loc, w_loc, h_loc, initial_cost):
+    def local_solve(xm_loc, w_loc, h_loc, initial_cost, initial_momentum,
+                    initial_extrap=None):
         return run_checked_loop(
             xm_loc, w_loc, h_loc, config, step, cost,
             all_reduce=lambda c: jax.lax.psum(c, (ROW_AXIS, COL_AXIS)),
             initial_cost=initial_cost,
             live_emit=_emit_live_origin,
+            initial_momentum=initial_momentum,
+            initial_extrap=initial_extrap,
         )
 
     out_specs = SolveResult(
         w=P(ROW_AXIS, None), h=P(None, COL_AXIS), iterations=P(), cost=P(),
-        cost_history=P(), num_checks=P(), converged=P(),
+        cost_history=P(), num_checks=P(), converged=P(), momentum=P(),
     )
     x_spec = (
         _quant_specs(config.precision) if quant else P(ROW_AXIS, COL_AXIS)
     )
-    return jax.jit(
-        jax.shard_map(
-            local_solve,
-            mesh=mesh,
-            in_specs=(
-                (x_spec, P(ROW_AXIS, COL_AXIS)),
-                P(ROW_AXIS, None), P(None, COL_AXIS), P(),
-            ),
-            out_specs=out_specs,
-            check_vma=False,
+    return _finish_sharded_builder(
+        local_solve,
+        (
+            (x_spec, P(ROW_AXIS, COL_AXIS)),
+            P(ROW_AXIS, None), P(None, COL_AXIS), P(), P(),
         ),
-        donate_argnums=(2,),
+        out_specs, mesh, config, donate=(2,),
     )

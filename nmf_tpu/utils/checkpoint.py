@@ -59,6 +59,16 @@ class CheckpointState:
     # *within itself*, so labels cannot be reconstructed from check_every
     # alone).  None for checkpoints written before this field existed.
     check_iterations: Optional[List[int]] = None
+    # accelerated loop's adapted momentum at checkpoint time, so a resumed
+    # accel run continues with the coefficient it had (NaN = fresh start /
+    # non-accelerated / pre-field checkpoint).
+    momentum: float = float("nan")
+    # accelerated loop's extrapolation carry (factor-shaped, the other half
+    # of its resume state): with both stored, an accelerated checkpointed
+    # run resumes EXACTLY where it left off (resume == straight-run).  None
+    # for non-accelerated runs and pre-field checkpoints.
+    w_ex: Optional[np.ndarray] = None
+    h_ex: Optional[np.ndarray] = None
 
 
 def _config_fingerprint(config: SolveConfig) -> dict:
@@ -92,6 +102,38 @@ def _fingerprint_mismatch(have: dict, want: dict) -> bool:
     return any(k in have and have[k] != want[k] for k in want)
 
 
+def _recover_and_sweep(directory: str) -> None:
+    """Best-effort GC of crash artifacts from earlier ``save_checkpoint``s.
+
+    A death between the two renames of a same-step overwrite leaves the
+    previous copy parked under ``.old_step_NNN_<pid>`` (dot-prefixed so it
+    can never shadow a real step).  Restore the parked copy when its step
+    vanished, drop it when the step exists, and clear abandoned
+    ``.tmp_ckpt_*`` staging dirs.  Safe under the directory's single-writer
+    contract (sharded multi-process checkpoints go through orbax instead).
+    """
+    try:
+        entries = os.listdir(directory)
+    except OSError:
+        return
+    import shutil
+
+    for name in entries:
+        path = os.path.join(directory, name)
+        try:
+            if name.startswith(".old_step_"):
+                step = name[len(".old_"):].rsplit("_", 1)[0]
+                step_dir = os.path.join(directory, step)
+                if os.path.exists(step_dir):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.rename(path, step_dir)
+            elif name.startswith(".tmp_ckpt_"):
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass  # GC is best-effort; never fail a save/list over it
+
+
 def save_checkpoint(
     directory: str,
     state: CheckpointState,
@@ -99,11 +141,19 @@ def save_checkpoint(
 ) -> str:
     """Write a checkpoint dir ``<directory>/step_<iteration>`` atomically."""
     os.makedirs(directory, exist_ok=True)
+    _recover_and_sweep(directory)
     step_dir = os.path.join(directory, f"step_{state.iteration:08d}")
     tmp = tempfile.mkdtemp(dir=directory, prefix=".tmp_ckpt_")
     try:
         binio.write_matrix(np.asarray(state.w), os.path.join(tmp, "W.bin"))
         binio.write_matrix(np.asarray(state.h), os.path.join(tmp, "H.bin"))
+        if state.w_ex is not None:
+            binio.write_matrix(
+                np.asarray(state.w_ex, np.float32), os.path.join(tmp, "Wex.bin")
+            )
+            binio.write_matrix(
+                np.asarray(state.h_ex, np.float32), os.path.join(tmp, "Hex.bin")
+            )
         meta = {
             "iteration": int(state.iteration),
             "cost_history": [float(c) for c in state.cost_history],
@@ -111,6 +161,13 @@ def save_checkpoint(
             "check_iterations": (
                 [int(i) for i in state.check_iterations]
                 if state.check_iterations is not None
+                else None
+            ),
+            # None when NaN: portable JSON, and a reader distinguishes
+            # "no adapted momentum" without NaN literals
+            "momentum": (
+                float(state.momentum)
+                if state.momentum == state.momentum
                 else None
             ),
             "config": _config_fingerprint(config) if config else None,
@@ -129,7 +186,14 @@ def save_checkpoint(
                 f".old_{os.path.basename(step_dir)}_{os.getpid()}",
             )
             os.rename(step_dir, old)
-            os.rename(tmp, step_dir)
+            try:
+                os.rename(tmp, step_dir)
+            except BaseException:
+                # the step must never vanish: put the parked copy back
+                # before the outer handler clears tmp
+                if not os.path.exists(step_dir):
+                    os.rename(old, step_dir)
+                raise
             import shutil
 
             shutil.rmtree(old)
@@ -159,20 +223,38 @@ def load_checkpoint(step_dir: str, config: Optional[SolveConfig] = None) -> Chec
                 f"checkpoint {step_dir} was written with config {have}, "
                 f"resume requested with {want}; refusing to mix objectives"
             )
+    wex_path = os.path.join(step_dir, "Wex.bin")
+    has_ex = os.path.exists(wex_path)
     return CheckpointState(
         w=binio.read_matrix(os.path.join(step_dir, "W.bin")),
         h=binio.read_matrix(os.path.join(step_dir, "H.bin")),
+        w_ex=binio.read_matrix(wex_path) if has_ex else None,
+        h_ex=(
+            binio.read_matrix(os.path.join(step_dir, "Hex.bin"))
+            if has_ex else None
+        ),
         iteration=int(meta["iteration"]),
         cost_history=list(meta.get("cost_history", [])),
         converged=bool(meta.get("converged", False)),
         check_iterations=meta.get("check_iterations"),
+        momentum=(
+            float(meta["momentum"])
+            if meta.get("momentum") is not None
+            else float("nan")
+        ),
     )
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
-    """Newest complete ``step_*`` dir under ``directory`` (None if none)."""
+    """Newest complete ``step_*`` dir under ``directory`` (None if none).
+
+    Also restores a step parked by a crash mid same-step overwrite (see
+    :func:`_recover_and_sweep`), so a resume after such a crash still finds
+    the previous copy instead of silently starting over.
+    """
     if not os.path.isdir(directory):
         return None
+    _recover_and_sweep(directory)
     steps = sorted(
         d
         for d in os.listdir(directory)
@@ -216,11 +298,11 @@ def save_checkpoint_sharded(
     with ocp.StandardCheckpointer() as ckptr:
         # multihost-coordinated collective save; blocks until all hosts'
         # shards are durable (the checkpointer context also waits on exit)
-        ckptr.save(
-            step_dir + ".arrays",
-            {"w": state.w, "h": state.h},
-            force=True,
-        )
+        arrays = {"w": state.w, "h": state.h}
+        if state.w_ex is not None:
+            arrays["w_ex"] = state.w_ex
+            arrays["h_ex"] = state.h_ex
+        ckptr.save(step_dir + ".arrays", arrays, force=True)
     try:
         if jax.process_index() == 0:
             meta = {
@@ -232,6 +314,14 @@ def save_checkpoint_sharded(
                     if state.check_iterations is not None
                     else None
                 ),
+                # None when NaN: portable JSON, and a reader distinguishes
+                # "no adapted momentum" without NaN literals
+                "momentum": (
+                    float(state.momentum)
+                    if state.momentum == state.momentum
+                    else None
+                ),
+                "has_extrap": state.w_ex is not None,
                 "config": _config_fingerprint(config) if config else None,
                 "format": "nmf_tpu.sharded.v1",
             }
@@ -291,18 +381,30 @@ def load_checkpoint_sharded(
     def _abstract(a):
         return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
 
+    like = {"w": w_like, "h": h_like}
+    if meta.get("has_extrap"):
+        # the extrapolation carry shards exactly like the factors
+        like["w_ex"] = w_like
+        like["h_ex"] = h_like
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(
             step_dir + ".arrays",
-            jax.tree_util.tree_map(_abstract, {"w": w_like, "h": h_like}),
+            jax.tree_util.tree_map(_abstract, like),
         )
     return CheckpointState(
         w=restored["w"],
         h=restored["h"],
+        w_ex=restored.get("w_ex"),
+        h_ex=restored.get("h_ex"),
         iteration=int(meta["iteration"]),
         cost_history=list(meta.get("cost_history", [])),
         converged=bool(meta.get("converged", False)),
         check_iterations=meta.get("check_iterations"),
+        momentum=(
+            float(meta["momentum"])
+            if meta.get("momentum") is not None
+            else float("nan")
+        ),
     )
 
 
@@ -361,6 +463,8 @@ def solve_with_checkpoints(
     start_iter = 0
     cost_history: List[float] = []
     check_iterations: List[int] = []
+    last_mom = float("nan")  # accel momentum threaded across segments
+    last_ex = None           # ...and its extrapolation carry (accel only)
     w, h = w0, h0
     converged = False
     if resume:
@@ -386,6 +490,9 @@ def solve_with_checkpoints(
             cost_history = state.cost_history
             converged = state.converged
             check_iterations = list(state.check_iterations or [])
+            last_mom = float(state.momentum)
+            if state.w_ex is not None:
+                last_ex = (jnp.asarray(state.w_ex), jnp.asarray(state.h_ex))
 
     # ---- one-time placement + clamp (the single H2D of X for this run) ----
     from ..models.sparse_tiled import TileSparseX
@@ -423,7 +530,9 @@ def solve_with_checkpoints(
         while it < config.max_iter and not converged:
             seg = min(every, config.max_iter - it)
             seg_cfg = dataclasses.replace(config, max_iter=seg)
-            res = _run_tiled(xarg, w_dev, h_dev, seg_cfg, info, last_cost)
+            res = _run_tiled(
+                xarg, w_dev, h_dev, seg_cfg, info, last_cost, last_mom
+            )
             w_dev, h_dev = res.w, res.h  # padded, device-resident, donated on
             seg_iters = int(res.iterations)
             n_checks = int(res.num_checks)
@@ -438,11 +547,14 @@ def solve_with_checkpoints(
             cost_history.extend(seg_hist)
             if seg_hist:
                 last_cost = seg_hist[-1]
+            if res.momentum is not None:
+                last_mom = float(res.momentum)
             converged = bool(res.converged)
             cropped = _crop_tiled(res, info)
             state = CheckpointState(
                 np.asarray(cropped.w), np.asarray(cropped.h), it,
                 cost_history, converged, check_iterations,
+                momentum=last_mom,
             )
             save_checkpoint(directory, state, config)
         if state is None:
@@ -451,6 +563,7 @@ def solve_with_checkpoints(
                 np.asarray(w_dev)[: info["m"]],
                 np.asarray(h_dev)[:, : info["n"]],
                 it, cost_history, converged, check_iterations,
+                momentum=last_mom,
             )
         return state
 
@@ -489,15 +602,22 @@ def solve_with_checkpoints(
     while it < config.max_iter and not converged:
         seg = min(every, config.max_iter - it)
         seg_cfg = dataclasses.replace(config, max_iter=seg)
+        if config.accelerate and last_ex is None:
+            # first accelerated segment: seed the carry AT the iterate with
+            # fresh copies (the segment donates w_dev/h_dev) — identical to
+            # the one-jit accel init, so segmenting is exact
+            last_ex = (w_dev + 0, h_dev + 0)
         if mesh is not None:
             res = solve_sharded(
                 w0=w_dev, h0=h_dev, x=x_dev, config=seg_cfg, mesh=mesh,
                 initial_cost=last_cost, clamp_inputs=False,
+                initial_momentum=last_mom, initial_extrap=last_ex,
             )
         else:
             res = solve(
                 x_dev, w_dev, h_dev, seg_cfg,
                 initial_cost=last_cost, clamp_inputs=False,
+                initial_momentum=last_mom, initial_extrap=last_ex,
             )
         # device-resident carry: these buffers are donated to the next
         # segment (w_dev/h_dev above were consumed by this one)
@@ -513,17 +633,27 @@ def solve_with_checkpoints(
         cost_history.extend(seg_hist)
         if seg_hist:
             last_cost = seg_hist[-1]
+        if res.momentum is not None:
+            last_mom = float(res.momentum)
+        if res.w_ex is not None:
+            last_ex = (res.w_ex, res.h_ex)
         converged = bool(res.converged)
         if sharded_checkpoints:
-            # factors stay sharded; each host writes only its shards
+            # factors stay sharded; each host writes only its shards (the
+            # accel extrapolation carry shards exactly like the factors)
             state = CheckpointState(
-                w_dev, h_dev, it, cost_history, converged, check_iterations
+                w_dev, h_dev, it, cost_history, converged, check_iterations,
+                momentum=last_mom,
+                w_ex=last_ex[0] if config.accelerate else None,
+                h_ex=last_ex[1] if config.accelerate else None,
             )
             save_checkpoint_sharded(directory, state, config)
         else:
             state = CheckpointState(
                 np.asarray(res.w), np.asarray(res.h), it, cost_history,
-                converged, check_iterations,
+                converged, check_iterations, momentum=last_mom,
+                w_ex=np.asarray(res.w_ex) if res.w_ex is not None else None,
+                h_ex=np.asarray(res.h_ex) if res.h_ex is not None else None,
             )
             save_checkpoint(directory, state, config)
     if state is None:
@@ -531,6 +661,7 @@ def solve_with_checkpoints(
         w_out = w_dev if sharded_checkpoints else np.asarray(w_dev)
         h_out = h_dev if sharded_checkpoints else np.asarray(h_dev)
         state = CheckpointState(
-            w_out, h_out, it, cost_history, converged, check_iterations
+            w_out, h_out, it, cost_history, converged, check_iterations,
+            momentum=last_mom,
         )
     return state

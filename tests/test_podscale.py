@@ -38,6 +38,7 @@ def test_podscale_program_lowers():
         jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws),
         jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs),
         jax.ShapeDtypeStruct((), np.float32, sharding=rep),
+        jax.ShapeDtypeStruct((), np.float32, sharding=rep),  # initial_momentum
     )
     lowered = fn.lower(*abstract)  # raises if any sharding is inconsistent
     text = lowered.as_text()
@@ -87,19 +88,19 @@ def test_podscale_extension_programs_lower(kind):
     if kind == "reg":
         cfg = SolveConfig(max_iter=200, check_every=25, l1_h=0.01, l2_w=0.01)
         fn = build_sharded_solver(cfg, mesh)
-        lowered = fn.lower(ax, aw, ah, ac)
+        lowered = fn.lower(ax, aw, ah, ac, ac)
     elif kind == "masked":
         cfg = SolveConfig(max_iter=200, check_every=25)
         fn = build_sharded_masked_solver(cfg, mesh)
-        lowered = fn.lower(ax, aw, ah, ax, ac)  # mask shards like X
+        lowered = fn.lower(ax, aw, ah, ax, ac, ac)  # mask shards like X
     elif kind == "hals":
         cfg = SolveConfig(max_iter=200, check_every=25, beta=2.0, algorithm="hals")
         fn = build_sharded_solver(cfg, mesh)
-        lowered = fn.lower(ax, aw, ah, ac)
+        lowered = fn.lower(ax, aw, ah, ac, ac)
     else:
         cfg = SolveConfig(max_iter=200, check_every=25)
         fn = build_sharded_h_solver(cfg, mesh)
-        lowered = fn.lower(ax, aw, ah, ac)
+        lowered = fn.lower(ax, aw, ah, ac, ac)
     text = lowered.as_text()
     assert "all-reduce" in text or "all_reduce" in text
 
@@ -129,6 +130,7 @@ def test_podscale_tile_sparse_program_lowers():
         jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws),
         jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs),
         jax.ShapeDtypeStruct((), np.float32, sharding=rep),
+        jax.ShapeDtypeStruct((), np.float32, sharding=rep),  # initial_momentum
     )
     lowered = fn.lower(*abstract)
     assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
@@ -192,7 +194,7 @@ def test_podscale_int8_h_only_lowers():
     aw = jax.ShapeDtypeStruct((M, K), np.float32, sharding=ws)
     ah = jax.ShapeDtypeStruct((K, N), np.float32, sharding=hs)
     ac = jax.ShapeDtypeStruct((), np.float32, sharding=rep)
-    lowered = fn.lower((codes, sc), aw, ah, ac)
+    lowered = fn.lower((codes, sc), aw, ah, ac, ac)
     assert "all-reduce" in lowered.as_text() or "all_reduce" in lowered.as_text()
 
 

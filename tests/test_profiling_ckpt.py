@@ -119,3 +119,119 @@ def test_sharded_checkpointed_solve_resume(tmp_path):
         ckpt.solve_with_checkpoints(
             x, w, h, cfg, d, every=10, sharded_checkpoints=True
         )
+
+
+# --- accelerated checkpoint resume carries the FULL accel state -----------
+# (momentum + extrapolation pair: VERDICT r03 weak #4 / next-round item 6)
+
+
+def _accel_problem(seed=7, m=96, k=8, n=160):
+    rng = np.random.RandomState(seed)
+    eps = np.float32(2.2204e-16)
+    x = np.maximum(rng.rand(m, n).astype(np.float32), eps)
+    w0 = rng.rand(m, k).astype(np.float32)
+    h0 = rng.rand(k, n).astype(np.float32)
+    return x, w0, h0
+
+
+def test_checkpointed_accel_equals_straight_run(tmp_path):
+    from nmf_tpu import solve
+
+    x, w0, h0 = _accel_problem()
+    cfg = SolveConfig(max_iter=60, check_every=10, accelerate=True)
+    ref = solve(x, w0, h0, cfg)
+    state = ckpt.solve_with_checkpoints(
+        x, w0, h0, cfg, str(tmp_path / "ck"), every=20
+    )
+    assert state.iteration == int(ref.iterations) == 60
+    np.testing.assert_allclose(
+        np.asarray(state.w), np.asarray(ref.w), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        state.cost_history,
+        np.asarray(ref.cost_history)[: int(ref.num_checks)],
+        rtol=1e-6,
+    )
+    # the adapted momentum made it into the checkpoint
+    np.testing.assert_allclose(state.momentum, float(ref.momentum), rtol=1e-6)
+    assert state.w_ex is not None and state.h_ex is not None
+
+
+def test_checkpointed_accel_kill_resume_exact(tmp_path):
+    """Kill after 20 iters, resume to 60: identical to the uninterrupted
+    checkpointed run (extrap pair + momentum restored from the files)."""
+    from nmf_tpu import solve
+
+    x, w0, h0 = _accel_problem(seed=11)
+    ckdir = str(tmp_path / "ck")
+    import dataclasses as dc
+
+    cfg = SolveConfig(max_iter=60, check_every=10, accelerate=True)
+    ckpt.solve_with_checkpoints(
+        x, w0, h0, dc.replace(cfg, max_iter=20), ckdir, every=20
+    )
+    resumed = ckpt.solve_with_checkpoints(x, w0, h0, cfg, ckdir, every=20)
+    straight = solve(x, w0, h0, cfg)
+    assert resumed.iteration == 60
+    np.testing.assert_allclose(
+        np.asarray(resumed.w), np.asarray(straight.w), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        resumed.cost_history,
+        np.asarray(straight.cost_history)[: int(straight.num_checks)],
+        rtol=1e-6,
+    )
+
+
+def test_sharded_checkpointed_accel_resume_exact(tmp_path):
+    """Same exact-resume property on the mesh (orbax checkpoints carry the
+    sharded extrapolation pair)."""
+    import dataclasses as dc
+
+    x, w0, h0 = _accel_problem(seed=13, m=64, k=6, n=64)
+    mesh = make_mesh()
+    cfg = SolveConfig(max_iter=40, check_every=10, accelerate=True)
+    ckdir = str(tmp_path / "ck")
+    ckpt.solve_with_checkpoints(
+        x, w0, h0, dc.replace(cfg, max_iter=20), ckdir, every=20,
+        mesh=mesh, sharded_checkpoints=True,
+    )
+    resumed = ckpt.solve_with_checkpoints(
+        x, w0, h0, cfg, ckdir, every=20, mesh=mesh, sharded_checkpoints=True
+    )
+    straight = sharded.solve_sharded(x, w0, h0, cfg, mesh=mesh)
+    assert resumed.iteration == 40
+    np.testing.assert_allclose(
+        np.asarray(resumed.w), np.asarray(straight.w), rtol=1e-5, atol=1e-7
+    )
+
+
+# --- crash-artifact GC / restore (ADVICE r03: checkpoint.py:131) ----------
+
+
+def test_checkpoint_crash_between_renames_recovers(tmp_path):
+    """A step parked as .old_* by a crash mid same-step overwrite is restored
+    by latest_checkpoint, and stale .tmp_ckpt_* staging dirs are swept."""
+    import shutil
+
+    d = str(tmp_path / "ck")
+    st = ckpt.CheckpointState(
+        w=np.ones((4, 2), np.float32), h=np.ones((2, 3), np.float32),
+        iteration=5, cost_history=[1.0], momentum=0.7,
+    )
+    step = ckpt.save_checkpoint(d, st)
+    # simulate the crash window: step renamed away, tmp left behind
+    parked = os.path.join(d, ".old_step_00000005_12345")
+    os.rename(step, parked)
+    os.makedirs(os.path.join(d, ".tmp_ckpt_leftover", "junk"))
+    assert ckpt.latest_checkpoint(d) == step          # restored
+    assert not os.path.exists(parked)
+    assert not os.path.exists(os.path.join(d, ".tmp_ckpt_leftover"))
+    loaded = ckpt.load_checkpoint(step)
+    assert loaded.iteration == 5
+    np.testing.assert_allclose(loaded.momentum, 0.7, rtol=1e-6)
+    # when BOTH exist (crash after the second rename), the parked copy is
+    # swept and the real step wins
+    shutil.copytree(step, parked)
+    assert ckpt.latest_checkpoint(d) == step
+    assert not os.path.exists(parked)

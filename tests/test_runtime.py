@@ -826,18 +826,20 @@ def test_live_chunked_tail_warm(small_problem, monkeypatch):
 
 def test_live_chunked_threads_prev_cost(small_problem):
     """Each chunked-live segment receives the PREVIOUS check's cost as its
-    initial_cost (not NaN): an accelerated segment's acceptance baseline
-    carries across chunks without re-running the seed reconstruction GEMM."""
+    initial_cost (not NaN) and the previous segment's final momentum as its
+    initial_momentum: an accelerated segment's acceptance baseline AND its
+    adapted coefficient carry across chunks."""
     import jax.numpy as jnp
 
     from nmf_tpu.models.solver import SolveResult, run_live_chunked
 
     x, w, h = small_problem
-    seen = []
+    seen, seen_mom = [], []
 
     def make_fn(cfg):
-        def fn(x_, w_, h_, c0):
+        def fn(x_, w_, h_, c0, m0):
             seen.append(float(c0))
+            seen_mom.append(float(m0))
             cost = 100.0 - 10.0 * len(seen)
             return SolveResult(
                 w=w_, h=h_,
@@ -846,6 +848,7 @@ def test_live_chunked_threads_prev_cost(small_problem):
                 cost_history=jnp.asarray([cost], jnp.float32),
                 num_checks=jnp.asarray(1, jnp.int32),
                 converged=jnp.asarray(False, jnp.bool_),
+                momentum=jnp.asarray(0.5 + 0.1 * len(seen), jnp.float32),
             )
 
         return fn
@@ -857,7 +860,11 @@ def test_live_chunked_threads_prev_cost(small_problem):
     )
     assert np.isnan(seen[0])
     assert seen[1:] == [90.0, 80.0]
+    assert np.isnan(seen_mom[0])
+    # prior segment's final momentum (f32 round trip)
+    np.testing.assert_allclose(seen_mom[1:], [0.6, 0.7], rtol=1e-6)
     assert float(res.cost) == 70.0
+    np.testing.assert_allclose(float(res.momentum), 0.8, rtol=1e-6)
     assert int(res.num_checks) == 3
 
 
