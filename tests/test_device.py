@@ -170,3 +170,62 @@ def test_hwparity_gate_quick_cpu():
             assert entry["cost_vs_padded_oracle_rel"] < 1e-3
         else:
             assert entry["jnp_cost_vs_oracle_rel"] < 1e-3
+
+
+def test_archive_metric_fields_and_rows(tmp_path):
+    """Archive rows are aggregatable: new rows get structured
+    workload/shape/k/dtype fields stamped from the metric name, and rows
+    written before the fields existed are backfilled at read time, so
+    archive_rows can group any cell (VERDICT r03 weak #2/#5 prerequisite)."""
+    import bench
+
+    assert bench.metric_fields(
+        "mu_iters_per_sec[regression 4096x350 rank 128 bfloat16]"
+    ) == {
+        "workload": "regression", "shape": "4096x350", "k": 128,
+        "dtype": "bfloat16", "x_dtype": "float32",
+    }
+    assert bench.metric_fields(
+        "mu_iters_per_sec[flagship 10240x10240 rank 256 bfloat16 x-int8]"
+    )["x_dtype"] == "int8"
+    ts = bench.metric_fields(
+        "tile_sparse_iters_per_sec[8192x8192 k=128 tile=128 occ=0.125 float32]"
+    )
+    assert ts == {
+        "workload": "tile_sparse", "shape": "8192x8192", "k": 128,
+        "tile": 128, "occupancy": 0.125, "dtype": "float32",
+    }
+    assert bench.metric_fields("nonsense") == {}
+    assert bench.metric_fields("mu_iters_per_sec[weird]") == {}
+
+    path = str(tmp_path / "archive.jsonl")
+    # a pre-field (round <= 3 style) row, written raw
+    import json as _json
+
+    with open(path, "w") as f:
+        f.write(_json.dumps({
+            "metric": "mu_iters_per_sec[regression 4096x350 rank 128 bfloat16]",
+            "backend": "jnp", "device_kind": "TPU v5 lite",
+            "repeat_iters_per_sec": [100.0, 110.0], "ts": 1.0,
+        }) + "\n")
+    # a new row goes through archive_append -> fields stamped on disk
+    bench.archive_append({
+        "metric": "mu_iters_per_sec[regression 4096x350 rank 128 bfloat16]",
+        "backend": "pallas", "device_kind": "TPU v5 lite",
+        "repeat_iters_per_sec": [90.0, 95.0],
+    }, path=path)
+    with open(path) as f:
+        lines = [_json.loads(l) for l in f]
+    assert "workload" not in lines[0] and lines[1]["workload"] == "regression"
+    assert lines[1]["k"] == 128 and lines[1]["dtype"] == "bfloat16"
+
+    # grouping: BOTH rows (old backfilled + new stamped) match field filters
+    rows = bench.archive_rows(path, workload="regression", dtype="bfloat16")
+    assert len(rows) == 2
+    assert {r["backend"] for r in rows} == {"jnp", "pallas"}
+    # archive_stats still keys on the exact metric string
+    st = bench.archive_stats(
+        "mu_iters_per_sec[regression 4096x350 rank 128 bfloat16]",
+        "jnp", "TPU v5 lite", path=path,
+    )
+    assert st["archive_sessions"] == 1 and st["archive_repeats"] == 2
