@@ -734,6 +734,7 @@ def cmd_export(args) -> int:
         save_transform(
             args.output, w, args.block_cols, config, platforms,
             mesh_shape=mesh_shape, masked=args.masked,
+            quantized_input=args.quantized_input,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -742,10 +743,11 @@ def cmd_export(args) -> int:
         size = os.path.getsize(args.output)
         mesh_note = f", mesh {args.mesh}" if mesh_shape else ""
         mask_note = ", masked" if args.masked else ""
+        quant_note = ", quantized-input" if args.quantized_input else ""
         print(
             f"[nmf] exported {args.output}: W {w.shape[0]}x{w.shape[1]}, "
             f"block {args.block_cols} cols, platforms {','.join(platforms)}"
-            f"{mesh_note}{mask_note}, {size} bytes",
+            f"{mesh_note}{mask_note}{quant_note}, {size} bytes",
             file=sys.stderr,
         )
     return 0
@@ -1128,6 +1130,8 @@ def cmd_info(args) -> int:
             mesh_s = f", mesh {mesh[0]}x{mesh[1]}" if mesh else ""
             if meta.get("masked"):
                 mesh_s += ", masked (serve needs --mask)"
+            if meta.get("quantized_input"):
+                mesh_s += ", quantized-input (host int8 quantization)"
             print(
                 f"{path}: serving artifact v{meta['format_version']} — "
                 f"W {meta['m']}x{meta['k']}, block {meta['n_block']} cols, "
@@ -1333,6 +1337,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="export the MASKED transform program (missing-data scoring): "
         "'serve' then requires --mask with the observed-entry weights",
+    )
+    exp.add_argument(
+        "--quantized-input",
+        action="store_true",
+        help="int8 configs only: the program takes host-quantized "
+        "(codes, scales) instead of f32 X — ~4x less serve-time transfer, "
+        "bit-identical results (single-device, unmasked)",
     )
     _add_solver_flags(exp)
     exp.set_defaults(fn=cmd_export)

@@ -51,7 +51,11 @@ def quantize_columns(x: jnp.ndarray, eps: float) -> Tuple[jnp.ndarray, jnp.ndarr
     error bound)."""
     xf = x.astype(_F32)
     colmax = jnp.max(xf, axis=0)
-    scales = jnp.maximum(colmax, eps) / 255.0
+    # explicit reciprocal-MULTIPLY, not /255: XLA rewrites constant division
+    # to reciprocal multiplication anyway (measured: `c / 255.0` lowers to
+    # `c * f32(1/255)`), so spelling the multiply keeps host (NumPy twin)
+    # and device scales bit-identical without leaning on that rewrite
+    scales = jnp.maximum(colmax, eps) * jnp.float32(1.0 / 255.0)
     # reciprocal-multiply (not divide): the exact op sequence of the NumPy
     # twin, so codes are bit-identical between the two implementations
     inv = (jnp.float32(1.0) / scales)[None, :]
@@ -88,7 +92,8 @@ def quantize_rowblocks(
     pad = r * rb - m
     xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
     blocks = xp.reshape(r, rb, n)
-    scales = jnp.maximum(blocks.max(axis=1), eps) / 255.0      # (R, N)
+    # reciprocal-multiply, not /255 — see quantize_columns
+    scales = jnp.maximum(blocks.max(axis=1), eps) * jnp.float32(1.0 / 255.0)  # (R, N)
     inv = (jnp.float32(1.0) / scales)[:, None, :]
     q = (
         jnp.clip(jnp.floor(blocks * inv + 0.5), 0, 255)
@@ -151,7 +156,8 @@ def quantize_columns_np(x, eps: float):
     import numpy as np
 
     xf = np.asarray(x, np.float32)
-    scales = np.maximum(xf.max(axis=0), np.float32(eps)) / np.float32(255.0)
+    # reciprocal-multiply, not /255 — see quantize_columns
+    scales = np.maximum(xf.max(axis=0), np.float32(eps)) * np.float32(1.0 / 255.0)
     v = xf * (np.float32(1.0) / scales)[None, :]
     v += np.float32(0.5)
     np.clip(v, 0, 255, out=v)
@@ -173,7 +179,8 @@ def quantize_rowblocks_np(x, eps: float, rows_per_block: int):
     pad = r * rb - m
     xp = np.pad(xf, ((0, pad), (0, 0))) if pad else xf
     blocks = xp.reshape(r, rb, n)
-    scales = np.maximum(blocks.max(axis=1), np.float32(eps)) / np.float32(255.0)
+    # reciprocal-multiply, not /255 — see quantize_columns
+    scales = np.maximum(blocks.max(axis=1), np.float32(eps)) * np.float32(1.0 / 255.0)
     v = blocks * (np.float32(1.0) / scales)[:, None, :]
     v += np.float32(0.5)
     np.clip(v, 0, 255, out=v)

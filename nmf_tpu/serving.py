@@ -43,7 +43,15 @@ Unsupported in an export (validated eagerly): ``backend='pallas'`` /
 device — the artifact must run everywhere it lowers for), and
 ``live_metrics`` (host callbacks cannot be serialized).  ``x_dtype`` int8 /
 bfloat16 work: the cast/quantization prep runs *inside* the program, so the
-serving input is always plain float32.
+serving input is always plain float32.  For int8 configs,
+``quantized_input=True`` moves the quantization to the HOST instead (the
+bit-identical NumPy twin, ops/quant.quantize_*_np): the program takes the
+``(codes, scales)`` pair directly, so each block's H2D transfer shrinks ~4x
+— the lever that matters on link-bound serving (this host's measured
+0.01-0.05 GB/s).  Results are bit-identical to the in-program-quantization
+artifact; excluded for masked (the program zeroes unobserved entries BEFORE
+quantizing) and mesh artifacts (same per-shard scale-layout exclusion as
+in-program int8).
 
 Distributed serving: ``mesh_shape=(rows, cols)`` exports the shard_map
 solver (parallel.sharded) instead — traced over a ``jax.sharding
@@ -76,9 +84,12 @@ __all__ = [
 ]
 
 # v1: plain/mesh transform artifacts.  v2 adds masked artifacts (a 4th
-# program input); plain artifacts still write v1 so older loaders — which
-# reject versions above their own — keep reading them.
-FORMAT_VERSION = 2
+# program input).  v3 adds quantized-input artifacts (program takes the
+# (codes, scales) pair instead of f32 X — quarter-width serve-time
+# transfers).  Each artifact writes the LOWEST version that can describe it,
+# so older loaders — which reject versions above their own — keep reading
+# everything they can actually serve.
+FORMAT_VERSION = 3
 _MAGIC = "nmf_tpu-serving"
 
 
@@ -146,6 +157,36 @@ def _build_program(config: SolveConfig):
 
     def program(x, w, h0):
         x, w, h0 = prep(x, w, h0)
+        res = run_checked_loop(x, w, h0, config, step, cost)
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    return jax.jit(program)
+
+
+def _build_quantized_input_program(config: SolveConfig):
+    """Quantized-input variant of :func:`_build_program`: ``program(codes,
+    scales, w, h0)`` takes X pre-quantized by the HOST (the bit-identical
+    NumPy twins in ops/quant — ``ServingTransform`` does it per block), so
+    serve-time H2D moves uint8 codes instead of f32 X.  The solve body is
+    the exact int8 path the in-program-quantization artifact runs — only
+    WHERE the quantization happens differs, so results are bit-identical."""
+    import jax
+
+    from .models.nmf import _h_only_step_cost
+    from .models.solver import _prep_jit, run_checked_loop
+
+    step, cost = _h_only_step_cost(config)
+    prep = _prep_jit(config, x_is_quant_pair=True)
+
+    def program(codes, scales, w, h0):
+        x, w, h0 = prep((codes, scales), w, h0)
         res = run_checked_loop(x, w, h0, config, step, cost)
         return (
             res.h,
@@ -298,7 +339,7 @@ def _validate_w_shape(w: np.ndarray, n_block: int, mesh_shape=None) -> np.ndarra
 
 
 def _export_validated(w, n_block, config, platforms, mesh_shape=None,
-                      masked=False):
+                      masked=False, quantized_input=False):
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -315,7 +356,39 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None,
             "masked serving implements the KL (beta=1) MU family "
             "(models/masked.py)"
         )
+    if quantized_input:
+        if config.precision.x_dtype != "int8":
+            raise ValueError(
+                "quantized_input exports the (codes, scales) calling "
+                "convention, which only exists for int8 X storage — set "
+                "Precision(x_dtype='int8') (optionally x_quant_rows)"
+            )
+        if masked:
+            raise ValueError(
+                "quantized_input cannot compose with masked: the masked "
+                "program zeroes unobserved entries BEFORE quantizing, which "
+                "host-side quantization cannot reproduce without the mask — "
+                "serve masked int8 with the in-program-quantization artifact"
+            )
+        if mesh_shape is not None:
+            raise ValueError(
+                "quantized_input is single-device (same per-shard "
+                "scale-layout exclusion as in-program int8 on meshes)"
+            )
     m, k = w.shape
+    if quantized_input:
+        program = _build_quantized_input_program(config)
+        qrows = int(config.precision.x_quant_rows or 0)
+        scales_shape = (
+            (-(-m // qrows), n_block) if qrows else (n_block,)
+        )
+        args = [
+            jax.ShapeDtypeStruct((m, n_block), jnp.uint8),
+            jax.ShapeDtypeStruct(scales_shape, jnp.float32),
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, n_block), jnp.float32),
+        ]
+        return jax_export.export(program, platforms=platforms)(*args)
     if mesh_shape is None:
         program = (_build_masked_program if masked else _build_program)(config)
     else:
@@ -346,6 +419,7 @@ def export_transform(
     platforms: Sequence[str] = ("tpu", "cpu"),
     mesh_shape: Optional[Tuple[int, int]] = None,
     masked: bool = False,
+    quantized_input: bool = False,
 ):
     """Trace + lower the H-only transform at fixed shapes.
 
@@ -354,14 +428,19 @@ def export_transform(
     over an AbstractMesh — exporting needs no devices; serving needs
     rows*cols of them).  With ``masked=True`` the program takes a fourth
     ``mask`` input and iterates H on the observed entries only
-    (missing-data scoring; composes with ``mesh_shape``).
+    (missing-data scoring; composes with ``mesh_shape``).  With
+    ``quantized_input=True`` (int8 configs, single-device, unmasked) the
+    program takes host-quantized ``(codes, scales)`` instead of f32 X —
+    ~4x less serve-time H2D, bit-identical results.
 
     Returns a ``jax.export.Exported``; most callers want
     :func:`save_transform`, which wraps this in the on-disk artifact.
     """
     config = _validate_exportable(config)
     w = _validate_w_shape(w, n_block, mesh_shape)
-    return _export_validated(w, n_block, config, platforms, mesh_shape, masked)
+    return _export_validated(
+        w, n_block, config, platforms, mesh_shape, masked, quantized_input
+    )
 
 
 def save_transform(
@@ -372,6 +451,7 @@ def save_transform(
     platforms: Sequence[str] = ("tpu", "cpu"),
     mesh_shape: Optional[Tuple[int, int]] = None,
     masked: bool = False,
+    quantized_input: bool = False,
 ) -> None:
     """Write a self-contained serving artifact (zip: meta + program + W)."""
     import jax
@@ -379,15 +459,18 @@ def save_transform(
     config = _validate_exportable(config)
     w = _validate_w_shape(w, n_block, mesh_shape)
     exported = _export_validated(
-        w, n_block, config, platforms, mesh_shape, masked
+        w, n_block, config, platforms, mesh_shape, masked, quantized_input
     )
     meta = {
         "magic": _MAGIC,
-        "format_version": FORMAT_VERSION if masked else 1,
+        "format_version": (
+            3 if quantized_input else (2 if masked else 1)
+        ),
         "m": int(w.shape[0]),
         "k": int(w.shape[1]),
         "n_block": int(n_block),
         "masked": bool(masked),
+        "quantized_input": bool(quantized_input),
         "mesh_shape": list(mesh_shape) if mesh_shape is not None else None,
         # what the program was actually lowered for (never the raw user
         # input: the two could drift and mislabel the artifact)
@@ -457,6 +540,7 @@ class ServingTransform:
         self.k = int(meta["k"])
         self.n_block = int(meta["n_block"])
         self.masked = bool(meta.get("masked", False))
+        self.quantized = bool(meta.get("quantized_input", False))
         self.platforms = tuple(meta["platforms"])
         ms = meta.get("mesh_shape")
         self.mesh_shape = tuple(int(v) for v in ms) if ms else None
@@ -620,7 +704,26 @@ class ServingTransform:
         drain(n_blocks - 1, prev)
 
     def _place_block(self, x_blk, h0_blk, mask_blk=None):
-        """Start the (async) H2D of one block's inputs."""
+        """Start the (async) H2D of one block's inputs.
+
+        Quantized-input artifacts quantize HERE (the bit-identical NumPy
+        twins of the in-program quantization, ops/quant), so what rides the
+        link is the uint8 codes + the small scale table — ~4x less than the
+        f32 block the in-program-quantization artifact transfers."""
+        if self.quantized:
+            from .ops.quant import quantize_policy_np
+
+            eps = self.config.eps
+            codes, scales = quantize_policy_np(
+                np.maximum(np.asarray(x_blk, np.float32), np.float32(eps)),
+                eps,
+                int(self.config.precision.x_quant_rows or 0),
+            )
+            return (
+                self._put(codes, ("mr", "mc")),
+                self._put(np.asarray(scales, np.float32), ("mc",)),
+                self._put(h0_blk, (None, "mc")),
+            )
         placed = (
             self._put(x_blk, ("mr", "mc")),
             self._put(h0_blk, (None, "mc")),
@@ -636,6 +739,12 @@ class ServingTransform:
         caller can enqueue the next block's transfer before fetching."""
         if self._w_dev is None:
             self._w_dev = self._put(self.w, ("mr", None))
+        if self.quantized:
+            codes, scales, h0_dev = placed
+            h, it, cost, _hist, _nchecks, conv = self._fn(
+                codes, scales, self._w_dev, h0_dev
+            )
+            return h, it, cost, conv
         x_dev, h0_dev = placed[0], placed[1]
         h, it, cost, _hist, _nchecks, conv = self._fn(
             x_dev, self._w_dev, h0_dev, *placed[2:]
@@ -783,17 +892,19 @@ def load_transform(path: str, mesh=None) -> ServingTransform:
             f"{getattr(w, 'shape', None)}, meta says {expect}"
         )
     # cross-check meta against the program's OWN input signature: a meta
-    # whose n_block/masked drifted from program.bin would otherwise pad
-    # blocks to the wrong width or pass the wrong arity, failing at first
-    # call with the same opaque deep error the w.npy guard prevents.
-    # Signature: (x block, w, h0[, mask]) — x is in_avals[0], mask presence
-    # sets the arity.
+    # whose n_block/masked/quantized_input drifted from program.bin would
+    # otherwise pad blocks to the wrong width or pass the wrong arity,
+    # failing at first call with the same opaque deep error the w.npy guard
+    # prevents.  Signatures: (x, w, h0[, mask]) — x is in_avals[0] — or
+    # (codes, scales, w, h0) for quantized-input artifacts.
     avals = list(exported.in_avals)
-    want_args = 4 if meta.get("masked") else 3
+    quantized = bool(meta.get("quantized_input", False))
+    want_args = 4 if (meta.get("masked") or quantized) else 3
     if len(avals) != want_args:
         raise ValueError(
             f"{path}: corrupt artifact — meta says masked={bool(meta.get('masked'))} "
-            f"({want_args} program inputs) but program.bin takes {len(avals)}"
+            f"quantized_input={quantized} ({want_args} program inputs) but "
+            f"program.bin takes {len(avals)}"
         )
     n_block = int(meta.get("n_block", -1))
     x_shape = tuple(avals[0].shape)
@@ -801,6 +912,11 @@ def load_transform(path: str, mesh=None) -> ServingTransform:
         raise ValueError(
             f"{path}: corrupt artifact — meta says X blocks are "
             f"{(expect[0], n_block)} but program.bin takes {x_shape}"
+        )
+    if quantized and str(avals[0].dtype) != "uint8":
+        raise ValueError(
+            f"{path}: corrupt artifact — meta says quantized_input but "
+            f"program.bin's first input is {avals[0].dtype}, not uint8"
         )
     config = _config_from_dict(meta["config"])
     return ServingTransform(exported, w, config, meta, mesh=mesh)

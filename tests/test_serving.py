@@ -693,7 +693,8 @@ def test_masked_artifact_version_gate(tmp_path, problem):
     t_plain = _roundtrip(tmp_path, w, config)
     assert t_plain.meta["format_version"] == 1
     t_masked = load_transform(_masked_roundtrip(tmp_path, w, config))
-    assert t_masked.meta["format_version"] == FORMAT_VERSION == 2
+    assert t_masked.meta["format_version"] == 2
+    assert FORMAT_VERSION == 3  # v3 = quantized-input artifacts
 
 
 def test_masked_mesh_artifact(tmp_path, problem):
@@ -779,3 +780,136 @@ def test_load_rejects_meta_program_drift(tmp_path, problem):
     rewrite(flipped, p2)
     with pytest.raises(ValueError, match="corrupt artifact"):
         load_transform(p2)
+
+
+# ---------------------------------------------------------------------------
+# Quantized-input artifacts (format v3): the program takes host-quantized
+# (codes, scales) instead of f32 X, so serve-time H2D moves uint8 codes —
+# ~4x less traffic on the link-bound serving path.  Contract: bit-identical
+# to the in-program-quantization artifact (only WHERE the quantization runs
+# differs; ops/quant's NumPy twins are bit-exact by test_quant).
+
+
+def _quant_configs():
+    return {
+        "int8-cols": CONFIGS["int8-x"],
+        "int8-rowblocks": CONFIGS["int8-rowblocks"],
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_quant_configs()))
+def test_quantized_artifact_bit_identical(tmp_path, problem, name):
+    """Quantized-input serving == in-program-quantization serving, bitwise —
+    including the eps-clamped zero padding of a ragged tail block."""
+    w, x, h0 = problem
+    config = _quant_configs()[name]
+    plain = os.path.join(str(tmp_path), "plain.nmfz")
+    quant = os.path.join(str(tmp_path), "quant.nmfz")
+    save_transform(plain, w, NB, config, platforms=("cpu",))
+    save_transform(
+        quant, w, NB, config, platforms=("cpu",), quantized_input=True
+    )
+    tq = load_transform(quant)
+    assert tq.meta["format_version"] == 3
+    assert tq.quantized
+    n_cut = 2 * NB + 5  # ragged tail: padding quantizes identically
+    for xs, h0s in ((x, h0), (x[:, :n_cut], h0[:, :n_cut])):
+        ref = load_transform(plain)(xs, h0=h0s)
+        res = tq(xs, h0=h0s)
+        np.testing.assert_array_equal(res.h, ref.h)
+        np.testing.assert_array_equal(
+            res.block_iterations, ref.block_iterations
+        )
+        np.testing.assert_array_equal(res.block_costs, ref.block_costs)
+
+
+def test_quantized_artifact_stream_bin(tmp_path, problem):
+    """Out-of-core serving through a quantized artifact matches in-memory."""
+    from nmf_tpu.io import binio
+
+    w, x, h0 = problem
+    config = CONFIGS["int8-x"]
+    path = os.path.join(str(tmp_path), "q.nmfz")
+    save_transform(path, w, NB, config, platforms=("cpu",),
+                   quantized_input=True)
+    t = load_transform(path)
+    xp = os.path.join(str(tmp_path), "X.bin")
+    binio.write_matrix(x, xp)
+    out = os.path.join(str(tmp_path), "H.bin")
+    streamed = t.stream_bin(xp, out_path=out, seed=3)
+    in_mem = t(x, seed=3)
+    np.testing.assert_array_equal(binio.read_matrix(out), in_mem.h)
+    np.testing.assert_array_equal(
+        streamed.block_iterations, in_mem.block_iterations
+    )
+
+
+def test_quantized_export_validation(problem):
+    """quantized_input is int8-only, unmasked, single-device — each
+    violation fails eagerly at export with an actionable message."""
+    w, _, _ = problem
+    with pytest.raises(ValueError, match="int8"):
+        export_transform(w, NB, SolveConfig(max_iter=5, backend="jnp"),
+                         quantized_input=True)
+    cfg = CONFIGS["int8-x"]
+    with pytest.raises(ValueError, match="masked"):
+        export_transform(w, NB, cfg, masked=True, quantized_input=True)
+    with pytest.raises(ValueError, match="single-device"):
+        export_transform(w, NB, cfg, mesh_shape=(4, 2),
+                         quantized_input=True)
+
+
+def test_quantized_meta_program_drift_rejected(tmp_path, problem):
+    """A plain artifact whose meta claims quantized_input fails the
+    program-signature cross-check at load (f32 first input, not uint8)."""
+    import json as _json
+
+    w, _, _ = problem
+    path = os.path.join(str(tmp_path), "p.nmfz")
+    save_transform(path, w, NB, CONFIGS["int8-x"], platforms=("cpu",))
+    with zipfile.ZipFile(path, "r") as zf:
+        meta = _json.loads(zf.read("meta.json"))
+        prog = zf.read("program.bin")
+        wnpy = zf.read("w.npy")
+    bad = os.path.join(str(tmp_path), "drift.nmfz")
+    with zipfile.ZipFile(bad, "w") as zf:
+        zf.writestr(
+            "meta.json",
+            _json.dumps(dict(meta, quantized_input=True, format_version=3)),
+        )
+        zf.writestr("program.bin", prog)
+        zf.writestr("w.npy", wnpy)
+    with pytest.raises(ValueError, match="corrupt artifact"):
+        load_transform(bad)
+
+
+def test_cli_quantized_export_serve(tmp_path, problem):
+    """CLI --quantized-input export serves bit-identically to the plain
+    int8 artifact through the same `serve` invocation."""
+    from nmf_tpu import cli
+    from nmf_tpu.io import binio
+
+    w, x, h0 = problem
+    wp = os.path.join(str(tmp_path), "W.bin")
+    xp = os.path.join(str(tmp_path), "X.bin")
+    h0p = os.path.join(str(tmp_path), "H0.bin")
+    for arr, p in ((w, wp), (x, xp), (h0, h0p)):
+        binio.write_matrix(arr, p)
+    outs = {}
+    for label, extra in (("plain", []), ("quant", ["--quantized-input"])):
+        ap = os.path.join(str(tmp_path), f"{label}.nmfz")
+        hp = os.path.join(str(tmp_path), f"H_{label}.bin")
+        assert cli.main([
+            "export", wp, "-o", ap, "--block-cols", str(NB),
+            "--platforms", "cpu", "--max-iter", "10",
+            "--x-dtype", "int8", "-q", *extra,
+        ]) == 0
+        assert cli.main(["serve", ap, xp, "-o", hp, "--h0", h0p, "-q"]) == 0
+        outs[label] = binio.read_matrix(hp)
+    np.testing.assert_array_equal(outs["quant"], outs["plain"])
+    # non-int8 export with the flag fails loudly
+    ap = os.path.join(str(tmp_path), "bad.nmfz")
+    assert cli.main([
+        "export", wp, "-o", ap, "--block-cols", str(NB),
+        "--platforms", "cpu", "--quantized-input", "-q",
+    ]) == 2
