@@ -246,6 +246,33 @@ def main(argv=None) -> int:
         art["serve_stream_equals_in_memory"] = stream_match
         art["ok"] &= stream_match
 
+        # 7b. quantized-input serving (format v3): host int8 quantization,
+        # (codes, scales) over the link — must serve bit-identically to the
+        # same config's in-program-quantization artifact
+        _run(
+            ["export", "Wout.bin", "-o", "q_in.nmfz", "--block-cols", "350",
+             "--max-iter", "30", "--thresh", "0", "--backend", "jnp",
+             "--x-dtype", "int8"], d,
+        )
+        _run(
+            ["export", "Wout.bin", "-o", "q_host.nmfz", "--block-cols", "350",
+             "--max-iter", "30", "--thresh", "0", "--backend", "jnp",
+             "--x-dtype", "int8", "--quantized-input"], d,
+        )
+        r_qi = step(
+            "serve-int8-inprogram",
+            ["serve", "q_in.nmfz", "X.bin", "-o", "Hqi.bin"],
+            outputs=["Hqi.bin"],
+        )
+        r_qh = step(
+            "serve-int8-quantized-input",
+            ["serve", "q_host.nmfz", "X.bin", "-o", "Hqh.bin"],
+            outputs=["Hqh.bin"],
+        )
+        quant_match = r_qh["Hqh.bin"]["md5"] == r_qi["Hqi.bin"]["md5"]
+        art["serve_quantized_input_equals_in_program"] = quant_match
+        art["ok"] &= quant_match
+
         # 8. rank selection: consensus-stability study picks a rank and
         # writes its best factors (one batched sweep on the device)
         r_sel = step(
