@@ -1,0 +1,189 @@
+"""One-sitting hardware evidence capture (the round-4 certification queue).
+
+Round 3's failure mode was *evidence capture under degraded infrastructure*:
+the code was certified on the CPU mesh, but the chip outage left the round
+without committed hardware artifacts.  This driver makes the capture itself
+unattended and unkillable: probe the backend with a bound, then run the
+whole certification queue SEQUENTIALLY (two chip jobs contend and poison
+each other's timings — benchmarks/RESULTS.md), each step in its own
+subprocess with its own timeout, tolerating per-step failures and logging
+everything under ``benchmarks/sessions/<stamp>/``.
+
+Priority order mirrors VERDICT r03 "next round" #2: the headline bench,
+the full numerics gate, and the complete CLI e2e (now incl. serving +
+selection + quantized-input serving) come first — those are the round's
+committed artifacts; the benchmark matrix and tune campaigns (archive
+feeders for the ≥3-session retune rules) follow.
+
+Steps that pass write round artifacts at the repo root (``HWPARITY_rNN``,
+``E2E_rNN``) ready to commit.  Usage:
+
+    python benchmarks/chip_session.py [--round 4] [--quick]
+        [--only step1,step2] [--skip step1,...]
+
+The reference's only test is a device-executed file-in/file-out script
+(test_output.sh:5-18); this is that discipline applied to the whole
+framework, repeatedly, under a flaky link.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    # keep the axon plugin importable AND the cross-process compile cache
+    # warm (CLAUDE.md: cuts repeat compiles from minutes to seconds)
+    pp = env.get("PYTHONPATH", "")
+    if "/root/.axon_site" not in pp:
+        env["PYTHONPATH"] = f"{REPO}:/root/.axon_site" + (":" + pp if pp else "")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    return env
+
+
+def probe(timeout=300.0) -> dict:
+    """Bounded backend probe in a subprocess (a hung init dies with it)."""
+    t0 = time.time()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices()[0]; "
+             "print('%s|%s' % (d.platform, d.device_kind))"],
+            capture_output=True, text=True, timeout=timeout, env=_env(),
+        )
+    except subprocess.TimeoutExpired:
+        return {"up": False, "error": f"backend init hung >{timeout:.0f}s "
+                "(known tunnel-outage mode)"}
+    if out.returncode != 0:
+        return {"up": False, "error": f"init crashed: {out.stderr[-300:]}"}
+    plat, kind = (out.stdout.strip().split("|") + [""])[:2]
+    return {"up": plat == "tpu", "platform": plat, "device_kind": kind,
+            "probe_seconds": round(time.time() - t0, 1)}
+
+
+def run_step(name, cmd, timeout, log_dir):
+    """Run one queue step; capture stdout/stderr; never raise."""
+    t0 = time.time()
+    rec = {"step": name, "cmd": " ".join(cmd)}
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=REPO, env=_env(),
+        )
+        rec["rc"] = out.returncode
+        rec["stdout_tail"] = out.stdout[-2000:]
+        with open(os.path.join(log_dir, f"{name}.out"), "w") as f:
+            f.write(out.stdout)
+        with open(os.path.join(log_dir, f"{name}.err"), "w") as f:
+            f.write(out.stderr)
+        # last JSON line of stdout, if any (bench.py prints exactly one)
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec["json"] = json.loads(line)
+                except ValueError:
+                    pass
+                break
+    except subprocess.TimeoutExpired:
+        rec["rc"] = -1
+        rec["error"] = f"timed out after {timeout} s"
+    rec["seconds"] = round(time.time() - t0, 1)
+    rec["ok"] = rec.get("rc") == 0
+    return rec
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--quick", action="store_true",
+                    help="shrink the gate/e2e dims (smoke the queue itself)")
+    ap.add_argument("--only", default="", help="comma-separated step subset")
+    ap.add_argument("--skip", default="", help="comma-separated steps to skip")
+    ap.add_argument("--probe-timeout", type=float, default=300.0)
+    args = ap.parse_args(argv)
+
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    log_dir = os.path.join(REPO, "benchmarks", "sessions", stamp)
+    os.makedirs(log_dir, exist_ok=True)
+    summary = {"artifact": "chip_session", "stamp": stamp, "steps": []}
+
+    p = probe(args.probe_timeout)
+    summary["probe"] = p
+    if not p.get("up"):
+        summary["ok"] = False
+        print(json.dumps(summary))
+        with open(os.path.join(log_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        return 1
+    print(f"[chip_session] TPU up ({p['device_kind']}); logs -> {log_dir}",
+          file=sys.stderr)
+
+    py = sys.executable
+    rn = f"r{args.round:02d}"
+    q = ["--quick"] if args.quick else []
+    e2e_json = os.path.join(log_dir, "e2e.json")
+    queue = [
+        # (name, cmd, timeout_s) — priority order; compiles can degrade to
+        # 5+ min/program on this platform, hence the generous bounds
+        ("bench_flagship", [py, "bench.py"], 5400),
+        ("hwparity", [py, "bench.py", "--check", *q], 7200),
+        ("e2e", [py, "benchmarks/e2e_cli.py", *q, "--out", e2e_json], 10800),
+        ("bench_flagship_2", [py, "bench.py"], 3600),
+        ("matrix", [py, "benchmarks/run_all.py", *q,
+                    "--out", "benchmarks/results.json"], 14400),
+        ("bench_oocore", [py, "bench.py", "--workload", "oocore"], 3600),
+        ("bench_converge", [py, "bench.py", "--workload", "converge"], 5400),
+        ("bench_flagship_3", [py, "bench.py"], 3600),
+        ("tune_t256_bf16", [py, "benchmarks/tile_sparse_tune.py",
+                            "--occ", "0.25", "--tile", "256",
+                            "--dtype", "bfloat16", "--rounds", "3"], 5400),
+        ("tune_o1875_k256", [py, "benchmarks/tile_sparse_tune.py",
+                             "--occ", "0.1875", "--k", "256",
+                             "--dtype", "bfloat16", "--rounds", "3"], 5400),
+    ]
+    only = {s for s in args.only.split(",") if s}
+    skip = {s for s in args.skip.split(",") if s}
+    for name, cmd, tmo in queue:
+        if (only and name not in only) or name in skip:
+            continue
+        print(f"[chip_session] {name}: {' '.join(cmd)}", file=sys.stderr)
+        rec = run_step(name, cmd, tmo, log_dir)
+        summary["steps"].append(rec)
+        print(f"[chip_session] {name}: "
+              f"{'ok' if rec['ok'] else 'FAIL'} in {rec['seconds']}s",
+              file=sys.stderr)
+        # promote round artifacts the moment their step passes (a later
+        # hang/kill must not strand evidence already captured)
+        if rec["ok"] and name == "hwparity" and "json" in rec:
+            dst = os.path.join(REPO, f"HWPARITY_{rn}.json")
+            with open(dst, "w") as f:
+                json.dump(rec["json"], f, indent=2)
+            summary[f"HWPARITY_{rn}"] = rec["json"].get("ok")
+        if rec["ok"] and name == "e2e" and os.path.exists(e2e_json):
+            shutil.copyfile(e2e_json, os.path.join(REPO, f"E2E_{rn}.json"))
+            with open(e2e_json) as f:
+                summary[f"E2E_{rn}"] = json.load(f).get("ok")
+        with open(os.path.join(log_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+    summary["ok"] = all(r["ok"] for r in summary["steps"]) and bool(
+        summary["steps"]
+    )
+    with open(os.path.join(log_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "steps"}))
+    return 0 if summary["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
