@@ -20,6 +20,23 @@ import jax  # noqa: E402
 # config update (which beats the env var) forces the CPU backend for tests.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the test programs (platform-keyed, so sharing
+# the TPU cache dir is safe).  With one CPU core, XLA compiles dominate the
+# suite's wall time; caching EVERY program (min_compile_time 0, not the 1 s
+# default) makes warm gate runs ~2.5x faster (measured: test_quant 13.8 s
+# cold -> 3.9 s warm).  Opt out with NMF_TEST_NO_COMPILE_CACHE=1 (e.g. to
+# measure cold-compile behavior).
+if not os.environ.get("NMF_TEST_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except (OSError, AttributeError):
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

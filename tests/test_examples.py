@@ -11,6 +11,9 @@ import sys
 
 import pytest
 
+# slow: each example is a full pipeline of fresh-config compiles
+pytestmark = pytest.mark.slow
+
 EXAMPLES_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
 )

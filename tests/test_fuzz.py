@@ -7,6 +7,10 @@ from nmf_tpu import SolveConfig, solve
 
 from oracle import np_solve
 
+# slow: randomized sweeps are the nightly tier (`-m ""`); the deterministic
+# per-family equivalence tests cover the same paths in the default gate
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("trial", range(12))
 def test_fuzz_solver_against_oracle(trial):

@@ -12,6 +12,11 @@ import jax
 
 import __graft_entry__ as ge
 
+# slow: dryrun_multichip compiles the whole multi-solver matrix; the outage
+# tests subprocess-probe with real timeouts.  The driver exercises these
+# entries directly every round; the default gate relies on that.
+pytestmark = pytest.mark.slow
+
 
 def test_entry_compiles_and_runs():
     fn, args = ge.entry()
@@ -78,7 +83,6 @@ def test_ensure_devices_survives_backend_outage():
     assert "ENSURE_OK" in out.stdout
 
 
-@pytest.mark.slow
 def test_dryrun_survives_backend_outage():
     """The full driver dryrun completes with the default backend dead."""
     out = _run_outage_subprocess(

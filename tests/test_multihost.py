@@ -13,6 +13,9 @@ import sys
 
 import pytest
 
+# slow: each test launches 2 coordinated subprocesses with fresh compiles
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = """

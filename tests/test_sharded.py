@@ -120,6 +120,7 @@ def test_batched_data_parallel_mesh(problem):
     assert {s.data.shape[0] for s in res.w.addressable_shards} == {1}
 
 
+@pytest.mark.slow  # 16 per-member reference solves; heaviest test in the file
 def test_batched_early_stop_per_member(problem):
     """Converged members freeze while others keep iterating."""
     x, w, h = problem
