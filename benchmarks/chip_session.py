@@ -102,39 +102,14 @@ def run_step(name, cmd, timeout, log_dir):
     return rec
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--round", type=int, default=4)
-    ap.add_argument("--quick", action="store_true",
-                    help="shrink the gate/e2e dims (smoke the queue itself)")
-    ap.add_argument("--only", default="", help="comma-separated step subset")
-    ap.add_argument("--skip", default="", help="comma-separated steps to skip")
-    ap.add_argument("--probe-timeout", type=float, default=300.0)
-    args = ap.parse_args(argv)
+def build_queue(py, quick, e2e_json):
+    """The certification queue: (name, cmd, timeout_s) in priority order.
 
-    stamp = time.strftime("%Y%m%d_%H%M%S")
-    log_dir = os.path.join(REPO, "benchmarks", "sessions", stamp)
-    os.makedirs(log_dir, exist_ok=True)
-    summary = {"artifact": "chip_session", "stamp": stamp, "steps": []}
-
-    p = probe(args.probe_timeout)
-    summary["probe"] = p
-    if not p.get("up"):
-        summary["ok"] = False
-        print(json.dumps(summary))
-        with open(os.path.join(log_dir, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
-        return 1
-    print(f"[chip_session] TPU up ({p['device_kind']}); logs -> {log_dir}",
-          file=sys.stderr)
-
-    py = sys.executable
-    rn = f"r{args.round:02d}"
-    q = ["--quick"] if args.quick else []
-    e2e_json = os.path.join(log_dir, "e2e.json")
-    queue = [
-        # (name, cmd, timeout_s) — priority order; compiles can degrade to
-        # 5+ min/program on this platform, hence the generous bounds
+    Compiles can degrade to 5+ min/program on this platform, hence the
+    generous bounds.  Module-level so tests can substitute stub steps.
+    """
+    q = ["--quick"] if quick else []
+    return [
         ("bench_flagship", [py, "bench.py"], 5400),
         ("hwparity", [py, "bench.py", "--check", *q], 7200),
         ("e2e", [py, "benchmarks/e2e_cli.py", *q, "--out", e2e_json], 10800),
@@ -151,6 +126,40 @@ def main(argv=None) -> int:
                              "--occ", "0.1875", "--k", "256",
                              "--dtype", "bfloat16", "--rounds", "3"], 5400),
     ]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--quick", action="store_true",
+                    help="shrink the gate/e2e dims (smoke the queue itself)")
+    ap.add_argument("--only", default="", help="comma-separated step subset")
+    ap.add_argument("--skip", default="", help="comma-separated steps to skip")
+    ap.add_argument("--probe-timeout", type=float, default=300.0)
+    ap.add_argument("--root", default=REPO,
+                    help="where round artifacts + session logs land "
+                         "(tests point this at a tmpdir)")
+    args = ap.parse_args(argv)
+
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    log_dir = os.path.join(args.root, "benchmarks", "sessions", stamp)
+    os.makedirs(log_dir, exist_ok=True)
+    summary = {"artifact": "chip_session", "stamp": stamp, "steps": []}
+
+    p = probe(args.probe_timeout)
+    summary["probe"] = p
+    if not p.get("up"):
+        summary["ok"] = False
+        print(json.dumps(summary))
+        with open(os.path.join(log_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        return 1
+    print(f"[chip_session] TPU up ({p['device_kind']}); logs -> {log_dir}",
+          file=sys.stderr)
+
+    rn = f"r{args.round:02d}"
+    e2e_json = os.path.join(log_dir, "e2e.json")
+    queue = build_queue(sys.executable, args.quick, e2e_json)
     only = {s for s in args.only.split(",") if s}
     skip = {s for s in args.skip.split(",") if s}
     for name, cmd, tmo in queue:
@@ -165,12 +174,12 @@ def main(argv=None) -> int:
         # promote round artifacts the moment their step passes (a later
         # hang/kill must not strand evidence already captured)
         if rec["ok"] and name == "hwparity" and "json" in rec:
-            dst = os.path.join(REPO, f"HWPARITY_{rn}.json")
+            dst = os.path.join(args.root, f"HWPARITY_{rn}.json")
             with open(dst, "w") as f:
                 json.dump(rec["json"], f, indent=2)
             summary[f"HWPARITY_{rn}"] = rec["json"].get("ok")
         if rec["ok"] and name == "e2e" and os.path.exists(e2e_json):
-            shutil.copyfile(e2e_json, os.path.join(REPO, f"E2E_{rn}.json"))
+            shutil.copyfile(e2e_json, os.path.join(args.root, f"E2E_{rn}.json"))
             with open(e2e_json) as f:
                 summary[f"E2E_{rn}"] = json.load(f).get("ok")
         with open(os.path.join(log_dir, "summary.json"), "w") as f:
