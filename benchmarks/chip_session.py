@@ -109,7 +109,7 @@ def build_queue(py, quick, e2e_json):
     generous bounds.  Module-level so tests can substitute stub steps.
     """
     q = ["--quick"] if quick else []
-    return [
+    queue = [
         ("bench_flagship", [py, "bench.py"], 5400),
         ("hwparity", [py, "bench.py", "--check", *q], 7200),
         ("e2e", [py, "benchmarks/e2e_cli.py", *q, "--out", e2e_json], 10800),
@@ -119,13 +119,43 @@ def build_queue(py, quick, e2e_json):
         ("bench_oocore", [py, "bench.py", "--workload", "oocore"], 3600),
         ("bench_converge", [py, "bench.py", "--workload", "converge"], 5400),
         ("bench_flagship_3", [py, "bench.py"], 3600),
+    ]
+    # VERDICT r03 #3: the disputed regression-dims bf16 rule (jnp vs pallas
+    # at 4096x350 k=128) needs >= 3 archived sessions per backend; one
+    # bench.py invocation = one archive session, interleaved so chip drift
+    # cancels across the pair
+    for i in (1, 2, 3):
+        for backend in ("jnp", "pallas"):
+            queue.append((
+                f"reg_bf16_{backend}_{i}",
+                [py, "bench.py", "--workload", "regression",
+                 "--dtype", "bfloat16", "--backend", backend],
+                2400,
+            ))
+    # VERDICT r03 #5: the tile-sparse bf16 k-crossover (k < 384 loses to the
+    # scan) — the pre-rename occ labels can't be pooled (benchmarks/RESULTS.md),
+    # so capture 3 fresh sessions per k cell under the current labeling,
+    # k-interleaved; plus the round-3 session-4 queued campaigns (t256, o1875)
+    for rep in ("a", "b", "c"):
+        for kk in ("128", "256", "384"):
+            queue.append((
+                f"tune_bf16_k{kk}_{rep}",
+                [py, "benchmarks/tile_sparse_tune.py", "--occ", "0.125",
+                 "--k", kk, "--dtype", "bfloat16", "--rounds", "3"],
+                5400,
+            ))
+    queue += [
         ("tune_t256_bf16", [py, "benchmarks/tile_sparse_tune.py",
                             "--occ", "0.25", "--tile", "256",
                             "--dtype", "bfloat16", "--rounds", "3"], 5400),
         ("tune_o1875_k256", [py, "benchmarks/tile_sparse_tune.py",
                              "--occ", "0.1875", "--k", "256",
                              "--dtype", "bfloat16", "--rounds", "3"], 5400),
+        # retune provenance snapshot: the pooled per-cell medians this
+        # session's rows feed (saved to the session log by run_step)
+        ("archive_report", [py, "benchmarks/archive_report.py"], 600),
     ]
+    return queue
 
 
 def main(argv=None) -> int:
