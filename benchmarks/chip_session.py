@@ -57,7 +57,7 @@ def probe(timeout=300.0) -> dict:
         out = subprocess.run(
             [sys.executable, "-c",
              "import jax; d=jax.devices()[0]; "
-             "print('%s|%s' % (d.platform, d.device_kind))"],
+             "print('NMFPROBE=%s|%s' % (d.platform, d.device_kind))"],
             capture_output=True, text=True, timeout=timeout, env=_env(),
         )
     except subprocess.TimeoutExpired:
@@ -65,7 +65,14 @@ def probe(timeout=300.0) -> dict:
                 "(known tunnel-outage mode)"}
     if out.returncode != 0:
         return {"up": False, "error": f"init crashed: {out.stderr[-300:]}"}
-    plat, kind = (out.stdout.strip().split("|") + [""])[:2]
+    # scan for the sentinel line — jax/plugin init may print informational
+    # lines to stdout, which must not make a healthy chip look down (same
+    # defense as __graft_entry__'s probe)
+    plat, kind = "", ""
+    for line in out.stdout.splitlines():
+        if line.startswith("NMFPROBE="):
+            plat, kind = (line[len("NMFPROBE="):].split("|") + [""])[:2]
+            break
     return {"up": plat == "tpu", "platform": plat, "device_kind": kind,
             "probe_seconds": round(time.time() - t0, 1)}
 
@@ -94,9 +101,21 @@ def run_step(name, cmd, timeout, log_dir):
                 except ValueError:
                     pass
                 break
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as exc:
         rec["rc"] = -1
         rec["error"] = f"timed out after {timeout} s"
+        # TimeoutExpired carries whatever the step printed before hanging —
+        # exactly the postmortem evidence this driver exists to keep
+        for stream, suffix in ((exc.stdout, "out"), (exc.stderr, "err")):
+            if stream:
+                text = (
+                    stream.decode("utf-8", "replace")
+                    if isinstance(stream, bytes) else stream
+                )
+                with open(os.path.join(log_dir, f"{name}.{suffix}"), "w") as f:
+                    f.write(text)
+                if suffix == "out":
+                    rec["stdout_tail"] = text[-2000:]
     rec["seconds"] = round(time.time() - t0, 1)
     rec["ok"] = rec.get("rc") == 0
     return rec

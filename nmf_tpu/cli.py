@@ -204,7 +204,7 @@ def _state_as_result(state, w_out, h_out):
         cost_history=hist,
         num_checks=np.int32(hist.size),
         converged=np.bool_(state.converged),
-        momentum=np.float32("nan"),
+        momentum=np.float32(state.momentum),
     )
 
 

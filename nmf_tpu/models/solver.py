@@ -238,26 +238,32 @@ def maybe_live_chunked(
     make_segment_fn, x, w, h, config: SolveConfig, mesh=None,
     initial_cost: float = float("nan"),
     initial_momentum: float = float("nan"),
+    initial_extrap=None,
 ):
     """Run the chunked host-driven live loop when callbacks are unsupported.
 
     Returns the SolveResult, or None when the caller should proceed with its
     normal (callback-emitting) path.  Centralizes the fallback decision the
     masked / h-only / dense / sharded solvers all share.  ``initial_cost``
-    seeds the convergence baseline exactly like the solvers' own parameter
-    (resumed segments pass the previous segment's final cost).
+    seeds the convergence baseline exactly like the solvers' own parameter;
+    ``initial_momentum``/``initial_extrap`` carry the accelerator's state the
+    same way (resumed segments pass the previous segment's final values, so
+    a checkpoint-resumed accelerated run on this callback-rejecting platform
+    reproduces the uninterrupted run exactly).
     """
     if not config.live_metrics or callbacks_ok(mesh):
         return None
     return run_live_chunked(
         make_segment_fn, x, w, h, config, jnp.asarray(initial_cost, _F32),
         initial_momentum=initial_momentum,
+        initial_extrap=initial_extrap,
     )
 
 
 def run_live_chunked(
     make_segment_fn, x, w, h, config: SolveConfig, initial_cost,
     initial_momentum: float = float("nan"),
+    initial_extrap=None,
 ):
     """Live metrics WITHOUT host callbacks: drive the solve in
     ``check_every``-sized device segments and emit each check from the host.
@@ -341,12 +347,17 @@ def run_live_chunked(
             else:
                 tail_fn(*warm)
     mom = float(initial_momentum)  # accel momentum threaded segment-to-segment
-    # accel extrapolation carry: seeded AT the iterate (fresh copies — the
+    # accel extrapolation carry: a resumed segment supplies the previous
+    # segment's carry; a fresh run seeds AT the iterate (fresh copies — the
     # segment donates w/h, so the seed must not alias them), exactly the
     # one-jit accel loop's init; thereafter the previous segment's carry
-    ex = (
-        (jnp.asarray(w) + 0, jnp.asarray(h) + 0) if config.accelerate else None
-    )
+    ex = None
+    if config.accelerate:
+        ex = (
+            initial_extrap
+            if initial_extrap is not None
+            else (jnp.asarray(w) + 0, jnp.asarray(h) + 0)
+        )
     while it < max_iter and not converged:
         chunk = min(check_every, max_iter - it)
         args = (x, w, h, jnp.asarray(prev, _F32), jnp.asarray(mom, _F32))
@@ -381,6 +392,10 @@ def run_live_chunked(
         num_checks=jnp.asarray(chk, jnp.int32),
         converged=jnp.asarray(converged, jnp.bool_),
         momentum=jnp.asarray(mom, _F32),
+        # final extrapolation carry, so a segment driver wrapping THIS loop
+        # (checkpointed live runs) can resume it exactly
+        w_ex=ex[0] if ex is not None else None,
+        h_ex=ex[1] if ex is not None else None,
     )
 
 
@@ -796,10 +811,15 @@ def solve(
             )
         config = dataclasses.replace(config, backend=choice)
     if config.live_metrics and not host_callbacks_supported(platform):
-        # platform rejects in-jit host callbacks: chunked host-driven live loop
+        # platform rejects in-jit host callbacks: chunked host-driven live
+        # loop — the resume state (cost baseline, accel momentum, accel
+        # extrapolation carry) threads through so a checkpoint-resumed run
+        # on this path still equals the uninterrupted run exactly
         return run_live_chunked(
             lambda c: solve_jit(c, platform), x, w0, h0, config,
             jnp.asarray(initial_cost, _F32),
+            initial_momentum=float(initial_momentum),
+            initial_extrap=initial_extrap,
         )
     kw = {} if initial_extrap is None else {"initial_extrap": initial_extrap}
     return solve_jit(config, platform)(

@@ -782,10 +782,13 @@ def _prepare_tiled(x, w0, h0, config: SolveConfig, chunk, tile, mesh):
 def _run_tiled(
     xarg, w, h, config: SolveConfig, info, initial_cost,
     initial_momentum: float = float("nan"),
+    initial_extrap=None,
 ):
     """Run one (segment of a) prepared tile-sparse solve on device-resident
     inputs; ``w``/``h`` are the PADDED factors and are donated (chain
-    ``res.w``/``res.h`` into the next segment)."""
+    ``res.w``/``res.h`` into the next segment).  ``initial_momentum`` /
+    ``initial_extrap`` (PADDED, like the factors) resume the accelerator's
+    state across segments exactly like the dense solver's parameters."""
     import jax
     import jax.numpy as jnp
 
@@ -804,11 +807,13 @@ def _run_tiled(
     fallback = maybe_live_chunked(
         make, xarg, w, h, config, info["mesh"], initial_cost=initial_cost,
         initial_momentum=initial_momentum,
+        initial_extrap=initial_extrap,
     )
     if fallback is not None:
         return fallback
+    kw = {} if initial_extrap is None else {"initial_extrap": initial_extrap}
     return make(config)(
-        xarg, w, h, c0, jnp.asarray(initial_momentum, jnp.float32)
+        xarg, w, h, c0, jnp.asarray(initial_momentum, jnp.float32), **kw
     )
 
 

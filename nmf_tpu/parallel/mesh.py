@@ -184,8 +184,9 @@ def init_distributed(**kwargs) -> None:
             cluster_env = True
         # schedulers the heuristic doesn't know: NMF_TPU_REQUIRE_DISTRIBUTED=1
         # forces the raise so a cluster job can never silently degrade to
-        # single-host
-        if os.environ.get("NMF_TPU_REQUIRE_DISTRIBUTED"):
+        # single-host ('0'/'false'/'no'/empty explicitly opt OUT)
+        if os.environ.get("NMF_TPU_REQUIRE_DISTRIBUTED", "").strip().lower() \
+                not in ("", "0", "false", "no"):
             cluster_env = True
         if not kwargs and not cluster_env:
             import warnings

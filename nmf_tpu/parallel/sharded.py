@@ -537,6 +537,8 @@ def solve_sharded(
     fallback = maybe_live_chunked(
         lambda c: build_sharded_solver(c, mesh, fused=fused),
         x, w0, h0, config, mesh, initial_cost=initial_cost,
+        initial_momentum=float(initial_momentum),
+        initial_extrap=initial_extrap,
     )
     if fallback is not None:
         return fallback

@@ -524,14 +524,31 @@ def solve_with_checkpoints(
             x, w, h, config, chunk=_CHUNK, tile=x.tile_shape, mesh=mesh
         )
         del w, h
+        if last_ex is not None:
+            # checkpoint files store the CROPPED extrapolation carry (like
+            # the factors); re-pad with zeros to the block-aligned shape.
+            # Zero pads are exact here: the carry is only ever the next
+            # accel step's EVAL point, and padded rows/cols see zero
+            # numerators, so the iterate's pads return to exactly zero
+            # whatever the eval point's pads hold.
+            wex = jnp.zeros(w_dev.shape, w_dev.dtype).at[
+                : info["m"]].set(jnp.asarray(last_ex[0], w_dev.dtype))
+            hex_ = jnp.zeros(h_dev.shape, h_dev.dtype).at[
+                :, : info["n"]].set(jnp.asarray(last_ex[1], h_dev.dtype))
+            last_ex = (wex, hex_)
         it = start_iter
         last_cost = cost_history[-1] if cost_history else float("nan")
         state = None
         while it < config.max_iter and not converged:
             seg = min(every, config.max_iter - it)
             seg_cfg = dataclasses.replace(config, max_iter=seg)
+            if config.accelerate and last_ex is None:
+                # first accelerated segment: seed the carry AT the (padded)
+                # iterate with fresh copies, identical to the one-jit init
+                last_ex = (w_dev + 0, h_dev + 0)
             res = _run_tiled(
-                xarg, w_dev, h_dev, seg_cfg, info, last_cost, last_mom
+                xarg, w_dev, h_dev, seg_cfg, info, last_cost, last_mom,
+                initial_extrap=last_ex,
             )
             w_dev, h_dev = res.w, res.h  # padded, device-resident, donated on
             seg_iters = int(res.iterations)
@@ -549,12 +566,23 @@ def solve_with_checkpoints(
                 last_cost = seg_hist[-1]
             if res.momentum is not None:
                 last_mom = float(res.momentum)
+            if res.w_ex is not None:
+                last_ex = (res.w_ex, res.h_ex)
             converged = bool(res.converged)
             cropped = _crop_tiled(res, info)
             state = CheckpointState(
                 np.asarray(cropped.w), np.asarray(cropped.h), it,
                 cost_history, converged, check_iterations,
                 momentum=last_mom,
+                # carry cropped like the factors (re-padded on resume above)
+                w_ex=(
+                    np.asarray(res.w_ex)[: info["m"]]
+                    if res.w_ex is not None else None
+                ),
+                h_ex=(
+                    np.asarray(res.h_ex)[:, : info["n"]]
+                    if res.h_ex is not None else None
+                ),
             )
             save_checkpoint(directory, state, config)
         if state is None:

@@ -48,6 +48,41 @@ requires_reference = pytest.mark.skipif(
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default gate excludes -m slow; explicit selections override.
+
+    The exclusion is NOT in addopts because that also deselects slow tests
+    when their file is named on the command line (``pytest tests/test_fuzz.py``
+    would collect nothing and exit 5).  Here the slow tier is skipped only
+    for directory-level runs: passing any ``-m`` expression (``-m ""`` = the
+    full suite) or naming a slow test's file keeps it.
+    """
+    inv = [str(a) for a in config.invocation_params.args]
+    user_gave_markexpr = any(
+        a == "-m" or a.startswith("--markexpr")
+        or (a.startswith("-m") and not a.startswith("--"))
+        for a in inv
+    )
+    if user_gave_markexpr:
+        return
+    import pathlib
+
+    explicit_files = set()
+    for a in config.args:
+        p = pathlib.Path(str(a).split("::")[0])
+        if p.suffix == ".py" and p.exists():
+            explicit_files.add(p.resolve())
+    deselected = [
+        it for it in items
+        if it.get_closest_marker("slow")
+        and pathlib.Path(str(it.fspath)).resolve() not in explicit_files
+    ]
+    if deselected:
+        drop = {id(it) for it in deselected}
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = [it for it in items if id(it) not in drop]
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(42)

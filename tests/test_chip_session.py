@@ -119,19 +119,23 @@ def test_only_and_skip_filter_the_queue(tmp_path, monkeypatch):
 
 def test_real_queue_commands_parse():
     """Every real queue command's flags exist (a typo here would burn the
-    round's only tunnel window)."""
+    round's only tunnel window).  One --help subprocess per unique script —
+    the queue repeats bench.py/tile_sparse_tune.py many times and each
+    spawn pays a full interpreter+jax import."""
     cs = _load_chip_session()
     queue = cs.build_queue(sys.executable, True, "/tmp/e2e.json")
     import subprocess
 
+    usage_by_script = {}
     for name, cmd, _tmo in queue:
         script, flags = cmd[1], cmd[2:]
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, script), "--help"],
-            capture_output=True, text=True, timeout=120, cwd=REPO,
-        )
-        assert out.returncode == 0, (name, out.stderr[-500:])
-        usage = out.stdout
+        if script not in usage_by_script:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, script), "--help"],
+                capture_output=True, text=True, timeout=120, cwd=REPO,
+            )
+            assert out.returncode == 0, (name, out.stderr[-500:])
+            usage_by_script[script] = out.stdout
         for flag in flags:
             if flag.startswith("--"):
-                assert flag in usage, (name, flag)
+                assert flag in usage_by_script[script], (name, flag)

@@ -219,6 +219,45 @@ def test_tile_sparse_checkpoint_resume_equals_straight_run(tmp_path):
     )
 
 
+def test_tile_sparse_accel_kill_resume_exact(tmp_path):
+    """Accelerated tile-sparse kill/resume carries the FULL accel state
+    (momentum + extrapolation pair, cropped to logical shape in the files
+    and re-padded on resume), so resume == uninterrupted checkpointed run
+    exactly.  Dims are deliberately NOT block-aligned so the carry's
+    crop/re-pad path is exercised (zero pads are exact: pad rows/cols see
+    zero numerators whatever the eval point's pads hold)."""
+    from nmf_tpu.utils.checkpoint import solve_with_checkpoints
+
+    x, w0, h0 = _sparse_problem(m=90, n=120, seed=5)
+    tx = tiles_from_dense(x, (16, 16))
+    cfg = SolveConfig(max_iter=60, check_every=10, accelerate=True)
+
+    full = solve_with_checkpoints(tx, w0, h0, cfg, str(tmp_path / "f"), every=20)
+    assert int(full.iteration) == 60
+    assert np.isfinite(full.momentum)
+    assert full.w_ex is not None and full.w_ex.shape == w0.shape
+    assert full.h_ex is not None and full.h_ex.shape == h0.shape
+
+    d2 = str(tmp_path / "killed")
+    partial = SolveConfig(max_iter=20, check_every=10, accelerate=True)
+    solve_with_checkpoints(tx, w0, h0, partial, d2, every=20)
+    resumed = solve_with_checkpoints(tx, w0, h0, cfg, d2, every=20)
+    assert int(resumed.iteration) == 60
+    # the only divergence allowed is the resume-time load clamp on sub-eps
+    # factor entries (reference semantics, nmf.cu:211) — same tolerance as
+    # the dense kill/resume test
+    np.testing.assert_allclose(
+        np.asarray(resumed.w), np.asarray(full.w), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.h), np.asarray(full.h), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(resumed.momentum, full.momentum, rtol=1e-6)
+    np.testing.assert_allclose(
+        resumed.cost_history, full.cost_history, rtol=1e-6
+    )
+
+
 def test_tile_sparse_checkpoint_mesh(tmp_path):
     from nmf_tpu.utils.checkpoint import solve_with_checkpoints
 

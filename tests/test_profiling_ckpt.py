@@ -206,6 +206,88 @@ def test_sharded_checkpointed_accel_resume_exact(tmp_path):
     )
 
 
+def test_checkpointed_accel_resume_exact_on_chunked_live_platform(
+    tmp_path, monkeypatch
+):
+    """On a callback-rejecting platform (live_metrics -> run_live_chunked
+    fallback), a checkpoint-resumed accelerated run still threads momentum +
+    extrapolation carry through the host-driven loop — resume == the
+    uninterrupted checkpointed run on the same path."""
+    import dataclasses as dc
+
+    import nmf_tpu.models.solver as solver_mod
+
+    monkeypatch.setattr(
+        solver_mod, "host_callbacks_supported", lambda p=None: False
+    )
+    x, w0, h0 = _accel_problem(seed=17)
+    cfg = SolveConfig(
+        max_iter=60, check_every=10, accelerate=True,
+        live_metrics=True, track_cost=True,
+    )
+    full = ckpt.solve_with_checkpoints(
+        x, w0, h0, cfg, str(tmp_path / "f"), every=20
+    )
+    assert int(full.iteration) == 60
+    assert full.w_ex is not None  # the chunked loop surfaced its carry
+
+    d2 = str(tmp_path / "killed")
+    ckpt.solve_with_checkpoints(
+        x, w0, h0, dc.replace(cfg, max_iter=20), d2, every=20
+    )
+    resumed = ckpt.solve_with_checkpoints(x, w0, h0, cfg, d2, every=20)
+    assert int(resumed.iteration) == 60
+    np.testing.assert_allclose(
+        np.asarray(resumed.w), np.asarray(full.w), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.h), np.asarray(full.h), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(resumed.momentum, full.momentum, rtol=1e-6)
+    # ...and the chunked-live full run equals the callback-path straight run
+    from nmf_tpu import solve
+
+    straight = solve(x, w0, h0, dc.replace(cfg, live_metrics=False))
+    np.testing.assert_allclose(
+        np.asarray(full.w), np.asarray(straight.w), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_sharded_checkpointed_accel_resume_exact_on_chunked_live_platform(
+    tmp_path, monkeypatch
+):
+    """Same property through solve_sharded's live fallback (the mesh segment
+    driver passes the accel state; the fallback must not drop it)."""
+    import dataclasses as dc
+
+    import nmf_tpu.models.solver as solver_mod
+
+    monkeypatch.setattr(
+        solver_mod, "host_callbacks_supported", lambda p=None: False
+    )
+    x, w0, h0 = _accel_problem(seed=19, m=64, k=6, n=64)
+    mesh = make_mesh()
+    cfg = SolveConfig(
+        max_iter=40, check_every=10, accelerate=True,
+        live_metrics=True, track_cost=True,
+    )
+    full = ckpt.solve_with_checkpoints(
+        x, w0, h0, cfg, str(tmp_path / "f"), every=20, mesh=mesh
+    )
+    d2 = str(tmp_path / "killed")
+    ckpt.solve_with_checkpoints(
+        x, w0, h0, dc.replace(cfg, max_iter=20), d2, every=20, mesh=mesh
+    )
+    resumed = ckpt.solve_with_checkpoints(
+        x, w0, h0, cfg, d2, every=20, mesh=mesh
+    )
+    assert int(resumed.iteration) == 40
+    np.testing.assert_allclose(
+        np.asarray(resumed.w), np.asarray(full.w), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(resumed.momentum, full.momentum, rtol=1e-6)
+
+
 # --- crash-artifact GC / restore (ADVICE r03: checkpoint.py:131) ----------
 
 

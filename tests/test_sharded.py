@@ -540,3 +540,12 @@ def test_init_distributed_single_host_noop():
     """The documented bare single-host call must be a no-op, not a
     coordinator-address error."""
     meshmod.init_distributed()
+
+
+def test_init_distributed_require_flag_opt_out(monkeypatch):
+    """NMF_TPU_REQUIRE_DISTRIBUTED=0/false explicitly opts OUT — it must
+    behave like the unset default (warn + single-host), not force the
+    fatal-raise path (a truthiness check would read '0' as 'require')."""
+    for off in ("0", "false", "no", ""):
+        monkeypatch.setenv("NMF_TPU_REQUIRE_DISTRIBUTED", off)
+        meshmod.init_distributed()  # must not raise
