@@ -30,6 +30,7 @@ Usage:
     python bench.py --workload paper      # 512x3445 rank-30 (ISMIR 2009)
     python bench.py --workload regression # 4096x350 rank-128 (repo fixtures)
     python bench.py --dtype float32 --backend jnp
+    python bench.py --workload serving [--x-dtype int8]  # .nmfz throughput
 """
 
 from __future__ import annotations
@@ -181,6 +182,38 @@ def run_single(m, k, n, short, long, dtype, backend, x_dtype="float32") -> dict:
     return out
 
 
+def measure_h2d_bw(blk: np.ndarray) -> float:
+    """H2D bandwidth (bytes/s) for a representative wire block.
+
+    By SIZE DIFFERENCING: each probe pays the same dispatch + scalar-fetch
+    latency (high on this link — CLAUDE.md), so timing one transfer mixes
+    latency into bandwidth; the big-minus-small difference isolates the
+    payload term.  Two rounds, keep the best (the link fluctuates 2-3x
+    minute to minute)."""
+    import time as _time
+
+    import jax
+
+    dev = jax.devices()[0]
+    small = np.ascontiguousarray(blk[:, : max(1, blk.shape[1] // 8)])
+
+    def _put_fetch(arr):
+        t0 = _time.perf_counter()
+        a = jax.device_put(arr, dev)
+        np.asarray(jax.device_get(a[:1, :1]))
+        return _time.perf_counter() - t0
+
+    _put_fetch(small), _put_fetch(blk)  # warm both paths
+    bw = 0.0
+    for _ in range(2):
+        dt = _put_fetch(blk) - _put_fetch(small)
+        if dt > 0:
+            bw = max(bw, (blk.nbytes - small.nbytes) / dt)
+    if bw == 0.0:  # differencing degenerated: single-transfer estimate
+        bw = blk.nbytes / _put_fetch(blk)
+    return bw
+
+
 def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
     """Out-of-core streaming bench: iteration rate vs the H2D roofline.
 
@@ -216,28 +249,7 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
         import ml_dtypes
 
         blk = blk.astype(ml_dtypes.bfloat16)
-    dev = jax.devices()[0]
-    # H2D bandwidth by SIZE DIFFERENCING: each probe pays the same dispatch
-    # + scalar-fetch latency (high on this link — CLAUDE.md), so timing one
-    # transfer mixes latency into bandwidth; the big-minus-small difference
-    # isolates the payload term.  Two rounds, keep the best (the link
-    # fluctuates 2-3x minute to minute).
-    small = np.ascontiguousarray(blk[:, : max(1, blk.shape[1] // 8)])
-
-    def _put_fetch(arr):
-        t0 = _time.perf_counter()
-        a = jax.device_put(arr, dev)
-        np.asarray(jax.device_get(a[:1, :1]))
-        return _time.perf_counter() - t0
-
-    _put_fetch(small), _put_fetch(blk)  # warm both paths
-    h2d_bw = 0.0
-    for _ in range(2):
-        dt = _put_fetch(blk) - _put_fetch(small)
-        if dt > 0:
-            h2d_bw = max(h2d_bw, (blk.nbytes - small.nbytes) / dt)
-    if h2d_bw == 0.0:  # differencing degenerated: single-transfer estimate
-        h2d_bw = blk.nbytes / _put_fetch(blk)
+    h2d_bw = measure_h2d_bw(blk)
 
     # compile + warm TWICE with the IDENTICAL config (the per-block jits are
     # keyed by it, and this platform shows a one-off first-dispatch stall per
@@ -260,6 +272,81 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
         "fraction_of_peak": roofline / per_iter,  # of the H2D roofline
         "h2d_gbps": h2d_bw / 1e9,
         "streamed_gb_per_iter": wire_bytes / 1e9,
+    }
+
+
+def run_serving(m, k, n, iters, block_n, dtype, x_dtype) -> dict:
+    """AOT ``.nmfz`` serving throughput vs the H2D roofline.
+
+    Serve time on this host is dominated by shipping X over the measured
+    0.01-0.05 GB/s link (CLAUDE.md), so the quality metric is the fraction
+    of the pure-transfer roofline achieved (wire bytes of one call / H2D
+    bandwidth, over the measured wall per call).  ``x_dtype="int8"`` serves
+    the quantized-input artifact (format v3: host-quantized (codes, scales)
+    program inputs, ~4x less wire traffic); float32 ships X raw.  The
+    served program is the portable jnp path (serving.py), deserialized
+    StableHLO — zero tracing at serve time.  This is the reference's own
+    motivation measured end to end: feeding a fixed pipeline faster than
+    real time (nmf_ismir_2009.pdf p.1 abstract, 33x real-time).
+    """
+    import tempfile
+
+    from nmf_tpu.ops.quant import quantize_columns_np
+    from nmf_tpu.serving import load_transform, save_transform
+    from nmf_tpu.utils.config import Precision, SolveConfig
+
+    rng = np.random.RandomState(0)
+    eps = np.float32(2.2204e-16)
+    x = np.maximum(rng.rand(m, n).astype(np.float32), eps)
+    w = np.maximum(rng.rand(m, k).astype(np.float32), eps)
+    quant = x_dtype == "int8"
+    cfg = SolveConfig(
+        max_iter=iters, check_every=iters,
+        precision=Precision(matmul_dtype=dtype, x_dtype=x_dtype),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "model.nmfz")
+        t0 = time.perf_counter()
+        save_transform(path, w, block_n, cfg, quantized_input=quant)
+        export_s = time.perf_counter() - t0
+        t = load_transform(path)
+        artifact_bytes = os.path.getsize(path)
+        # first dispatch compiles the deserialized program once and pays
+        # this platform's one-off first-dispatch stall; report it apart
+        # from the steady state
+        t0 = time.perf_counter()
+        t(x[:, :block_n])
+        first_s = time.perf_counter() - t0
+        # warm the FULL-width call once (prefetch pipeline, every block);
+        # __call__ drains H to host, so the warm is synced by construction
+        t(x)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = t(x)
+            reps.append(time.perf_counter() - t0)
+    # roofline: wire bytes of one full call at the measured link bandwidth
+    # (uint8 codes quarter the f32 payload; per-column scales are noise)
+    wire_blk = (
+        quantize_columns_np(x[:, :block_n], float(eps))[0]
+        if quant else x[:, :block_n]
+    )
+    h2d_bw = measure_h2d_bw(wire_blk)
+    wire_bytes = x.nbytes // (4 if quant else 1)
+    roofline = wire_bytes / h2d_bw  # seconds/call at pure-transfer speed
+    med = float(np.median(reps))
+    return {
+        "seconds_per_call": med,
+        "cols_per_sec": n / med,
+        "best_cols_per_sec": n / min(reps),
+        "repeat_cols_per_sec": [n / r for r in reps],
+        "fraction_of_peak": roofline / med,  # of the H2D roofline
+        "h2d_gbps": h2d_bw / 1e9,
+        "wire_gb_per_call": wire_bytes / 1e9,
+        "artifact_bytes": artifact_bytes,
+        "export_seconds": export_s,
+        "first_dispatch_seconds": first_s,
+        "total_cost": float(np.sum(np.asarray(res.block_costs))),
     }
 
 
@@ -287,7 +374,11 @@ def metric_fields(metric: str) -> dict:
     toks = metric[lb + 1 : rb].split()
     out: dict = {}
     try:
-        if kind == "mu_iters_per_sec" and len(toks) >= 4 and toks[2] == "rank":
+        if (
+            kind in ("mu_iters_per_sec", "serving_cols_per_sec")
+            and len(toks) >= 4
+            and toks[2] == "rank"
+        ):
             out = {
                 "workload": toks[0],
                 "shape": toks[1],
@@ -366,7 +457,13 @@ def archive_stats(
     for rec in archive_rows(
         path, metric=metric, backend=backend, device_kind=device_kind
     ):
-        reps = rec.get("repeat_iters_per_sec") or []
+        # serving rows pool columns/s repeats; the metric filter above keeps
+        # units homogeneous within any one aggregation
+        reps = (
+            rec.get("repeat_iters_per_sec")
+            or rec.get("repeat_cols_per_sec")
+            or []
+        )
         if reps:
             pool.extend(reps)
             sessions += 1
@@ -624,7 +721,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--workload",
-        choices=list(WORKLOADS) + ["oocore", "converge"],
+        choices=list(WORKLOADS) + ["oocore", "converge", "serving"],
         default="flagship",
     )
     ap.add_argument(
@@ -659,6 +756,17 @@ def main(argv=None) -> int:
         help="'best' measures both implementations and reports the faster",
     )
     args = ap.parse_args(argv)
+
+    if args.workload == "serving" and args.x_dtype == "bfloat16":
+        # the serve wire is either raw f32 X or int8 (codes, scales); a bf16
+        # X storage dtype never crosses the link at serve time.  Rejected
+        # BEFORE the backend probe: an arg error must not wait 300 s.
+        print(json.dumps({
+            "metric": "serving_unavailable", "value": None, "unit": "n/a",
+            "vs_baseline": None,
+            "error": "--workload serving supports --x-dtype float32|int8",
+        }))
+        return 1
 
     # Bounded backend-init probe: when the chip tunnel is down, the first
     # jax.devices() HANGS indefinitely (measured 2026-08-17/18 outages) —
@@ -748,6 +856,42 @@ def main(argv=None) -> int:
         print(json.dumps(record))
         return 0
 
+    if args.workload == "serving":
+        m, k, n, block_n = 2048, 128, 16384, 2048  # = run_all serving rows
+        stats = run_serving(m, k, n, 50, block_n, args.dtype, args.x_dtype)
+        xd_tag = "" if args.x_dtype == "float32" else f" x-{args.x_dtype}"
+        metric = f"serving_cols_per_sec[serving {m}x{n} rank {k} {args.dtype}{xd_tag}]"
+        device_kind = jax.devices()[0].device_kind
+        record = {
+            "metric": metric,
+            "value": round(stats["cols_per_sec"], 1),
+            "unit": "columns/s",
+            # baseline: the H2D roofline (1.0 == transfer-bound speed of light)
+            "vs_baseline": round(stats["fraction_of_peak"], 4),
+            "baseline_kind": "H2D roofline (wire bytes of one call / "
+                             "measured link bandwidth)",
+            "device": str(jax.devices()[0]),
+            "device_kind": device_kind,
+            "backend": "serving",
+            **{kk: (round(vv, 4) if isinstance(vv, float) else vv)
+               for kk, vv in stats.items() if kk != "repeat_cols_per_sec"},
+        }
+        if not args.no_archive and device_kind != "cpu":
+            # CPU-forced debug runs must never feed the chip's cross-session
+            # medians (archive_stats filters by device_kind, but the rows
+            # would still accumulate as noise)
+            archive_append({
+                "metric": metric,
+                "backend": "serving",
+                "device_kind": device_kind,
+                "repeat_cols_per_sec": [
+                    round(v, 1) for v in stats["repeat_cols_per_sec"]
+                ],
+            })
+            record.update(archive_stats(metric, "serving", device_kind))
+        print(json.dumps(record))
+        return 0
+
     m, k, n, short, long = WORKLOADS[args.workload]
     if args.backend == "best":
         # the fused Pallas kernels are TPU-only; off-TPU measure just jnp.
@@ -818,7 +962,9 @@ def main(argv=None) -> int:
     for key, val in list(record.items()):
         if isinstance(val, float) and not np.isfinite(val):
             record[key] = None
-    if not args.no_archive:
+    if not args.no_archive and device_kind != "cpu":
+        # CPU-forced debug runs must never feed the chip's cross-session
+        # medians (this bit a CPU drive of the serving workload once)
         archive_append(
             {
                 "metric": metric,

@@ -136,6 +136,12 @@ def build_queue(py, quick, e2e_json):
         ("matrix", [py, "benchmarks/run_all.py", *q,
                     "--out", "benchmarks/results.json"], 14400),
         ("bench_oocore", [py, "bench.py", "--workload", "oocore"], 3600),
+        # VERDICT r03 #8: round-stamped serving-throughput rows (plain f32
+        # wire + quantized-input int8 wire — the link-bound paths this
+        # environment actually stresses)
+        ("bench_serving", [py, "bench.py", "--workload", "serving"], 3600),
+        ("bench_serving_int8", [py, "bench.py", "--workload", "serving",
+                                "--x-dtype", "int8"], 3600),
         ("bench_converge", [py, "bench.py", "--workload", "converge"], 5400),
         ("bench_flagship_3", [py, "bench.py"], 3600),
     ]

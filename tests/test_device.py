@@ -229,3 +229,40 @@ def test_archive_metric_fields_and_rows(tmp_path):
         "jnp", "TPU v5 lite", path=path,
     )
     assert st["archive_sessions"] == 1 and st["archive_repeats"] == 2
+
+
+def test_bench_serving_workload_cpu(tmp_path):
+    """``bench.py --workload serving`` machinery on CPU: the .nmfz export/
+    load/call loop measures, the quantized-input variant quarters the wire
+    payload, the metric parses into structured fields, and serving repeats
+    (columns/s) pool through archive_stats (VERDICT r03 #8)."""
+    import bench
+
+    stats = bench.run_serving(
+        64, 8, 256, iters=3, block_n=128, dtype="float32", x_dtype="float32"
+    )
+    assert stats["cols_per_sec"] > 0
+    assert len(stats["repeat_cols_per_sec"]) == 3
+    assert stats["artifact_bytes"] > 0 and np.isfinite(stats["total_cost"])
+
+    q = bench.run_serving(
+        64, 8, 256, iters=3, block_n=128, dtype="float32", x_dtype="int8"
+    )
+    assert q["wire_gb_per_call"] * 4 == pytest.approx(
+        stats["wire_gb_per_call"], rel=1e-6
+    )
+
+    metric = "serving_cols_per_sec[serving 2048x16384 rank 128 bfloat16 x-int8]"
+    assert bench.metric_fields(metric) == {
+        "workload": "serving", "shape": "2048x16384", "k": 128,
+        "dtype": "bfloat16", "x_dtype": "int8",
+    }
+    path = str(tmp_path / "archive.jsonl")
+    bench.archive_append(
+        {"metric": metric, "backend": "serving", "device_kind": "cpu",
+         "repeat_cols_per_sec": [100.0, 200.0]},
+        path=path,
+    )
+    st = bench.archive_stats(metric, "serving", "cpu", path=path)
+    assert st["archive_repeats"] == 2
+    assert st["archive_median_iters_per_sec"] == 150.0
