@@ -325,14 +325,18 @@ def run_serving(m, k, n, iters, block_n, dtype, x_dtype) -> dict:
             t0 = time.perf_counter()
             res = t(x)
             reps.append(time.perf_counter() - t0)
-    # roofline: wire bytes of one full call at the measured link bandwidth
-    # (uint8 codes quarter the f32 payload; per-column scales are noise)
+    # roofline: wire bytes of one full call at the measured link bandwidth.
+    # The call ships the X payload (uint8 codes quarter the f32 width;
+    # per-column scales are noise) PLUS an f32 h0 block per X block
+    # (serving.ServingTransform._place_block) — at k=128 that is ~11% of
+    # the f32 wire and ~20% of the int8 wire, so omitting it would flatter
+    # fraction_of_peak, and by more for int8.
     wire_blk = (
         quantize_columns_np(x[:, :block_n], float(eps))[0]
         if quant else x[:, :block_n]
     )
     h2d_bw = measure_h2d_bw(wire_blk)
-    wire_bytes = x.nbytes // (4 if quant else 1)
+    wire_bytes = x.nbytes // (4 if quant else 1) + 4 * k * n
     roofline = wire_bytes / h2d_bw  # seconds/call at pure-transfer speed
     med = float(np.median(reps))
     return {
@@ -376,7 +380,9 @@ def metric_fields(metric: str) -> dict:
     try:
         if (
             kind in ("mu_iters_per_sec", "serving_cols_per_sec")
-            and len(toks) >= 4
+            # >= 5: toks[4] (dtype) is read below — a 4-token name would
+            # IndexError into the blanket except and lose ALL its fields
+            and len(toks) >= 5
             and toks[2] == "rank"
         ):
             out = {
@@ -470,9 +476,15 @@ def archive_stats(
     if not pool:
         return {}
     q25, med, q75 = np.percentile(pool, [25, 50, 75])
+    # key names carry the pooled unit: serving metrics pool columns/s, so
+    # labeling their median "iters_per_sec" would be a ~300x unit confusion
+    # for any consumer aggregating across workloads
+    unit = (
+        "cols_per_sec" if metric.startswith("serving_") else "iters_per_sec"
+    )
     return {
-        "archive_median_iters_per_sec": round(float(med), 3),
-        "archive_iqr_iters_per_sec": round(float(q75 - q25), 3),
+        f"archive_median_{unit}": round(float(med), 3),
+        f"archive_iqr_{unit}": round(float(q75 - q25), 3),
         "archive_sessions": sessions,
         "archive_repeats": len(pool),
     }

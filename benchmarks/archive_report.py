@@ -35,8 +35,14 @@ def load(path: str = ARCHIVE):
                 rec = json.loads(line)
             except ValueError:
                 continue
-            if rec.get("repeat_iters_per_sec"):
-                rows.append(rec)
+            # serving rows archive columns/s repeats; normalize to one
+            # field so the report covers them (units stay homogeneous
+            # because grouping is per exact metric string)
+            reps = rec.get("repeat_iters_per_sec") or rec.get(
+                "repeat_cols_per_sec"
+            )
+            if reps:
+                rows.append(dict(rec, repeat_iters_per_sec=reps))
     return rows
 
 

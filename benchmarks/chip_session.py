@@ -41,13 +41,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _env():
     env = dict(os.environ)
-    # keep the axon plugin importable AND the cross-process compile cache
-    # warm (CLAUDE.md: cuts repeat compiles from minutes to seconds)
-    pp = env.get("PYTHONPATH", "")
-    if "/root/.axon_site" not in pp:
-        env["PYTHONPATH"] = f"{REPO}:/root/.axon_site" + (":" + pp if pp else "")
+    # ALWAYS prepend the repo root (steps under benchmarks/ import nmf_tpu)
+    # and keep the axon plugin importable and the cross-process compile
+    # cache warm (CLAUDE.md: cuts repeat compiles from minutes to seconds).
+    # On the production host PYTHONPATH already carries /root/.axon_site —
+    # an "only if axon missing" guard would skip the REPO prepend exactly
+    # there (same logic as e2e_cli._env).
+    parts = [p for p in env.get("PYTHONPATH", "").split(":") if p]
+    if "/root/.axon_site" not in parts:
+        parts.insert(0, "/root/.axon_site")
+    env["PYTHONPATH"] = ":".join([REPO] + [p for p in parts if p != REPO])
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     return env
+
+
+def _write_log(path, text):
+    """Best-effort log write: a full disk or vanished log_dir must not
+    crash the unattended queue (run_step's contract is 'never raise')."""
+    try:
+        with open(path, "w") as f:
+            f.write(text)
+    except OSError as exc:
+        print(f"[chip_session] log write failed ({path}): {exc}",
+              file=sys.stderr)
 
 
 def probe(timeout=300.0) -> dict:
@@ -88,10 +104,8 @@ def run_step(name, cmd, timeout, log_dir):
         )
         rec["rc"] = out.returncode
         rec["stdout_tail"] = out.stdout[-2000:]
-        with open(os.path.join(log_dir, f"{name}.out"), "w") as f:
-            f.write(out.stdout)
-        with open(os.path.join(log_dir, f"{name}.err"), "w") as f:
-            f.write(out.stderr)
+        _write_log(os.path.join(log_dir, f"{name}.out"), out.stdout)
+        _write_log(os.path.join(log_dir, f"{name}.err"), out.stderr)
         # last JSON line of stdout, if any (bench.py prints exactly one)
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
@@ -112,8 +126,7 @@ def run_step(name, cmd, timeout, log_dir):
                     stream.decode("utf-8", "replace")
                     if isinstance(stream, bytes) else stream
                 )
-                with open(os.path.join(log_dir, f"{name}.{suffix}"), "w") as f:
-                    f.write(text)
+                _write_log(os.path.join(log_dir, f"{name}.{suffix}"), text)
                 if suffix == "out":
                     rec["stdout_tail"] = text[-2000:]
     rec["seconds"] = round(time.time() - t0, 1)
@@ -206,8 +219,8 @@ def main(argv=None) -> int:
     if not p.get("up"):
         summary["ok"] = False
         print(json.dumps(summary))
-        with open(os.path.join(log_dir, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+        _write_log(os.path.join(log_dir, "summary.json"),
+                   json.dumps(summary, indent=2))
         return 1
     print(f"[chip_session] TPU up ({p['device_kind']}); logs -> {log_dir}",
           file=sys.stderr)
@@ -237,14 +250,14 @@ def main(argv=None) -> int:
             shutil.copyfile(e2e_json, os.path.join(args.root, f"E2E_{rn}.json"))
             with open(e2e_json) as f:
                 summary[f"E2E_{rn}"] = json.load(f).get("ok")
-        with open(os.path.join(log_dir, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+        _write_log(os.path.join(log_dir, "summary.json"),
+                   json.dumps(summary, indent=2))
 
     summary["ok"] = all(r["ok"] for r in summary["steps"]) and bool(
         summary["steps"]
     )
-    with open(os.path.join(log_dir, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    _write_log(os.path.join(log_dir, "summary.json"),
+               json.dumps(summary, indent=2))
     print(json.dumps({k: v for k, v in summary.items() if k != "steps"}))
     return 0 if summary["ok"] else 1
 

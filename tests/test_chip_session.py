@@ -139,3 +139,31 @@ def test_real_queue_commands_parse():
         for flag in flags:
             if flag.startswith("--"):
                 assert flag in usage_by_script[script], (name, flag)
+
+
+def test_env_always_prepends_repo(monkeypatch):
+    """The production host sets PYTHONPATH=/root/.axon_site, so an
+    "only if axon missing" guard would skip the REPO prepend exactly
+    there; _env must put the repo root first in every case."""
+    cs = _load_chip_session()
+
+    monkeypatch.setenv("PYTHONPATH", "/root/.axon_site")
+    pp = cs._env()["PYTHONPATH"].split(":")
+    assert pp[0] == REPO and "/root/.axon_site" in pp
+
+    monkeypatch.delenv("PYTHONPATH", raising=False)
+    pp = cs._env()["PYTHONPATH"].split(":")
+    assert pp[0] == REPO and "/root/.axon_site" in pp
+
+    # idempotent: REPO already present is not duplicated
+    monkeypatch.setenv("PYTHONPATH", f"{REPO}:/root/.axon_site:/x")
+    pp = cs._env()["PYTHONPATH"].split(":")
+    assert pp.count(REPO) == 1 and pp[-1] == "/x"
+
+
+def test_write_log_swallows_oserror(tmp_path, capsys):
+    """run_step's 'never raise' contract covers its log writes: a vanished
+    log_dir / full disk must not abort the remaining queue."""
+    cs = _load_chip_session()
+    cs._write_log(str(tmp_path / "missing_dir" / "x.out"), "text")
+    assert "log write failed" in capsys.readouterr().err

@@ -248,9 +248,12 @@ def test_bench_serving_workload_cpu(tmp_path):
     q = bench.run_serving(
         64, 8, 256, iters=3, block_n=128, dtype="float32", x_dtype="int8"
     )
-    assert q["wire_gb_per_call"] * 4 == pytest.approx(
-        stats["wire_gb_per_call"], rel=1e-6
-    )
+    # wire = X payload (quartered by int8 codes) + the f32 h0 blocks the
+    # pipeline ships alongside every X block (k*n*4 bytes per call)
+    h0_gb = 4 * 8 * 256 / 1e9
+    x_gb = 64 * 256 * 4 / 1e9
+    assert stats["wire_gb_per_call"] == pytest.approx(x_gb + h0_gb, rel=1e-6)
+    assert q["wire_gb_per_call"] == pytest.approx(x_gb / 4 + h0_gb, rel=1e-6)
 
     metric = "serving_cols_per_sec[serving 2048x16384 rank 128 bfloat16 x-int8]"
     assert bench.metric_fields(metric) == {
@@ -265,4 +268,13 @@ def test_bench_serving_workload_cpu(tmp_path):
     )
     st = bench.archive_stats(metric, "serving", "cpu", path=path)
     assert st["archive_repeats"] == 2
-    assert st["archive_median_iters_per_sec"] == 150.0
+    # serving medians are labeled in their own unit (columns/s), never as
+    # iters/s — a consumer pooling across workloads must not misread units
+    assert st["archive_median_cols_per_sec"] == 150.0
+    assert "archive_median_iters_per_sec" not in st
+
+    # a dtype-less 4-token metric must return {} cleanly (guard, not
+    # swallowed IndexError)
+    assert bench.metric_fields(
+        "mu_iters_per_sec[flagship 10240x10240 rank 256]"
+    ) == {}
