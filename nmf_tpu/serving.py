@@ -49,9 +49,11 @@ bit-identical NumPy twin, ops/quant.quantize_*_np): the program takes the
 ``(codes, scales)`` pair directly, so each block's H2D transfer shrinks ~4x
 — the lever that matters on link-bound serving (this host's measured
 0.01-0.05 GB/s).  Results are bit-identical to the in-program-quantization
-artifact; excluded for masked (the program zeroes unobserved entries BEFORE
-quantizing) and mesh artifacts (same per-shard scale-layout exclusion as
-in-program int8).
+artifact; composes with ``mesh_shape`` (host quantization produces the
+solver's whole-column scale layout, which shards cleanly — the per-shard
+exclusion only applies to quantizing *inside* the sharded program);
+excluded for masked (the program zeroes unobserved entries BEFORE
+quantizing).
 
 Distributed serving: ``mesh_shape=(rows, cols)`` exports the shard_map
 solver (parallel.sharded) instead — traced over a ``jax.sharding
@@ -198,6 +200,65 @@ def _build_quantized_input_program(config: SolveConfig):
         )
 
     return jax.jit(program)
+
+
+def _build_sharded_quantized_input_program(config: SolveConfig, mesh_shape):
+    """Mesh + quantized input: host-quantized ``(codes, scales)`` blocks
+    feed the shard_map H-only solver directly.
+
+    The in-program int8 × mesh exclusion exists because per-shard
+    quantization inside shard_map cannot reproduce the solver's
+    whole-column scale layout — but with ``quantized_input`` the HOST
+    quantizes whole columns, which is exactly that layout, so the
+    exclusion does not apply to this calling convention.  Codes shard like
+    X ('mr','mc'); scales follow parallel.mesh.quant_scale_spec (1-D
+    per-column over 'mc'; a 2-D row-block table keeps its block rows on
+    every 'mr' shard); dequant stays shard-local and in-register
+    (parallel.sharded._dequant_local), so X rides the wire AND sits in
+    HBM at 1/4 width."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import AbstractMesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .models.solver import _prep_jit
+    from .parallel.mesh import quant_scale_spec_for
+    from .parallel.sharded import build_sharded_h_solver
+
+    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
+    fn = build_sharded_h_solver(config, am)
+    prep = _prep_jit(config, x_is_quant_pair=True)
+
+    def program(codes, scales, w, h0):
+        x, w, h0 = prep((codes, scales), w, h0)
+        res = fn(
+            x, w, h0,
+            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
+        )
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    def S(spec):
+        return NamedSharding(am, spec)
+
+    return jax.jit(
+        program,
+        in_shardings=(
+            S(P("mr", "mc")),
+            S(quant_scale_spec_for(config.precision)),
+            S(P("mr", None)),
+            S(P(None, "mc")),
+        ),
+        out_shardings=(
+            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
+        ),
+    )
 
 
 def _build_masked_program(config: SolveConfig):
@@ -370,14 +431,13 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None,
                 "host-side quantization cannot reproduce without the mask — "
                 "serve masked int8 with the in-program-quantization artifact"
             )
-        if mesh_shape is not None:
-            raise ValueError(
-                "quantized_input is single-device (same per-shard "
-                "scale-layout exclusion as in-program int8 on meshes)"
-            )
     m, k = w.shape
     if quantized_input:
-        program = _build_quantized_input_program(config)
+        program = (
+            _build_sharded_quantized_input_program(config, mesh_shape)
+            if mesh_shape is not None
+            else _build_quantized_input_program(config)
+        )
         qrows = int(config.precision.x_quant_rows or 0)
         scales_shape = (
             (-(-m // qrows), n_block) if qrows else (n_block,)
@@ -397,7 +457,9 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None,
                 "sharded export does not take x_dtype='int8': the exported "
                 "program would have to quantize per shard inside shard_map, "
                 "which cannot reproduce the solver's whole-column scale "
-                "layout — serve int8 single-device, or feed f32/bf16"
+                "layout — export with quantized_input=True instead (the "
+                "HOST quantizes whole columns, which shards cleanly), or "
+                "feed f32/bf16"
             )
         program = (
             _build_sharded_masked_program if masked else _build_sharded_program
@@ -429,9 +491,9 @@ def export_transform(
     rows*cols of them).  With ``masked=True`` the program takes a fourth
     ``mask`` input and iterates H on the observed entries only
     (missing-data scoring; composes with ``mesh_shape``).  With
-    ``quantized_input=True`` (int8 configs, single-device, unmasked) the
-    program takes host-quantized ``(codes, scales)`` instead of f32 X —
-    ~4x less serve-time H2D, bit-identical results.
+    ``quantized_input=True`` (int8 configs, unmasked; composes with
+    ``mesh_shape``) the program takes host-quantized ``(codes, scales)``
+    instead of f32 X — ~4x less serve-time H2D, bit-identical results.
 
     Returns a ``jax.export.Exported``; most callers want
     :func:`save_transform`, which wraps this in the on-disk artifact.
@@ -719,9 +781,15 @@ class ServingTransform:
                 eps,
                 int(self.config.precision.x_quant_rows or 0),
             )
+            scales = np.asarray(scales, np.float32)
+            # scale placement mirrors parallel.mesh.quant_scale_spec: 1-D
+            # per-column scales shard with their columns; a 2-D row-block
+            # table keeps its block rows on every row shard
             return (
                 self._put(codes, ("mr", "mc")),
-                self._put(np.asarray(scales, np.float32), ("mc",)),
+                self._put(
+                    scales, ("mc",) if scales.ndim == 1 else (None, "mc")
+                ),
                 self._put(h0_blk, (None, "mc")),
             )
         placed = (

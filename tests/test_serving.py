@@ -845,8 +845,9 @@ def test_quantized_artifact_stream_bin(tmp_path, problem):
 
 
 def test_quantized_export_validation(problem):
-    """quantized_input is int8-only, unmasked, single-device — each
-    violation fails eagerly at export with an actionable message."""
+    """quantized_input is int8-only and unmasked — each violation fails
+    eagerly at export with an actionable message (mesh_shape composes;
+    see test_quantized_mesh_artifact_matches_single_device)."""
     w, _, _ = problem
     with pytest.raises(ValueError, match="int8"):
         export_transform(w, NB, SolveConfig(max_iter=5, backend="jnp"),
@@ -854,9 +855,43 @@ def test_quantized_export_validation(problem):
     cfg = CONFIGS["int8-x"]
     with pytest.raises(ValueError, match="masked"):
         export_transform(w, NB, cfg, masked=True, quantized_input=True)
-    with pytest.raises(ValueError, match="single-device"):
-        export_transform(w, NB, cfg, mesh_shape=(4, 2),
-                         quantized_input=True)
+    # the in-program int8 x mesh exclusion stands, and its message points
+    # at the composition that DOES work
+    with pytest.raises(ValueError, match="quantized_input=True"):
+        export_transform(w, NB, cfg, mesh_shape=(4, 2))
+
+
+@pytest.mark.parametrize("name", sorted(_quant_configs()))
+def test_quantized_mesh_artifact_matches_single_device(tmp_path, problem, name):
+    """Mesh x quantized-input serving: host-quantized (codes, scales)
+    blocks feed the shard_map solver — whole-column host quantization IS
+    the solver's scale layout, so the per-shard exclusion that bars
+    in-program int8 on meshes does not apply here.  The mesh artifact
+    must reproduce the single-device quantized artifact (clamp-after-psum
+    parity) including a ragged tail, for per-column AND row-block scales."""
+    w, x, h0 = problem
+    config = _quant_configs()[name]
+    single = os.path.join(str(tmp_path), "single.nmfz")
+    mesh = os.path.join(str(tmp_path), "mesh.nmfz")
+    save_transform(single, w, NB, config, platforms=("cpu",),
+                   quantized_input=True)
+    save_transform(mesh, w, NB, config, platforms=("cpu",),
+                   mesh_shape=(4, 2), quantized_input=True)
+    tm = load_transform(mesh)
+    assert tm.quantized and tm.mesh_shape == (4, 2)
+    assert tm.meta["format_version"] == 3
+    ts = load_transform(single)
+    n_cut = NB + 5  # ragged tail quantizes/pads identically on the mesh
+    for xs, h0s in ((x, h0), (x[:, :n_cut], h0[:, :n_cut])):
+        ref = ts(xs, h0=h0s)
+        res = tm(xs, h0=h0s)
+        ref_h = np.asarray(ref.h, np.float32)
+        np.testing.assert_allclose(
+            res.h, ref_h, rtol=0, atol=5e-5 * ref_h.max()
+        )
+        np.testing.assert_array_equal(
+            res.block_iterations, ref.block_iterations
+        )
 
 
 def test_quantized_meta_program_drift_rejected(tmp_path, problem):
