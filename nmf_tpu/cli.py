@@ -1343,7 +1343,7 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="int8 configs only: the program takes host-quantized "
         "(codes, scales) instead of f32 X — ~4x less serve-time transfer, "
-        "bit-identical results (composes with --mesh; unmasked)",
+        "bit-identical results (composes with --mesh and --masked)",
     )
     _add_solver_flags(exp)
     exp.set_defaults(fn=cmd_export)

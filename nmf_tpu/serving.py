@@ -51,9 +51,10 @@ bit-identical NumPy twin, ops/quant.quantize_*_np): the program takes the
 0.01-0.05 GB/s).  Results are bit-identical to the in-program-quantization
 artifact; composes with ``mesh_shape`` (host quantization produces the
 solver's whole-column scale layout, which shards cleanly — the per-shard
-exclusion only applies to quantizing *inside* the sharded program);
-excluded for masked (the program zeroes unobserved entries BEFORE
-quantizing).
+exclusion only applies to quantizing *inside* the sharded program) and
+with ``masked`` (the caller hands the host the mask, so it reproduces the
+in-program clamp → zero-unobserved → quantize order exactly; format v4,
+5 program inputs).
 
 Distributed serving: ``mesh_shape=(rows, cols)`` exports the shard_map
 solver (parallel.sharded) instead — traced over a ``jax.sharding
@@ -88,10 +89,11 @@ __all__ = [
 # v1: plain/mesh transform artifacts.  v2 adds masked artifacts (a 4th
 # program input).  v3 adds quantized-input artifacts (program takes the
 # (codes, scales) pair instead of f32 X — quarter-width serve-time
-# transfers).  Each artifact writes the LOWEST version that can describe it,
-# so older loaders — which reject versions above their own — keep reading
-# everything they can actually serve.
-FORMAT_VERSION = 3
+# transfers).  v4 adds masked x quantized-input (5 program inputs: codes,
+# scales, w, h0, mask).  Each artifact writes the LOWEST version that can
+# describe it, so older loaders — which reject versions above their own —
+# keep reading everything they can actually serve.
+FORMAT_VERSION = 4
 _MAGIC = "nmf_tpu-serving"
 
 
@@ -261,6 +263,95 @@ def _build_sharded_quantized_input_program(config: SolveConfig, mesh_shape):
     )
 
 
+def _build_masked_quantized_input_program(config: SolveConfig):
+    """Masked x quantized input: ``program(codes, scales, w, h0, mask)``.
+
+    The masked in-program prep zeroes unobserved entries BEFORE quantizing
+    (models/masked._masked_prep_jit_cached) — which the host CAN reproduce
+    at serve time, because the caller hands it the mask:
+    ``ServingTransform._place_block`` clamps, zeroes, then quantizes with
+    the bit-identical NumPy twins, so the (codes, scales) here match the
+    in-program masked-int8 artifact's bitwise and the wire carries uint8
+    codes (~4x less) for missing-data scoring too."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.masked import _masked_h_step_cost_pair
+    from .models.solver import _prep_jit, run_checked_loop
+
+    step, cost = _masked_h_step_cost_pair(config)
+    prep = _prep_jit(config, x_is_quant_pair=True)
+
+    def program(codes, scales, w, h0, mask):
+        x, w, h0 = prep((codes, scales), w, h0)
+        res = run_checked_loop(
+            (x, mask.astype(jnp.float32)), w, h0, config, step, cost
+        )
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    return jax.jit(program)
+
+
+def _build_sharded_masked_quantized_input_program(config: SolveConfig,
+                                                  mesh_shape):
+    """Mesh x masked x quantized input: the shard_map masked H-only solver
+    fed host-quantized (codes, scales) — codes and mask shard like X,
+    scales per parallel.mesh.quant_scale_spec, dequant shard-local (see
+    :func:`_build_sharded_quantized_input_program` for why host
+    quantization lifts the in-program int8 mesh exclusion)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import AbstractMesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .models.solver import _prep_jit
+    from .parallel.mesh import quant_scale_spec_for
+    from .parallel.sharded import build_sharded_masked_h_solver
+
+    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
+    fn = build_sharded_masked_h_solver(config, am)
+    prep = _prep_jit(config, x_is_quant_pair=True)
+
+    def program(codes, scales, w, h0, mask):
+        x, w, h0 = prep((codes, scales), w, h0)
+        res = fn(
+            (x, mask.astype(jnp.float32)), w, h0,
+            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
+        )
+        return (
+            res.h,
+            res.iterations,
+            res.cost,
+            res.cost_history,
+            res.num_checks,
+            res.converged,
+        )
+
+    def S(spec):
+        return NamedSharding(am, spec)
+
+    return jax.jit(
+        program,
+        in_shardings=(
+            S(P("mr", "mc")),
+            S(quant_scale_spec_for(config.precision)),
+            S(P("mr", None)),
+            S(P(None, "mc")),
+            S(P("mr", "mc")),
+        ),
+        out_shardings=(
+            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
+        ),
+    )
+
+
 def _build_masked_program(config: SolveConfig):
     """Masked variant of :func:`_build_program`: ``program(x, w, h0, mask)``
     iterates H on the OBSERVED entries only (models/masked.py semantics —
@@ -417,27 +508,24 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None,
             "masked serving implements the KL (beta=1) MU family "
             "(models/masked.py)"
         )
-    if quantized_input:
-        if config.precision.x_dtype != "int8":
-            raise ValueError(
-                "quantized_input exports the (codes, scales) calling "
-                "convention, which only exists for int8 X storage — set "
-                "Precision(x_dtype='int8') (optionally x_quant_rows)"
-            )
-        if masked:
-            raise ValueError(
-                "quantized_input cannot compose with masked: the masked "
-                "program zeroes unobserved entries BEFORE quantizing, which "
-                "host-side quantization cannot reproduce without the mask — "
-                "serve masked int8 with the in-program-quantization artifact"
-            )
+    if quantized_input and config.precision.x_dtype != "int8":
+        raise ValueError(
+            "quantized_input exports the (codes, scales) calling "
+            "convention, which only exists for int8 X storage — set "
+            "Precision(x_dtype='int8') (optionally x_quant_rows)"
+        )
     m, k = w.shape
     if quantized_input:
-        program = (
-            _build_sharded_quantized_input_program(config, mesh_shape)
-            if mesh_shape is not None
-            else _build_quantized_input_program(config)
-        )
+        if mesh_shape is not None:
+            program = (
+                _build_sharded_masked_quantized_input_program if masked
+                else _build_sharded_quantized_input_program
+            )(config, mesh_shape)
+        else:
+            program = (
+                _build_masked_quantized_input_program if masked
+                else _build_quantized_input_program
+            )(config)
         qrows = int(config.precision.x_quant_rows or 0)
         scales_shape = (
             (-(-m // qrows), n_block) if qrows else (n_block,)
@@ -448,6 +536,8 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None,
             jax.ShapeDtypeStruct((m, k), jnp.float32),
             jax.ShapeDtypeStruct((k, n_block), jnp.float32),
         ]
+        if masked:
+            args.append(jax.ShapeDtypeStruct((m, n_block), jnp.float32))
         return jax_export.export(program, platforms=platforms)(*args)
     if mesh_shape is None:
         program = (_build_masked_program if masked else _build_program)(config)
@@ -491,8 +581,8 @@ def export_transform(
     rows*cols of them).  With ``masked=True`` the program takes a fourth
     ``mask`` input and iterates H on the observed entries only
     (missing-data scoring; composes with ``mesh_shape``).  With
-    ``quantized_input=True`` (int8 configs, unmasked; composes with
-    ``mesh_shape``) the program takes host-quantized ``(codes, scales)``
+    ``quantized_input=True`` (int8 configs; composes with ``mesh_shape``
+    and ``masked``) the program takes host-quantized ``(codes, scales)``
     instead of f32 X — ~4x less serve-time H2D, bit-identical results.
 
     Returns a ``jax.export.Exported``; most callers want
@@ -526,7 +616,10 @@ def save_transform(
     meta = {
         "magic": _MAGIC,
         "format_version": (
-            3 if quantized_input else (2 if masked else 1)
+            4 if (masked and quantized_input)
+            else 3 if quantized_input
+            else 2 if masked
+            else 1
         ),
         "m": int(w.shape[0]),
         "k": int(w.shape[1]),
@@ -776,22 +869,32 @@ class ServingTransform:
             from .ops.quant import quantize_policy_np
 
             eps = self.config.eps
+            xq = np.maximum(np.asarray(x_blk, np.float32), np.float32(eps))
+            if mask_blk is not None:
+                # mirror models.masked._masked_prep_jit_cached bit-for-bit:
+                # clamp, THEN zero unobserved entries (garbage incl. NaN
+                # must not reach the quantization scales), THEN quantize —
+                # the host CAN reproduce the in-program masked prep because
+                # the caller hands it the mask
+                mask_blk = np.asarray(mask_blk, np.float32)
+                xq = np.where(mask_blk > 0, xq, np.float32(0.0))
             codes, scales = quantize_policy_np(
-                np.maximum(np.asarray(x_blk, np.float32), np.float32(eps)),
-                eps,
-                int(self.config.precision.x_quant_rows or 0),
+                xq, eps, int(self.config.precision.x_quant_rows or 0)
             )
             scales = np.asarray(scales, np.float32)
             # scale placement mirrors parallel.mesh.quant_scale_spec: 1-D
             # per-column scales shard with their columns; a 2-D row-block
             # table keeps its block rows on every row shard
-            return (
+            placed = (
                 self._put(codes, ("mr", "mc")),
                 self._put(
                     scales, ("mc",) if scales.ndim == 1 else (None, "mc")
                 ),
                 self._put(h0_blk, (None, "mc")),
             )
+            if mask_blk is not None:
+                placed += (self._put(mask_blk, ("mr", "mc")),)
+            return placed
         placed = (
             self._put(x_blk, ("mr", "mc")),
             self._put(h0_blk, (None, "mc")),
@@ -808,9 +911,9 @@ class ServingTransform:
         if self._w_dev is None:
             self._w_dev = self._put(self.w, ("mr", None))
         if self.quantized:
-            codes, scales, h0_dev = placed
+            codes, scales, h0_dev = placed[:3]
             h, it, cost, _hist, _nchecks, conv = self._fn(
-                codes, scales, self._w_dev, h0_dev
+                codes, scales, self._w_dev, h0_dev, *placed[3:]
             )
             return h, it, cost, conv
         x_dev, h0_dev = placed[0], placed[1]
@@ -964,10 +1067,10 @@ def load_transform(path: str, mesh=None) -> ServingTransform:
     # otherwise pad blocks to the wrong width or pass the wrong arity,
     # failing at first call with the same opaque deep error the w.npy guard
     # prevents.  Signatures: (x, w, h0[, mask]) — x is in_avals[0] — or
-    # (codes, scales, w, h0) for quantized-input artifacts.
+    # (codes, scales, w, h0[, mask]) for quantized-input artifacts.
     avals = list(exported.in_avals)
     quantized = bool(meta.get("quantized_input", False))
-    want_args = 4 if (meta.get("masked") or quantized) else 3
+    want_args = 3 + bool(meta.get("masked")) + quantized
     if len(avals) != want_args:
         raise ValueError(
             f"{path}: corrupt artifact — meta says masked={bool(meta.get('masked'))} "

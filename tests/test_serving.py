@@ -694,7 +694,8 @@ def test_masked_artifact_version_gate(tmp_path, problem):
     assert t_plain.meta["format_version"] == 1
     t_masked = load_transform(_masked_roundtrip(tmp_path, w, config))
     assert t_masked.meta["format_version"] == 2
-    assert FORMAT_VERSION == 3  # v3 = quantized-input artifacts
+    # v3 = quantized-input artifacts; v4 = masked x quantized-input
+    assert FORMAT_VERSION == 4
 
 
 def test_masked_mesh_artifact(tmp_path, problem):
@@ -845,20 +846,62 @@ def test_quantized_artifact_stream_bin(tmp_path, problem):
 
 
 def test_quantized_export_validation(problem):
-    """quantized_input is int8-only and unmasked — each violation fails
-    eagerly at export with an actionable message (mesh_shape composes;
-    see test_quantized_mesh_artifact_matches_single_device)."""
+    """quantized_input is int8-only — the violation fails eagerly at
+    export with an actionable message (mesh_shape and masked compose; see
+    the dedicated tests below)."""
     w, _, _ = problem
     with pytest.raises(ValueError, match="int8"):
         export_transform(w, NB, SolveConfig(max_iter=5, backend="jnp"),
                          quantized_input=True)
     cfg = CONFIGS["int8-x"]
-    with pytest.raises(ValueError, match="masked"):
-        export_transform(w, NB, cfg, masked=True, quantized_input=True)
     # the in-program int8 x mesh exclusion stands, and its message points
     # at the composition that DOES work
     with pytest.raises(ValueError, match="quantized_input=True"):
         export_transform(w, NB, cfg, mesh_shape=(4, 2))
+
+
+@pytest.mark.parametrize("mesh_shape", [None, (2, 4)])
+@pytest.mark.parametrize("name", sorted(_quant_configs()))
+def test_masked_quantized_artifact_bit_identical(tmp_path, problem, name,
+                                                 mesh_shape):
+    """Masked x quantized-input (format v4): the host reproduces the
+    in-program masked prep exactly — clamp, zero unobserved (incl. NaN
+    garbage), quantize — so results match the masked in-program-int8
+    artifact bitwise single-device (and to psum tolerance on a mesh),
+    while the wire carries uint8 codes."""
+    w, x, h0 = problem
+    config = _quant_configs()[name]
+    rng = np.random.RandomState(7)
+    mask = (rng.rand(*x.shape) > 0.25).astype(np.float32)
+    xg = x.copy()
+    xg[mask == 0] = np.nan  # unobserved entries are garbage by contract
+    plain = os.path.join(str(tmp_path), "plain.nmfz")
+    quant = os.path.join(str(tmp_path), "quant.nmfz")
+    save_transform(plain, w, NB, config, platforms=("cpu",), masked=True)
+    save_transform(quant, w, NB, config, platforms=("cpu",), masked=True,
+                   mesh_shape=mesh_shape, quantized_input=True)
+    tq = load_transform(quant)
+    assert tq.quantized and tq.masked
+    assert tq.meta["format_version"] == 4
+    n_cut = NB + 5  # ragged tail: mask/X pad and quantize identically
+    for xs, h0s, ms in (
+        (xg, h0, mask), (xg[:, :n_cut], h0[:, :n_cut], mask[:, :n_cut]),
+    ):
+        ref = load_transform(plain)(xs, h0=h0s, mask=ms)
+        res = tq(xs, h0=h0s, mask=ms)
+        ref_h = np.asarray(ref.h, np.float32)
+        if mesh_shape is None:
+            np.testing.assert_array_equal(res.h, ref_h)
+            np.testing.assert_array_equal(
+                res.block_costs, ref.block_costs
+            )
+        else:
+            np.testing.assert_allclose(
+                res.h, ref_h, rtol=0, atol=5e-5 * ref_h.max()
+            )
+        np.testing.assert_array_equal(
+            res.block_iterations, ref.block_iterations
+        )
 
 
 @pytest.mark.parametrize("name", sorted(_quant_configs()))
