@@ -760,26 +760,20 @@ def cmd_serve(args) -> int:
     mesh = _mesh_from(args)
     t = load_transform(args.artifact, mesh=mesh)
     h0 = binio.read_matrix(args.h0) if args.h0 else None
-    mask = binio.read_matrix(args.mask) if args.mask else None
-    if args.out_of_core and mask is not None:
-        print(
-            "error: masked serving is in-memory (load the observed "
-            "columns; drop --out-of-core)",
-            file=sys.stderr,
-        )
-        return 2
     t0 = time.perf_counter()
     prefetch = not args.no_prefetch
     if args.out_of_core:
-        # X streamed off disk block by block, H appended block by block —
-        # host memory stays at one block regardless of N
+        # X (and a mask, for masked artifacts) streamed off disk block by
+        # block, H appended block by block — host memory stays at one
+        # block regardless of N
         res = t.stream_bin(
             args.X, out_path=args.output, h0=h0, seed=args.seed,
-            prefetch=prefetch,
+            prefetch=prefetch, mask_path=args.mask or None,
         )
         n_cols, shape = None, None
     else:
         x = binio.read_matrix(args.X)
+        mask = binio.read_matrix(args.mask) if args.mask else None
         res = t(x, h0=h0, seed=args.seed, prefetch=prefetch, mask=mask)
         n_cols, shape = x.shape[1], res.h.shape
         binio.write_matrix(res.h, args.output)
@@ -1362,7 +1356,8 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument(
         "--mask",
         help="observed-entry mask .bin (same shape as X; 0 = missing) — "
-        "required by artifacts exported with --masked, in-memory only",
+        "required by artifacts exported with --masked; with --out-of-core "
+        "its column blocks stream off disk alongside X's",
     )
     srv.add_argument("--seed", type=int, default=0)
     srv.add_argument(

@@ -929,12 +929,17 @@ class ServingTransform:
         h0: Optional[np.ndarray] = None,
         seed: int = 0,
         prefetch: bool = True,
+        mask_path: Optional[str] = None,
     ) -> ServingResult:
         """Serve a ``.bin`` file in column blocks — neither X nor the
         default init ever loads into host memory (the format is
         column-major, so each X block is one contiguous read:
         models/streaming.BinColumnSource; the default h0 is generated per
         block, see :meth:`_h0_block`).
+
+        Masked artifacts stream too: ``mask_path`` names a ``.bin`` of X's
+        shape whose column blocks ride with X's (same contiguous reads), so
+        missing-data scoring needs no in-memory mask either.
 
         With ``out_path`` the H columns are appended block by block to a
         temporary ``.part`` file that replaces ``out_path`` atomically on
@@ -948,11 +953,13 @@ class ServingTransform:
         from .io.binio import pack_header
         from .models.streaming import BinColumnSource
 
-        if self.masked:
-            raise NotImplementedError(
-                "masked artifacts serve in-memory (the mask must ride with "
-                "X column for column) — load the observed columns and call "
-                "the artifact with mask="
+        if self.masked != (mask_path is not None):
+            raise ValueError(
+                "this artifact's program "
+                + ("requires a mask: pass mask_path= (a .bin of X's shape "
+                   "whose column blocks stream alongside X's)"
+                   if self.masked else "takes no mask (export with "
+                   "masked=True for missing-data scoring)")
             )
         src = BinColumnSource(x_path)
         m, n = src.shape
@@ -962,6 +969,14 @@ class ServingTransform:
             )
         if n == 0:
             raise ValueError(f"{x_path} has no columns")
+        msrc = None
+        if mask_path is not None:
+            msrc = BinColumnSource(mask_path)
+            if msrc.shape != (m, n):
+                raise ValueError(
+                    f"{mask_path} is {msrc.shape[0]}x{msrc.shape[1]}; the "
+                    f"mask must match X ({m}x{n})"
+                )
         eps = np.float32(self.config.eps)
         if h0 is not None:
             h0 = np.asarray(h0, np.float32)
@@ -981,6 +996,9 @@ class ServingTransform:
                     src.columns(j0, j1),
                     self._h0_block(h0, seed, idx, j0, j1, eps),
                     eps,
+                    mask_blk=(
+                        None if msrc is None else msrc.columns(j0, j1)
+                    ),
                 )
             )
 

@@ -670,7 +670,8 @@ def test_masked_artifact_mask_contract(tmp_path, problem):
         t(x)
     with pytest.raises(ValueError, match="mask shape"):
         t(x, mask=np.ones((1, 1), np.float32))
-    with pytest.raises(NotImplementedError, match="in-memory"):
+    # streaming a masked artifact needs the mask .bin alongside X
+    with pytest.raises(ValueError, match="mask_path"):
         t.stream_bin("nope.bin")
     # plain artifacts reject a mask
     plain = _roundtrip(tmp_path, w, config)
@@ -743,10 +744,16 @@ def test_cli_masked_export_serve(tmp_path, problem):
     np.testing.assert_allclose(
         binio.read_matrix(hp), ref_h, rtol=0, atol=2e-5 * ref_h.max()
     )
-    # masked + --out-of-core rejected; mask on a plain artifact rejected
+    # masked + --out-of-core streams the mask .bin alongside X and must
+    # reproduce the in-memory serve (h0 defaults differ only by seed
+    # convention, so pin the same h0 via a full-width in-memory reference)
+    hp2 = os.path.join(str(tmp_path), "H_ooc.bin")
     assert cli.main([
-        "serve", ap, xp, "-o", hp, "--mask", mp, "--out-of-core", "-q",
-    ]) == 2
+        "serve", ap, xp, "-o", hp2, "--mask", mp, "--out-of-core", "-q",
+    ]) == 0
+    t = load_transform(ap)
+    in_mem = t(x, seed=0, mask=mask)
+    np.testing.assert_array_equal(binio.read_matrix(hp2), in_mem.h)
 
 
 def test_load_rejects_meta_program_drift(tmp_path, problem):
@@ -991,3 +998,48 @@ def test_cli_quantized_export_serve(tmp_path, problem):
         "export", wp, "-o", ap, "--block-cols", str(NB),
         "--platforms", "cpu", "--quantized-input", "-q",
     ]) == 2
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_masked_artifact_stream_bin(tmp_path, problem, quantized):
+    """Masked artifacts serve out-of-core: the mask .bin's column blocks
+    stream off disk alongside X's, and the result matches the in-memory
+    masked call exactly (same per-block program and h0 convention)."""
+    from nmf_tpu.io import binio
+
+    w, x, h0 = problem
+    config = CONFIGS["int8-x"] if quantized else SolveConfig(
+        max_iter=20, backend="jnp"
+    )
+    rng = np.random.RandomState(11)
+    mask = (rng.rand(*x.shape) > 0.3).astype(np.float32)
+    path = os.path.join(str(tmp_path), "m.nmfz")
+    save_transform(path, w, NB, config, platforms=("cpu",), masked=True,
+                   quantized_input=quantized)
+    t = load_transform(path)
+    xp = os.path.join(str(tmp_path), "X.bin")
+    mp = os.path.join(str(tmp_path), "mask.bin")
+    binio.write_matrix(x, xp)
+    binio.write_matrix(mask, mp)
+    out = os.path.join(str(tmp_path), "H.bin")
+    streamed = t.stream_bin(xp, out_path=out, seed=3, mask_path=mp)
+    in_mem = t(x, seed=3, mask=mask)
+    np.testing.assert_array_equal(binio.read_matrix(out), in_mem.h)
+    np.testing.assert_array_equal(
+        streamed.block_iterations, in_mem.block_iterations
+    )
+    np.testing.assert_array_equal(streamed.block_costs, in_mem.block_costs)
+
+    # contract: masked artifacts demand mask_path; unmasked reject it;
+    # a mask whose shape disagrees with X is caught before any work
+    with pytest.raises(ValueError, match="requires a mask"):
+        t.stream_bin(xp)
+    plain = os.path.join(str(tmp_path), "p.nmfz")
+    save_transform(plain, w, NB, SolveConfig(max_iter=5, backend="jnp"),
+                   platforms=("cpu",))
+    with pytest.raises(ValueError, match="takes no mask"):
+        load_transform(plain).stream_bin(xp, mask_path=mp)
+    short = os.path.join(str(tmp_path), "short.bin")
+    binio.write_matrix(mask[:, :-1], short)
+    with pytest.raises(ValueError, match="must match X"):
+        t.stream_bin(xp, mask_path=short)
