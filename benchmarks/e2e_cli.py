@@ -273,6 +273,46 @@ def main(argv=None) -> int:
         art["serve_quantized_input_equals_in_program"] = quant_match
         art["ok"] &= quant_match
 
+        # 7c. masked x quantized-input serving (format v4): the host
+        # reproduces the in-program clamp -> zero-unobserved -> quantize
+        # order bit-for-bit, and the streamed serve reads the mask .bin's
+        # column blocks alongside X's — so the streamed host-quantized
+        # serve must be md5-identical to the in-memory in-program one
+        import numpy as _np
+
+        rows, cols, _ = _bin_header(os.path.join(d, "X.bin"))
+        mask = (
+            _np.random.RandomState(5).rand(rows, cols) > 0.25
+        ).astype(_np.float32)
+        with open(os.path.join(d, "mask.bin"), "wb") as f:
+            f.write(struct.pack("ii", rows, cols))
+            f.write(mask.tobytes(order="F"))
+        _run(
+            ["export", "Wout.bin", "-o", "mq_in.nmfz", "--block-cols", "350",
+             "--max-iter", "30", "--thresh", "0", "--backend", "jnp",
+             "--x-dtype", "int8", "--masked"], d,
+        )
+        _run(
+            ["export", "Wout.bin", "-o", "mq_host.nmfz", "--block-cols",
+             "350", "--max-iter", "30", "--thresh", "0", "--backend", "jnp",
+             "--x-dtype", "int8", "--masked", "--quantized-input"], d,
+        )
+        r_mi = step(
+            "serve-masked-int8-inprogram",
+            ["serve", "mq_in.nmfz", "X.bin", "-o", "Hmi.bin",
+             "--mask", "mask.bin"],
+            outputs=["Hmi.bin"],
+        )
+        r_mh = step(
+            "serve-masked-int8-quantized-stream",
+            ["serve", "mq_host.nmfz", "X.bin", "-o", "Hmh.bin",
+             "--mask", "mask.bin", "--out-of-core"],
+            outputs=["Hmh.bin"],
+        )
+        masked_match = r_mh["Hmh.bin"]["md5"] == r_mi["Hmi.bin"]["md5"]
+        art["serve_masked_quantized_stream_equals_in_program"] = masked_match
+        art["ok"] &= masked_match
+
         # 8. rank selection: consensus-stability study picks a rank and
         # writes its best factors (one batched sweep on the device)
         r_sel = step(
