@@ -329,8 +329,9 @@ def run_serving(m, k, n, iters, block_n, dtype, x_dtype) -> dict:
     # The call ships the X payload (uint8 codes quarter the f32 width;
     # per-column scales are noise) PLUS an f32 h0 block per X block
     # (serving.ServingTransform._place_block) — at k=128 that is ~11% of
-    # the f32 wire and ~20% of the int8 wire, so omitting it would flatter
-    # fraction_of_peak, and by more for int8.
+    # the f32 wire and ~20% of the int8 wire; omitting it would UNDERSTATE
+    # fraction_of_peak (a smaller wire estimate lowers the roofline
+    # numerator), and by more for int8.
     wire_blk = (
         quantize_columns_np(x[:, :block_n], float(eps))[0]
         if quant else x[:, :block_n]

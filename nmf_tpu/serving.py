@@ -54,15 +54,17 @@ solver's whole-column scale layout, which shards cleanly — the per-shard
 exclusion only applies to quantizing *inside* the sharded program) and
 with ``masked`` (the caller hands the host the mask, so it reproduces the
 in-program clamp → zero-unobserved → quantize order exactly; format v4,
-5 program inputs).
+5 program inputs, the mask riding as uint8 — codes + mask = 2 bytes/entry
+vs the f32 masked artifact's 8).
 
 Distributed serving: ``mesh_shape=(rows, cols)`` exports the shard_map
 solver (parallel.sharded) instead — traced over a ``jax.sharding
 .AbstractMesh``, so a single-chip (or chipless) host can export an artifact
 for a pod; loading needs rows*cols devices and the canonical ('mr','mc')
 layout (X blocked, W row-sharded, H column-sharded — `load_transform`
-places the blocks).  int8 X is the one exclusion there (whole-column scale
-layouts cannot be reproduced per shard inside the program).
+places the blocks).  In-program int8 X is the one exclusion there
+(whole-column scale layouts cannot be reproduced per shard inside the
+program; ``quantized_input=True`` is the int8-on-mesh path).
 """
 
 from __future__ import annotations
@@ -146,22 +148,66 @@ def _validate_exportable(config: SolveConfig) -> SolveConfig:
     return config
 
 
-def _build_program(config: SolveConfig):
-    """The function that gets exported: prep (clamp/cast/quantize) + the
-    checked H-only solve loop, returning a plain tuple (custom pytree nodes
-    don't survive deserialization in a process that hasn't registered them).
+def _build_transform_program(config: SolveConfig, mesh_shape=None,
+                             masked=False, quantized=False):
+    """The ONE builder for every exported transform program — the 2x2
+    (masked? x quantized-input?) family, single-device or traced over an
+    ``AbstractMesh`` when ``mesh_shape`` is given.
+
+    Signatures (what jax.export sees):
+
+      plain               ``program(x, w, h0)``
+      masked              ``program(x, w, h0, mask)``            (mask f32)
+      quantized           ``program(codes, scales, w, h0)``
+      masked x quantized  ``program(codes, scales, w, h0, mask)`` (mask u8)
+
+    Shared invariants live here so the six variants cannot drift: prep runs
+    INSIDE the program (clamp/cast/quantize for f32-wire inputs;
+    pass-through for host-quantized (codes, scales) pairs — bit-identical
+    by ops/quant's NumPy twins); results return as a plain 6-tuple (custom
+    pytree nodes don't survive deserialization in a process that hasn't
+    registered them); mesh programs jit with the canonical shardings
+    (X/codes/mask blocked ('mr','mc'), scales per
+    parallel.mesh.quant_scale_spec — a 2-D row-block table keeps its block
+    rows on every 'mr' shard — W row-sharded, H column-sharded, scalars
+    replicated), with dequant shard-local so X sits in HBM at 1/4 width.
+
+    Why quantized composes with ``mesh_shape``: the in-program int8 x mesh
+    exclusion exists because per-shard quantization inside shard_map cannot
+    reproduce the solver's whole-column scale layout — host quantization
+    produces exactly that layout.  Why it composes with ``masked``: the
+    caller hands the host the mask, so serve-time quantization reproduces
+    the in-program clamp -> zero-unobserved -> quantize order bit-for-bit
+    (models/masked._masked_prep_jit_cached); the v4 program takes the mask
+    as uint8 — a BINARY observed-entry indicator (weighted masks need the
+    in-program f32 artifact) — so the masked wire is codes + mask =
+    2 bytes/entry vs the f32 masked artifact's 8.
     """
     import jax
+    import jax.numpy as jnp
 
-    from .models.nmf import _h_only_step_cost
     from .models.solver import _prep_jit, run_checked_loop
 
-    step, cost = _h_only_step_cost(config)
-    prep = _prep_jit(config)
+    if masked and not quantized:
+        from .models.masked import _masked_prep_jit_cached
 
-    def program(x, w, h0):
+        mprep = _masked_prep_jit_cached(config.precision, config.eps)
+    else:
+        prep = _prep_jit(config, x_is_quant_pair=quantized)
+
+    def _prep_all(x, w, h0, mask):
+        """(data, w, h0) with data = x or (x, mask) per the masked flag."""
+        if masked and not quantized:
+            x, w, h0, mask = mprep(x, w, h0, mask)
+            return (x, mask), w, h0
         x, w, h0 = prep(x, w, h0)
-        res = run_checked_loop(x, w, h0, config, step, cost)
+        if masked:
+            # the uint8 wire mask becomes the f32 multiplicand the masked
+            # step expects (the host already zeroed + quantized X under it)
+            return (x, mask.astype(jnp.float32)), w, h0
+        return x, w, h0
+
+    def _as_tuple(res):
         return (
             res.h,
             res.iterations,
@@ -171,304 +217,73 @@ def _build_program(config: SolveConfig):
             res.converged,
         )
 
-    return jax.jit(program)
+    if mesh_shape is None:
+        if masked:
+            from .models.masked import _masked_h_step_cost_pair
 
+            step, cost = _masked_h_step_cost_pair(config)
+        else:
+            from .models.nmf import _h_only_step_cost
 
-def _build_quantized_input_program(config: SolveConfig):
-    """Quantized-input variant of :func:`_build_program`: ``program(codes,
-    scales, w, h0)`` takes X pre-quantized by the HOST (the bit-identical
-    NumPy twins in ops/quant — ``ServingTransform`` does it per block), so
-    serve-time H2D moves uint8 codes instead of f32 X.  The solve body is
-    the exact int8 path the in-program-quantization artifact runs — only
-    WHERE the quantization happens differs, so results are bit-identical."""
-    import jax
+            step, cost = _h_only_step_cost(config)
 
-    from .models.nmf import _h_only_step_cost
-    from .models.solver import _prep_jit, run_checked_loop
+        def solve(data, w, h0):
+            return run_checked_loop(data, w, h0, config, step, cost)
 
-    step, cost = _h_only_step_cost(config)
-    prep = _prep_jit(config, x_is_quant_pair=True)
+        shard = {}
+    else:
+        from jax.sharding import AbstractMesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
 
-    def program(codes, scales, w, h0):
-        x, w, h0 = prep((codes, scales), w, h0)
-        res = run_checked_loop(x, w, h0, config, step, cost)
-        return (
-            res.h,
-            res.iterations,
-            res.cost,
-            res.cost_history,
-            res.num_checks,
-            res.converged,
+        from .parallel.mesh import quant_scale_spec_for
+        from .parallel.sharded import (
+            build_sharded_h_solver,
+            build_sharded_masked_h_solver,
         )
 
-    return jax.jit(program)
+        am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
+        fn = (
+            build_sharded_masked_h_solver if masked else build_sharded_h_solver
+        )(config, am)
 
+        def solve(data, w, h0):
+            return fn(
+                data, w, h0,
+                jnp.asarray(jnp.nan, jnp.float32),
+                jnp.asarray(jnp.nan, jnp.float32),
+            )
 
-def _build_sharded_quantized_input_program(config: SolveConfig, mesh_shape):
-    """Mesh + quantized input: host-quantized ``(codes, scales)`` blocks
-    feed the shard_map H-only solver directly.
+        def S(spec):
+            return NamedSharding(am, spec)
 
-    The in-program int8 × mesh exclusion exists because per-shard
-    quantization inside shard_map cannot reproduce the solver's
-    whole-column scale layout — but with ``quantized_input`` the HOST
-    quantizes whole columns, which is exactly that layout, so the
-    exclusion does not apply to this calling convention.  Codes shard like
-    X ('mr','mc'); scales follow parallel.mesh.quant_scale_spec (1-D
-    per-column over 'mc'; a 2-D row-block table keeps its block rows on
-    every 'mr' shard); dequant stays shard-local and in-register
-    (parallel.sharded._dequant_local), so X rides the wire AND sits in
-    HBM at 1/4 width."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import AbstractMesh, NamedSharding
-    from jax.sharding import PartitionSpec as P
-
-    from .models.solver import _prep_jit
-    from .parallel.mesh import quant_scale_spec_for
-    from .parallel.sharded import build_sharded_h_solver
-
-    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
-    fn = build_sharded_h_solver(config, am)
-    prep = _prep_jit(config, x_is_quant_pair=True)
-
-    def program(codes, scales, w, h0):
-        x, w, h0 = prep((codes, scales), w, h0)
-        res = fn(
-            x, w, h0,
-            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
+        x_in = (
+            (S(P("mr", "mc")), S(quant_scale_spec_for(config.precision)))
+            if quantized else (S(P("mr", "mc")),)
         )
-        return (
-            res.h,
-            res.iterations,
-            res.cost,
-            res.cost_history,
-            res.num_checks,
-            res.converged,
-        )
+        in_shardings = x_in + (S(P("mr", None)), S(P(None, "mc")))
+        if masked:
+            in_shardings += (S(P("mr", "mc")),)
+        shard = {
+            "in_shardings": in_shardings,
+            "out_shardings": (
+                S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
+            ),
+        }
 
-    def S(spec):
-        return NamedSharding(am, spec)
+    if quantized and masked:
+        def program(codes, scales, w, h0, mask):
+            return _as_tuple(solve(*_prep_all((codes, scales), w, h0, mask)))
+    elif quantized:
+        def program(codes, scales, w, h0):
+            return _as_tuple(solve(*_prep_all((codes, scales), w, h0, None)))
+    elif masked:
+        def program(x, w, h0, mask):
+            return _as_tuple(solve(*_prep_all(x, w, h0, mask)))
+    else:
+        def program(x, w, h0):
+            return _as_tuple(solve(*_prep_all(x, w, h0, None)))
 
-    return jax.jit(
-        program,
-        in_shardings=(
-            S(P("mr", "mc")),
-            S(quant_scale_spec_for(config.precision)),
-            S(P("mr", None)),
-            S(P(None, "mc")),
-        ),
-        out_shardings=(
-            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
-        ),
-    )
-
-
-def _build_masked_quantized_input_program(config: SolveConfig):
-    """Masked x quantized input: ``program(codes, scales, w, h0, mask)``.
-
-    The masked in-program prep zeroes unobserved entries BEFORE quantizing
-    (models/masked._masked_prep_jit_cached) — which the host CAN reproduce
-    at serve time, because the caller hands it the mask:
-    ``ServingTransform._place_block`` clamps, zeroes, then quantizes with
-    the bit-identical NumPy twins, so the (codes, scales) here match the
-    in-program masked-int8 artifact's bitwise and the wire carries uint8
-    codes (~4x less) for missing-data scoring too."""
-    import jax
-    import jax.numpy as jnp
-
-    from .models.masked import _masked_h_step_cost_pair
-    from .models.solver import _prep_jit, run_checked_loop
-
-    step, cost = _masked_h_step_cost_pair(config)
-    prep = _prep_jit(config, x_is_quant_pair=True)
-
-    def program(codes, scales, w, h0, mask):
-        x, w, h0 = prep((codes, scales), w, h0)
-        res = run_checked_loop(
-            (x, mask.astype(jnp.float32)), w, h0, config, step, cost
-        )
-        return (
-            res.h,
-            res.iterations,
-            res.cost,
-            res.cost_history,
-            res.num_checks,
-            res.converged,
-        )
-
-    return jax.jit(program)
-
-
-def _build_sharded_masked_quantized_input_program(config: SolveConfig,
-                                                  mesh_shape):
-    """Mesh x masked x quantized input: the shard_map masked H-only solver
-    fed host-quantized (codes, scales) — codes and mask shard like X,
-    scales per parallel.mesh.quant_scale_spec, dequant shard-local (see
-    :func:`_build_sharded_quantized_input_program` for why host
-    quantization lifts the in-program int8 mesh exclusion)."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import AbstractMesh, NamedSharding
-    from jax.sharding import PartitionSpec as P
-
-    from .models.solver import _prep_jit
-    from .parallel.mesh import quant_scale_spec_for
-    from .parallel.sharded import build_sharded_masked_h_solver
-
-    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
-    fn = build_sharded_masked_h_solver(config, am)
-    prep = _prep_jit(config, x_is_quant_pair=True)
-
-    def program(codes, scales, w, h0, mask):
-        x, w, h0 = prep((codes, scales), w, h0)
-        res = fn(
-            (x, mask.astype(jnp.float32)), w, h0,
-            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
-        )
-        return (
-            res.h,
-            res.iterations,
-            res.cost,
-            res.cost_history,
-            res.num_checks,
-            res.converged,
-        )
-
-    def S(spec):
-        return NamedSharding(am, spec)
-
-    return jax.jit(
-        program,
-        in_shardings=(
-            S(P("mr", "mc")),
-            S(quant_scale_spec_for(config.precision)),
-            S(P("mr", None)),
-            S(P(None, "mc")),
-            S(P("mr", "mc")),
-        ),
-        out_shardings=(
-            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
-        ),
-    )
-
-
-def _build_masked_program(config: SolveConfig):
-    """Masked variant of :func:`_build_program`: ``program(x, w, h0, mask)``
-    iterates H on the OBSERVED entries only (models/masked.py semantics —
-    missing-data scoring at serve time, e.g. recommender cold-start).  The
-    masked prep runs inside the program (clamp/cast; int8 quantizes AFTER
-    zeroing unobserved entries), so serving inputs are plain float32."""
-    import jax
-
-    from .models.masked import _masked_h_step_cost_pair, _masked_prep_jit_cached
-    from .models.solver import run_checked_loop
-
-    step, cost = _masked_h_step_cost_pair(config)
-    prep = _masked_prep_jit_cached(config.precision, config.eps)
-
-    def program(x, w, h0, mask):
-        x, w, h0, mask = prep(x, w, h0, mask)
-        res = run_checked_loop((x, mask), w, h0, config, step, cost)
-        return (
-            res.h,
-            res.iterations,
-            res.cost,
-            res.cost_history,
-            res.num_checks,
-            res.converged,
-        )
-
-    return jax.jit(program)
-
-
-def _build_sharded_masked_program(config: SolveConfig, mesh_shape):
-    """Mesh + masked: the shard_map masked H-only solver over an
-    AbstractMesh; the mask shards exactly like X."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import AbstractMesh, NamedSharding
-    from jax.sharding import PartitionSpec as P
-
-    from .models.masked import _masked_prep_jit_cached
-    from .parallel.sharded import build_sharded_masked_h_solver
-
-    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
-    fn = build_sharded_masked_h_solver(config, am)
-    prep = _masked_prep_jit_cached(config.precision, config.eps)
-
-    def program(x, w, h0, mask):
-        x, w, h0, mask = prep(x, w, h0, mask)
-        res = fn(
-            (x, mask), w, h0,
-            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
-        )
-        return (
-            res.h,
-            res.iterations,
-            res.cost,
-            res.cost_history,
-            res.num_checks,
-            res.converged,
-        )
-
-    def S(spec):
-        return NamedSharding(am, spec)
-
-    return jax.jit(
-        program,
-        in_shardings=(
-            S(P("mr", "mc")), S(P("mr", None)), S(P(None, "mc")),
-            S(P("mr", "mc")),
-        ),
-        out_shardings=(
-            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
-        ),
-    )
-
-
-def _build_sharded_program(config: SolveConfig, mesh_shape: Tuple[int, int]):
-    """The mesh variant: the shard_map H-only solver (parallel.sharded)
-    traced over an ``AbstractMesh`` — no devices needed at export time, so a
-    single-chip host can export an artifact for a pod.  Input/output
-    shardings are the canonical layout: X blocked ('mr','mc'), W row-sharded,
-    H column-sharded, scalars replicated."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import AbstractMesh, NamedSharding
-    from jax.sharding import PartitionSpec as P
-
-    from .models.solver import _prep_jit
-    from .parallel.sharded import build_sharded_h_solver
-
-    am = AbstractMesh(tuple(mesh_shape), ("mr", "mc"))
-    fn = build_sharded_h_solver(config, am)
-    prep = _prep_jit(config)
-
-    def program(x, w, h0):
-        x, w, h0 = prep(x, w, h0)
-        res = fn(
-            x, w, h0,
-            jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(jnp.nan, jnp.float32),
-        )
-        return (
-            res.h,
-            res.iterations,
-            res.cost,
-            res.cost_history,
-            res.num_checks,
-            res.converged,
-        )
-
-    def S(spec):
-        return NamedSharding(am, spec)
-
-    return jax.jit(
-        program,
-        in_shardings=(S(P("mr", "mc")), S(P("mr", None)), S(P(None, "mc"))),
-        out_shardings=(
-            S(P(None, "mc")), S(P()), S(P()), S(P()), S(P()), S(P()),
-        ),
-    )
+    return jax.jit(program, **shard)
 
 
 def _validate_w_shape(w: np.ndarray, n_block: int, mesh_shape=None) -> np.ndarray:
@@ -514,18 +329,21 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None,
             "convention, which only exists for int8 X storage — set "
             "Precision(x_dtype='int8') (optionally x_quant_rows)"
         )
+    if (mesh_shape is not None and not quantized_input
+            and config.precision.x_dtype == "int8"):
+        raise ValueError(
+            "sharded export does not take x_dtype='int8': the exported "
+            "program would have to quantize per shard inside shard_map, "
+            "which cannot reproduce the solver's whole-column scale "
+            "layout — export with quantized_input=True instead (the "
+            "HOST quantizes whole columns, which shards cleanly), or "
+            "feed f32/bf16"
+        )
     m, k = w.shape
+    program = _build_transform_program(
+        config, mesh_shape, masked, quantized_input
+    )
     if quantized_input:
-        if mesh_shape is not None:
-            program = (
-                _build_sharded_masked_quantized_input_program if masked
-                else _build_sharded_quantized_input_program
-            )(config, mesh_shape)
-        else:
-            program = (
-                _build_masked_quantized_input_program if masked
-                else _build_quantized_input_program
-            )(config)
         qrows = int(config.precision.x_quant_rows or 0)
         scales_shape = (
             (-(-m // qrows), n_block) if qrows else (n_block,)
@@ -533,34 +351,20 @@ def _export_validated(w, n_block, config, platforms, mesh_shape=None,
         args = [
             jax.ShapeDtypeStruct((m, n_block), jnp.uint8),
             jax.ShapeDtypeStruct(scales_shape, jnp.float32),
-            jax.ShapeDtypeStruct((m, k), jnp.float32),
-            jax.ShapeDtypeStruct((k, n_block), jnp.float32),
         ]
-        if masked:
-            args.append(jax.ShapeDtypeStruct((m, n_block), jnp.float32))
-        return jax_export.export(program, platforms=platforms)(*args)
-    if mesh_shape is None:
-        program = (_build_masked_program if masked else _build_program)(config)
     else:
-        if config.precision.x_dtype == "int8":
-            raise ValueError(
-                "sharded export does not take x_dtype='int8': the exported "
-                "program would have to quantize per shard inside shard_map, "
-                "which cannot reproduce the solver's whole-column scale "
-                "layout — export with quantized_input=True instead (the "
-                "HOST quantizes whole columns, which shards cleanly), or "
-                "feed f32/bf16"
-            )
-        program = (
-            _build_sharded_masked_program if masked else _build_sharded_program
-        )(config, mesh_shape)
-    args = [
-        jax.ShapeDtypeStruct((m, n_block), jnp.float32),
+        args = [jax.ShapeDtypeStruct((m, n_block), jnp.float32)]
+    args += [
         jax.ShapeDtypeStruct((m, k), jnp.float32),
         jax.ShapeDtypeStruct((k, n_block), jnp.float32),
     ]
     if masked:
-        args.append(jax.ShapeDtypeStruct((m, n_block), jnp.float32))
+        # v4 quantized programs take the mask as uint8 (binary indicator —
+        # 1 byte/entry on the wire); f32-wire masked programs keep the f32
+        # mask their deployed loaders expect
+        args.append(jax.ShapeDtypeStruct(
+            (m, n_block), jnp.uint8 if quantized_input else jnp.float32
+        ))
     return jax_export.export(program, platforms=platforms)(*args)
 
 
@@ -615,8 +419,18 @@ def save_transform(
     )
     meta = {
         "magic": _MAGIC,
+        # v4 = any artifact a v3 loader would MIS-serve rather than serve:
+        # masked x quantized (5-arg program, uint8 mask) and mesh x
+        # quantized with a 2-D row-block scale table (a v3 loader places
+        # scales with the 1-D ('mc',) spec).  Mesh x quantized with
+        # per-column scales stays v3 — v3 loaders serve it correctly, and
+        # the contract is the LOWEST version that keeps old loaders right.
         "format_version": (
-            4 if (masked and quantized_input)
+            4 if quantized_input and (
+                masked
+                or (mesh_shape is not None
+                    and int(config.precision.x_quant_rows or 0) > 0)
+            )
             else 3 if quantized_input
             else 2 if masked
             else 1
@@ -877,6 +691,13 @@ class ServingTransform:
                 # the host CAN reproduce the in-program masked prep because
                 # the caller hands it the mask
                 mask_blk = np.asarray(mask_blk, np.float32)
+                if ((mask_blk != 0) & (mask_blk != 1)).any():
+                    raise ValueError(
+                        "quantized-input masked artifacts take a BINARY "
+                        "observed-entry mask (the uint8 wire form cannot "
+                        "carry weights) — serve weighted masks with the "
+                        "in-program-quantization masked artifact"
+                    )
                 xq = np.where(mask_blk > 0, xq, np.float32(0.0))
             codes, scales = quantize_policy_np(
                 xq, eps, int(self.config.precision.x_quant_rows or 0)
@@ -893,7 +714,11 @@ class ServingTransform:
                 self._put(h0_blk, (None, "mc")),
             )
             if mask_blk is not None:
-                placed += (self._put(mask_blk, ("mr", "mc")),)
+                # the v4 program's mask input is uint8 (1 byte/entry on the
+                # wire; validated binary above)
+                placed += (self._put(
+                    (mask_blk > 0).astype(np.uint8), ("mr", "mc")
+                ),)
             return placed
         placed = (
             self._put(x_blk, ("mr", "mc")),

@@ -929,7 +929,11 @@ def test_quantized_mesh_artifact_matches_single_device(tmp_path, problem, name):
                    mesh_shape=(4, 2), quantized_input=True)
     tm = load_transform(mesh)
     assert tm.quantized and tm.mesh_shape == (4, 2)
-    assert tm.meta["format_version"] == 3
+    # per-column scales place correctly under v3 loaders (so stay v3);
+    # a mesh artifact with a 2-D row-block table needs v4 (a v3 loader
+    # would place it with the 1-D ('mc',) spec)
+    expect_v = 4 if config.precision.x_quant_rows else 3
+    assert tm.meta["format_version"] == expect_v
     ts = load_transform(single)
     n_cut = NB + 5  # ragged tail quantizes/pads identically on the mesh
     for xs, h0s in ((x, h0), (x[:, :n_cut], h0[:, :n_cut])):
