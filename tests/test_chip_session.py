@@ -167,3 +167,55 @@ def test_write_log_swallows_oserror(tmp_path, capsys):
     cs = _load_chip_session()
     cs._write_log(str(tmp_path / "missing_dir" / "x.out"), "text")
     assert "log write failed" in capsys.readouterr().err
+
+
+def test_retune_advisor(tmp_path):
+    """benchmarks/retune.py decides the two VERDICT-r03 rule disputes
+    mechanically: 'insufficient' below the >=3-session policy, 'retune'
+    only when the winner beats the rule's pick with the loser outside the
+    winner's pooled IQR, 'keep' when the rule already picks the winner."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "retune", os.path.join(REPO, "benchmarks", "retune.py")
+    )
+    rt = ilu.module_from_spec(spec)
+    spec.loader.exec_module(rt)
+
+    path = str(tmp_path / "archive.jsonl")
+    metric = "mu_iters_per_sec[regression 4096x350 rank 128 bfloat16]"
+
+    def row(backend, reps):
+        return json.dumps({
+            "metric": metric, "backend": backend,
+            "device_kind": "TPU v5 lite", "repeat_iters_per_sec": reps,
+        })
+
+    # 2 sessions per side -> insufficient
+    with open(path, "w") as f:
+        for reps in ([100, 110], [105, 95]):
+            f.write(row("jnp", reps) + "\n")
+            f.write(row("pallas", [v * 0.7 for v in reps]) + "\n")
+    out = rt.decide(metric, "pallas", ("jnp", "pallas"), "TPU v5 lite", path)
+    assert out["verdict"] == "insufficient"
+
+    # 3 sessions, jnp clearly faster than the rule's pallas -> retune
+    with open(path, "a") as f:
+        f.write(row("jnp", [102, 108]) + "\n")
+        f.write(row("pallas", [70, 72]) + "\n")
+    out = rt.decide(metric, "pallas", ("jnp", "pallas"), "TPU v5 lite", path)
+    assert out["verdict"] == "retune" and out["winner"] == "jnp"
+    assert out["margin"] > 1.3
+
+    # same data but the rule already picks the winner -> keep
+    out = rt.decide(metric, "jnp", ("jnp", "pallas"), "TPU v5 lite", path)
+    assert out["verdict"] == "keep"
+
+    # overlapping distributions (loser median inside winner IQR) -> keep
+    path2 = str(tmp_path / "a2.jsonl")
+    with open(path2, "w") as f:
+        for reps in ([100, 110], [105, 95], [98, 112]):
+            f.write(row("jnp", reps) + "\n")
+            f.write(row("pallas", [v * 0.99 for v in reps]) + "\n")
+    out = rt.decide(metric, "pallas", ("jnp", "pallas"), "TPU v5 lite", path2)
+    assert out["verdict"] == "keep" and "noise band" in out["why"]
