@@ -192,6 +192,9 @@ def build_queue(py, quick, e2e_json):
         # retune provenance snapshot: the pooled per-cell medians this
         # session's rows feed (saved to the session log by run_step)
         ("archive_report", [py, "benchmarks/archive_report.py"], 600),
+        # mechanical adjudication of the two disputed rules from the rows
+        # this very session just archived (>=3-session policy enforced)
+        ("retune_report", [py, "benchmarks/retune.py"], 600),
     ]
     return queue
 
