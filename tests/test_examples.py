@@ -21,7 +21,8 @@ EXAMPLES_DIR = os.path.join(
 
 @pytest.mark.parametrize(
     "name",
-    ["basic_usage", "advanced_features", "distributed", "separation_demo"],
+    ["basic_usage", "advanced_features", "distributed", "separation_demo",
+     "serving_pipeline"],
 )
 def test_example_runs(name, monkeypatch, capsys):
     monkeypatch.setenv("NMF_TPU_EXAMPLE_QUICK", "1")
