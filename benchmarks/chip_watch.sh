@@ -1,26 +1,54 @@
 #!/bin/bash
-# Watch for the TPU tunnel to return, then run the round-4 certification
-# queue (benchmarks/chip_session.py). Two chip jobs contend and poison
-# each other's timings, so this is the ONLY chip entry while it runs.
-# A failed queue (tunnel drop mid-run, rc!=0) gets up to 3 attempts total
-# — steps are idempotent and re-promote their artifacts — with a fresh
-# probe before each. Logs under benchmarks/sessions/<stamp>/.
+# Watch for the TPU tunnel to return, then run the certification queue
+# (benchmarks/chip_session.py) for the given round.
+#
+# Usage:  bash benchmarks/chip_watch.sh ROUND
+#
+# Hardened per VERDICT r04 weak #3 — the watcher is the round's single
+# point of evidence capture, so:
+#   * flock on benchmarks/.chip_watch.lock: a second watcher (or any chip
+#     job honoring the lock) cannot start alongside — two chip jobs contend
+#     and poison each other's timings (benchmarks/RESULTS.md).
+#   * NEVER exits while the round runs: a failed queue attempt (tunnel drop
+#     mid-run) backs off (10 min x fails, capped at 60 min) and re-probes
+#     forever — steps are idempotent and re-promote their artifacts, so a
+#     flapping tunnel can no longer burn a fixed attempt budget and leave
+#     the rest of the round unwatched.
+#   * logs to benchmarks/sessions/chip_watch_rNN.log (committable — the
+#     proof the watcher probed all round even if the tunnel never opens),
+#     not /tmp (lost on reboot).
+#   * the round number is REQUIRED (no default): restart the watcher at
+#     each round boundary so artifacts carry the right stamp.
 cd /root/repo || exit 1
-ROUND="${1:-4}"
-ATTEMPTS=0
+ROUND="${1:?usage: chip_watch.sh ROUND}"
+LOCK=benchmarks/.chip_watch.lock
+exec 9>"$LOCK"
+if ! flock -n 9; then
+  echo "[chip_watch] another watcher holds $LOCK; refusing to start" >&2
+  exit 2
+fi
+mkdir -p benchmarks/sessions
+LOG="benchmarks/sessions/chip_watch_r$(printf '%02d' "$ROUND").log"
+exec >>"$LOG" 2>&1
+echo "[chip_watch] started round=$ROUND pid=$$ at $(date -u +%FT%TZ)"
+FAILS=0
 while true; do
+  SLEEP=600
   if timeout 400 python -c "import sys; from benchmarks.chip_session import probe; sys.exit(0 if probe(300).get('up') else 1)" 2>/dev/null; then
-    ATTEMPTS=$((ATTEMPTS + 1))
-    echo "[chip_watch] TPU up at $(date -u +%FT%TZ); queue attempt $ATTEMPTS"
+    echo "[chip_watch] TPU up at $(date -u +%FT%TZ); queue attempt $((FAILS + 1))"
     python benchmarks/chip_session.py --round "$ROUND" --probe-timeout 300
     rc=$?
     echo "[chip_watch] chip_session exited rc=$rc at $(date -u +%FT%TZ)"
-    if [ "$rc" -eq 0 ] || [ "$ATTEMPTS" -ge 3 ]; then
-      exit $rc
+    if [ "$rc" -eq 0 ]; then
+      echo "[chip_watch] queue complete; watcher done"
+      exit 0
     fi
-    echo "[chip_watch] queue incomplete; re-probing for another attempt"
+    FAILS=$((FAILS + 1))
+    SLEEP=$((600 * FAILS))
+    [ "$SLEEP" -gt 3600 ] && SLEEP=3600
+    echo "[chip_watch] queue incomplete (fail #$FAILS); re-probe in $((SLEEP / 60)) min"
   else
     echo "[chip_watch] chip down at $(date -u +%FT%TZ); retry in 10 min"
   fi
-  sleep 600
+  sleep "$SLEEP"
 done
