@@ -300,6 +300,10 @@ def run_serving(m, k, n, iters, block_n, dtype, x_dtype) -> dict:
     x = np.maximum(rng.rand(m, n).astype(np.float32), eps)
     w = np.maximum(rng.rand(m, k).astype(np.float32), eps)
     quant = x_dtype == "int8"
+    wire_blk = (
+        quantize_columns_np(x[:, :block_n], float(eps))[0]
+        if quant else x[:, :block_n]
+    )
     cfg = SolveConfig(
         max_iter=iters, check_every=iters,
         precision=Precision(matmul_dtype=dtype, x_dtype=x_dtype),
@@ -320,8 +324,14 @@ def run_serving(m, k, n, iters, block_n, dtype, x_dtype) -> dict:
         # warm the FULL-width call once (prefetch pipeline, every block);
         # __call__ drains H to host, so the warm is synced by construction
         t(x)
-        reps = []
+        # probe the link IMMEDIATELY BEFORE each timed rep and pair the rep
+        # with its own roofline: the link fluctuates 2-3x minute to minute
+        # (CLAUDE.md), so a single probe taken at a different moment than
+        # the serves makes fraction_of_peak swing or exceed 1.0 across
+        # sessions (ADVICE r04) — the paired quotient cancels the drift.
+        reps, bws = [], []
         for _ in range(3):
+            bws.append(measure_h2d_bw(wire_blk))
             t0 = time.perf_counter()
             res = t(x)
             reps.append(time.perf_counter() - t0)
@@ -332,21 +342,21 @@ def run_serving(m, k, n, iters, block_n, dtype, x_dtype) -> dict:
     # the f32 wire and ~20% of the int8 wire; omitting it would UNDERSTATE
     # fraction_of_peak (a smaller wire estimate lowers the roofline
     # numerator), and by more for int8.
-    wire_blk = (
-        quantize_columns_np(x[:, :block_n], float(eps))[0]
-        if quant else x[:, :block_n]
-    )
-    h2d_bw = measure_h2d_bw(wire_blk)
     wire_bytes = x.nbytes // (4 if quant else 1) + 4 * k * n
-    roofline = wire_bytes / h2d_bw  # seconds/call at pure-transfer speed
+    # per-rep fraction = (wire_bytes / bw_probed_just_before) / rep_wall;
+    # the session headline is the MEDIAN of those paired quotients, and the
+    # probe spread is reported so a retune can reject a lucky-probe session
+    fractions = [(wire_bytes / bw) / r for bw, r in zip(bws, reps)]
     med = float(np.median(reps))
     return {
         "seconds_per_call": med,
         "cols_per_sec": n / med,
         "best_cols_per_sec": n / min(reps),
         "repeat_cols_per_sec": [n / r for r in reps],
-        "fraction_of_peak": roofline / med,  # of the H2D roofline
-        "h2d_gbps": h2d_bw / 1e9,
+        "fraction_of_peak": float(np.median(fractions)),
+        "fraction_of_peak_per_rep": fractions,
+        "h2d_gbps": float(np.median(bws)) / 1e9,
+        "h2d_gbps_probes": [b / 1e9 for b in bws],
         "wire_gb_per_call": wire_bytes / 1e9,
         "artifact_bytes": artifact_bytes,
         "export_seconds": export_s,

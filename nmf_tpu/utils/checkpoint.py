@@ -102,15 +102,21 @@ def _fingerprint_mismatch(have: dict, want: dict) -> bool:
     return any(k in have and have[k] != want[k] for k in want)
 
 
-def _recover_and_sweep(directory: str) -> None:
+def _recover_and_sweep(directory: str, sweep_tmp: bool = True) -> None:
     """Best-effort GC of crash artifacts from earlier ``save_checkpoint``s.
 
     A death between the two renames of a same-step overwrite leaves the
     previous copy parked under ``.old_step_NNN_<pid>`` (dot-prefixed so it
     can never shadow a real step).  Restore the parked copy when its step
-    vanished, drop it when the step exists, and clear abandoned
-    ``.tmp_ckpt_*`` staging dirs.  Safe under the directory's single-writer
-    contract (sharded multi-process checkpoints go through orbax instead).
+    vanished, drop it when the step exists, and — when ``sweep_tmp`` —
+    clear abandoned ``.tmp_ckpt_*`` staging dirs.
+
+    ``sweep_tmp`` must be True only from a WRITER (``save_checkpoint``),
+    where the directory's single-writer contract guarantees no other save
+    is staging.  Readers (``latest_checkpoint``) pass False: a monitor or
+    resume probe listing the directory while a trainer is mid-save must
+    never delete the trainer's live staging dir (ADVICE r04).  Sharded
+    multi-process checkpoints go through orbax instead.
     """
     try:
         entries = os.listdir(directory)
@@ -128,7 +134,7 @@ def _recover_and_sweep(directory: str) -> None:
                     shutil.rmtree(path, ignore_errors=True)
                 else:
                     os.rename(path, step_dir)
-            elif name.startswith(".tmp_ckpt_"):
+            elif sweep_tmp and name.startswith(".tmp_ckpt_"):
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass  # GC is best-effort; never fail a save/list over it
@@ -250,11 +256,14 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
     Also restores a step parked by a crash mid same-step overwrite (see
     :func:`_recover_and_sweep`), so a resume after such a crash still finds
-    the previous copy instead of silently starting over.
+    the previous copy instead of silently starting over.  Being a READ
+    path callable from any process, it never sweeps ``.tmp_ckpt_*`` —
+    that could reap a concurrent writer's live staging dir (ADVICE r04);
+    abandoned staging dirs are collected by the next ``save_checkpoint``.
     """
     if not os.path.isdir(directory):
         return None
-    _recover_and_sweep(directory)
+    _recover_and_sweep(directory, sweep_tmp=False)
     steps = sorted(
         d
         for d in os.listdir(directory)

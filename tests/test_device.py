@@ -244,6 +244,13 @@ def test_bench_serving_workload_cpu(tmp_path):
     assert stats["cols_per_sec"] > 0
     assert len(stats["repeat_cols_per_sec"]) == 3
     assert stats["artifact_bytes"] > 0 and np.isfinite(stats["total_cost"])
+    # ADVICE r04: each rep is paired with its own just-probed roofline, and
+    # the probe spread is reported so a lucky probe can't set the headline
+    assert len(stats["fraction_of_peak_per_rep"]) == 3
+    assert len(stats["h2d_gbps_probes"]) == 3
+    assert stats["fraction_of_peak"] == pytest.approx(
+        float(np.median(stats["fraction_of_peak_per_rep"]))
+    )
 
     q = bench.run_serving(
         64, 8, 256, iters=3, block_n=128, dtype="float32", x_dtype="int8"

@@ -293,7 +293,10 @@ def test_sharded_checkpointed_accel_resume_exact_on_chunked_live_platform(
 
 def test_checkpoint_crash_between_renames_recovers(tmp_path):
     """A step parked as .old_* by a crash mid same-step overwrite is restored
-    by latest_checkpoint, and stale .tmp_ckpt_* staging dirs are swept."""
+    by latest_checkpoint; stale .tmp_ckpt_* staging dirs are swept by the
+    next WRITER only — latest_checkpoint is a read path any process may
+    call, and reaping there could delete a live save's staging dir
+    (ADVICE r04: checkpoint.py:257)."""
     import shutil
 
     d = str(tmp_path / "ck")
@@ -305,10 +308,13 @@ def test_checkpoint_crash_between_renames_recovers(tmp_path):
     # simulate the crash window: step renamed away, tmp left behind
     parked = os.path.join(d, ".old_step_00000005_12345")
     os.rename(step, parked)
-    os.makedirs(os.path.join(d, ".tmp_ckpt_leftover", "junk"))
+    staging = os.path.join(d, ".tmp_ckpt_leftover")
+    os.makedirs(os.path.join(staging, "junk"))
     assert ckpt.latest_checkpoint(d) == step          # restored
     assert not os.path.exists(parked)
-    assert not os.path.exists(os.path.join(d, ".tmp_ckpt_leftover"))
+    assert os.path.exists(staging)    # reader never reaps a staging dir
+    ckpt.save_checkpoint(d, st)       # the next writer does
+    assert not os.path.exists(staging)
     loaded = ckpt.load_checkpoint(step)
     assert loaded.iteration == 5
     np.testing.assert_allclose(loaded.momentum, 0.7, rtol=1e-6)
