@@ -72,7 +72,14 @@ def preferred(k: int, bm: int, bn: int, precision: Precision) -> bool:
     shared-chip noise is +-2x, so no fine thresholds): the kernel beats the
     XLA scan on every f32 tier (~1.15-1.35x at 128x128 tiles), while at bf16
     the per-step MXU work only dominates the grid overhead once the rank is
-    large (measured: 0.82x at K=128, ~1.0x at 256, 1.23x at 512)."""
+    large (measured: 0.82x at K=128, ~1.0x at 256, 1.23x at 512).
+
+    CONTESTED (pending >=3 archived sessions, VERDICT r04 #3): the bf16
+    k>=384 crossover rests on single-session readings under the pre-rename
+    occ labels, which cannot be pooled with new rows (benchmarks/RESULTS.md).
+    The certification queue captures 3 fresh k-interleaved sessions per
+    cell (k=128/256/384) and ``benchmarks/retune.py`` adjudicates once they
+    exist; until then the conservative scan-side default stands."""
     if not supported(k, bm, bn, precision):
         return False
     if precision.matmul_dtype == "bfloat16":

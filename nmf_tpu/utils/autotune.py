@@ -129,6 +129,18 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
     always take the jnp path here (a round-1 small-rank f32 pallas
     exception was removed after measurement); only bfloat16 has fusion-win
     regimes.  Thresholds come from the device table (utils/device.py).
+
+    CONTESTED (pending >=3 archived sessions, VERDICT r04 #3): the
+    single-lane-tile-N bf16 branch (``spec.fused_single_tile_n``) picks
+    pallas from a round-2 +17% reading at 4096x350 k=128, but the one
+    committed regression row since (benchmarks/results.json, same cell)
+    measured jnp 43% faster (12.0 vs 17.2 us/iter).  Shared-chip noise is
+    +-2x, so neither single session may retune this
+    (benchmarks/retune.py:41 enforces the >=3-session policy); the
+    certification queue archives 3 interleaved sessions per backend and
+    ``benchmarks/retune.py`` adjudicates mechanically once they exist.
+    Until then, users of ``backend='auto'`` on this exact cell may get the
+    slower kernel — force ``backend='jnp'`` or ``'autotune'`` to override.
     """
     from ..ops.pallas import fused_mu
 
