@@ -313,6 +313,42 @@ def main(argv=None) -> int:
         art["serve_masked_quantized_stream_equals_in_program"] = masked_match
         art["ok"] &= masked_match
 
+        # 7d. row-block scale table (x_quant_rows, format v4 with a 2-D
+        # scales input — the round-4 composition closing the serving
+        # matrix): the streamed host-quantized masked serve must be
+        # md5-identical to the in-memory in-program one, and must DIFFER
+        # from the per-column-scales result of 7c (block peaks != column
+        # peaks on random data — proof the 2-D table was actually read,
+        # same discipline as tests/test_quant_rowblocks.py::test_mesh_*)
+        _run(
+            ["export", "Wout.bin", "-o", "rb_in.nmfz", "--block-cols", "350",
+             "--max-iter", "30", "--thresh", "0", "--backend", "jnp",
+             "--x-dtype", "int8", "--x-quant-rows", "64", "--masked"], d,
+        )
+        _run(
+            ["export", "Wout.bin", "-o", "rb_host.nmfz", "--block-cols",
+             "350", "--max-iter", "30", "--thresh", "0", "--backend", "jnp",
+             "--x-dtype", "int8", "--x-quant-rows", "64", "--masked",
+             "--quantized-input"], d,
+        )
+        r_ri = step(
+            "serve-rowblock-int8-inprogram",
+            ["serve", "rb_in.nmfz", "X.bin", "-o", "Hri.bin",
+             "--mask", "mask.bin"],
+            outputs=["Hri.bin"],
+        )
+        r_rh = step(
+            "serve-rowblock-int8-quantized-stream",
+            ["serve", "rb_host.nmfz", "X.bin", "-o", "Hrh.bin",
+             "--mask", "mask.bin", "--out-of-core"],
+            outputs=["Hrh.bin"],
+        )
+        rb_match = r_rh["Hrh.bin"]["md5"] == r_ri["Hri.bin"]["md5"]
+        art["serve_rowblock_scales_stream_equals_in_program"] = rb_match
+        rb_read = r_ri["Hri.bin"]["md5"] != r_mi["Hmi.bin"]["md5"]
+        art["rowblock_scales_differ_from_per_column"] = rb_read
+        art["ok"] &= rb_match and rb_read
+
         # 8. rank selection: consensus-stability study picks a rank and
         # writes its best factors (one batched sweep on the device)
         r_sel = step(
