@@ -239,7 +239,10 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
         max_iter=iters,
     )
     bn = pick_block_n(m, n)
-    # measure the raw H2D roofline with the exact wire payload
+    # the raw H2D roofline is probed with the exact wire payload — but
+    # BRACKETING the timed run (below), not here: the link fluctuates 2-3x
+    # minute to minute and the warm runs take long enough for it to drift
+    # (ADVICE r04, same pairing as run_serving)
     blk = x[:, :bn]
     if x_dtype == "int8":
         from nmf_tpu.ops.quant import quantize_columns_np
@@ -249,7 +252,6 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
         import ml_dtypes
 
         blk = blk.astype(ml_dtypes.bfloat16)
-    h2d_bw = measure_h2d_bw(blk)
 
     # compile + warm TWICE with the IDENTICAL config (the per-block jits are
     # keyed by it, and this platform shows a one-off first-dispatch stall per
@@ -259,10 +261,13 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
     for _ in range(2):
         r_warm = solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
         np.asarray(jax.device_get(r_warm.w[:1, :1]))
+    bw_before = measure_h2d_bw(blk)
     t0 = _time.perf_counter()
     res = solve_out_of_core(x, w, h, iters_cfg, block_n=bn)
     np.asarray(jax.device_get(res.w[:1, :1]))
     per_iter = (_time.perf_counter() - t0) / iters
+    bw_after = measure_h2d_bw(blk)
+    h2d_bw = float(np.median([bw_before, bw_after]))
     wire_bytes = x.nbytes // {"float32": 1, "bfloat16": 2, "int8": 4}[x_dtype]
     roofline = wire_bytes / h2d_bw  # seconds/iteration at pure-transfer speed
     return {
@@ -271,6 +276,7 @@ def run_oocore(m, k, n, iters, dtype, x_dtype) -> dict:
         "achieved_tflops": flops_per_iter(m, k, n) / per_iter / 1e12,
         "fraction_of_peak": roofline / per_iter,  # of the H2D roofline
         "h2d_gbps": h2d_bw / 1e9,
+        "h2d_gbps_probes": [bw_before / 1e9, bw_after / 1e9],
         "streamed_gb_per_iter": wire_bytes / 1e9,
     }
 
