@@ -19,8 +19,13 @@
 #     not /tmp (lost on reboot).
 #   * the round number is REQUIRED (no default): restart the watcher at
 #     each round boundary so artifacts carry the right stamp.
-cd /root/repo || exit 1
+# CHIP_WATCH_REPO / CHIP_WATCH_SLEEP_BASE / CHIP_WATCH_MAX_SLEEP exist for
+# the bash-harness test (tests/test_chip_watch.py), which must not touch
+# the real repo's lock or sleep for real minutes.
+cd "${CHIP_WATCH_REPO:-/root/repo}" || exit 1
 ROUND="${1:?usage: chip_watch.sh ROUND}"
+SLEEP_BASE="${CHIP_WATCH_SLEEP_BASE:-600}"
+MAX_SLEEP="${CHIP_WATCH_MAX_SLEEP:-3600}"
 LOCK=benchmarks/.chip_watch.lock
 exec 9>"$LOCK"
 if ! flock -n 9; then
@@ -33,7 +38,7 @@ exec >>"$LOG" 2>&1
 echo "[chip_watch] started round=$ROUND pid=$$ at $(date -u +%FT%TZ)"
 FAILS=0
 while true; do
-  SLEEP=600
+  SLEEP="$SLEEP_BASE"
   if timeout 400 python -c "import sys; from benchmarks.chip_session import probe; sys.exit(0 if probe(300).get('up') else 1)" 2>/dev/null; then
     echo "[chip_watch] TPU up at $(date -u +%FT%TZ); queue attempt $((FAILS + 1))"
     python benchmarks/chip_session.py --round "$ROUND" --probe-timeout 300
@@ -44,11 +49,11 @@ while true; do
       exit 0
     fi
     FAILS=$((FAILS + 1))
-    SLEEP=$((600 * FAILS))
-    [ "$SLEEP" -gt 3600 ] && SLEEP=3600
-    echo "[chip_watch] queue incomplete (fail #$FAILS); re-probe in $((SLEEP / 60)) min"
+    SLEEP=$((SLEEP_BASE * FAILS))
+    [ "$SLEEP" -gt "$MAX_SLEEP" ] && SLEEP="$MAX_SLEEP"
+    echo "[chip_watch] queue incomplete (fail #$FAILS); re-probe in $SLEEP s"
   else
-    echo "[chip_watch] chip down at $(date -u +%FT%TZ); retry in 10 min"
+    echo "[chip_watch] chip down at $(date -u +%FT%TZ); retry in $SLEEP_BASE s"
   fi
   sleep "$SLEEP"
 done
