@@ -728,6 +728,40 @@ def run_check(quick: bool = False) -> dict:
         entry["ok"] = bool(all(checks))
         out["policies"][name] = entry
 
+    # host/program quantizer twins must emit IDENTICAL bytes ON THE DEVICE
+    # — the serving formats' bitwise contract (quantized-input artifacts
+    # compare md5-for-md5 against in-program quantization; e2e 7b-7d).
+    # This is exactly the check that caught the 2026-08-19 TPU divergence
+    # (uncanonicalized floor(x*inv+0.5): XLA:TPU divide rounding + FMA
+    # contraction shifted boundary codes; fixed by ops/quant's
+    # comparison-based canonical definition).
+    import jax.numpy as jnp
+
+    from nmf_tpu.ops import quant as _quant
+
+    eps_q = float(np.float32(2.2204e-16))
+    qj, sj = jax.jit(lambda a: _quant.quantize_columns(a, eps_q))(
+        jnp.asarray(x)
+    )
+    qn, sn = _quant.quantize_columns_np(x, eps_q)
+    cols_ok = bool(
+        (np.asarray(jax.device_get(qj)) == qn).all()
+        and (np.asarray(jax.device_get(sj)) == sn).all()
+    )
+    qrj, srj = jax.jit(lambda a: _quant.quantize_rowblocks(a, eps_q, 64))(
+        jnp.asarray(x)
+    )
+    qrn, srn = _quant.quantize_rowblocks_np(x, eps_q, 64)
+    rows_ok = bool(
+        (np.asarray(jax.device_get(qrj)) == qrn).all()
+        and (np.asarray(jax.device_get(srj)) == srn).all()
+    )
+    out["policies"]["quant_twins"] = {
+        "columns_bitwise": cols_ok,
+        "rowblocks_bitwise": rows_ok,
+        "ok": cols_ok and rows_ok,
+    }
+
     # strict padded-EPS replication vs its own padded oracle (f32 class)
     _, _, strict_oracle_cost = _np_oracle_mu_padded(x, w0, h0, iters)
     sres = solve_strict(

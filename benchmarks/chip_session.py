@@ -66,19 +66,40 @@ def _write_log(path, text):
               file=sys.stderr)
 
 
-def probe(timeout=300.0) -> dict:
-    """Bounded backend probe in a subprocess (a hung init dies with it)."""
+def probe(timeout=600.0) -> dict:
+    """Bounded backend probe in a subprocess (a hung init dies with it).
+
+    The probe EXECUTES a tiny program and fetches a scalar — device
+    enumeration alone is not "up" on this platform.  Measured 2026-08-19:
+    ``jax.devices()`` answered in 3-12 s while a trivial matmul queued
+    behind another process's long-running chip job (the orphaned e2e of
+    session 20260819_042017) for its entire duration.  "Up" must mean
+    "this process can run a program NOW": the execute probe folds the
+    one-job-at-a-time rule (CLAUDE.md) into the watcher — a busy chip
+    reads as down, so the queue never double-books it and poisons both
+    jobs' timings.  The timeout must also absorb a degraded compile
+    service: the same day, the probe matmul took 76.7 s on a cold cache
+    (the subprocess shares ``JAX_COMPILATION_CACHE_DIR`` via ``_env()``,
+    so repeats are seconds).  The scalar fetch uses the platform's only
+    reliable sync idiom (``np.asarray(jax.device_get(arr[:1, :1]))`` —
+    CLAUDE.md: this platform's ``block_until_ready`` does not block).
+    """
     t0 = time.time()
     try:
         out = subprocess.run(
             [sys.executable, "-c",
-             "import jax; d=jax.devices()[0]; "
+             "import jax, jax.numpy as jnp, numpy as np; "
+             "d=jax.devices()[0]; "
+             "x=jnp.full((8, 128), 3.0, jnp.float32); "
+             "v=float(np.asarray(jax.device_get((x @ x.T)[:1, :1]))); "
+             "assert v == 3.0 * 3.0 * 128, v; "
              "print('NMFPROBE=%s|%s' % (d.platform, d.device_kind))"],
             capture_output=True, text=True, timeout=timeout, env=_env(),
         )
     except subprocess.TimeoutExpired:
-        return {"up": False, "error": f"backend init hung >{timeout:.0f}s "
-                "(known tunnel-outage mode)"}
+        return {"up": False, "error": f"backend init/execute hung "
+                f">{timeout:.0f}s (tunnel outage, busy chip, or degraded "
+                "compile service)"}
     if out.returncode != 0:
         return {"up": False, "error": f"init crashed: {out.stderr[-300:]}"}
     # scan for the sentinel line — jax/plugin init may print informational
@@ -174,10 +195,18 @@ def build_queue(py, quick, e2e_json):
     generous bounds.  Module-level so tests can substitute stub steps.
     """
     q = ["--quick"] if quick else []
+    # Scarcest artifact first: tunnel windows keep truncating sessions
+    # (both 2026-08-19 sessions died inside the first three steps), so the
+    # queue leads with whatever the round still lacks.  Round 5 has a
+    # committed flagship BENCH + archive rows but NO passing on-chip E2E
+    # (session 20260819_042017's e2e ran to completion as an orphan and
+    # FAILED ok=false — the quantized-input stages 7b-7d diverged from
+    # their in-program twins, the TPU boundary-code bug ops/quant.py now
+    # fixes) and its HWPARITY predates the quant_twins bitwise gate.
     queue = [
-        ("bench_flagship", [py, "bench.py"], 5400),
-        ("hwparity", [py, "bench.py", "--check", *q], 7200),
         ("e2e", [py, "benchmarks/e2e_cli.py", *q, "--out", e2e_json], 10800),
+        ("hwparity", [py, "bench.py", "--check", *q], 7200),
+        ("bench_flagship", [py, "bench.py"], 5400),
         ("bench_flagship_2", [py, "bench.py"], 3600),
         ("matrix", [py, "benchmarks/run_all.py", *q,
                     "--out", "benchmarks/results.json"], 14400),

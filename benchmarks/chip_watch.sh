@@ -39,9 +39,12 @@ echo "[chip_watch] started round=$ROUND pid=$$ at $(date -u +%FT%TZ)"
 FAILS=0
 while true; do
   SLEEP="$SLEEP_BASE"
-  if timeout 400 python -c "import sys; from benchmarks.chip_session import probe; sys.exit(0 if probe(300).get('up') else 1)" 2>/dev/null; then
+  # probe timeout 600: the execute probe must absorb a degraded compile
+  # service (76.7 s measured for its matmul on a cold cache, 2026-08-19)
+  # and a busy chip is SUPPOSED to read as down (one job at a time)
+  if timeout 700 python -c "import sys; from benchmarks.chip_session import probe; sys.exit(0 if probe(600).get('up') else 1)" 2>/dev/null; then
     echo "[chip_watch] TPU up at $(date -u +%FT%TZ); queue attempt $((FAILS + 1))"
-    python benchmarks/chip_session.py --round "$ROUND" --probe-timeout 300
+    python benchmarks/chip_session.py --round "$ROUND" --probe-timeout 600
     rc=$?
     echo "[chip_watch] chip_session exited rc=$rc at $(date -u +%FT%TZ)"
     if [ "$rc" -eq 0 ]; then

@@ -19,6 +19,23 @@ column's peak but unbounded for entries far below it, so this is an OPT-IN
 storage policy (``Precision(x_dtype="int8")``) for bandwidth-extreme cases,
 not a default.  The KL cost/convergence then measures the quantized data —
 exactly the objective the updates are descending on.
+
+Cross-platform bitwise parity (the serving contract): the host (NumPy)
+twins and the in-program (jnp) quantizers must emit IDENTICAL codes, on
+every backend, because the serving formats compare host-quantized streams
+against in-program quantization md5-for-md5 (benchmarks/e2e_cli.py 7b-7d).
+``floor(x * (1/s) + 0.5)`` alone does NOT deliver that on TPU — measured
+2026-08-19 on TPU v5 lite (E2E session 20260819_042017): XLA:TPU's f32
+divide is not guaranteed correctly rounded and the multiply-add may
+contract to an FMA, so a handful of codes near rounding boundaries came
+out one off vs the NumPy twin (same final cost to 6 digits, different
+md5).  The canonical definition is therefore comparison-based: q is the
+integer satisfying ``f32(s*(q-0.5)) <= x < f32(s*(q+0.5))`` — only
+IEEE-correctly-rounded ops (mul, add, compare), which CPU and TPU VPU
+agree on bit-for-bit.  ``_canonical_fixup`` nudges the fast approximate
+``q0`` (always within +-1 of canonical, since 1/s is off by at most a few
+ulps and q <= 255 << 2^24) onto that definition in one step, identically
+in both twins.
 """
 
 from __future__ import annotations
@@ -41,14 +58,41 @@ __all__ = [
 _F32 = jnp.float32
 
 
+def _canonical_fixup(xf, q0, s_b, np_mod):
+    """Move the approximate code ``q0`` (f32 integers, within +-1 of
+    canonical) onto the canonical comparison-based definition
+
+        q = the integer with  f32(s*(q-0.5)) <= x < f32(s*(q+0.5))
+
+    using only IEEE-correctly-rounded f32 ops (mul/add/compare), so the
+    result is bit-identical across NumPy, XLA:CPU, and XLA:TPU regardless
+    of how accurately ``1/s`` was computed or whether the caller's
+    multiply-add contracted to an FMA (module docstring; measured TPU
+    divergence 2026-08-19).  One step suffices: |q0 - q| <= 1 because the
+    reciprocal is off by at most a few ulps and q <= 255 << 2^24.  The
+    thresholds are strictly increasing in q (correctly-rounded positive
+    mul is monotone; adjacent half-steps can't collapse at q <= 255.5
+    given f32's 2^-24 relative spacing), so exactly one of the two
+    adjustments can fire.  ``np_mod`` is jnp or numpy — the SAME op
+    sequence runs in both twins."""
+    one = np_mod.float32(1.0)
+    half = np_mod.float32(0.5)
+    hi = s_b * (q0 + half)   # threshold into q0+1 territory
+    lo = s_b * (q0 - half)   # threshold below which q0-1 owns x
+    up = np_mod.where(xf >= hi, one, np_mod.float32(0.0))
+    dn = np_mod.where(xf < lo, one, np_mod.float32(0.0))
+    return q0 + up - dn
+
+
 def quantize_columns(x: jnp.ndarray, eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize a nonnegative (already eps-clamped) matrix to uint8 codes and
     per-column f32 scales such that ``x ~= q * scales[None, :]``.
 
     Rounding is half-UP (floor(v + 0.5)) — marginally cheaper than
-    round-half-even on both NumPy and XLA and bit-identical between the two
-    implementations (the .5 tie direction is irrelevant to the 1/510-step
-    error bound)."""
+    round-half-even on both NumPy and XLA, with the boundary canonicalized
+    by :func:`_canonical_fixup` so codes are bit-identical between the
+    NumPy twin and every XLA backend (the .5 tie direction is irrelevant
+    to the 1/510-step error bound)."""
     xf = x.astype(_F32)
     colmax = jnp.max(xf, axis=0)
     # explicit reciprocal-MULTIPLY, not /255: XLA rewrites constant division
@@ -56,10 +100,12 @@ def quantize_columns(x: jnp.ndarray, eps: float) -> Tuple[jnp.ndarray, jnp.ndarr
     # `c * f32(1/255)`), so spelling the multiply keeps host (NumPy twin)
     # and device scales bit-identical without leaning on that rewrite
     scales = jnp.maximum(colmax, eps) * jnp.float32(1.0 / 255.0)
-    # reciprocal-multiply (not divide): the exact op sequence of the NumPy
-    # twin, so codes are bit-identical between the two implementations
+    # fast approximate pass (reciprocal-multiply), then the canonical
+    # comparison fixup — the divide's rounding no longer matters
     inv = (jnp.float32(1.0) / scales)[None, :]
-    q = jnp.clip(jnp.floor(xf * inv + 0.5), 0, 255).astype(jnp.uint8)
+    q0 = jnp.floor(xf * inv + jnp.float32(0.5))
+    q1 = _canonical_fixup(xf, q0, scales[None, :], jnp)
+    q = jnp.clip(q1, 0, 255).astype(jnp.uint8)
     return q, scales
 
 
@@ -95,11 +141,9 @@ def quantize_rowblocks(
     # reciprocal-multiply, not /255 — see quantize_columns
     scales = jnp.maximum(blocks.max(axis=1), eps) * jnp.float32(1.0 / 255.0)  # (R, N)
     inv = (jnp.float32(1.0) / scales)[:, None, :]
-    q = (
-        jnp.clip(jnp.floor(blocks * inv + 0.5), 0, 255)
-        .astype(jnp.uint8)
-        .reshape(r * rb, n)[:m]
-    )
+    q0 = jnp.floor(blocks * inv + jnp.float32(0.5))
+    q1 = _canonical_fixup(blocks, q0, scales[:, None, :], jnp)
+    q = jnp.clip(q1, 0, 255).astype(jnp.uint8).reshape(r * rb, n)[:m]
     return q, scales
 
 
@@ -160,8 +204,10 @@ def quantize_columns_np(x, eps: float):
     scales = np.maximum(xf.max(axis=0), np.float32(eps)) * np.float32(1.0 / 255.0)
     v = xf * (np.float32(1.0) / scales)[None, :]
     v += np.float32(0.5)
-    np.clip(v, 0, 255, out=v)
-    return v.astype(np.uint8), scales
+    np.floor(v, out=v)
+    q1 = _canonical_fixup(xf, v, scales[None, :], np)
+    np.clip(q1, 0, 255, out=q1)
+    return q1.astype(np.uint8), scales
 
 
 def quantize_rowblocks_np(x, eps: float, rows_per_block: int):
@@ -183,8 +229,10 @@ def quantize_rowblocks_np(x, eps: float, rows_per_block: int):
     scales = np.maximum(blocks.max(axis=1), np.float32(eps)) * np.float32(1.0 / 255.0)
     v = blocks * (np.float32(1.0) / scales)[:, None, :]
     v += np.float32(0.5)
-    np.clip(v, 0, 255, out=v)
-    return v.astype(np.uint8).reshape(r * rb, n)[:m], scales
+    np.floor(v, out=v)
+    q1 = _canonical_fixup(blocks, v, scales[:, None, :], np)
+    np.clip(q1, 0, 255, out=q1)
+    return q1.astype(np.uint8).reshape(r * rb, n)[:m], scales
 
 
 def quantize_policy_np(x, eps: float, x_quant_rows: int):

@@ -159,15 +159,20 @@ def test_hwparity_gate_quick_cpu():
 
     out = bench.run_check(quick=True)
     assert out["ok"], out
-    # the full user-selectable numerics matrix (round 3), one row per cell
+    # the full user-selectable numerics matrix (round 3), one row per cell,
+    # plus the host/program quantizer bitwise-twin check (round 5 — the
+    # on-device form of the contract that caught the 2026-08-19 TPU
+    # boundary-code divergence)
     assert set(out["policies"]) == {
         "float32", "float32_fast", "bfloat16",
         "x_bfloat16", "x_int8", "x_int8_rowblocks", "state_bfloat16",
-        "strict",
+        "strict", "quant_twins",
     }
     for name, entry in out["policies"].items():
         if name == "strict":
             assert entry["cost_vs_padded_oracle_rel"] < 1e-3
+        elif name == "quant_twins":
+            assert entry["columns_bitwise"] and entry["rowblocks_bitwise"]
         else:
             assert entry["jnp_cost_vs_oracle_rel"] < 1e-3
 

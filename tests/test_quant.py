@@ -295,3 +295,53 @@ def test_h_only_pallas_rowblocks_raises(problem):
             SolveConfig(backend="pallas",
                         precision=Precision(x_dtype="int8", x_quant_rows=32))
         )
+
+
+def _canonical_invariant_holds(x, q, s):
+    """The platform-independent code definition (ops/quant module docstring):
+    q is the integer with f32(s*(q-0.5)) <= x < f32(s*(q+0.5)), saturated at
+    the 0/255 clip ends.  Evaluated here with NumPy f32 (IEEE mul/add)."""
+    qf = q.astype(np.float32)
+    hi = (s * (qf + np.float32(0.5))).astype(np.float32)
+    lo = (s * (qf - np.float32(0.5))).astype(np.float32)
+    ok_hi = (x < hi) | (q == 255)
+    ok_lo = (x >= lo) | (q == 0)
+    return bool(np.all(ok_hi & ok_lo))
+
+
+def test_quantize_codes_satisfy_canonical_definition(problem):
+    """Codes obey the comparison-based canonical definition — the property
+    that makes host and device emit identical bytes on EVERY backend (the
+    TPU divergence of 2026-08-19: an uncanonicalized floor(x*inv+0.5) came
+    out one off near boundaries because XLA:TPU's divide isn't correctly
+    rounded and the mul-add can contract to an FMA)."""
+    x, _, _ = problem
+    qn, sn = quant.quantize_columns_np(x, EPS)
+    assert _canonical_invariant_holds(x, qn, np.asarray(sn)[None, :])
+    qj, sj = quant.quantize_columns(jnp.asarray(x), EPS)
+    assert _canonical_invariant_holds(x, np.asarray(qj), np.asarray(sj)[None, :])
+    # row-block layout too
+    qrn, srn = quant.quantize_rowblocks_np(x, EPS, 32)
+    rb = -(-x.shape[0] // srn.shape[0])
+    s_full = np.asarray(srn)[np.arange(x.shape[0]) // rb, :]
+    assert _canonical_invariant_holds(x, qrn, s_full)
+
+
+def test_quantize_fixup_corrects_perturbed_reciprocal():
+    """_canonical_fixup lands on the canonical code even when the fast pass
+    used a reciprocal that is off by a few ulps — the exact failure mode of
+    a backend whose f32 divide is not correctly rounded."""
+    rng = np.random.RandomState(7)
+    x = np.abs(rng.rand(64, 40)).astype(np.float32) * 10.0
+    scales = np.maximum(x.max(axis=0), np.float32(EPS)) * np.float32(1.0 / 255.0)
+    inv = (np.float32(1.0) / scales)[None, :]
+    q_ref, _ = quant.quantize_columns_np(x, EPS)
+    for ulps in (-2, -1, 1, 2):
+        inv_bad = np.frombuffer(
+            (np.frombuffer(inv.tobytes(), np.int32) + np.int32(ulps)).tobytes(),
+            np.float32,
+        ).reshape(inv.shape)
+        v = np.floor(x * inv_bad + np.float32(0.5))
+        q = quant._canonical_fixup(x, v, scales[None, :], np)
+        np.clip(q, 0, 255, out=q)
+        np.testing.assert_array_equal(q.astype(np.uint8), q_ref)
