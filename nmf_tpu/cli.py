@@ -1143,6 +1143,24 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment diagnosis (utils/doctor.py).  Exit 0 iff a bounded
+    subprocess executed a program and fetched the verified result — the
+    only definition of "usable" that holds on a tunneled accelerator
+    (enumeration can succeed while dispatch hangs; docs/ROUND5.md)."""
+    from .utils import doctor
+
+    plat = args.platform or os.environ.get("NMF_TPU_PLATFORM") or None
+    report = doctor.diagnose(platform=plat, timeout=args.timeout)
+    if args.json:
+        import json as _json
+
+        print(_json.dumps(report))
+    else:
+        print(doctor.format_report(report))
+    return 0 if report["up"] else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="nmf_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
@@ -1389,6 +1407,27 @@ def build_parser() -> argparse.ArgumentParser:
     info = sub.add_parser("info", help="describe .bin files")
     info.add_argument("files", nargs="+")
     info.set_defaults(fn=cmd_info)
+
+    doc = sub.add_parser(
+        "doctor",
+        help="diagnose the environment: bounded backend/execute probe, "
+        "compile-cache state, link bandwidth, host-callback support",
+    )
+    doc.add_argument(
+        "--platform",
+        default=None,
+        help="probe this backend instead of the default chain (e.g. cpu); "
+        "defaults to NMF_TPU_PLATFORM when that is set",
+    )
+    doc.add_argument(
+        "--timeout",
+        type=float,
+        default=180.0,
+        help="seconds before the device probe is declared hung (the probe "
+        "runs in a subprocess, so a hang cannot wedge this process)",
+    )
+    doc.add_argument("--json", action="store_true", help="machine-readable output")
+    doc.set_defaults(fn=cmd_doctor)
     return ap
 
 
