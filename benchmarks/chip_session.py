@@ -208,22 +208,15 @@ def build_queue(py, quick, e2e_json):
         ("hwparity", [py, "bench.py", "--check", *q], 7200),
         ("bench_flagship", [py, "bench.py"], 5400),
         ("bench_flagship_2", [py, "bench.py"], 3600),
-        ("matrix", [py, "benchmarks/run_all.py", *q,
-                    "--out", "benchmarks/results.json"], 14400),
-        ("bench_oocore", [py, "bench.py", "--workload", "oocore"], 3600),
-        # VERDICT r03 #8: round-stamped serving-throughput rows (plain f32
-        # wire + quantized-input int8 wire — the link-bound paths this
-        # environment actually stresses)
-        ("bench_serving", [py, "bench.py", "--workload", "serving"], 3600),
-        ("bench_serving_int8", [py, "bench.py", "--workload", "serving",
-                                "--x-dtype", "int8"], 3600),
-        ("bench_converge", [py, "bench.py", "--workload", "converge"], 5400),
-        ("bench_flagship_3", [py, "bench.py"], 3600),
     ]
     # VERDICT r03 #3: the disputed regression-dims bf16 rule (jnp vs pallas
     # at 4096x350 k=128) needs >= 3 archived sessions per backend; one
     # bench.py invocation = one archive session, interleaved so chip drift
-    # cancels across the pair
+    # cancels across the pair.  These feeders (and the tile-sparse ones
+    # below) run BEFORE the long matrix/oocore/serving refreshes: the
+    # retune dispute is two rounds old and each feeder is short, while a
+    # truncated tunnel window that dies inside the 4h matrix bound would
+    # leave the dispute unsettled for a third round.
     for i in (1, 2, 3):
         for backend in ("jnp", "pallas"):
             queue.append((
@@ -257,6 +250,20 @@ def build_queue(py, quick, e2e_json):
         # mechanical adjudication of the two disputed rules from the rows
         # this very session just archived (>=3-session policy enforced)
         ("retune_report", [py, "benchmarks/retune.py"], 600),
+        # long refresh sweeps LAST (results.json + workload rows already
+        # exist from earlier rounds; a fresh capture is strictly
+        # nice-to-have next to the artifacts and feeders above)
+        ("bench_flagship_3", [py, "bench.py"], 3600),
+        ("bench_oocore", [py, "bench.py", "--workload", "oocore"], 3600),
+        # VERDICT r03 #8: round-stamped serving-throughput rows (plain f32
+        # wire + quantized-input int8 wire — the link-bound paths this
+        # environment actually stresses)
+        ("bench_serving", [py, "bench.py", "--workload", "serving"], 3600),
+        ("bench_serving_int8", [py, "bench.py", "--workload", "serving",
+                                "--x-dtype", "int8"], 3600),
+        ("bench_converge", [py, "bench.py", "--workload", "converge"], 5400),
+        ("matrix", [py, "benchmarks/run_all.py", *q,
+                    "--out", "benchmarks/results.json"], 14400),
     ]
     return queue
 
