@@ -130,17 +130,15 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
     exception was removed after measurement); only bfloat16 has fusion-win
     regimes.  Thresholds come from the device table (utils/device.py).
 
-    CONTESTED (pending >=3 archived sessions, VERDICT r04 #3): the
-    single-lane-tile-N bf16 branch (``spec.fused_single_tile_n``) picks
-    pallas from a round-2 +17% reading at 4096x350 k=128, but the one
-    committed regression row since (benchmarks/results.json, same cell)
-    measured jnp 43% faster (12.0 vs 17.2 us/iter).  Shared-chip noise is
-    +-2x, so neither single session may retune this
-    (benchmarks/retune.py:41 enforces the >=3-session policy); the
-    certification queue archives 3 interleaved sessions per backend and
-    ``benchmarks/retune.py`` adjudicates mechanically once they exist.
-    Until then, users of ``backend='auto'`` on this exact cell may get the
-    slower kernel — force ``backend='jnp'`` or ``'autotune'`` to override.
+    SETTLED (RETUNE_r05, 2026-08-19 — was CONTESTED through rounds 3-4):
+    the single-lane-tile-N bf16 branch used to pick pallas from a round-2
+    single-session +17% reading at 4096x350 k=128.  With the >=3-session
+    policy finally satisfiable (3 interleaved same-window sessions per
+    backend, benchmarks/retune.py), jnp won 1.31x (pooled medians 74,755
+    vs 57,110 it/s, loser outside the winner's IQR), so the v5e ChipSpec
+    row now sets ``fused_single_tile_n=False`` (utils/device.py) and
+    ``backend='auto'`` takes the jnp path on that cell.  The small-rank
+    branch (``k <= fused_small_k``) remains measured-pallas.
     """
     from ..ops.pallas import fused_mu
 
@@ -151,9 +149,10 @@ def rule_pick(m: int, k: int, n: int, matmul_dtype: str = "bfloat16") -> str:
     if matmul_dtype == "bfloat16" and (
         k <= spec.fused_small_k or (single_n_tile and spec.fused_single_tile_n)
     ):
-        # fusion's decisive regimes: small rank (paper dims +25-30%) and
-        # single-lane-tile N where the deepened contraction tile wins
-        # (4096x350 k=128: +17%)
+        # fusion's decisive regime: small rank (paper dims +25-30%).  The
+        # single-lane-tile-N branch is OFF for v5e since RETUNE_r05 (jnp
+        # 1.31x) but kept as a ChipSpec knob for generations where the
+        # deepened contraction tile may still win.
         return "pallas"
     # everywhere else XLA wins or ties within measurement noise (flagship
     # bf16 fluctuates +-20% between sessions with no stable winner); prefer

@@ -69,6 +69,14 @@ _V5E = ChipSpec(
     family="v5e", measured=True, bf16_tflops=197.0, f32_tflops=33.0,
     vmem_words_f32=1_500_000, vmem_words_bf16=3_000_000,
     block_m=512, block_n=1024, max_fused_k=2048,
+    # SETTLED by RETUNE_r05 (2026-08-19, 3 interleaved same-window sessions
+    # per backend at 4096x350 k=128 bf16): jnp pooled median 74,755 it/s
+    # (per-session 73,507 / 74,755 / 75,070) vs pallas 57,110 (56,779 /
+    # 57,110 / 60,002) — jnp wins 1.31x with the loser outside the winner's
+    # IQR, so the old single-lane-tile-N pallas preference (a round-2
+    # single-session +17% reading) was chip noise.  XLA's own fusion beats
+    # the hand kernel when N fits one lane tile.
+    fused_single_tile_n=False,
 )
 
 # Conservative fallback for unknown device kinds: v5e tiling (16 MiB scoped

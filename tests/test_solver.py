@@ -147,7 +147,9 @@ def test_backend_rule_pick():
     from nmf_tpu.ops.pallas.fused_mu import MAX_FUSED_K
 
     assert rule_pick(512, 30, 3445) == "pallas"      # paper regime (small k)
-    assert rule_pick(4096, 128, 350) == "pallas"     # single-N-tile regime
+    # single-N-tile regime: SETTLED jnp by RETUNE_r05 (3 sessions/backend,
+    # jnp 1.31x) — the v5e row ships fused_single_tile_n=False
+    assert rule_pick(4096, 128, 350) == "jnp"
     assert rule_pick(10240, 256, 10240) == "jnp"     # flagship: no stable winner
     assert rule_pick(512, 30, 3445, "float32") == "jnp"  # fp32: XLA's f32 path wins
     assert rule_pick(100, MAX_FUSED_K + 1, 100) == "jnp"  # no fused kernel
