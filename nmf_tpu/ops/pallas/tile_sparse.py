@@ -74,12 +74,13 @@ def preferred(k: int, bm: int, bn: int, precision: Precision) -> bool:
     the per-step MXU work only dominates the grid overhead once the rank is
     large (measured: 0.82x at K=128, ~1.0x at 256, 1.23x at 512).
 
-    CONTESTED (pending >=3 archived sessions, VERDICT r04 #3): the bf16
-    k>=384 crossover rests on single-session readings under the pre-rename
-    occ labels, which cannot be pooled with new rows (benchmarks/RESULTS.md).
-    The certification queue captures 3 fresh k-interleaved sessions per
-    cell (k=128/256/384) and ``benchmarks/retune.py`` adjudicates once they
-    exist; until then the conservative scan-side default stands."""
+    SETTLED (RETUNE_r05, 2026-08-19 — was contested rounds 3-4): three
+    fresh k-interleaved sessions per cell under the current occ=0.125
+    labeling confirm every branch of this rule — pooled medians have the
+    scan (jnp-c64) ahead 1.13x at k=128 and 1.02x at k=256, and the kernel
+    ahead 1.17x at k=384 — so the bf16 ``k >= 384`` crossover stands ON
+    MEASUREMENT now, not on the old single-session readings.  Evidence:
+    RETUNE_r05.json + benchmarks/archive.jsonl."""
     if not supported(k, bm, bn, precision):
         return False
     if precision.matmul_dtype == "bfloat16":
